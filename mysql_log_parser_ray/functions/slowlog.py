@@ -1,0 +1,265 @@
+"""MySQL slow-query-log event extraction: a per-doc line state machine.
+
+Behavioral parity with the reference parser
+(/root/reference/log/parser/slow.go). In the reference the state machine
+spans a whole file read serially; in this engine each input row (``doc_id``)
+carries one chunk of log text, so all cross-line state is confined to a
+single row's parse and the stage is an order-free, embarrassingly parallel
+``map_batches``. Semantics preserved verbatim:
+
+* meta-line filter (restart banner / ``Tcp port:`` / ``Time`` header,
+  slow.go:107-119), applied to the raw line *with* its newline
+* header/query/admin dispatch (slow.go:124-132, 152-289)
+* byte-offset accounting including the reference's +1 quirk for non-zero
+  line offsets (slow.go:93-100) - recorded event offsets are
+  ``true_start + 1`` except at offset 0
+* ``Schema:`` metric vs first-query-line ``use db;`` precedence
+  (slow.go:210-211, 245-251)
+* metric type dispatch by name suffix / value shape (slow.go:196-222);
+  parse failures silently yield 0
+* events lacking ``Query_time`` (partial leading event after a resume) are
+  dropped (slow.go:305-311); slow016/slow017 semantics
+* a final line with no trailing newline is discarded (bufio.ReadString err
+  path, slow.go:87-91)
+* admin-command filtering (slow.go:270-289)
+
+Events are plain dicts; stages/parse.py turns batches of docs into Arrow.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+# slow.go:16-21 regex table.
+_time_re = re.compile(r"Time: (\S+\s{1,2}\S+)")
+_user_re = re.compile(r"User@Host: ([^\[]+|\[[^[]+\]).*?@ (\S*) \[(.*)\]")
+_header_re = re.compile(r"^#\s+[A-Z]")
+_metrics_re = re.compile(r"(\w+): (\S+|$)")
+_admin_re = re.compile(r"command: (.+)")
+_set_re = re.compile(r"SET (?:last_insert_id|insert_id|timestamp)")
+
+_UINT64_MAX = (1 << 64) - 1
+
+
+class MissingQueryTimeError(RuntimeError):
+    """Raised where the reference panics: an event with zero header lines
+    reached finalization without a Query_time (slow.go:306-308)."""
+
+
+def new_event() -> Dict:
+    """Mirror of log.NewEvent (/root/reference/log/event.go:49-55)."""
+    return {
+        "offset": 0,
+        "ts": "",
+        "admin": False,
+        "query": "",
+        "user": "",
+        "host": "",
+        "db": "",
+        "rate_type": "",
+        "rate_limit": 0,
+        "time_metrics": {},
+        "number_metrics": {},
+        "bool_metrics": {},
+    }
+
+
+def _parse_float32(s: str) -> float:
+    """strconv.ParseFloat(s, 32) with errors yielding 0 (slow.go:201)."""
+    try:
+        v = float(s)
+    except ValueError:
+        return 0.0
+    return float(np.float32(v))
+
+
+def _parse_uint(s: str) -> int:
+    """strconv.ParseUint(s, 10, 64) with errors yielding 0 (slow.go:215,219).
+
+    Go's ParseUint permits digits only (no sign, no decimal point) and
+    errors on overflow.
+    """
+    if not s.isdigit():
+        return 0
+    v = int(s)
+    return v if v <= _UINT64_MAX else 0
+
+
+class SlowLogDocParser:
+    """One parse of one doc's text. Not reusable across docs."""
+
+    def __init__(self, filter_admin_command=frozenset()):
+        self.filter_admin = filter_admin_command
+        self.in_header = False
+        self.in_query = False
+        self.header_lines = 0
+        self.query_lines = 0
+        self.bytes_read = 0
+        self.line_offset = 0
+        self.event = new_event()
+        self.events: List[Dict] = []
+
+    def run(self, data: bytes, start_offset: int = 0) -> List[Dict]:
+        if start_offset > 0:
+            data = data[start_offset:]
+        self.bytes_read = start_offset
+
+        pos = 0
+        n = len(data)
+        find = data.find
+        while pos < n:
+            nl = find(b"\n", pos)
+            if nl < 0:
+                # Partial final line: discarded, matching the reference's
+                # break-on-error read loop (slow.go:87-91).
+                break
+            raw = data[pos : nl + 1]
+            pos = nl + 1
+
+            line_len = len(raw)
+            self.bytes_read += line_len
+            self.line_offset = self.bytes_read - line_len
+            if self.line_offset != 0:
+                self.line_offset += 1  # the reference's off-by-one (slow.go:96-100)
+
+            # Meta-line filter (slow.go:107-119), on the raw line incl. \n.
+            if line_len >= 20 and (
+                (raw[0:1] == b"/" and raw[line_len - 6 :] == b"with:\n")
+                or raw[0:5] == b"Time "
+                or raw[0:4] == b"Tcp "
+                or raw[0:4] == b"TCP "
+            ):
+                continue
+
+            line = raw[:-1].decode("utf-8", errors="replace")
+
+            if self.in_header:
+                self._parse_header(line)
+            elif self.in_query:
+                self._parse_query(line)
+            elif _header_re.search(line):
+                self.in_header = True
+                self.in_query = False
+                self._parse_header(line)
+
+        if self.query_lines > 0:
+            self._send_event(False, False)
+        return self.events
+
+    def _parse_header(self, line: str) -> None:
+        if not _header_re.search(line):
+            self.in_header = False
+            self.in_query = True
+            self._parse_query(line)
+            return
+
+        if self.header_lines == 0:
+            self.event["offset"] = self.line_offset
+        self.header_lines += 1
+
+        if line.startswith("# Time"):
+            m = _time_re.search(line)
+            self.event["ts"] = m.group(1)
+            um = _user_re.search(line)
+            if um:  # Percona "bad format": user on the Time line (slow.go:175-182)
+                self.event["user"] = um.group(1)
+                self.event["host"] = um.group(2)
+        elif line.startswith("# User"):
+            m = _user_re.search(line)
+            self.event["user"] = m.group(1)
+            self.event["host"] = m.group(2)
+        elif line.startswith("# admin"):
+            self._parse_admin(line)
+        else:
+            ev = self.event
+            for name, val in _metrics_re.findall(line):
+                if name.endswith("_time") or name.endswith("_wait"):
+                    ev["time_metrics"][name] = _parse_float32(val)
+                elif val == "Yes" or val == "No":
+                    ev["bool_metrics"][name] = val == "Yes"
+                elif name == "Schema":
+                    ev["db"] = val
+                elif name == "Log_slow_rate_type":
+                    ev["rate_type"] = val
+                elif name == "Log_slow_rate_limit":
+                    ev["rate_limit"] = _parse_uint(val) & 0xFF
+                else:
+                    ev["number_metrics"][name] = _parse_uint(val)
+
+    def _parse_query(self, line: str) -> None:
+        if line.startswith("# admin"):
+            self._parse_admin(line)
+            return
+        if _header_re.search(line):
+            # Next event's header: finalize this one (slow.go:234-243).
+            self.in_header = True
+            self.in_query = False
+            self._send_event(True, False)
+            self._parse_header(line)
+            return
+
+        if self.query_lines == 0 and line.startswith("use "):
+            self.event["db"] = line[4:].rstrip(";")
+        elif _set_re.search(line):
+            pass  # SET last_insert_id/insert_id/timestamp ignored (slow.go:252-256)
+        else:
+            if self.query_lines > 0:
+                self.event["query"] += "\n" + line
+            else:
+                self.event["query"] = line
+            self.query_lines += 1
+
+    def _parse_admin(self, line: str) -> None:
+        self.event["admin"] = True
+        m = _admin_re.search(line)
+        q = m.group(1)
+        if q.endswith(";"):
+            q = q[:-1]
+        self.event["query"] = q
+        if q not in self.filter_admin:
+            self._send_event(False, False)
+        else:
+            # Filtered: state cleared but the event object is NOT reset,
+            # matching slow.go:285-288.
+            self.in_header = False
+            self.in_query = False
+
+    def _send_event(self, in_header: bool, in_query: bool) -> None:
+        ev = self.event
+        try:
+            if "Query_time" not in ev["time_metrics"]:
+                if self.header_lines == 0:
+                    raise MissingQueryTimeError(
+                        f"No Query_time in event at {self.line_offset}: {ev!r}"
+                    )
+                return  # partial leading event discarded (slow.go:309-311)
+            if ev["db"].endswith(";\n"):
+                ev["db"] = ev["db"][:-2]
+            if ev["query"].endswith(";"):
+                ev["query"] = ev["query"][:-1]
+            self.events.append(ev)
+        finally:
+            self.event = new_event()
+            self.header_lines = 0
+            self.query_lines = 0
+            self.in_header = in_header
+            self.in_query = in_query
+
+
+def parse_slow_log_text(
+    text: Union[str, bytes],
+    start_offset: int = 0,
+    filter_admin_command=frozenset(),
+) -> List[Dict]:
+    """Parse one doc's slow-log text into a list of event dicts.
+
+    ``start_offset`` mirrors Options.StartOffset (seek before reading;
+    slow.go:46-49): parsing begins at that byte and recorded offsets are
+    absolute within the doc.
+    """
+    data = text.encode("utf-8") if isinstance(text, str) else text
+    p = SlowLogDocParser(filter_admin_command=filter_admin_command)
+    return p.run(data, start_offset)
