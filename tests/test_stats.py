@@ -1,0 +1,125 @@
+"""Stats golden tests from /root/reference/log/log_test.go:418-525, plus GK
+sketch error-bound checks. slow010 pins the nearest-rank p95/median
+convention (Pct95=2.034012, Med=0.192812 for 36 values)."""
+
+import numpy as np
+import pytest
+
+from mysql_log_parser_ray.functions import parse_slow_log_text
+from mysql_log_parser_ray.functions.stats import EventStats
+from mysql_log_parser_ray.state.gk import GKSummary
+
+from .conftest import read_log
+
+
+def approx6(a, b):
+    # The reference compares stats at 6 decimal places (test/test.go:130-137);
+    # stats fields are float64 (of float32 event values), so no f32 coercion.
+    assert f"{float(a):.6f}" == f"{float(b):.6f}", (a, b)
+
+
+def build_stats(name, exact=True):
+    events = parse_slow_log_text(read_log(name))
+    stats = EventStats(exact=exact)
+    for e in events:
+        stats.add(e)
+    return stats.current()
+
+
+def test_stats_slow001(logs_dir):
+    got = build_stats("slow001.log")
+    qt = got["time_metrics"]["Query_time"]
+    assert qt["cnt"] == 2
+    approx6(qt["sum"], 4)
+    approx6(qt["min"], 2)
+    approx6(qt["avg"], 2)
+    approx6(qt["pct95"], 2)
+    approx6(qt["med"], 2)
+    approx6(qt["max"], 2)
+    lt = got["time_metrics"]["Lock_time"]
+    assert lt["cnt"] == 2
+    approx6(lt["sum"], 0)
+    rs = got["number_metrics"]["Rows_sent"]
+    assert rs == {"cnt": 2, "sum": 2, "min": 1, "avg": 1, "pct95": 1, "med": 1, "max": 1}
+    re_ = got["number_metrics"]["Rows_examined"]
+    assert re_["cnt"] == 2 and re_["sum"] == 0 and re_["max"] == 0
+
+
+def test_stats_slow010(logs_dir):
+    # 36 events; pins the (95*Cnt)//100 / (50*Cnt)//100 indices
+    # (log_test.go:478-525, incl. deliberate divergence from Percona pqd).
+    got = build_stats("slow010.log")
+    qt = got["time_metrics"]["Query_time"]
+    assert qt["cnt"] == 36
+    approx6(qt["sum"], 22.703689)
+    approx6(qt["min"], 0.000002)
+    approx6(qt["avg"], 0.630658)
+    approx6(qt["pct95"], 2.034012)  # pqd: 1.964363
+    approx6(qt["med"], 0.192812)  # pqd: 0.198537
+    approx6(qt["max"], 3.034012)
+    lt = got["time_metrics"]["Lock_time"]
+    assert lt["cnt"] == 36
+    approx6(lt["sum"], 0)
+    rs = got["number_metrics"]["Rows_sent"]
+    assert rs == {"cnt": 36, "sum": 156, "min": 0, "avg": 4, "pct95": 6, "med": 1, "max": 99}
+
+
+def test_stats_sketch_mode_close_to_exact(logs_dir):
+    exact = build_stats("slow010.log", exact=True)
+    approx = build_stats("slow010.log", exact=False)
+    qt_e = exact["time_metrics"]["Query_time"]
+    qt_a = approx["time_metrics"]["Query_time"]
+    assert qt_a["cnt"] == qt_e["cnt"]
+    approx6(qt_a["sum"], qt_e["sum"])
+    approx6(qt_a["min"], qt_e["min"])
+    approx6(qt_a["max"], qt_e["max"])
+    # sketch percentile within one rank of exact at n=36
+    vals = sorted(
+        e["time_metrics"]["Query_time"]
+        for e in parse_slow_log_text(read_log("slow010.log"))
+    )
+    rank = vals.index(min(vals, key=lambda v: abs(v - qt_a["pct95"])))
+    assert abs(rank - (95 * 36) // 100) <= 1
+
+
+def test_gk_rank_error_bound():
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(0.0, 2.0, 100_000)
+    parts = []
+    for chunk in np.array_split(data, 23):
+        p = GKSummary(0.01)
+        p.add_many(chunk)
+        parts.append(p)
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge(p)
+    m.compress()
+    s = np.sort(data)
+    for phi in np.linspace(0.02, 0.98, 25):
+        est = m.query(phi)
+        rank_err = abs(np.searchsorted(s, est) - phi * len(s)) / len(s)
+        assert rank_err <= 0.01, (phi, rank_err)
+    # summary stays small
+    assert len(m) < 2000
+
+
+def test_gk_serialization_roundtrip():
+    g = GKSummary(0.01)
+    g.add_many(np.arange(10_000, dtype=np.float64))
+    g2 = GKSummary.from_bytes(g.to_bytes())
+    assert g2.n == g.n
+    assert abs(g2.query(0.5) - 5000) <= 200
+
+
+def test_number_avg_is_integer_division():
+    s = EventStats()
+    for v in (1, 2):
+        s.add({"time_metrics": {}, "number_metrics": {"X": v}, "bool_metrics": {}})
+    assert s.current()["number_metrics"]["X"]["avg"] == 1  # 3 // 2
+
+
+def test_bool_stats():
+    s = EventStats()
+    for v in (True, False, True):
+        s.add({"time_metrics": {}, "number_metrics": {}, "bool_metrics": {"QC_Hit": v}})
+    assert s.current()["bool_metrics"]["QC_Hit"] == {"cnt": 3, "true": 2}
