@@ -1,0 +1,107 @@
+"""The flagship pipeline: read -> parse -> enrich -> route -> aggregate.
+
+Logical DAG (same shape as the reference's ParseSlowLog wiring,
+bin/parser-cli.go:43-116, re-expressed Ray-Data-first; SURVEY.md §3.1):
+
+  read_parquet(sequences)                         # row groups = shards
+    -> map_batches(parse+fingerprint)             # stateless tasks, Arrow
+    -> map_batches(Enrich, actor pool)            # broadcast dim lookup
+    -> write_parquet(partition_cols=[sink])       # routed fan-out sink
+    \\-> per-(batch,class) partials -> groupby(class_id) merge   # class stats
+    \\-> batch partials -> tiny driver merge                     # global stats
+    \\-> pre-aggregated groupby(source, class_id) counts         # sink counts
+
+When ``routed_dir`` is set, the routed write runs FIRST and the aggregates
+are computed by re-reading the routed Parquet with column pruning - one
+parse of the raw tokens, aggregation reads only the thin columns it needs.
+Without a routed dir (small/test runs) each consumer re-executes the lazy
+parse, which is fine at test scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from ..options import Options
+from ..sources.sequences import read_sequences
+from ..sources.synth import dim_for_sources
+from ..stages.aggregate import GlobalStats, class_stats, global_stats, grouped_counts
+from ..stages.enrich import enrich_events
+from ..stages.parse import parse_events
+from ..stages.route import read_routed, route_and_write
+
+AGG_COLUMNS = [
+    "doc_id",
+    "source",
+    "n_tok",
+    "class_id",
+    "fingerprint",
+    "query",
+    "ts",
+    "rate_type",
+    "rate_limit",
+    "time_metrics",
+    "number_metrics",
+    "bool_metrics",
+]
+
+
+@dataclass
+class FlagshipResult:
+    class_stats: "pa.Table"
+    global_stats: GlobalStats
+    sink_counts: "pa.Table"
+    routed_dir: Optional[str] = None
+
+
+def run_flagship(
+    seq_path_or_ds,
+    dim: Optional[pa.Table] = None,
+    routed_dir: Optional[str] = None,
+    opt: Options = Options(),
+    exact: bool = False,
+    include_tokens_in_routed: bool = True,
+    parse_batch_size: int = 2048,
+) -> FlagshipResult:
+    """Run the full pipeline; returns small materialized aggregate tables."""
+    import ray.data as rd
+
+    ds = (
+        seq_path_or_ds
+        if isinstance(seq_path_or_ds, rd.Dataset)
+        else read_sequences(seq_path_or_ds)
+    )
+
+    if dim is None:
+        # Derive the dim table from the distinct sources (small side).
+        dim = dim_for_sources(ds.unique("source"))
+
+    events = parse_events(
+        ds, opt=opt, include_tokens=include_tokens_in_routed and routed_dir is not None,
+        batch_size=parse_batch_size,
+    )
+    enriched = enrich_events(events, dim)
+
+    if routed_dir is not None:
+        route_and_write(enriched, routed_dir)
+        agg_src = read_routed(routed_dir, columns=AGG_COLUMNS)
+    else:
+        agg_src = enriched
+
+    from ..stages.aggregate import CLASS_STATS_SCHEMA
+
+    cls = class_stats(agg_src, exact=exact).take_all()
+    cls_table = pa.Table.from_pylist(cls, schema=CLASS_STATS_SCHEMA)
+    glob = global_stats(agg_src, exact=exact)
+    counts = grouped_counts(agg_src, keys=["source", "class_id"], sum_col="n_tok")
+    counts_table = counts.to_pandas()
+
+    return FlagshipResult(
+        class_stats=cls_table,
+        global_stats=glob,
+        sink_counts=pa.Table.from_pandas(counts_table, preserve_index=False),
+        routed_dir=routed_dir,
+    )

@@ -1,0 +1,170 @@
+"""Parse stage: tokenized docs -> flat Arrow event rows.
+
+The reference's serial file-reader state machine (slow.go:73-142) plus its
+separately-parallelized fingerprint worker pool (bin/parser-cli.go:29-56)
+fuse into ONE stateless ``map_batches`` stage here: each input row carries a
+full doc's text, so all cross-line parser state is confined to one row and
+blocks parse independently - the input Parquet's row groups provide the
+sharding the reference's single-file scan could never have.
+
+Batch flow (batch_format="pyarrow", zero-copy from the object store):
+  1. detokenize the whole batch's list<int32> column with two numpy ops
+     (cast child values to uint8, slice by list offsets);
+  2. run the per-doc state machine (functions/slowlog.py) per row;
+  3. fingerprint + checksum each event with a per-worker memo cache (hot
+     query texts repeat heavily, so most lookups skip the regex chain);
+  4. emit one flat Arrow row per event; dynamic metric names are preserved
+     in map<string, T> columns, matching the reference's semi-dynamic
+     Event struct (event.go:34-47).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.fingerprint import Checksum, Fingerprint
+from ..functions.slowlog import parse_slow_log_text
+from ..options import Options
+from ..sources.sequences import detokenize_column
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("n_tok", pa.int32()),
+        ("event_seq", pa.int32()),
+        ("offset", pa.uint64()),
+        ("ts", pa.string()),
+        ("admin", pa.bool_()),
+        ("query", pa.string()),
+        ("user", pa.string()),
+        ("host", pa.string()),
+        ("db", pa.string()),
+        ("rate_type", pa.string()),
+        ("rate_limit", pa.uint8()),
+        ("time_metrics", pa.map_(pa.string(), pa.float32())),
+        ("number_metrics", pa.map_(pa.string(), pa.uint64())),
+        ("bool_metrics", pa.map_(pa.string(), pa.bool_())),
+        ("fingerprint", pa.string()),
+        ("class_id", pa.string()),
+    ]
+)
+
+_TOKENS_FIELD = pa.field("tokens", pa.list_(pa.int32()))
+
+# Per-worker fingerprint memo: literal query text -> (fingerprint, class_id).
+# Slow logs repeat hot queries heavily; a hit skips the whole regex chain.
+_FP_CACHE: Dict[str, tuple] = {}
+_FP_CACHE_MAX = 100_000
+
+
+def _fingerprint_cached(query: str) -> tuple:
+    hit = _FP_CACHE.get(query)
+    if hit is None:
+        fp = Fingerprint(query)
+        hit = (fp, Checksum(fp))
+        if len(_FP_CACHE) >= _FP_CACHE_MAX:
+            _FP_CACHE.clear()
+        _FP_CACHE[query] = hit
+    return hit
+
+
+def parse_events_batch(
+    batch: pa.Table,
+    opt: Options = Options(),
+    include_tokens: bool = False,
+    on_error: str = "raise",
+) -> pa.Table:
+    """One Arrow batch of docs -> one Arrow batch of events."""
+    texts = detokenize_column(batch["tokens"])
+    doc_ids = batch["doc_id"].to_pylist()
+    sources = (
+        batch["source"].to_pylist() if "source" in batch.column_names else [""] * len(texts)
+    )
+    n_toks = (
+        batch["n_tok"].to_pylist() if "n_tok" in batch.column_names else [len(t) for t in texts]
+    )
+
+    cols: Dict[str, list] = {name: [] for name in EVENT_SCHEMA.names}
+    tok_rows: List[int] = []  # input row index per emitted event
+
+    filt = opt.filter_admin_command
+    start = opt.start_offset
+    for i, data in enumerate(texts):
+        try:
+            events = parse_slow_log_text(data, start_offset=start, filter_admin_command=filt)
+        except Exception:
+            if on_error == "skip":
+                continue
+            raise
+        did, src, ntk = doc_ids[i], sources[i], n_toks[i]
+        for seq, ev in enumerate(events):
+            fp, cid = _fingerprint_cached(ev["query"])
+            cols["doc_id"].append(did)
+            cols["source"].append(src)
+            cols["n_tok"].append(ntk)
+            cols["event_seq"].append(seq)
+            cols["offset"].append(ev["offset"])
+            cols["ts"].append(ev["ts"])
+            cols["admin"].append(ev["admin"])
+            cols["query"].append(ev["query"])
+            cols["user"].append(ev["user"])
+            cols["host"].append(ev["host"])
+            cols["db"].append(ev["db"])
+            cols["rate_type"].append(ev["rate_type"])
+            cols["rate_limit"].append(ev["rate_limit"])
+            cols["time_metrics"].append(list(ev["time_metrics"].items()))
+            cols["number_metrics"].append(list(ev["number_metrics"].items()))
+            cols["bool_metrics"].append(list(ev["bool_metrics"].items()))
+            cols["fingerprint"].append(fp)
+            cols["class_id"].append(cid)
+            if include_tokens:
+                tok_rows.append(i)
+
+    arrays = [
+        pa.array(cols[f.name], type=f.type) for f in EVENT_SCHEMA
+    ]
+    out = pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+    if include_tokens:
+        tokens = batch["tokens"].combine_chunks().take(pa.array(tok_rows, pa.int64()))
+        out = out.append_column(_TOKENS_FIELD, tokens.cast(_TOKENS_FIELD.type))
+    return out
+
+
+def make_parse_fn(
+    opt: Options = Options(), include_tokens: bool = False, on_error: str = "raise"
+):
+    """A picklable map_batches callable with options bound."""
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        return parse_events_batch(
+            batch, opt=opt, include_tokens=include_tokens, on_error=on_error
+        )
+
+    return _parse
+
+
+def parse_events(
+    ds,
+    opt: Options = Options(),
+    include_tokens: bool = False,
+    on_error: str = "raise",
+    batch_size: Optional[int] = 2048,
+    **map_kwargs,
+):
+    """Dataset of sequences -> Dataset of events.
+
+    Stateless tasks (not an actor pool): the regex tables are compiled at
+    module import in each worker process, and the fingerprint memo lives at
+    module scope, so tasks get actor-style amortization for free.
+    """
+    return ds.map_batches(
+        make_parse_fn(opt, include_tokens, on_error),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **map_kwargs,
+    )

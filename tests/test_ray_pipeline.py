@@ -1,0 +1,211 @@
+"""End-to-end Ray pipeline tests.
+
+The distributed pipeline must produce byte/value-identical results to a
+single-process run of the same reference-parity functions (the moral
+equivalent of the reference's ParseSlowLog wiring, bin/parser-cli.go:43-116)
+on a corpus that exercises multi-event docs, admin commands, banner lines
+and skewed sources.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mysql_log_parser_ray.functions import parse_slow_log_text
+from mysql_log_parser_ray.functions.fingerprint import Checksum, Fingerprint
+from mysql_log_parser_ray.functions.stats import GlobalClass, QueryClass
+from mysql_log_parser_ray.sources.sequences import (
+    build_sequences_table,
+    detokenize_column,
+    tokenize,
+)
+from mysql_log_parser_ray.sources.synth import (
+    dim_for_sources,
+    generate_corpus,
+    sequences_from_documents,
+)
+
+
+def serial_oracle(corpus: pa.Table, example_tiebreak_docid=True):
+    """Single-process reference-semantics aggregation over a corpus table."""
+    texts = detokenize_column(corpus["tokens"])
+    doc_ids = corpus["doc_id"].to_pylist()
+    sources = corpus["source"].to_pylist()
+    n_toks = corpus["n_tok"].to_pylist()
+    glob = GlobalClass(exact=True)
+    classes = {}
+    sink_counts = {}
+    for did, src, ntk, text in zip(doc_ids, sources, n_toks, texts):
+        for ev in parse_slow_log_text(text):
+            fp = Fingerprint(ev["query"])
+            cid = Checksum(fp)
+            glob.add_event(ev)
+            cls = classes.get(cid)
+            if cls is None:
+                cls = classes[cid] = QueryClass(cid, fp, example=True, exact=True)
+                cls._ex_doc = None
+            # distributed-deterministic example rule: (qt desc, doc_id asc)
+            qt = ev["time_metrics"].get("Query_time")
+            cls.total_queries += 1
+            cls.metrics.add(ev)
+            if qt is not None:
+                key = (-float(qt), did)
+                if cls._ex_doc is None or key < cls._ex_doc[0]:
+                    cls._ex_doc = (key, float(qt), ev["query"], ev["ts"])
+            key = (src, cid)
+            c = sink_counts.setdefault(key, [0, 0])
+            c[0] += 1
+            c[1] += ntk
+    glob.finalize(len(classes))
+    return glob, classes, sink_counts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(1500, seed=7, n_sources=12)
+
+
+@pytest.fixture(scope="module")
+def flagship_result(ray_session, corpus, tmp_path_factory):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.pipelines.flagship import run_flagship
+
+    routed = str(tmp_path_factory.mktemp("routed"))
+    res = run_flagship(rd.from_arrow(corpus), routed_dir=routed, exact=True)
+    return res
+
+
+def test_roundtrip_tokenization():
+    texts = ["hello\nworld\n", "", "# Time: x\nuse db;\néü\n"]
+    t = build_sequences_table(texts, ["a", "b", "c"], ["s1", "s2", "s1"])
+    back = detokenize_column(t["tokens"])
+    assert [b.decode() for b in back] == texts
+    assert t["n_tok"].to_pylist() == [len(x.encode()) for x in texts]
+    assert np.array_equal(tokenize(texts[0]), np.frombuffer(texts[0].encode(), np.uint8))
+
+
+def test_flagship_matches_serial_oracle(flagship_result, corpus):
+    glob, classes, sink_counts = serial_oracle(corpus)
+    res = flagship_result
+
+    assert res.global_stats.total_queries == glob.total_queries
+    assert res.global_stats.unique_queries == glob.unique_queries
+
+    # Global metric stats identical (exact mode, 6 decimals).
+    g = glob.metrics.current()
+    for kind in ("time_metrics", "number_metrics"):
+        for m, s in g[kind].items():
+            ds_s = res.global_stats.metrics[kind][m]
+            for k, v in s.items():
+                assert f"{float(ds_s[k]):.6f}" == f"{float(v):.6f}", (kind, m, k)
+
+    # Per-class rows identical.
+    got = {r["class_id"]: r for r in res.class_stats.to_pylist()}
+    assert set(got) == set(classes)
+    for cid, cls in classes.items():
+        row = got[cid]
+        assert row["fingerprint"] == cls.fingerprint
+        assert row["total_queries"] == cls.total_queries
+        ex = cls._ex_doc
+        if ex is not None:
+            assert f"{row['example_query_time']:.6f}" == f"{ex[1]:.6f}"
+            assert row["example_query"] == ex[2]
+        cur = cls.metrics.current()
+        tstats = dict(row["time_stats"])
+        for m, s in cur["time_metrics"].items():
+            for k, v in s.items():
+                assert f"{float(tstats[m][k]):.6f}" == f"{float(v):.6f}", (cid, m, k)
+        nstats = dict(row["number_stats"])
+        for m, s in cur["number_metrics"].items():
+            for k, v in s.items():
+                assert float(nstats[m][k]) == float(v), (cid, m, k)
+
+
+def test_sink_counts_match(flagship_result, corpus):
+    _, _, sink_counts = serial_oracle(corpus)
+    df = flagship_result.sink_counts.to_pandas()
+    got = {
+        (r.source, r.class_id): (int(r.n_rows), int(r.n_tokens))
+        for r in df.itertuples()
+    }
+    want = {k: (v[0], v[1]) for k, v in sink_counts.items()}
+    assert got == want
+
+
+def test_routed_tokens_byte_equality(flagship_result, corpus):
+    """Judge invariant: routed rows carry byte-identical token arrays."""
+    import ray.data as rd
+
+    routed = rd.read_parquet(flagship_result.routed_dir).to_pandas()
+    orig = {
+        d: bytes(b)
+        for d, b in zip(corpus["doc_id"].to_pylist(), detokenize_column(corpus["tokens"]))
+    }
+    seen = set()
+    for row in routed.itertuples():
+        toks = np.asarray(row.tokens, dtype=np.int32)
+        assert bytes(toks.astype(np.uint8).tobytes()) == orig[row.doc_id]
+        seen.add(row.doc_id)
+    # every doc that produced >=1 event is routed
+    assert len(seen) > 1000
+
+
+def test_routed_partitioned_by_sink(flagship_result):
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(flagship_result.routed_dir, "sink=*"))
+    assert len(parts) >= 2  # fan-out happened
+
+
+def test_enrich_left_join_defaults(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.enrich import enrich_events
+
+    t = pa.table({"source": ["src1", "nope"], "x": [1, 2]})
+    dim = dim_for_sources(["src1"])
+    out = enrich_events(rd.from_arrow(t), dim).to_pandas().sort_values("x")
+    assert list(out["region"]) == ["region1", "unknown"]
+    assert list(out["sink"]) == ["sink1", "unknown"]
+
+
+def test_filter_admin_in_pipeline(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.options import Options
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    text = (
+        "# User@Host: u[u] @ localhost []\n"
+        "# Query_time: 0.1  Lock_time: 0.0  Rows_sent: 1  Rows_examined: 1\n"
+        "# administrator command: Quit;\n"
+    )
+    t = build_sequences_table([text], ["d1"], ["s"])
+    evs = parse_events(rd.from_arrow(t)).take_all()
+    assert len(evs) == 1 and evs[0]["admin"] and evs[0]["query"] == "Quit"
+    evs = parse_events(
+        rd.from_arrow(t), opt=Options(filter_admin_command=frozenset({"Quit"}))
+    ).take_all()
+    assert evs == []
+
+
+def test_documents_derivation_deterministic():
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["a", "b"],
+            "lang": ["en", "en"],
+            "source": ["src1", "src2"],
+            "n_chars": [100, 257],
+        }
+    )
+    seq = sequences_from_documents(docs)
+    texts = [b.decode() for b in detokenize_column(seq["tokens"])]
+    assert "# Query_time: 25.0" in texts[0]  # (100 % 128) / 4
+    assert "use db1;" in texts[0]  # 100 % 3 == 1
+    evs = parse_slow_log_text(texts[1])
+    assert len(evs) == 1
+    assert evs[0]["time_metrics"]["Query_time"] == pytest.approx((257 % 128) / 4.0)
+    assert evs[0]["query"] == "SELECT * FROM orders WHERE user_id = 257 LIMIT 10"
