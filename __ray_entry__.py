@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() and oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The slow-log family runs the real engine (tokenized sequences derived
+deterministically from ``documents`` per sources/synth.py -> parse ->
+fingerprint -> enrich -> aggregate); the oracle reproduces expected outputs
+in closed form over ``documents``. Derivation formulas and template
+fingerprint constants live in mysql_log_parser_ray.sources.synth and are
+mirrored in the SQL fragments below.
 """
 
 from __future__ import annotations
@@ -18,27 +16,205 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mysql_log_parser_ray.sources.synth import TEMPLATES
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (documents-derived slow-log corpus)
+# ---------------------------------------------------------------------------
+
+_N = "CAST(n_chars AS VARCHAR)"
+_M = "CAST(doc_id AS VARCHAR)"
+
+
+def _sql_str(template: str) -> str:
+    """Python format template -> SQL concat expression."""
+    s = template.replace("'", "''")
+    s = "'" + s.replace("{n}", "' || " + _N + " || '").replace(
+        "{m}", "' || " + _M + " || '"
+    ) + "'"
+    return s
+
+
+_QUERY_EXPR = (
+    "CASE (n_chars % 4) "
+    + " ".join(f"WHEN {i} THEN {_sql_str(t[0])}" for i, t in enumerate(TEMPLATES))
+    + " END"
+)
+_FP_EXPR = (
+    "CASE (n_chars % 4) "
+    + " ".join(f"WHEN {i} THEN '{t[1]}'" for i, t in enumerate(TEMPLATES))
+    + " END"
+)
+_CLASS_EXPR = (
+    "CASE (n_chars % 4) "
+    + " ".join(f"WHEN {i} THEN '{t[2]}'" for i, t in enumerate(TEMPLATES))
+    + " END"
+)
+_QT = "(CAST(n_chars % 128 AS DOUBLE) / 4)"
+_LT = "(CAST(n_chars % 32 AS DOUBLE) / 8)"
+_USER = "'u' || CAST(n_chars % 5 AS VARCHAR)"
+_DB = "'db' || CAST(n_chars % 3 AS VARCHAR)"
+_SRC_KEY = "CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT)"
+
+# Byte length of the derived doc text, reconstructed as the same concat the
+# generator performs (pure ASCII -> length == bytes == n_tok).
+_DOC_TEXT = (
+    "('# User@Host: ' || {u} || '[' || {u} || '] @ localhost []\n'"
+    " || '# Thread_id: ' || CAST(n_chars % 100 AS VARCHAR) || '  Last_errno: 0\n'"
+    " || '# Query_time: ' || CAST({qt} AS VARCHAR) || '  Lock_time: ' || CAST({lt} AS VARCHAR)"
+    " || '  Rows_sent: ' || CAST(n_chars % 7 AS VARCHAR)"
+    " || '  Rows_examined: ' || CAST(n_chars % 11 AS VARCHAR) || '\n'"
+    " || 'use ' || {db} || ';\n'"
+    " || 'SET timestamp=' || CAST(1400000000 + doc_id AS VARCHAR) || ';\n'"
+    " || {q} || ';\n')"
+).format(u=_USER, qt=_QT, lt=_LT, db=_DB, q=_QUERY_EXPR)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: derive sequences -> parse -> enrich ->
+    aggregate; returns the per-class stats table."""
+    import pyarrow as pa
+
+    from mysql_log_parser_ray.pipelines.queries import derived_sequences_ds
+    from mysql_log_parser_ray.pipelines.flagship import run_flagship
+
+    res = run_flagship(derived_sequences_ds("/root/testdata/sf0.001"), exact=True)
+    return res.class_stats.select(
+        ["class_id", "fingerprint", "total_queries", "example_query",
+         "example_query_time", "example_ts"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mysql_log_parser_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    entries = {
+        "slowlog_parse_events": q.q_slowlog_parse_events,
+        "slowlog_class_counts": q.q_slowlog_class_counts,
+        "slowlog_class_qt_stats": q.q_slowlog_class_qt_stats,
+        "slowlog_class_qt_pct95": q.q_slowlog_class_qt_pct95,
+        "slowlog_global": q.q_slowlog_global,
+        "slowlog_sink_counts": q.q_slowlog_sink_counts,
+        "slowlog_route_enrich": q.q_slowlog_route_enrich,
+        "slowlog_examples": q.q_slowlog_examples,
+        "slowlog_db_user": q.q_slowlog_db_user,
+        "events_by_type": q.q_events_by_type,
+        "top_users": q.q_top_users,
+        "orders_by_segment": q.q_orders_by_segment,
+        "lineitem_pricing": q.q_lineitem_pricing,
+    }
+    try:  # training-data operators (registered as they land)
+        from mysql_log_parser_ray.training import register_queries
+
+        entries.update(register_queries())
+    except ImportError:
+        pass
+    return entries
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls = {
+        "slowlog_parse_events": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_USER} AS "user",
+                   'localhost' AS host,
+                   {_DB} AS db,
+                   {_QUERY_EXPR} AS query,
+                   {_FP_EXPR} AS fingerprint,
+                   {_CLASS_EXPR} AS class_id,
+                   {_QT} AS query_time,
+                   {_LT} AS lock_time,
+                   n_chars % 7 AS rows_sent,
+                   n_chars % 11 AS rows_examined,
+                   n_chars % 100 AS thread_id
+            FROM documents
+        """,
+        "slowlog_class_counts": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   {_FP_EXPR} AS fingerprint,
+                   COUNT(*) AS total_queries
+            FROM documents GROUP BY 1, 2
+        """,
+        "slowlog_class_qt_stats": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   COUNT(*) AS cnt,
+                   SUM({_QT}) AS sum_qt,
+                   MIN({_QT}) AS min_qt,
+                   MAX({_QT}) AS max_qt,
+                   SUM({_QT}) / COUNT(*) AS avg_qt
+            FROM documents GROUP BY 1
+        """,
+        "slowlog_class_qt_pct95": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   (list_sort(list({_QT})))[(95 * COUNT(*)) // 100 + 1] AS pct95,
+                   (list_sort(list({_QT})))[(50 * COUNT(*)) // 100 + 1] AS med
+            FROM documents GROUP BY 1
+        """,
+        "slowlog_global": f"""
+            SELECT COUNT(*) AS total_queries,
+                   COUNT(DISTINCT {_CLASS_EXPR}) AS unique_queries
+            FROM documents
+        """,
+        "slowlog_sink_counts": f"""
+            SELECT source,
+                   {_CLASS_EXPR} AS class_id,
+                   COUNT(*) AS n_rows,
+                   SUM(length({_DOC_TEXT})) AS n_tokens
+            FROM documents GROUP BY 1, 2
+        """,
+        "slowlog_route_enrich": f"""
+            SELECT 'sink' || CAST({_SRC_KEY} % 4 AS VARCHAR) AS sink,
+                   'region' || CAST({_SRC_KEY} % 3 AS VARCHAR) AS region,
+                   CASE WHEN {_SRC_KEY} % 2 = 0 THEN 'prod' ELSE 'staging' END AS tier,
+                   COUNT(*) AS n_rows
+            FROM documents GROUP BY 1, 2, 3
+        """,
+        "slowlog_examples": f"""
+            SELECT class_id, example_query_time, example_query FROM (
+              SELECT {_CLASS_EXPR} AS class_id,
+                     {_QT} AS example_query_time,
+                     {_QUERY_EXPR} AS example_query,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY {_CLASS_EXPR}
+                       ORDER BY {_QT} DESC, CAST(doc_id AS VARCHAR) ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "slowlog_db_user": f"""
+            SELECT {_DB} AS db, {_USER} AS "user", COUNT(*) AS n_rows
+            FROM documents GROUP BY 1, 2
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "top_users": """
+            SELECT user_id, COUNT(*) AS n_rows
+            FROM events GROUP BY 1
+            ORDER BY n_rows DESC, user_id ASC LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+            FROM lineitem GROUP BY 1, 2
+        """,
+    }
+    try:
+        from mysql_log_parser_ray.training import register_oracles
+
+        sqls.update(register_oracles())
+    except ImportError:
+        pass
+    return sqls

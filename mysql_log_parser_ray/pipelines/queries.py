@@ -1,0 +1,335 @@
+"""Oracle-checkable query implementations over the driver's test tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+Arrow table whose column names and value types line up exactly with the
+matching SQL in ``__ray_entry__.oracle_sql()`` (the driver hashes values
+after sorting columns by name, so names AND value bit-patterns matter).
+
+The slow-log family runs the REAL pipeline: sequences derived
+deterministically from ``documents`` (sources/synth.py derivation formulas)
+-> tokenize -> parse -> fingerprint -> enrich -> aggregate. The oracle
+reproduces the expected output in closed form over ``documents``.
+
+Money/float aggregates are compared as exact integer cents:
+``floor(x*100 + 0.5)`` summed as int64 - identical IEEE ops on both sides,
+no order-dependent low bits.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.synth import dim_for_sources, sequences_from_documents
+from ..stages.aggregate import class_stats, grouped_counts
+from ..stages.enrich import enrich_events
+from ..stages.flatten import flatten_events
+from ..stages.parse import parse_events
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def derived_sequences_ds(sf_dir: str):
+    """documents -> deterministic tokenized slow-log sequences Dataset."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+    return docs.map_batches(
+        sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _flat_events(sf_dir: str):
+    return flatten_events(parse_events(derived_sequences_ds(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Slow-log pipeline family
+# ---------------------------------------------------------------------------
+
+def q_slowlog_parse_events(sf_dir: str):
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "user": b["user"],
+                "host": b["host"],
+                "db": b["db"],
+                "query": b["query"],
+                "fingerprint": b["fingerprint"],
+                "class_id": b["class_id"],
+                "query_time": b["query_time"],
+                "lock_time": b["lock_time"],
+                "rows_sent": b["rows_sent"],
+                "rows_examined": b["rows_examined"],
+                "thread_id": b["thread_id"],
+            }
+        )
+
+    return _flat_events(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def q_slowlog_class_counts(sf_dir: str):
+    events = parse_events(derived_sequences_ds(sf_dir))
+    counts = grouped_counts(events, keys=["class_id", "fingerprint"], sum_col=None)
+    out = counts.to_pandas().rename(columns={"n_rows": "total_queries"})
+    out["total_queries"] = out["total_queries"].astype("int64")
+    return out
+
+
+def q_slowlog_class_qt_stats(sf_dir: str):
+    ev = _flat_events(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.select(["class_id", "query_time"]).to_pandas()
+        g = df.groupby("class_id", as_index=False).agg(
+            cnt=("query_time", "size"),
+            sum_qt=("query_time", "sum"),
+            min_qt=("query_time", "min"),
+            max_qt=("query_time", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    out = (
+        parts.groupby("class_id")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("sum_qt", alias_name="sum_qt"),
+            Min("min_qt", alias_name="min_qt"),
+            Max("max_qt", alias_name="max_qt"),
+        )
+        .to_pandas()
+    )
+    out["avg_qt"] = out["sum_qt"] / out["cnt"]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+def q_slowlog_class_qt_pct95(sf_dir: str):
+    """Nearest-rank pct95/median per class (reference convention,
+    stats.go:124-129): vals[(95*cnt)//100] on the ascending sorted array."""
+    ev = _flat_events(sf_dir)
+
+    def per_group(g) -> Dict:
+        import pandas as pd
+
+        vals = np.sort(g["query_time"].to_numpy())
+        cnt = len(vals)
+        return pd.DataFrame(
+            {
+                "class_id": [g["class_id"].iloc[0]],
+                "pct95": [vals[(95 * cnt) // 100]],
+                "med": [vals[(50 * cnt) // 100]],
+            }
+        )
+
+    return ev.groupby("class_id").map_groups(per_group, batch_format="pandas")
+
+
+def q_slowlog_global(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.aggregate import global_stats
+
+    g = global_stats(parse_events(derived_sequences_ds(sf_dir)), exact=False)
+    return pd.DataFrame(
+        {
+            "total_queries": [int(g.total_queries)],
+            "unique_queries": [int(g.unique_queries)],
+        }
+    )
+
+
+def q_slowlog_sink_counts(sf_dir: str):
+    events = parse_events(derived_sequences_ds(sf_dir))
+    out = grouped_counts(events, keys=["source", "class_id"], sum_col="n_tok").to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+def q_slowlog_route_enrich(sf_dir: str):
+    seqs = derived_sequences_ds(sf_dir)
+    dim = dim_for_sources(seqs.unique("source"))
+    events = parse_events(derived_sequences_ds(sf_dir))
+    enriched = enrich_events(events, dim)
+    out = grouped_counts(enriched, keys=["sink", "region", "tier"], sum_col=None).to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_slowlog_examples(sf_dir: str):
+    events = parse_events(derived_sequences_ds(sf_dir))
+    cls = class_stats(events, exact=True).take_all()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "class_id": [r["class_id"] for r in cls],
+            "example_query_time": [float(r["example_query_time"]) for r in cls],
+            "example_query": [r["example_query"] for r in cls],
+        }
+    )
+
+
+def q_slowlog_db_user(sf_dir: str):
+    events = parse_events(derived_sequences_ds(sf_dir))
+    out = grouped_counts(events, keys=["db", "user"], sum_col=None).to_pandas()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Relational operators over the native test tables
+# ---------------------------------------------------------------------------
+
+def _cents(col):
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {"event_type": b["event_type"], "cents": _cents(b["value"])}
+        ).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out
+
+
+def q_top_users(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    out = grouped_counts(ds, keys=["user_id"], sum_col=None)
+    df = out.to_pandas().sort_values(["n_rows", "user_id"], ascending=[False, True])
+    df = df.head(10).reset_index(drop=True)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: orders x customer (small side via ray.put dict)."""
+    import ray
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AttachSegment:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.seg = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            seg = pd.Series(b["o_custkey"].to_pandas()).map(self.seg)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "cents": _cents(b["o_totalprice"]),
+                }
+            )
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(
+        AttachSegment, fn_constructor_args=(seg_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), total_price_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price_cents", alias_name="total_price_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_orders", "total_price_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate, vectorized pyarrow partials."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        df = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "revenue_cents": _cents(rev),
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("qty", "size"), sum_qty=("qty", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("float64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
