@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark: flagship parse->enrich->route->aggregate over a deterministic
+tokenized corpus, plus the oracle-checked query suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "flagship_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "tokens_per_sec": ..., "seqs_per_sec": ..., "events_per_sec": ...}
+
+--scaling: runs the corpus pipeline in TWO fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports throughputs +
+scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "1200000"))
+CORPUS_DIR = f"/tmp/mlpr_bench_corpus_{CORPUS_DOCS}"
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        from mysql_log_parser_ray.sources.synth import generate_corpus
+
+        generate_corpus(CORPUS_DOCS, seed=42, n_sources=64, out_path=CORPUS_DIR)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return CORPUS_DIR
+
+
+def run_bench(skip_queries: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from mysql_log_parser_ray.pipelines.flagship import run_flagship
+
+    corpus = ensure_corpus()
+
+    # Warm the page cache so we measure compute+shuffle, not first disk read;
+    # also gives the corpus token/doc totals for throughput math.
+    total_tokens = int(
+        rd.read_parquet(corpus).aggregate(Sum("n_tok", alias_name="s"))["s"]
+    )
+    n_docs = rd.read_parquet(corpus).count()
+
+    routed_dir = f"/tmp/mlpr_bench_routed_{NUM_CPUS}"
+    shutil.rmtree(routed_dir, ignore_errors=True)
+
+    from mysql_log_parser_ray.sources.synth import dim_for_sources
+
+    dim = dim_for_sources([f"src{i}" for i in range(64)])
+
+    t0 = time.perf_counter()
+    res = run_flagship(corpus, dim=dim, routed_dir=routed_dir, exact=False)
+    flagship_sec = time.perf_counter() - t0
+    n_events = int(res.global_stats.total_queries)
+
+    qtimes = {}
+    if not skip_queries:
+        import __ray_entry__ as e
+
+        queries = e.queries()
+        for name in sorted(queries):
+            tq = time.perf_counter()
+            out = queries[name](SF_DIR)
+            if hasattr(out, "to_pandas"):  # consume lazy datasets
+                out.to_pandas()
+            qtimes[name] = round(time.perf_counter() - tq, 3)
+
+    return {
+        "metric": "flagship_e2e",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": n_docs,
+        "corpus_tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / flagship_sec, 1),
+        "seqs_per_sec": round(n_docs / flagship_sec, 1),
+        "events_per_sec": round(n_events / flagship_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same corpus pipeline at two parallelism levels in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tps8 = results[8]["tokens_per_sec"]
+    tps32 = results[32]["tokens_per_sec"]
+    eff = (tps32 / tps8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "tokens_per_sec_8": tps8,
+        "tokens_per_sec_32": tps32,
+        "seqs_per_sec_8": results[8]["seqs_per_sec"],
+        "seqs_per_sec_32": results[32]["seqs_per_sec"],
+        "corpus_docs": results[32]["corpus_docs"],
+        "corpus_tokens": results[32]["corpus_tokens"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench(skip_queries=bool(os.environ.get("BENCH_SKIP_QUERIES")))
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

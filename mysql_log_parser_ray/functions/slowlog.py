@@ -67,13 +67,23 @@ def new_event() -> Dict:
     }
 
 
+from struct import pack as _pack, unpack as _unpack
+
+
 def _parse_float32(s: str) -> float:
-    """strconv.ParseFloat(s, 32) with errors yielding 0 (slow.go:201)."""
+    """strconv.ParseFloat(s, 32) with errors yielding 0 (slow.go:201).
+
+    struct round-trip is ~3x faster than a numpy scalar for the float32
+    rounding; overflow maps to +/-Inf like Go's float32 conversion.
+    """
     try:
         v = float(s)
     except ValueError:
         return 0.0
-    return float(np.float32(v))
+    try:
+        return _unpack("f", _pack("f", v))[0]
+    except OverflowError:
+        return float("inf") if v > 0 else float("-inf")
 
 
 def _parse_uint(s: str) -> int:
@@ -107,53 +117,54 @@ class SlowLogDocParser:
             data = data[start_offset:]
         self.bytes_read = start_offset
 
-        pos = 0
-        n = len(data)
-        find = data.find
-        while pos < n:
-            nl = find(b"\n", pos)
-            if nl < 0:
-                # Partial final line: discarded, matching the reference's
-                # break-on-error read loop (slow.go:87-91).
-                break
-            raw = data[pos : nl + 1]
-            pos = nl + 1
+        # C-level split; the final element is either the empty tail after a
+        # trailing \n or an unterminated partial line - both discarded,
+        # matching the reference's break-on-read-error loop (slow.go:87-91).
+        lines = data.split(b"\n")
+        del lines[-1]
 
-            line_len = len(raw)
-            self.bytes_read += line_len
-            self.line_offset = self.bytes_read - line_len
-            if self.line_offset != 0:
-                self.line_offset += 1  # the reference's off-by-one (slow.go:96-100)
+        bytes_read = self.bytes_read
+        header_search = _header_re.search
+        for raw in lines:
+            line_len = len(raw) + 1  # + the stripped \n
+            bytes_read += line_len
+            self.line_offset = (
+                bytes_read - line_len + 1 if bytes_read != line_len else 0
+            )  # the reference's off-by-one for non-zero offsets (slow.go:96-100)
 
             # Meta-line filter (slow.go:107-119), on the raw line incl. \n.
             if line_len >= 20 and (
-                (raw[0:1] == b"/" and raw[line_len - 6 :] == b"with:\n")
+                (raw[0:1] == b"/" and raw[-5:] == b"with:")
                 or raw[0:5] == b"Time "
                 or raw[0:4] == b"Tcp "
                 or raw[0:4] == b"TCP "
             ):
                 continue
 
-            line = raw[:-1].decode("utf-8", errors="replace")
+            line = raw.decode("utf-8", errors="replace")
+            is_header = header_search(line) is not None
 
             if self.in_header:
-                self._parse_header(line)
+                self._parse_header(line, is_header)
             elif self.in_query:
-                self._parse_query(line)
-            elif _header_re.search(line):
+                self._parse_query(line, is_header)
+            elif is_header:
                 self.in_header = True
                 self.in_query = False
-                self._parse_header(line)
+                self._parse_header(line, True)
 
+        self.bytes_read = bytes_read
         if self.query_lines > 0:
             self._send_event(False, False)
         return self.events
 
-    def _parse_header(self, line: str) -> None:
-        if not _header_re.search(line):
+    def _parse_header(self, line: str, is_header: Optional[bool] = None) -> None:
+        if is_header is None:
+            is_header = _header_re.search(line) is not None
+        if not is_header:
             self.in_header = False
             self.in_query = True
-            self._parse_query(line)
+            self._parse_query(line, False)
             return
 
         if self.header_lines == 0:
@@ -189,16 +200,18 @@ class SlowLogDocParser:
                 else:
                     ev["number_metrics"][name] = _parse_uint(val)
 
-    def _parse_query(self, line: str) -> None:
+    def _parse_query(self, line: str, is_header: Optional[bool] = None) -> None:
         if line.startswith("# admin"):
             self._parse_admin(line)
             return
-        if _header_re.search(line):
+        if is_header is None:
+            is_header = _header_re.search(line) is not None
+        if is_header:
             # Next event's header: finalize this one (slow.go:234-243).
             self.in_header = True
             self.in_query = False
             self._send_event(True, False)
-            self._parse_header(line)
+            self._parse_header(line, True)
             return
 
         if self.query_lines == 0 and line.startswith("use "):

@@ -71,7 +71,8 @@ class MetricStats:
         if self.is_time:
             self.sum += float(arr.sum(dtype=np.float64))
         else:
-            self.sum = (self.sum + int(arr.astype(object).sum())) % _U64
+            # numpy uint64 addition wraps mod 2^64, matching Go's uint64 Sum.
+            self.sum = (self.sum + int(arr.astype(np.uint64).sum())) % _U64
         lo, hi = arr.min(), arr.max()
         if self.min is None or lo < self.min:
             self.min = lo
@@ -137,6 +138,35 @@ class MetricStats:
             "med": med,
             "max": mx,
         }
+
+
+def merge_metric_stats(stats_list: List["MetricStats"]) -> "MetricStats":
+    """Batch-merge many MetricStats (one GK merge_all instead of pairwise)."""
+    first = stats_list[0]
+    out = MetricStats(first.is_time, exact=all(s.vals is not None for s in stats_list))
+    out.cnt = sum(s.cnt for s in stats_list)
+    if first.is_time:
+        out.sum = sum(s.sum for s in stats_list)
+    else:
+        out.sum = sum(s.sum for s in stats_list) % _U64
+    mins = [s.min for s in stats_list if s.min is not None]
+    maxs = [s.max for s in stats_list if s.max is not None]
+    out.min = min(mins) if mins else None
+    out.max = max(maxs) if maxs else None
+    if out.vals is not None:
+        for s in stats_list:
+            out.vals.extend(s.vals)
+    else:
+        sketches = []
+        for s in stats_list:
+            if s.vals is not None:
+                g = GKSummary()
+                g.add_many(np.asarray(s.vals, dtype=np.float64))
+                sketches.append(g)
+            else:
+                sketches.append(s.gk)
+        out.gk = GKSummary.merge_all(sketches)
+    return out
 
 
 class BoolStats:

@@ -65,15 +65,45 @@ def run_flagship(
     exact: bool = False,
     include_tokens_in_routed: bool = True,
     parse_batch_size: int = 2048,
+    min_parallelism: Optional[int] = None,
 ) -> FlagshipResult:
-    """Run the full pipeline; returns small materialized aggregate tables."""
+    """Run the full pipeline; returns small materialized aggregate tables.
+
+    With a ``routed_dir``, the token payload is parsed ONCE (pass 1 writes
+    the routed output) and the aggregations re-read the routed Parquet with
+    column pruning. The per-(batch, class) partials Dataset is materialized
+    once (it is tiny) and shared by the class-stats groupby and the global
+    tree reduction.
+    """
+    import ray
     import ray.data as rd
 
-    ds = (
-        seq_path_or_ds
-        if isinstance(seq_path_or_ds, rd.Dataset)
-        else read_sequences(seq_path_or_ds)
-    )
+    from ..stages.aggregate import aggregate_events
+
+    # Guard against an under-partitioned input: the parse stage parallelizes
+    # across blocks, so ensure at least ~2 read tasks per CPU. A real 100TB
+    # corpus has thousands of files/row groups and never takes these
+    # branches (override_num_blocks would then LIMIT parallelism, so it is
+    # only applied when the file count is small).
+    if min_parallelism is None:
+        min_parallelism = int(ray.cluster_resources().get("CPU", 8)) * 2
+    if isinstance(seq_path_or_ds, rd.Dataset):
+        # Dataset inputs are the test-scale path; pass a file path at scale.
+        ds = seq_path_or_ds.repartition(min_parallelism)
+    else:
+        import glob as _glob
+        import os as _os
+
+        path = seq_path_or_ds
+        n_files = (
+            len(_glob.glob(_os.path.join(path, "*.parquet")))
+            if isinstance(path, str) and _os.path.isdir(path)
+            else 1
+        )
+        kwargs = {}
+        if n_files < min_parallelism:
+            kwargs["override_num_blocks"] = min_parallelism
+        ds = read_sequences(path, **kwargs)
 
     if dim is None:
         # Derive the dim table from the distinct sources (small side).
@@ -91,13 +121,7 @@ def run_flagship(
     else:
         agg_src = enriched
 
-    from ..stages.aggregate import CLASS_STATS_SCHEMA
-
-    cls = class_stats(agg_src, exact=exact).take_all()
-    cls_table = pa.Table.from_pylist(cls, schema=CLASS_STATS_SCHEMA)
-    glob = global_stats(agg_src, exact=exact)
-    counts = grouped_counts(agg_src, keys=["source", "class_id"], sum_col="n_tok")
-    counts_table = counts.to_pandas()
+    cls_table, glob, counts_table = aggregate_events(agg_src, exact=exact)
 
     return FlagshipResult(
         class_stats=cls_table,

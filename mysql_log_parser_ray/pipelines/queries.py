@@ -78,7 +78,7 @@ def q_slowlog_parse_events(sf_dir: str):
 def q_slowlog_class_counts(sf_dir: str):
     events = parse_events(derived_sequences_ds(sf_dir))
     counts = grouped_counts(events, keys=["class_id", "fingerprint"], sum_col=None)
-    out = counts.to_pandas().rename(columns={"n_rows": "total_queries"})
+    out = counts.rename(columns={"n_rows": "total_queries"})
     out["total_queries"] = out["total_queries"].astype("int64")
     return out
 
@@ -153,7 +153,7 @@ def q_slowlog_global(sf_dir: str):
 
 def q_slowlog_sink_counts(sf_dir: str):
     events = parse_events(derived_sequences_ds(sf_dir))
-    out = grouped_counts(events, keys=["source", "class_id"], sum_col="n_tok").to_pandas()
+    out = grouped_counts(events, keys=["source", "class_id"], sum_col="n_tok")
     out["n_rows"] = out["n_rows"].astype("int64")
     out["n_tokens"] = out["n_tokens"].astype("int64")
     return out
@@ -164,7 +164,7 @@ def q_slowlog_route_enrich(sf_dir: str):
     dim = dim_for_sources(seqs.unique("source"))
     events = parse_events(derived_sequences_ds(sf_dir))
     enriched = enrich_events(events, dim)
-    out = grouped_counts(enriched, keys=["sink", "region", "tier"], sum_col=None).to_pandas()
+    out = grouped_counts(enriched, keys=["sink", "region", "tier"], sum_col=None)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
 
@@ -185,7 +185,7 @@ def q_slowlog_examples(sf_dir: str):
 
 def q_slowlog_db_user(sf_dir: str):
     events = parse_events(derived_sequences_ds(sf_dir))
-    out = grouped_counts(events, keys=["db", "user"], sum_col=None).to_pandas()
+    out = grouped_counts(events, keys=["db", "user"], sum_col=None)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
 
@@ -228,7 +228,7 @@ def q_events_by_type(sf_dir: str):
 def q_top_users(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
     out = grouped_counts(ds, keys=["user_id"], sum_col=None)
-    df = out.to_pandas().sort_values(["n_rows", "user_id"], ascending=[False, True])
+    df = out.sort_values(["n_rows", "user_id"], ascending=[False, True])
     df = df.head(10).reset_index(drop=True)
     df["n_rows"] = df["n_rows"].astype("int64")
     return df

@@ -147,7 +147,8 @@ def generate_corpus(
     admin_fraction: float = 0.02,
     banner_fraction: float = 0.01,
     out_path: Optional[str] = None,
-    rows_per_file: int = 250_000,
+    rows_per_file: int = 25_000,
+    row_group_size: int = 8_192,
 ):
     """Deterministic bench corpus of slow-log docs as a sequences table.
 
@@ -185,7 +186,11 @@ def generate_corpus(
             import pyarrow.parquet as pq
 
             os.makedirs(out_path, exist_ok=True)
-            pq.write_table(table, os.path.join(out_path, f"part-{file_no:05d}.parquet"))
+            pq.write_table(
+                table,
+                os.path.join(out_path, f"part-{file_no:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
             file_no += 1
         texts, ids, srcs = [], [], []
 

@@ -106,57 +106,178 @@ def _example_wins(cand, incumbent) -> bool:
     return cand[3] < incumbent[3]  # smaller doc_id wins ties
 
 
-def _batch_events(batch: pa.Table):
-    """Iterate event dicts from an Arrow batch (only the columns stats need)."""
-    cols = {
-        name: batch[name].to_pylist()
-        for name in (
-            "class_id",
-            "fingerprint",
-            "doc_id",
-            "query",
-            "ts",
-            "rate_type",
-            "rate_limit",
-            "time_metrics",
-            "number_metrics",
-            "bool_metrics",
-        )
-    }
-    n = batch.num_rows
-    for i in range(n):
-        yield {
-            "class_id": cols["class_id"][i],
-            "fingerprint": cols["fingerprint"][i],
-            "doc_id": cols["doc_id"][i],
-            "query": cols["query"][i],
-            "ts": cols["ts"][i],
-            "rate_type": cols["rate_type"][i],
-            "rate_limit": cols["rate_limit"][i],
-            "time_metrics": dict(cols["time_metrics"][i]),
-            "number_metrics": dict(cols["number_metrics"][i]),
-            "bool_metrics": dict(cols["bool_metrics"][i]),
-        }
+def merge_partials(parts: List[_ClassPartial]) -> _ClassPartial:
+    """Batch-merge many partials: one GK merge_all per metric, not pairwise."""
+    from ..functions.stats import merge_metric_stats
+
+    if len(parts) == 1:
+        return parts[0]
+    out = _ClassPartial(exact=False)
+    out.count = sum(p.count for p in parts)
+    for kind in ("time", "number"):
+        names = set()
+        for p in parts:
+            names.update(getattr(p.stats, kind))
+        for name in names:
+            lst = [
+                getattr(p.stats, kind)[name]
+                for p in parts
+                if name in getattr(p.stats, kind)
+            ]
+            getattr(out.stats, kind)[name] = merge_metric_stats(lst)
+    bool_names = set()
+    for p in parts:
+        bool_names.update(p.stats.bool)
+    for name in bool_names:
+        bs = BoolStats()
+        for p in parts:
+            s = p.stats.bool.get(name)
+            if s is not None:
+                bs.cnt += s.cnt
+                bs.true += s.true
+        out.stats.bool[name] = bs
+    for p in parts:
+        out.rate_pairs |= p.rate_pairs
+        if p.example is not None and (
+            out.example is None or _example_wins(p.example, out.example)
+        ):
+            out.example = p.example
+    return out
+
+
+def _explode_map(col):
+    """MapArray column -> (keys, items, row_idx) with slicing normalized.
+
+    ``.keys``/``.items`` are the FULL child arrays; ``.offsets`` index into
+    them absolutely (pyarrow semantics), so slice by the offset base.
+    """
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    base = int(offs[0])
+    rel = offs - base
+    total = int(rel[-1])
+    keys = arr.keys.slice(base, total)
+    items = arr.items.slice(base, total)
+    row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(rel))
+    return keys, items, row_idx
 
 
 def make_class_partials_fn(exact: bool = False):
-    """map_batches fn: events batch -> one partial row per class in batch."""
+    """map_batches fn: events batch -> one partial row per class in batch.
+
+    Fully vectorized: class/metric keys are factorized once, metric maps are
+    exploded via Arrow offsets, and per-(class, metric) segments are carved
+    out of ONE stable argsort - no per-event Python in this stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _segments(group_key, order):
+        sk = group_key[order]
+        bounds = np.flatnonzero(np.diff(sk)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sk)]))
+        return sk, starts, ends
 
     def _partials(batch: pa.Table) -> pa.Table:
-        acc: Dict[str, _ClassPartial] = {}
-        fps: Dict[str, str] = {}
-        for ev in _batch_events(batch):
-            cid = ev["class_id"]
-            p = acc.get(cid)
-            if p is None:
-                p = acc[cid] = _ClassPartial(exact)
-                fps[cid] = ev["fingerprint"]
-            p.add_event(ev)
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.binary())],
+                schema=PARTIAL_SCHEMA,
+            )
+        codes, uniques = pd.factorize(pd.Series(batch["class_id"].to_pandas()))
+        codes = codes.astype(np.int64)
+        ncls = len(uniques)
+        parts = [_ClassPartial(exact) for _ in range(ncls)]
+        for p, c in zip(parts, np.bincount(codes, minlength=ncls)):
+            p.count = int(c)
+        first_idx = np.unique(codes, return_index=True)[1]
+        fps = batch["fingerprint"].take(pa.array(first_idx)).to_pylist()
+
+        # time + number metrics
+        for kind, attr, is_time in (
+            ("time_metrics", "time", True),
+            ("number_metrics", "number", False),
+        ):
+            keys, items, rows = _explode_map(batch[kind])
+            if len(rows) == 0:
+                if kind == "time_metrics":
+                    qt_rows = np.empty(0, np.int64)
+                    qt_vals = np.empty(0, np.float64)
+                continue
+            kcodes, kuniq = pd.factorize(pd.Series(keys.to_pandas()))
+            kcodes = kcodes.astype(np.int64)
+            vals = items.to_numpy(zero_copy_only=False)
+            vals = vals.astype(np.float64) if is_time else vals.astype(np.uint64)
+            gkey = codes[rows] * len(kuniq) + kcodes
+            order = np.argsort(gkey, kind="stable")
+            sk, starts, ends = _segments(gkey, order)
+            sv = vals[order]
+            for s0, e0 in zip(starts, ends):
+                g = int(sk[s0])
+                c, k = g // len(kuniq), kuniq[g % len(kuniq)]
+                ms = MetricStats(is_time, exact)
+                ms.add_array(sv[s0:e0])
+                getattr(parts[c].stats, attr)[k] = ms
+            if kind == "time_metrics":
+                qt_mask = np.asarray(kuniq) == "Query_time"
+                if qt_mask.any():
+                    qcode = int(np.flatnonzero(qt_mask)[0])
+                    m = kcodes == qcode
+                    qt_rows, qt_vals = rows[m], vals[m]
+                else:
+                    qt_rows = np.empty(0, np.int64)
+                    qt_vals = np.empty(0, np.float64)
+
+        # bool metrics: cnt/true via bincount
+        keys, items, rows = _explode_map(batch["bool_metrics"])
+        if len(rows):
+            kcodes, kuniq = pd.factorize(pd.Series(keys.to_pandas()))
+            kcodes = kcodes.astype(np.int64)
+            bvals = items.to_numpy(zero_copy_only=False).astype(np.int64)
+            gkey = codes[rows] * len(kuniq) + kcodes
+            size = ncls * len(kuniq)
+            cnts = np.bincount(gkey, minlength=size)
+            trues = np.bincount(gkey, weights=bvals, minlength=size).astype(np.int64)
+            for g in np.flatnonzero(cnts):
+                bs = BoolStats()
+                bs.cnt = int(cnts[g])
+                bs.true = int(trues[g])
+                parts[g // len(kuniq)].stats.bool[kuniq[g % len(kuniq)]] = bs
+
+        # example argmax: (Query_time desc, doc_id asc) per class
+        if len(qt_rows):
+            docs = batch["doc_id"].take(pa.array(qt_rows)).to_pylist()
+            df = pd.DataFrame({"c": codes[qt_rows], "qt": qt_vals, "i": qt_rows,
+                               "doc": docs})
+            df = df.sort_values(["c", "qt", "doc"], ascending=[True, False, True],
+                                kind="mergesort")
+            top = df.drop_duplicates("c")
+            idx = pa.array(top["i"].to_numpy())
+            queries = batch["query"].take(idx).to_pylist()
+            tss = batch["ts"].take(idx).to_pylist()
+            for (c, qt, doc), q, ts in zip(
+                zip(top["c"], top["qt"], top["doc"]), queries, tss
+            ):
+                parts[int(c)].example = (float(qt), q, ts, doc)
+
+        # rate-limit pairs (rarely present; operate on the filtered subset)
+        rtypes = batch["rate_type"].to_pylist()
+        if any(rtypes):
+            rlimits = batch["rate_limit"].to_pylist()
+            for i, rt in enumerate(rtypes):
+                if rt:
+                    parts[codes[i]].rate_pairs.add((rt, rlimits[i]))
+
         return pa.Table.from_arrays(
             [
-                pa.array(list(acc.keys()), pa.string()),
-                pa.array([fps[c] for c in acc], pa.string()),
-                pa.array([pickle.dumps(acc[c], protocol=4) for c in acc], pa.binary()),
+                pa.array(list(uniques), pa.string()),
+                pa.array(fps, pa.string()),
+                pa.array([pickle.dumps(p, protocol=4) for p in parts], pa.binary()),
             ],
             schema=PARTIAL_SCHEMA,
         )
@@ -194,12 +315,28 @@ def _finalize_class(cid: str, fp: str, p: _ClassPartial) -> Dict:
 def _merge_group(group: pa.Table) -> pa.Table:
     cid = group["class_id"][0].as_py()
     fp = group["fingerprint"][0].as_py()
-    merged: Optional[_ClassPartial] = None
-    for blob in group["blob"].to_pylist():
-        p = pickle.loads(blob)
-        merged = p if merged is None else merged.merge(p)
+    merged = merge_partials([pickle.loads(b) for b in group["blob"].to_pylist()])
     row = _finalize_class(cid, fp, merged)
     return pa.Table.from_pylist([row], schema=CLASS_STATS_SCHEMA)
+
+
+def class_partials(events_ds, exact: bool = False, batch_size: int = 65536):
+    """Events Dataset -> per-(batch, class) partials Dataset (tiny rows).
+
+    Large batches on purpose: fewer partial blobs -> cheaper class merge.
+    """
+    return events_ds.map_batches(
+        make_class_partials_fn(exact),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
+def class_stats_from_partials(partials_ds):
+    return partials_ds.groupby("class_id").map_groups(
+        _merge_group, batch_format="pyarrow"
+    )
 
 
 def class_stats(events_ds, exact: bool = False):
@@ -209,12 +346,7 @@ def class_stats(events_ds, exact: bool = False):
     reference's nearest-rank percentiles bit-for-bit); exact=False uses the
     mergeable GK sketch path (eps=0.01), the only viable mode at 10^12 rows.
     """
-    partials = events_ds.map_batches(
-        make_class_partials_fn(exact), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return partials.groupby("class_id").map_groups(
-        _merge_group, batch_format="pyarrow"
-    )
+    return class_stats_from_partials(class_partials(events_ds, exact))
 
 
 class GlobalStats:
@@ -240,38 +372,33 @@ class GlobalStats:
         }
 
 
-def global_stats(events_ds, exact: bool = False) -> GlobalStats:
+def global_stats_from_partials(partials_ds) -> GlobalStats:
     """Tree-reduced global EventStats + rate-limit consistency check.
 
-    Single-row-per-batch partials, combined once more on the driver: the
-    driver never loops over events, only over batch partials.
+    Combines per-(batch, class) partial rows within each partials batch,
+    then merges the handful of survivors on the driver: the driver never
+    loops over events, only over batch-level partials.
     """
-    partial_fn = make_class_partials_fn(exact)
 
     def _combine(batch: pa.Table) -> pa.Table:
-        per_class = partial_fn(batch)
-        merged: Optional[_ClassPartial] = None
-        classes: set = set()
-        for cid, blob in zip(
-            per_class["class_id"].to_pylist(), per_class["blob"].to_pylist()
-        ):
-            classes.add(cid)
-            p = pickle.loads(blob)
-            merged = p if merged is None else merged.merge(p)
+        classes = set(batch["class_id"].to_pylist())
+        parts = [pickle.loads(b) for b in batch["blob"].to_pylist()]
+        merged = merge_partials(parts) if parts else None
         payload = pickle.dumps((merged, classes), protocol=4)
         return pa.table({"blob": pa.array([payload], pa.binary())})
 
-    rows = events_ds.map_batches(
-        _combine, batch_format="pyarrow", zero_copy_batch=True
+    rows = partials_ds.map_batches(
+        _combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).take_all()
 
-    merged: Optional[_ClassPartial] = None
+    survivors = []
     classes: set = set()
     for row in rows:
         p, cls = pickle.loads(row["blob"])
         if p is not None:
-            merged = p if merged is None else merged.merge(p)
+            survivors.append(p)
         classes |= cls
+    merged = merge_partials(survivors) if survivors else None
     if merged is None:
         return GlobalStats(0, 0, "", 0, {}, False)
     rate_type, rate_limit = "", 0
@@ -287,11 +414,152 @@ def global_stats(events_ds, exact: bool = False) -> GlobalStats:
     )
 
 
-def grouped_counts(ds, keys: List[str], sum_col: Optional[str] = "n_tok"):
-    """Pre-aggregated grouped counts: per-batch pandas combine, then a small
-    groupby-sum shuffle over partials (never over raw rows)."""
+def global_stats(events_ds, exact: bool = False) -> GlobalStats:
+    return global_stats_from_partials(class_partials(events_ds, exact))
+
+
+MIXED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = class partial, 1 = sink-count partial
+        ("class_id", pa.string()),
+        ("fingerprint", pa.string()),
+        ("blob", pa.binary()),
+        ("source", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+
+
+def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
+    """ONE pass over the events: class stats + global stats + sink counts.
+
+    The combined map_batches emits per-batch class partials AND per-batch
+    (source, class_id) count partials; the tiny mixed rows are folded on the
+    driver (classes x batches blobs + distinct-pair count rows - both far
+    smaller than the event stream). For key spaces too large for a driver
+    fold, use class_partials + class_stats_from_partials +
+    grouped_counts(final="shuffle") instead - same partial machinery,
+    distributed reduction.
+
+    Returns (class_stats_table, GlobalStats, sink_counts_df).
+    """
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    pfn = make_class_partials_fn(exact)
+
+    def _agg(batch: pa.Table) -> pa.Table:
+        parts = pfn(batch)
+        k = parts.num_rows
+        cdf = (
+            batch.select(["source", "class_id", "n_tok"])
+            .to_pandas()
+            .groupby(["source", "class_id"], as_index=False)
+            .agg(n_rows=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        )
+        m = len(cdf)
+        return pa.Table.from_arrays(
+            [
+                pa.array([0] * k + [1] * m, pa.int8()),
+                pa.concat_arrays(
+                    [parts["class_id"].combine_chunks(),
+                     pa.array(cdf["class_id"], pa.string())]
+                ),
+                pa.concat_arrays(
+                    [parts["fingerprint"].combine_chunks(),
+                     pa.nulls(m, pa.string())]
+                ),
+                pa.concat_arrays(
+                    [parts["blob"].combine_chunks(), pa.nulls(m, pa.binary())]
+                ),
+                pa.concat_arrays(
+                    [pa.nulls(k, pa.string()), pa.array(cdf["source"], pa.string())]
+                ),
+                pa.concat_arrays(
+                    [pa.nulls(k, pa.int64()),
+                     pa.array(cdf["n_rows"].astype("int64"), pa.int64())]
+                ),
+                pa.concat_arrays(
+                    [pa.nulls(k, pa.int64()),
+                     pa.array(cdf["n_tokens"].astype("int64"), pa.int64())]
+                ),
+            ],
+            schema=MIXED_SCHEMA,
+        )
+
+    by_class: Dict[str, list] = {}
+    fps: Dict[str, str] = {}
+    count_frames = []
+    for b in agg_src.map_batches(
+        _agg, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        kinds = b["kind"].to_numpy(zero_copy_only=False)
+        cls_rows = b.filter(pa.array(kinds == 0))
+        for cid, fp, blob in zip(
+            cls_rows["class_id"].to_pylist(),
+            cls_rows["fingerprint"].to_pylist(),
+            cls_rows["blob"].to_pylist(),
+        ):
+            by_class.setdefault(cid, []).append(pickle.loads(blob))
+            fps.setdefault(cid, fp)
+        cnt_rows = b.filter(pa.array(kinds == 1))
+        if cnt_rows.num_rows:
+            count_frames.append(
+                cnt_rows.select(["source", "class_id", "n_rows", "n_tokens"]).to_pandas()
+            )
+
+    cls_rows_out = []
+    all_parts = []
+    for cid, parts in by_class.items():
+        merged = merge_partials(parts)
+        all_parts.append(merged)
+        cls_rows_out.append(_finalize_class(cid, fps[cid], merged))
+    cls_table = pa.Table.from_pylist(cls_rows_out, schema=CLASS_STATS_SCHEMA)
+
+    if all_parts:
+        g = merge_partials(all_parts)
+        rate_type, rate_limit = "", 0
+        if g.rate_pairs:
+            rate_type, rate_limit = sorted(g.rate_pairs)[0]
+        glob = GlobalStats(
+            total_queries=g.count,
+            unique_queries=len(by_class),
+            rate_type=rate_type,
+            rate_limit=rate_limit,
+            metrics=g.stats.current(),
+            mixed_rate_limits=len(g.rate_pairs) > 1,
+        )
+    else:
+        glob = GlobalStats(0, 0, "", 0, {}, False)
+
+    if count_frames:
+        counts = (
+            pd.concat(count_frames, ignore_index=True)
+            .groupby(["source", "class_id"], as_index=False)
+            .sum()
+        )
+    else:
+        counts = pd.DataFrame(columns=["source", "class_id", "n_rows", "n_tokens"])
+    return cls_table, glob, counts
+
+
+def grouped_counts(
+    ds,
+    keys: List[str],
+    sum_col: Optional[str] = "n_tok",
+    final: str = "driver",
+):
+    """Pre-aggregated grouped counts.
+
+    Per-batch pandas combine first (each block reduces to its distinct key
+    set), then:
+      final="driver" (default): stream the tiny partial rows to the driver
+        and fold with one pandas groupby - no shuffle; right when the
+        distinct-key cardinality is modest (sinks, sources, classes).
+      final="shuffle": ray groupby-sum over the partials - right when the
+        key space itself is huge (e.g. grouping by doc_id).
+    """
+    import pandas as pd
 
     def _partial(batch: pa.Table) -> pa.Table:
         sel = keys + ([sum_col] if sum_col else [])
@@ -304,7 +572,23 @@ def grouped_counts(ds, keys: List[str], sum_col: Optional[str] = "n_tok"):
             g = df.groupby(keys, as_index=False).size().rename(columns={"size": "n_rows"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    if final == "driver":
+        frames = [
+            b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
+        ]
+        if not frames:
+            cols = keys + ["n_rows"] + (["n_tokens"] if sum_col else [])
+            return pd.DataFrame(columns=cols)
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(keys, as_index=False)
+            .sum()
+        )
+    from ray.data.aggregate import Sum
+
     aggs = [Sum("n_rows", alias_name="n_rows")]
     if sum_col:
         aggs.append(Sum("n_tokens", alias_name="n_tokens"))

@@ -101,6 +101,28 @@ class GKSummary:
             self.n += other.n
         return self
 
+    @classmethod
+    def merge_all(cls, summaries) -> "GKSummary":
+        """Merge many summaries with ONE concatenation + sort + compress.
+
+        O(total log total) instead of repeated pairwise re-sorts; the batch
+        path for reducing hundreds of per-batch partials per class.
+        """
+        summaries = [s for s in summaries if s is not None]
+        if not summaries:
+            return cls()
+        for s in summaries:
+            s._flush()
+        out = cls(min(s.eps for s in summaries))
+        out.n = sum(s.n for s in summaries)
+        vals = np.concatenate([s._vals for s in summaries])
+        g = np.concatenate([s._g for s in summaries])
+        delta = np.concatenate([s._delta for s in summaries])
+        order = np.argsort(vals, kind="mergesort")
+        out._vals, out._g, out._delta = vals[order], g[order], delta[order]
+        out._compress()
+        return out
+
     def compress(self) -> None:
         """Public compression, mirroring GKq.Compress() (stats.go:130)."""
         self._flush()
@@ -110,19 +132,14 @@ class GKSummary:
         if self._vals.size <= 2:
             return
         cap = max(1, int(self.eps * self.n / 4))
-        # Greedy adjacent-merge: combine runs whose total g stays <= cap.
-        keep = []
-        acc = 0
-        last = self._vals.size - 1
-        for i in range(self._vals.size):
-            acc += int(self._g[i])
-            if acc + int(self._delta[i]) > cap or i == last or i == 0:
-                keep.append(i)
-                acc = 0
-        keep_idx = np.array(keep, dtype=np.int64)
-        # New g = sum of merged g's; recompute via cumulative sums.
-        cg = np.cumsum(self._g)
-        new_g = np.diff(np.concatenate(([0], cg[keep_idx])))
+        # Vectorized grid-merge: keep the first tuple whose cumulative rank
+        # crosses each multiple of `cap` (plus endpoints). Gaps between kept
+        # tuples stay <= cap + max(g), preserving the eps/2 budget.
+        cumg = np.cumsum(self._g)
+        grid = np.arange(cap, int(cumg[-1]), cap, dtype=np.int64)
+        idx = np.searchsorted(cumg, grid, side="left")
+        keep_idx = np.unique(np.concatenate(([0], idx, [self._vals.size - 1])))
+        new_g = np.diff(np.concatenate(([0], cumg[keep_idx])))
         self._vals = self._vals[keep_idx]
         self._g = new_g
         self._delta = self._delta[keep_idx]
