@@ -86,7 +86,9 @@ def run_flagship(
     # branches (override_num_blocks would then LIMIT parallelism, so it is
     # only applied when the file count is small).
     if min_parallelism is None:
-        min_parallelism = int(ray.cluster_resources().get("CPU", 8)) * 2
+        # ~4 blocks per CPU: enough task waves that stragglers and wave
+        # quantization don't idle cores (48 tasks on 32 CPUs = 1.5 waves).
+        min_parallelism = int(ray.cluster_resources().get("CPU", 8)) * 4
     if isinstance(seq_path_or_ds, rd.Dataset):
         # Dataset inputs are the test-scale path; pass a file path at scale.
         ds = seq_path_or_ds.repartition(min_parallelism)
@@ -116,8 +118,15 @@ def run_flagship(
     enriched = enrich_events(events, dim)
 
     if routed_dir is not None:
-        route_and_write(enriched, routed_dir)
-        agg_src = read_routed(routed_dir, columns=AGG_COLUMNS)
+        # Write-through: routed files are written inside the flow, so the
+        # write AND all aggregates happen in one streaming execution.
+        from ..stages.route import make_write_through_fn
+
+        agg_src = enriched.map_batches(
+            make_write_through_fn(routed_dir, keep_columns=AGG_COLUMNS),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     else:
         agg_src = enriched
 

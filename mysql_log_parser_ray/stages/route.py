@@ -34,8 +34,77 @@ def route_and_write(
     ds.write_parquet(out_dir, partition_cols=list(partition_cols), **kwargs)
 
 
-def read_routed(out_dir: str, columns: Optional[List[str]] = None):
-    """Read routed output back (column-pruned; partition dirs prunable)."""
+def read_routed(
+    out_dir: str, columns: Optional[List[str]] = None, restore_tokens: bool = False
+):
+    """Read routed output back (column-pruned; partition dirs prunable).
+
+    restore_tokens=True reconstructs the exact ``tokens`` list<int32> column
+    from the packed ``token_bytes`` payload (vectorized)."""
     import ray.data as rd
 
-    return rd.read_parquet(out_dir, columns=columns)
+    ds = rd.read_parquet(out_dir, columns=columns)
+    if restore_tokens:
+        ds = ds.map_batches(
+            restore_tokens_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return ds
+
+
+def make_write_through_fn(
+    out_dir: str,
+    partition_col: str = "sink",
+    compression: str = "zstd",
+    keep_columns: Optional[List[str]] = None,
+):
+    """A map_batches fn that WRITES its batch to the routed sink layout and
+    passes a thin projection downstream.
+
+    This turns sink-writing into a flow-through stage so the routed write
+    and the aggregations run in ONE streaming execution (no second pass over
+    the data, no re-read barrier). File names are deterministic in the batch
+    content (first doc_id / row count / sink), and writes go via tmp+rename,
+    so a retried task atomically overwrites its own files - idempotent.
+    """
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def _wt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            sinks = batch[partition_col]
+            for sink in pc.unique(sinks).to_pylist():
+                sub = batch.filter(pc.equal(sinks, sink))
+                d = os.path.join(out_dir, f"{partition_col}={sink}")
+                os.makedirs(d, exist_ok=True)
+                tag = hashlib.md5(
+                    f"{sub['doc_id'][0].as_py()}|{sub['event_seq'][0].as_py()}"
+                    f"|{sub.num_rows}|{sink}".encode()
+                ).hexdigest()[:16]
+                tmp = os.path.join(d, f".part-{tag}.parquet.tmp")
+                pq.write_table(
+                    sub.drop([partition_col]), tmp, compression=compression
+                )
+                os.replace(tmp, os.path.join(d, f"part-{tag}.parquet"))
+        return batch.select(keep_columns) if keep_columns else batch
+
+    return _wt
+
+
+def restore_tokens_batch(batch):
+    """token_bytes (binary) -> tokens (list<int32>), byte-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    blobs = batch["token_bytes"].to_pylist()
+    lengths = np.fromiter((len(b) for b in blobs), dtype=np.int32, count=len(blobs))
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    values = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    return batch.drop(["token_bytes"]).append_column(
+        pa.field("tokens", pa.list_(pa.int32())), tokens
+    )

@@ -134,18 +134,22 @@ def test_sink_counts_match(flagship_result, corpus):
 
 
 def test_routed_tokens_byte_equality(flagship_result, corpus):
-    """Judge invariant: routed rows carry byte-identical token arrays."""
-    import ray.data as rd
+    """Judge invariant: routed rows carry byte-identical token arrays.
 
-    routed = rd.read_parquet(flagship_result.routed_dir).to_pandas()
-    orig = {
-        d: bytes(b)
-        for d, b in zip(corpus["doc_id"].to_pylist(), detokenize_column(corpus["tokens"]))
+    Tokens travel as packed bytes in the routed Parquet; restore_tokens
+    reconstructs the exact list<int32> arrays, which must match the input
+    token arrays element-for-element."""
+    from mysql_log_parser_ray.stages.route import read_routed
+
+    routed = read_routed(flagship_result.routed_dir, restore_tokens=True).to_pandas()
+    orig_tokens = {
+        d: np.asarray(t, dtype=np.int32)
+        for d, t in zip(corpus["doc_id"].to_pylist(), corpus["tokens"].to_pylist())
     }
     seen = set()
     for row in routed.itertuples():
         toks = np.asarray(row.tokens, dtype=np.int32)
-        assert bytes(toks.astype(np.uint8).tobytes()) == orig[row.doc_id]
+        assert np.array_equal(toks, orig_tokens[row.doc_id]), row.doc_id
         seen.add(row.doc_id)
     # every doc that produced >=1 event is routed
     assert len(seen) > 1000
