@@ -431,8 +431,8 @@ MIXED_SCHEMA = pa.schema(
 )
 
 
-def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
-    """ONE pass over the events: class stats + global stats + sink counts.
+def collect_partials(agg_src, exact: bool = False, batch_size: int = 65536):
+    """ONE pass over the events: merged per-class partials + sink counts.
 
     The combined map_batches emits per-batch class partials AND per-batch
     (source, class_id) count partials; the tiny mixed rows are folded on the
@@ -442,7 +442,7 @@ def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
     grouped_counts(final="shuffle") instead - same partial machinery,
     distributed reduction.
 
-    Returns (class_stats_table, GlobalStats, sink_counts_df).
+    Returns ({class_id: (fingerprint, merged _ClassPartial)}, sink_counts_df).
     """
     import pandas as pd
 
@@ -508,12 +508,29 @@ def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
                 cnt_rows.select(["source", "class_id", "n_rows", "n_tokens"]).to_pandas()
             )
 
+    if count_frames:
+        counts = (
+            pd.concat(count_frames, ignore_index=True)
+            .groupby(["source", "class_id"], as_index=False)
+            .sum()
+        )
+    else:
+        counts = pd.DataFrame(columns=["source", "class_id", "n_rows", "n_tokens"])
+    merged_by_class = {
+        cid: (fps[cid], merge_partials(parts)) for cid, parts in by_class.items()
+    }
+    return merged_by_class, counts
+
+
+def finalize_partials(merged_by_class: Dict, counts):
+    """Merged per-class partials -> (class_stats_table, GlobalStats, counts)."""
+    import pandas as pd
+
     cls_rows_out = []
     all_parts = []
-    for cid, parts in by_class.items():
-        merged = merge_partials(parts)
+    for cid, (fp, merged) in merged_by_class.items():
         all_parts.append(merged)
-        cls_rows_out.append(_finalize_class(cid, fps[cid], merged))
+        cls_rows_out.append(_finalize_class(cid, fp, merged))
     cls_table = pa.Table.from_pylist(cls_rows_out, schema=CLASS_STATS_SCHEMA)
 
     if all_parts:
@@ -523,7 +540,7 @@ def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
             rate_type, rate_limit = sorted(g.rate_pairs)[0]
         glob = GlobalStats(
             total_queries=g.count,
-            unique_queries=len(by_class),
+            unique_queries=len(merged_by_class),
             rate_type=rate_type,
             rate_limit=rate_limit,
             metrics=g.stats.current(),
@@ -531,16 +548,13 @@ def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
         )
     else:
         glob = GlobalStats(0, 0, "", 0, {}, False)
-
-    if count_frames:
-        counts = (
-            pd.concat(count_frames, ignore_index=True)
-            .groupby(["source", "class_id"], as_index=False)
-            .sum()
-        )
-    else:
-        counts = pd.DataFrame(columns=["source", "class_id", "n_rows", "n_tokens"])
     return cls_table, glob, counts
+
+
+def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
+    """ONE pass: (class_stats_table, GlobalStats, sink_counts_df)."""
+    merged_by_class, counts = collect_partials(agg_src, exact, batch_size)
+    return finalize_partials(merged_by_class, counts)
 
 
 def grouped_counts(
