@@ -1,0 +1,5 @@
+"""Large-scale training-data operators: dedup, similarity, text analysis,
+multimodal plumbing. Each operator is a vectorized Ray Data stage; the
+SQL-expressible ones register DuckDB oracles via register_oracles()."""
+
+from .registry import register_oracles, register_queries  # noqa: F401

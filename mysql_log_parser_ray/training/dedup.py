@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the patterns that survive 10^12 rows):
+* exact: content-hash per batch -> groupby(hash) -> keep min doc_id. The
+  groupby shuffles only (hash, doc_id) pairs, never text.
+* MinHash+LSH: shingle -> 64-perm minhash per doc (numpy broadcast) ->
+  explode to (band_id, band_hash, doc_id) rows -> groupby bands -> candidate
+  pairs within buckets only -> exact Jaccard verify on the pair set. No
+  all-pairs comparison anywhere.
+* SimHash: 64-bit weighted-word signature; near-dup candidates = equal
+  signature bands (same LSH trick on bit-chunks).
+* embedding near-dup: random-hyperplane bucketing, exact cosine verify
+  within buckets (brute-force per bucket, numpy matmul).
+
+All hashing is deterministic (crc32 / blake2b / fixed rng seed) so results
+are stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .text import normalize_text
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+
+
+def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """crc32 hashes of the k-char shingles of normalized text."""
+    norm = normalize_text(text).encode("utf-8")
+    if len(norm) < k:
+        return np.array([zlib.crc32(norm)], dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [zlib.crc32(norm[i : i + k]) for i in range(len(norm) - k + 1)],
+            dtype=np.uint64,
+        )
+    )
+
+
+def minhash_signature_batch(texts: List[str], k: int = 5) -> np.ndarray:
+    """(n_docs, 64) uint64 signatures; vectorized across permutations.
+
+    The uint64 product wraps mod 2^64 before the Mersenne modulus - not the
+    textbook (a*h+b) mod p family, but a deterministic, well-mixed hash
+    family, which is all minhash needs. Deterministic across machines.
+    """
+    out = np.empty((len(texts), _N_PERM), dtype=np.uint64)
+    a = _A.astype(np.uint64)
+    b = _B.astype(np.uint64)
+    for j, t in enumerate(texts):
+        sh = char_shingles(t, k)
+        vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        out[j] = vals.min(axis=1)
+    return out
+
+
+def minhash_signature(text: str, k: int = 5) -> np.ndarray:
+    """Single-doc signature (same family as the batch path)."""
+    return minhash_signature_batch([text], k)[0]
+
+
+def lsh_bands(sig: np.ndarray, n_bands: int = 16) -> List[int]:
+    """Band hashes of one signature (rows = n_perm / n_bands)."""
+    r = len(sig) // n_bands
+    return [
+        zlib.crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(n_bands)
+    ]
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id doc per distinct text. Returns a Dataset of
+    (text_hash, keep_doc_id, n_dups); only hashes are shuffled."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()[:16]
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {"text_hash": pa.array(hs, pa.string()), id_col: batch[id_col]}
+        )
+
+    hashed = docs_ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=(id_col, "min"), n_dups=(id_col, "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        hashed.map_batches(_partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs_ds,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns a pandas DataFrame (doc_a, doc_b, jaccard) with jaccard >=
+    threshold, doc_a < doc_b. Candidate generation is banded (no all-pairs);
+    verification recomputes shingles for candidates only.
+    """
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = minhash_signature_batch(texts)
+        ids = batch[id_col].to_pylist()
+        rows = {"band_id": [], "band_hash": [], id_col: []}
+        for i, did in enumerate(ids):
+            for band_id, bh in enumerate(lsh_bands(sigs[i], n_bands)):
+                rows["band_id"].append(band_id)
+                rows["band_hash"].append(bh)
+                rows[id_col].append(did)
+        return pa.table(
+            {
+                "band_id": pa.array(rows["band_id"], pa.int32()),
+                "band_hash": pa.array(rows["band_hash"], pa.int64()),
+                id_col: pa.array(rows[id_col]),
+            }
+        )
+
+    banded = docs_ds.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    cand = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+
+    # Verify candidates with exact shingle Jaccard (fetch texts of the
+    # candidate ids only).
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    texts: Dict = {}
+    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            if did in need:
+                texts[did] = t
+    rows = []
+    sh_cache: Dict = {}
+    for a_, b_ in cand.itertuples(index=False):
+        for d in (a_, b_):
+            if d not in sh_cache:
+                sh_cache[d] = char_shingles(texts[d])
+        j = jaccard(sh_cache[a_], sh_cache[b_])
+        if j >= threshold:
+            rows.append((a_, b_, j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace words (blake2b word hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in normalize_text(text).split(" "):
+        if not w:
+            continue
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
+    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+        }
+    )
+
+
+def simhash_near_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash: LSH on 4 x 16-bit chunks (a pair within
+    hamming distance 3 must agree on at least one chunk), then exact
+    hamming verify within buckets."""
+    sigs = docs_ds.map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    sig_map = dict(zip(sigs[id_col], sigs["simhash"].astype(np.uint64)))
+    rows = []
+    for chunk in range(4):
+        shift = np.uint64(chunk * 16)
+        bucket: Dict[int, List] = {}
+        for did, s in sig_map.items():
+            key = int((s >> shift) & np.uint64(0xFFFF))
+            bucket.setdefault(key, []).append(did)
+        for ids in bucket.values():
+            if len(ids) < 2 or len(ids) > 200:
+                continue
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    d = bin(int(sig_map[a]) ^ int(sig_map[b])).count("1")
+                    if d <= max_hamming:
+                        rows.append((a, b, d))
+    return (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        .drop_duplicates(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def embedding_dup_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    exhaustive: bool = False,
+):
+    """Embedding-cosine near-dup pairs.
+
+    exhaustive=True: all-pairs cosine via blocked numpy matmul (exact; the
+    small-scale / oracle-comparable path).
+    exhaustive=False: random-hyperplane sign buckets, exact cosine verify
+    within buckets (the scale path; a pair this similar almost surely shares
+    a bucket).
+    """
+    mats, ids = [], []
+    for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        mats.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        ids.extend(b[id_col].to_pylist())
+    x = np.vstack(mats)
+    ids = np.array(ids)
+    norms = np.linalg.norm(x, axis=1)
+    xn = x / np.maximum(norms, 1e-12)[:, None]
+
+    rows = []
+    if exhaustive:
+        sims = xn @ xn.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        for a_, b_ in zip(ia, ib):
+            rows.append((int(ids[a_]), int(ids[b_]), float(sims[a_, b_])))
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((x.shape[1], n_planes))
+        signs = (xn @ planes) > 0
+        keys = np.packbits(signs, axis=1, bitorder="little")[:, 0]
+        for key in np.unique(keys):
+            idx = np.flatnonzero(keys == key)
+            if len(idx) < 2:
+                continue
+            sub = xn[idx] @ xn[idx].T
+            ia, ib = np.where(np.triu(sub >= threshold, k=1))
+            for a_, b_ in zip(ia, ib):
+                rows.append(
+                    (int(ids[idx[a_]]), int(ids[idx[b_]]), float(sub[a_, b_]))
+                )
+    df = pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+    swap = df["vec_a"] > df["vec_b"]
+    df.loc[swap, ["vec_a", "vec_b"]] = df.loc[swap, ["vec_b", "vec_a"]].values
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -1,0 +1,195 @@
+"""queries()/oracle_sql() registrations for the training-data operators."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Ray implementations
+# ---------------------------------------------------------------------------
+
+def q_doc_token_counts(sf_dir: str):
+    from ..stages.aggregate import grouped_counts
+    from .text import _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas())
+        n = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+        return pa.table(
+            {"source": batch["source"], "n_tok": pa.array(n, pa.int64())}
+        )
+
+    toks = ds.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_counts(toks, keys=["source"], sum_col="n_tok")
+    out = out.rename(columns={"n_rows": "n_docs", "n_tokens": "n_ws_tokens"})
+    for c in ("n_docs", "n_ws_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_doc_quality(sf_dir: str):
+    from .text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from .text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.select_columns(["doc_id", "fp"])
+
+
+def q_dedup_exact(sf_dir: str):
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out
+
+
+def q_lang_id_counts(sf_dir: str):
+    from ..stages.aggregate import grouped_counts
+    from .text import lang_id_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    preds = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_counts(preds, keys=["pred_lang"], sum_col=None)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_ann_topk(sf_dir: str):
+    from .similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] in (0, 1)).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    out = brute_force_topk(emb, qvecs, k=10)
+    out["cosine"] = out["cosine"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    from .dedup import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.95, exhaustive=True)
+    out["cosine"] = out["cosine"].round(6)
+    for c in ("vec_a", "vec_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_minhash_pairs(sf_dir: str):
+    from .dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_dedup_pairs(ds, threshold=0.8)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .dedup import simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+def register_queries():
+    return {
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "lang_id_counts": q_lang_id_counts,
+        "ann_topk": q_ann_topk,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (SQL-expressible subset; the rest are rows-only checks)
+# ---------------------------------------------------------------------------
+
+def register_oracles():
+    return {
+        "doc_token_counts": r"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_ws_tokens
+            FROM documents GROUP BY 1
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                   length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   length(text) < 100 AS is_short
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT substring(md5(text), 1, 16) AS text_hash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ), s AS (
+              SELECT q.qid AS query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, round(sim, 6) AS cosine FROM s WHERE rn <= 10
+        """,
+        "embed_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        # lang_id_counts / minhash_pairs / simhash_pairs: heuristic or
+        # banded-LSH operators - not SQL-expressible; driver runs the weaker
+        # rows-only check.
+    }

