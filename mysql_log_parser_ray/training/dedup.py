@@ -227,19 +227,25 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
-    """Near-dup pairs by SimHash: LSH on 4 x 16-bit chunks (a pair within
-    hamming distance 3 must agree on at least one chunk), then exact
-    hamming verify within buckets."""
+    """Near-dup pairs by SimHash: LSH on bit chunks + exact hamming verify.
+
+    Pigeonhole: splitting 64 bits into (max_hamming + 1) chunks guarantees a
+    pair within the distance agrees on at least one chunk, so candidate
+    generation has no false negatives; verification within buckets removes
+    false positives."""
     sigs = docs_ds.map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    sig_map = dict(zip(sigs[id_col], sigs["simhash"].astype(np.uint64)))
+    sig_map = {k: int(v) for k, v in zip(sigs[id_col], sigs["simhash"])}
+    n_chunks = min(16, max_hamming + 1)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     rows = []
-    for chunk in range(4):
-        shift = np.uint64(chunk * 16)
+    for chunk in range(n_chunks):
+        lo, hi = bounds[chunk], bounds[chunk + 1]
+        mask = (1 << (hi - lo)) - 1
         bucket: Dict[int, List] = {}
         for did, s in sig_map.items():
-            key = int((s >> shift) & np.uint64(0xFFFF))
+            key = (s >> lo) & mask
             bucket.setdefault(key, []).append(did)
         for ids in bucket.values():
             if len(ids) < 2 or len(ids) > 200:
