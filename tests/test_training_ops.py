@@ -76,11 +76,16 @@ def test_jaccard_values_sane():
 def test_simhash_near_pairs(docs_ds):
     from mysql_log_parser_ray.training.dedup import simhash_near_pairs
 
-    pairs = simhash_near_pairs(docs_ds, max_hamming=6)
+    pairs = simhash_near_pairs(docs_ds, max_hamming=8)
     found = {tuple(sorted((int(a), int(b)))) for a, b in
              zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 7) in found  # exact dup -> hamming 0
-    assert (0, 5) in found  # one-word change -> few bits
+    assert (0, 5) in found  # one-word change -> hamming 7
+    # threshold is respected: rerun tighter, the hamming-7 pair drops out
+    tight = simhash_near_pairs(docs_ds, max_hamming=3)
+    tfound = {tuple(sorted((int(a), int(b)))) for a, b in
+              zip(tight["doc_a"], tight["doc_b"])}
+    assert (1, 7) in tfound and (0, 5) not in tfound
 
 
 def test_embedding_dup_bucketed_matches_exhaustive(ray_session):
