@@ -200,6 +200,121 @@ def minhash_dedup_pairs(
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def word_ngrams(text: str, n: int = 3) -> set:
+    """Distinct word n-grams of lower(trim(text)) split on whitespace.
+
+    Tokenization mirrors the SQL oracle exactly:
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')``."""
+    w = text.strip().lower().split()
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _gram_hash64(gram: str) -> int:
+    """Deterministic 64-bit gram id (collision odds ~n^2/2^64: negligible)."""
+    return int.from_bytes(
+        hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest(), "little"
+    ) - (1 << 63)
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: Optional[int] = None,
+):
+    """Exact word-n-gram Jaccard near-duplicate pairs, fully distributed.
+
+    A set-similarity join in pure Ray Data (no all-pairs step anywhere):
+
+      1. map_batches: per doc, distinct word n-grams -> exploded
+         (gram_hash, doc_id, n_grams_of_doc) rows. Carrying the doc's gram
+         count on every row costs one int32 per gram but ELIMINATES the
+         final count join entirely (a join would be two more all-to-all
+         exchanges; the count is immutable per doc so max() recovers it).
+      2. groupby(gram_hash).map_groups: each inverted-index bucket emits its
+         co-occurring (doc_a, doc_b, na, nb) pairs once. Any pair with
+         jaccard > 0 shares a gram, so candidate generation is lossless.
+      3. groupby(doc_a, doc_b).aggregate(count, max(na), max(nb)): the
+         co-occurrence count is the exact intersection |A ∩ B|; jaccard =
+         i / (na + nb - i); filter >= threshold.
+
+    Everything that shuffles is small fixed-width ints - text never moves.
+    At 10^12 docs the one hazard is a stop-gram bucket (a gram shared by k
+    docs emits k^2/2 pairs); ``max_df`` caps it at the cost of exactness
+    only for pairs whose every shared gram is a stop-gram - irrelevant
+    above any useful threshold, and off by default for oracle parity.
+
+    Returns pandas (doc_a, doc_b, jaccard), doc_a < doc_b, sorted.
+    """
+    from ray.data.aggregate import Count, Max
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        g_id, g_hash, g_n = [], [], []
+        for did, t in zip(ids, texts):
+            grams = word_ngrams(t, n)
+            for gr in grams:
+                g_id.append(did)
+                g_hash.append(_gram_hash64(gr))
+                g_n.append(len(grams))
+        return pa.table(
+            {
+                "gram": pa.array(g_hash, pa.int64()),
+                id_col: pa.array(g_id, pa.int64()),
+                "n_grams": pa.array(g_n, pa.int32()),
+            }
+        )
+
+    grams = docs_ds.map_batches(_grams, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "na": pd.Series([], dtype="int32"),
+                "nb": pd.Series([], dtype="int32"),
+            }
+        )
+        if len(g) < 2 or (max_df is not None and len(g) > max_df):
+            return empty
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        ns = g["n_grams"].to_numpy()[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "na": ns[ia], "nb": ns[ib]}
+        )
+
+    agg = (
+        grams.groupby("gram")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("na", alias_name="na"),
+            Max("nb", alias_name="nb"),
+        )
+    )
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    df["jaccard"] = df["inter"] / (df["na"] + df["nb"] - df["inter"])
+    df = df[df["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace words (blake2b word hashes)."""
     acc = np.zeros(64, dtype=np.int64)

@@ -112,6 +112,17 @@ def q_minhash_pairs(sf_dir: str):
     return out
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from .dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+    out["jaccard"] = out["jaccard"].round(6)
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_simhash_pairs(sf_dir: str):
     from .dedup import simhash_near_pairs
 
@@ -129,6 +140,7 @@ def register_queries():
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -188,6 +200,28 @@ def register_oracles():
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
         """,
         # lang_id_counts / minhash_pairs / simhash_pairs: heuristic or
         # banded-LSH operators - not SQL-expressible; driver runs the weaker

@@ -73,6 +73,24 @@ def test_jaccard_values_sane():
     assert jaccard(a, c) < 0.2
 
 
+def test_ngram_jaccard_pairs_exact(docs_ds):
+    from mysql_log_parser_ray.training.dedup import ngram_jaccard_pairs, word_ngrams
+
+    pairs = ngram_jaccard_pairs(docs_ds, threshold=0.3)
+    found = {tuple(sorted((int(a), int(b)))): j for a, b, j in
+             zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+    assert found[(1, 7)] == 1.0  # exact duplicate
+    # planted one-word perturbations: verify the distributed value equals
+    # the closed-form set jaccard
+    for a, b in ((0, 5), (2, 6)):
+        ga = word_ngrams(BASE_DOCS[a])
+        gb = word_ngrams(BASE_DOCS[a].replace("lazy", "sleepy")
+                         if a == 0 else BASE_DOCS[2].replace("wizard", "sorcerer"))
+        want = len(ga & gb) / len(ga | gb)
+        assert found[(a, b)] == pytest.approx(want, abs=1e-12)
+    assert (0, 4) not in found and (3, 4) not in found
+
+
 def test_simhash_near_pairs(docs_ds):
     from mysql_log_parser_ray.training.dedup import simhash_near_pairs
 
