@@ -1,0 +1,52 @@
+"""CLI surface: python -m mysql_log_parser_ray {synth,run,report}.
+
+Runs main() in-process against the session Ray (the guarded init must NOT
+shut down a session it didn't start)."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    from mysql_log_parser_ray.sources.synth import generate_corpus
+
+    out = str(tmp_path_factory.mktemp("cli") / "corpus")
+    generate_corpus(600, seed=7, n_sources=8, out_path=out)
+    return out
+
+
+def test_cli_run_json(corpus, capsys):
+    from mysql_log_parser_ray.cli import main
+
+    assert main(["run", corpus, "--json", "--exact"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] >= 600  # multi-event docs push this above n_docs
+    assert out["unique_classes"] > 0
+    assert out["events_per_sec"] > 0
+    assert not out["mixed_rate_limits"]
+
+
+def test_cli_report(corpus, capsys):
+    from mysql_log_parser_ray.cli import main
+
+    assert main(["report", corpus]) == 0
+    text = capsys.readouterr().out
+    lines = text.splitlines()
+    assert lines[0].startswith("Events: ")
+    # quantile table at 5% steps: 21 rows for the global metric
+    assert sum("pct query time" in l and not l.startswith("  ") for l in lines) == 21
+    assert any(l.startswith("Real 95pct") for l in lines)
+    assert any(l.startswith("histo [") for l in lines)
+    # hot-class drill-down (> total/10) appears with indented sub-report
+    assert any(l.startswith("Query ID ") for l in lines)
+
+
+def test_cli_leaves_host_ray_session_alive(corpus):
+    import ray
+
+    from mysql_log_parser_ray.cli import main
+
+    main(["report", corpus])
+    assert ray.is_initialized()
