@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mysql_log_parser_ray.functions.fingerprint import Checksum
 from mysql_log_parser_ray.sources.synth import TEMPLATES
 
 # ---------------------------------------------------------------------------
@@ -98,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_route_enrich": q.q_slowlog_route_enrich,
         "slowlog_examples": q.q_slowlog_examples,
         "slowlog_db_user": q.q_slowlog_db_user,
+        "genlog_parse_events": q.q_genlog_parse_events,
+        "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
@@ -112,8 +115,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return entries
 
 
+def _fp_cls(cmd: str) -> tuple[str, str]:
+    from mysql_log_parser_ray.functions.fingerprint import Fingerprint
+
+    fp = Fingerprint(cmd)
+    return fp, Checksum(fp)
+
+
 def oracle_sql() -> dict[str, str]:
+    _fp_conn, _cls_conn = _fp_cls("Connect")
+    _fp_quit, _cls_quit = _fp_cls("Quit")
+    _TS_GEN = (
+        "strftime(make_timestamp((1400000000 + doc_id) * 1000000),"
+        " '%y%m%d %H:%M:%S')"
+    )
     sqls = {
+        "genlog_parse_events": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS event_seq,
+                   {_TS_GEN} AS ts, TRUE AS admin, 'Connect' AS query,
+                   {_USER} AS "user", 'localhost' AS host, {_DB} AS db,
+                   n_chars % 100 AS thread_id,
+                   '{_fp_conn}' AS fingerprint, '{_cls_conn}' AS class_id
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, '', FALSE, {_QUERY_EXPR},
+                   '', '', '', n_chars % 100, {_FP_EXPR}, {_CLASS_EXPR}
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 2, '', TRUE, 'Quit',
+                   '', '', '', n_chars % 100, '{_fp_quit}', '{_cls_quit}'
+            FROM documents
+        """,
+        "genlog_class_counts": f"""
+            WITH ev AS (
+              SELECT {_CLASS_EXPR} AS class_id, {_FP_EXPR} AS fingerprint
+              FROM documents
+              UNION ALL SELECT '{_cls_conn}', '{_fp_conn}' FROM documents
+              UNION ALL SELECT '{_cls_quit}', '{_fp_quit}' FROM documents
+            )
+            SELECT class_id, fingerprint, COUNT(*) AS total_queries
+            FROM ev GROUP BY 1, 2
+        """,
         "slowlog_parse_events": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_USER} AS "user",

@@ -82,7 +82,7 @@ def _cmd_report(args: argparse.Namespace) -> int:
     from .stages.parse import parse_events
 
     t0 = time.perf_counter()
-    events = parse_events(read_sequences(args.input))
+    events = parse_events(read_sequences(args.input), fmt=args.fmt)
     glob, classes = collect_partials(events, exact=args.exact)
     elapsed = time.perf_counter() - t0
     print(format_report(glob, classes, elapsed, metric=args.metric))
@@ -119,6 +119,9 @@ def main(argv=None) -> int:
     p_rep.add_argument("input", help="sequences Parquet file/dir")
     p_rep.add_argument("--exact", action="store_true")
     p_rep.add_argument("--metric", default="Query_time")
+    p_rep.add_argument(
+        "--fmt", default="slowlog", help="registered log format (slowlog|genlog)"
+    )
     p_rep.add_argument("--num-cpus", type=int, default=None)
     p_rep.set_defaults(fn=_cmd_report)
 

@@ -198,6 +198,51 @@ def _cents(col):
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
 
 
+def derived_genlog_sequences_ds(sf_dir: str):
+    """documents -> deterministic general-log sequences Dataset."""
+    from ..sources.synth import genlog_sequences_from_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+    return docs.map_batches(
+        genlog_sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_genlog_parse_events(sf_dir: str):
+    """Full genlog parse through the format registry (fmt="genlog")."""
+    ev = parse_events(derived_genlog_sequences_ds(sf_dir), fmt="genlog")
+
+    def project(b: pa.Table) -> pa.Table:
+        nm = [dict(x) for x in b["number_metrics"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "event_seq": pc.cast(b["event_seq"], pa.int64()),
+                "ts": b["ts"],
+                "admin": b["admin"],
+                "query": b["query"],
+                "user": b["user"],
+                "host": b["host"],
+                "db": b["db"],
+                "thread_id": pa.array(
+                    [d.get("Thread_id") for d in nm], pa.int64()
+                ),
+                "fingerprint": b["fingerprint"],
+                "class_id": b["class_id"],
+            }
+        )
+
+    return ev.map_batches(project, batch_format="pyarrow")
+
+
+def q_genlog_class_counts(sf_dir: str):
+    ev = parse_events(derived_genlog_sequences_ds(sf_dir), fmt="genlog")
+    counts = grouped_counts(ev, keys=["class_id", "fingerprint"], sum_col=None)
+    out = counts.rename(columns={"n_rows": "total_queries"})
+    out["total_queries"] = out["total_queries"].astype("int64")
+    return out
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 

@@ -90,6 +90,40 @@ def sequences_from_documents(documents: pa.Table) -> pa.Table:
     return build_sequences_table(texts, [str(d) for d in doc_ids], sources)
 
 
+def derived_genlog_text(doc_id: int, n_chars: int) -> str:
+    """One general-log session (Connect / Query / Quit) per documents row.
+
+    Deterministic closed form mirrored by the genlog oracle SQL in
+    __ray_entry__: ts = utc strftime('%y%m%d %H:%M:%S') of
+    1400000000+doc_id on the Connect line only; thread id, user, db and
+    the query template reuse the slow-log derivation moduli.
+    """
+    from datetime import datetime, timezone
+
+    t = n_chars % 4
+    u = n_chars % 5
+    s = n_chars % 3
+    tid = n_chars % 100
+    ts = datetime.fromtimestamp(1400000000 + doc_id, tz=timezone.utc).strftime(
+        "%y%m%d %H:%M:%S"
+    )
+    query = TEMPLATES[t][0].format(n=n_chars, m=doc_id)
+    return (
+        f"{ts}\t{tid} Connect\tu{u}@localhost on db{s}\n"
+        f"\t\t{tid} Query\t{query}\n"
+        f"\t\t{tid} Quit\t\n"
+    )
+
+
+def genlog_sequences_from_documents(documents: pa.Table) -> pa.Table:
+    """Derive a general-log sequences table from ``documents``."""
+    doc_ids = documents["doc_id"].to_pylist()
+    n_chars = documents["n_chars"].to_pylist()
+    sources = documents["source"].to_pylist()
+    texts = [derived_genlog_text(d, n) for d, n in zip(doc_ids, n_chars)]
+    return build_sequences_table(texts, [str(d) for d in doc_ids], sources)
+
+
 def reference_fixture_table(logs_dir: str = REFERENCE_LOGS_DIR) -> pa.Table:
     """The reference conformance logs, one doc per file."""
     texts, ids, sources = [], [], []

@@ -431,8 +431,13 @@ MIXED_SCHEMA = pa.schema(
 )
 
 
-def collect_partials(agg_src, exact: bool = False, batch_size: int = 65536):
+def collect_partials(agg_src, exact: bool = False, batch_size=None):
     """ONE pass over the events: merged per-class partials + sink counts.
+
+    batch_size=None on purpose: partials are computed per BLOCK as it
+    streams by. Rebatching blocks to a fixed row count forces a buffering
+    fence and block concatenation that measured ~2x slower end-to-end on
+    the bench corpus; per-block partial blobs are tiny either way.
 
     The combined map_batches emits per-batch class partials AND per-batch
     (source, class_id) count partials; the tiny mixed rows are folded on the
@@ -551,7 +556,7 @@ def finalize_partials(merged_by_class: Dict, counts):
     return cls_table, glob, counts
 
 
-def aggregate_events(agg_src, exact: bool = False, batch_size: int = 65536):
+def aggregate_events(agg_src, exact: bool = False, batch_size=None):
     """ONE pass: (class_stats_table, GlobalStats, sink_counts_df)."""
     merged_by_class, counts = collect_partials(agg_src, exact, batch_size)
     return finalize_partials(merged_by_class, counts)

@@ -26,8 +26,24 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.fingerprint import Checksum, Fingerprint
+from ..functions.genlog import parse_general_log_text
 from ..functions.slowlog import parse_slow_log_text
 from ..options import Options
+
+# Format registry - the Ray-side equivalent of the reference's intended
+# MySQLLogParser plugin interface (parser.go:3-4): text-parser callables
+# keyed by format name, all emitting the same event-dict shape so every
+# downstream stage is format-agnostic.
+PARSER_REGISTRY = {
+    "slowlog": parse_slow_log_text,
+    "genlog": parse_general_log_text,
+}
+
+
+def register_parser(fmt: str, fn) -> None:
+    """Register a per-doc text parser: fn(text, start_offset,
+    filter_admin_command) -> list of event dicts (new_event shape)."""
+    PARSER_REGISTRY[fmt] = fn
 from ..sources.sequences import detokenize_column
 
 EVENT_SCHEMA = pa.schema(
@@ -81,8 +97,10 @@ def parse_events_batch(
     opt: Options = Options(),
     include_tokens: bool = False,
     on_error: str = "raise",
+    fmt: str = "slowlog",
 ) -> pa.Table:
     """One Arrow batch of docs -> one Arrow batch of events."""
+    parse_text = PARSER_REGISTRY[fmt]
     texts = detokenize_column(batch["tokens"])
     doc_ids = batch["doc_id"].to_pylist()
     sources = (
@@ -99,7 +117,7 @@ def parse_events_batch(
     start = opt.start_offset
     for i, data in enumerate(texts):
         try:
-            events = parse_slow_log_text(data, start_offset=start, filter_admin_command=filt)
+            events = parse_text(data, start_offset=start, filter_admin_command=filt)
         except Exception:
             if on_error == "skip":
                 continue
@@ -141,13 +159,15 @@ def parse_events_batch(
 
 
 def make_parse_fn(
-    opt: Options = Options(), include_tokens: bool = False, on_error: str = "raise"
+    opt: Options = Options(), include_tokens: bool = False, on_error: str = "raise",
+    fmt: str = "slowlog",
 ):
     """A picklable map_batches callable with options bound."""
 
     def _parse(batch: pa.Table) -> pa.Table:
         return parse_events_batch(
-            batch, opt=opt, include_tokens=include_tokens, on_error=on_error
+            batch, opt=opt, include_tokens=include_tokens, on_error=on_error,
+            fmt=fmt,
         )
 
     return _parse
@@ -159,6 +179,7 @@ def parse_events(
     include_tokens: bool = False,
     on_error: str = "raise",
     batch_size: Optional[int] = 2048,
+    fmt: str = "slowlog",
     **map_kwargs,
 ):
     """Dataset of sequences -> Dataset of events.
@@ -168,7 +189,7 @@ def parse_events(
     module scope, so tasks get actor-style amortization for free.
     """
     return ds.map_batches(
-        make_parse_fn(opt, include_tokens, on_error),
+        make_parse_fn(opt, include_tokens, on_error, fmt),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -130,6 +130,39 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def q_media_decode(sf_dir: str):
+    """Derive fake media payloads from documents, run the actor-pool decode
+    stage (the multimodal plumbing), return the decoded metadata."""
+    import struct
+
+    from .multimodal import decode_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads, mids, mtypes = [], [], []
+        for did, t in zip(ids, texts):
+            body = t.encode("utf-8")
+            payloads.append(b"FAKE" + struct.pack("<II", len(body), 1) + body)
+            mids.append(f"m{did}")
+            mtypes.append("audio/fake" if did % 3 == 0 else "image/fake")
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "media_type": pa.array(mtypes, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(_to_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = decode_features(media, concurrency=(1, 4), batch_size=256)
+    return out.select_columns(
+        ["media_id", "media_type", "decoded_width", "decoded_height"]
+    )
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -142,6 +175,7 @@ def register_queries():
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "media_decode": q_media_decode,
     }
 
 
@@ -222,6 +256,14 @@ def register_oracles():
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        """,
+        "media_decode": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'audio/fake'
+                        ELSE 'image/fake' END AS media_type,
+                   CAST(strlen(text) AS INTEGER) AS decoded_width,
+                   1 AS decoded_height
+            FROM documents
         """,
         # lang_id_counts / minhash_pairs / simhash_pairs: heuristic or
         # banded-LSH operators - not SQL-expressible; driver runs the weaker
