@@ -133,8 +133,11 @@ def run_scaling(trials: int = 2) -> dict:
     state); best of ``trials`` per level since the sandbox shares disk/CPU
     with other activity. Uses the 4x SCALING_DOCS corpus.
     """
+    levels = tuple(
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         best = None
         for _ in range(trials):
             env = dict(
@@ -154,21 +157,24 @@ def run_scaling(trials: int = 2) -> dict:
             if best is None or r["value"] < best["value"]:
                 best = r
         results[ncpu] = best
-    tps8 = results[8]["tokens_per_sec"]
-    tps32 = results[32]["tokens_per_sec"]
-    eff = (tps32 / tps8) / (32 / 8)
+    lo, hi = levels
+    tps_lo = results[lo]["tokens_per_sec"]
+    tps_hi = results[hi]["tokens_per_sec"]
+    eff = (tps_hi / tps_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": results[8]["value"],
-        "sec_32": results[32]["value"],
-        "tokens_per_sec_8": tps8,
-        "tokens_per_sec_32": tps32,
-        "seqs_per_sec_8": results[8]["seqs_per_sec"],
-        "seqs_per_sec_32": results[32]["seqs_per_sec"],
-        "corpus_docs": results[32]["corpus_docs"],
-        "corpus_tokens": results[32]["corpus_tokens"],
+        "cpus_n": lo,
+        "cpus_4n": hi,
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        f"tokens_per_sec_{lo}": tps_lo,
+        f"tokens_per_sec_{hi}": tps_hi,
+        f"seqs_per_sec_{lo}": results[lo]["seqs_per_sec"],
+        f"seqs_per_sec_{hi}": results[hi]["seqs_per_sec"],
+        "corpus_docs": results[hi]["corpus_docs"],
+        "corpus_tokens": results[hi]["corpus_tokens"],
     }
 
 

@@ -180,20 +180,36 @@ def minhash_dedup_pairs(
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
-    # Verify candidates with exact shingle Jaccard (fetch texts of the
-    # candidate ids only).
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts: Dict = {}
-    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+    # Verify candidates with exact shingle Jaccard. The shingling runs
+    # DISTRIBUTED over the docs Dataset (filter to candidate ids + hash
+    # inside map_batches); only the candidates' shingle arrays - a set
+    # bounded by the LSH candidate count, not the corpus - reach the
+    # driver for the pairwise verify.
+    need = frozenset(cand["doc_a"]) | frozenset(cand["doc_b"])
+
+    def _cand_shingles(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts_ = b[text_col].to_pylist()
+        keep_ids, shingle_lists = [], []
+        for did, t in zip(ids, texts_):
             if did in need:
-                texts[did] = t
-    rows = []
+                keep_ids.append(did)
+                shingle_lists.append(char_shingles(t).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(keep_ids),
+                "shingles": pa.array(shingle_lists, pa.list_(pa.uint64())),
+            }
+        )
+
     sh_cache: Dict = {}
+    for b in docs_ds.map_batches(
+        _cand_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, sh in zip(b[id_col].to_pylist(), b["shingles"].to_pylist()):
+            sh_cache[did] = np.asarray(sh, dtype=np.uint64)
+    rows = []
     for a_, b_ in cand.itertuples(index=False):
-        for d in (a_, b_):
-            if d not in sh_cache:
-                sh_cache[d] = char_shingles(texts[d])
         j = jaccard(sh_cache[a_], sh_cache[b_])
         if j >= threshold:
             rows.append((a_, b_, j))
@@ -341,41 +357,80 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
     )
 
 
-def simhash_near_pairs(docs_ds, max_hamming: int = 3, id_col: str = "doc_id"):
+def simhash_near_pairs(
+    docs_ds, max_hamming: int = 3, id_col: str = "doc_id", max_bucket: int = 200
+):
     """Near-dup pairs by SimHash: LSH on bit chunks + exact hamming verify.
 
     Pigeonhole: splitting 64 bits into (max_hamming + 1) chunks guarantees a
     pair within the distance agrees on at least one chunk, so candidate
     generation has no false negatives; verification within buckets removes
-    false positives."""
-    sigs = docs_ds.map_batches(
-        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    sig_map = {k: int(v) for k, v in zip(sigs[id_col], sigs["simhash"])}
+    false positives.
+
+    Fully distributed - no signature table ever reaches the driver:
+    signatures -> explode one row per (chunk, chunk_key) carrying the full
+    signature -> groupby buckets -> hamming-verified pairs inside
+    map_groups -> groupby(doc_a, doc_b) to dedupe pairs found in several
+    chunks. Everything shuffled is fixed-width ints.
+    """
+    from ray.data.aggregate import Min
+
     n_chunks = min(16, max_hamming + 1)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    rows = []
-    for chunk in range(n_chunks):
-        lo, hi = bounds[chunk], bounds[chunk + 1]
-        mask = (1 << (hi - lo)) - 1
-        bucket: Dict[int, List] = {}
-        for did, s in sig_map.items():
-            key = (s >> lo) & mask
-            bucket.setdefault(key, []).append(did)
-        for ids in bucket.values():
-            if len(ids) < 2 or len(ids) > 200:
-                continue
-            ids = sorted(ids)
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    d = bin(int(sig_map[a]) ^ int(sig_map[b])).count("1")
-                    if d <= max_hamming:
-                        rows.append((a, b, d))
-    return (
-        pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
-        .drop_duplicates(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        sigs = simhash_batch(batch, id_col=id_col)
+        s = sigs["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = sigs[id_col].to_pylist()
+        out_chunk, out_key, out_id, out_sig = [], [], [], []
+        for chunk in range(n_chunks):
+            lo, hi = bounds[chunk], bounds[chunk + 1]
+            keys = (s >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+            out_chunk.extend([chunk] * len(ids))
+            out_key.extend(keys.astype(np.int64).tolist())
+            out_id.extend(ids)
+            out_sig.extend(s.view(np.int64).tolist())
+        return pa.table(
+            {
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "chunk_key": pa.array(out_key, pa.int64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=g[id_col].dtype),
+                "doc_b": pd.Series([], dtype=g[id_col].dtype),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        sigs = g["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(sigs[a] ^ sigs[b])).count("1") for a, b in zip(ia, ib)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    out = (
+        docs_ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["chunk", "chunk_key"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()
     )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def embedding_dup_pairs(
@@ -389,43 +444,85 @@ def embedding_dup_pairs(
 ):
     """Embedding-cosine near-dup pairs.
 
-    exhaustive=True: all-pairs cosine via blocked numpy matmul (exact; the
-    small-scale / oracle-comparable path).
+    exhaustive=True: all-pairs cosine via numpy matmul on the driver
+    (exact; the small-scale / oracle-comparable path - all-pairs is
+    inherently quadratic, so there is nothing to distribute but the
+    matmul tiles).
     exhaustive=False: random-hyperplane sign buckets, exact cosine verify
-    within buckets (the scale path; a pair this similar almost surely shares
-    a bucket).
+    within buckets - fully distributed: bucket keys are assigned in
+    map_batches, pairs are verified inside groupby(bucket).map_groups, and
+    only the (id, id, cosine) survivors leave the workers. A pair this
+    similar almost surely shares a bucket.
     """
-    mats, ids = [], []
-    for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        mats.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
-        ids.extend(b[id_col].to_pylist())
-    x = np.vstack(mats)
-    ids = np.array(ids)
-    norms = np.linalg.norm(x, axis=1)
-    xn = x / np.maximum(norms, 1e-12)[:, None]
-
-    rows = []
     if exhaustive:
+        mats, ids = [], []
+        for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            mats.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+            ids.extend(b[id_col].to_pylist())
+        x = np.vstack(mats)
+        ids = np.array(ids)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
         sims = xn @ xn.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
-        for a_, b_ in zip(ia, ib):
-            rows.append((int(ids[a_]), int(ids[b_]), float(sims[a_, b_])))
-    else:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((x.shape[1], n_planes))
-        signs = (xn @ planes) > 0
+        rows = [
+            (int(ids[a_]), int(ids[b_]), float(sims[a_, b_]))
+            for a_, b_ in zip(ia, ib)
+        ]
+        df = pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+        swap = df["vec_a"] > df["vec_b"]
+        df.loc[swap, ["vec_a", "vec_b"]] = df.loc[swap, ["vec_b", "vec_a"]].values
+        return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    from ray.data.aggregate import Max
+
+    _planes: Dict = {}
+
+    def _keyed(b: pa.Table) -> pa.Table:
+        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
+        if "p" not in _planes:  # deterministic; built once per worker
+            _planes["p"] = np.random.default_rng(seed).standard_normal(
+                (x.shape[1], n_planes)
+            )
+        signs = (xn @ _planes["p"]) > 0
         keys = np.packbits(signs, axis=1, bitorder="little")[:, 0]
-        for key in np.unique(keys):
-            idx = np.flatnonzero(keys == key)
-            if len(idx) < 2:
-                continue
-            sub = xn[idx] @ xn[idx].T
-            ia, ib = np.where(np.triu(sub >= threshold, k=1))
-            for a_, b_ in zip(ia, ib):
-                rows.append(
-                    (int(ids[idx[a_]]), int(ids[idx[b_]]), float(sub[a_, b_]))
-                )
-    df = pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
-    swap = df["vec_a"] > df["vec_b"]
-    df.loc[swap, ["vec_a", "vec_b"]] = df.loc[swap, ["vec_b", "vec_a"]].values
-    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.astype(np.int32), pa.int32()),
+                id_col: b[id_col],
+                "vec": pa.array([v.tolist() for v in xn], pa.list_(pa.float64())),
+            }
+        )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        xn = np.array(g["vec"].tolist(), dtype=np.float64)[order]
+        sub = xn @ xn.T
+        ia, ib = np.where(np.triu(sub >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia].astype(np.int64),
+                "vec_b": ids[ib].astype(np.int64),
+                "cosine": sub[ia, ib],
+            }
+        )
+
+    out = (
+        emb_ds.map_batches(_keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+        .to_pandas()
+    )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -92,6 +92,22 @@ def q_ann_topk(sf_dir: str):
     return out
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """Distributed IVF ANN (approximate - rows-only driver check; the
+    recall-vs-brute-force invariant is pinned in tests)."""
+    from .similarity import ivf_topk_distributed
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] in (0, 1)).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ivf_topk_distributed(emb, qvecs, k=10)
+    out["cosine"] = out["cosine"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
 def q_embed_dup_pairs(sf_dir: str):
     from .dedup import embedding_dup_pairs
 
@@ -171,6 +187,7 @@ def register_queries():
         "dedup_exact": q_dedup_exact,
         "lang_id_counts": q_lang_id_counts,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -122,6 +122,101 @@ def build_ivf(
     return cents, bucketed
 
 
+def ivf_topk_distributed(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF top-k that never materializes the vector table.
+
+    Centroids come from a driver-side SAMPLE (small by construction); the
+    probe set per query is computed on the driver (tiny); then ONE
+    distributed pass over the embeddings scores each batch's rows only
+    against the queries probing that row's bucket and emits local top-k
+    rows. The driver merges nq x k x n_blocks candidate rows - never
+    vectors. This is the 10^12-row path; ivf_topk keeps the materialized
+    variant for small data.
+    """
+    import ray
+
+    samp = emb_ds.random_sample(
+        min(1.0, sample / max(1, emb_ds.count())), seed=seed
+    ).to_pandas()
+    xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(xs @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = xs[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    qn = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    # per-bucket list of probing query indices (driver-side, tiny)
+    probes = np.argsort(-(cents @ qn.T), axis=0)[:nprobe]  # (nprobe, nq)
+    bucket_queries: dict = {}
+    for qi in range(qn.shape[0]):
+        for b in probes[:, qi]:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    cref = ray.put((cents, qn, bucket_queries))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        cs, q, bq = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        x = _normalize(_to_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist())
+        buckets = np.argmax(x @ cs.T, axis=1)
+        frames = []
+        for b in np.unique(buckets):
+            qis = bq.get(int(b))
+            if not qis:
+                continue
+            m = buckets == b
+            sub, sub_ids = x[m], ids[m]
+            sims = sub @ q[qis].T  # (nb, len(qis))
+            for col, qi in enumerate(qis):
+                s = sims[:, col]
+                top = min(k, len(s))
+                idx = np.argpartition(-s, top - 1)[:top]
+                order = np.lexsort((sub_ids[idx], -s[idx]))
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qi, "vec_id": sub_ids[sel], "cosine": s[sel]}
+                    )
+                )
+        if not frames:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    parts = emb_ds.map_batches(
+        _local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+    return (
+        parts.sort_values(
+            ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def ivf_topk(
     centroids: np.ndarray,
     bucketed: pd.DataFrame,

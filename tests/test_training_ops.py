@@ -159,6 +159,36 @@ def test_ivf_topk_recall(ray_session):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
 
 
+def test_ivf_topk_distributed_recall(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import (
+        brute_force_topk,
+        ivf_topk_distributed,
+    )
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((400, 16))
+    t = pa.table(
+        {"vec_id": list(range(len(x))), "embedding": [r.tolist() for r in x]}
+    )
+    ds = rd.from_arrow(t)
+    queries = x[:3]
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = ivf_topk_distributed(ds, queries, k=10, nprobe=4, n_centroids=8)
+    recalls = []
+    for qid in range(3):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / 10)
+    assert np.mean(recalls) >= 0.6
+    # the probed self-bucket always contains the query itself
+    assert all(
+        approx[approx["query_id"] == qid].iloc[0]["vec_id"] == qid
+        for qid in range(3)
+    )
+
+
 def test_brute_force_topk_self_first(ray_session):
     import ray.data as rd
 
