@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genlog_parse_events": q.q_genlog_parse_events,
         "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
+        "events_hourly": q.q_events_hourly,
+        "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -226,6 +228,32 @@ def oracle_sql() -> dict[str, str]:
         "slowlog_db_user": f"""
             SELECT {_DB} AS db, {_USER} AS "user", COUNT(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "events_hourly": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER w AS prev_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ), s AS (
+              SELECT user_id, us,
+                     SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   MAX(us) - MIN(us) AS duration_us
+            FROM s GROUP BY 1, 2
         """,
         "events_by_type": """
             SELECT event_type,

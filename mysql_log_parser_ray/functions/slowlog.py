@@ -262,6 +262,75 @@ class SlowLogDocParser:
             self.in_query = in_query
 
 
+# ---------------------------------------------------------------------------
+# Fast path: the overwhelmingly common single-event doc shape
+# ---------------------------------------------------------------------------
+#
+# Real slow logs are highly repetitive: almost every event is an optional
+# "# Time:", an optional "# User@Host:", a run of "# Name: value" metric
+# lines, optional use/SET lines, and ONE single-line query. One compiled
+# fullmatch recognizes exactly that shape; anything else (multi-event docs,
+# admin commands, meta banners, bad-format Time lines, multi-line queries,
+# resume offsets) falls back to the exact state machine. The fast path's
+# output is bit-identical to the state machine on the docs it accepts -
+# pinned by tests/test_parser_golden.py::test_fast_path_equivalence.
+
+_fast_re = re.compile(
+    r"\A(?:# Time: (\S+\s{1,2}\S+)\n)?"          # 1: ts (no trailing junk)
+    r"(?:# User@Host: ([^\[\n]+)\[[^\]\n]*\] @ (\S*) \[[^\]\n]*\]\n)?"  # 2,3
+    r"((?:# \w+: [^\n]*\n)+)"                    # 4: metric lines block
+    r"(?:use ([^\n]*);\n)?"                      # 5: db
+    r"(?:SET (?:last_insert_id|insert_id|timestamp)[^\n]*\n)*"
+    r"([^#\n][^\n]*);\n\Z"                       # 6: single-line query
+)
+
+
+def _parse_fast(text: str) -> Optional[List[Dict]]:
+    """Parse the canonical single-event shape; None -> use the state machine."""
+    m = _fast_re.match(text)
+    if m is None:
+        return None
+    ts, user, host, metrics_block, db_use, query = m.groups()
+    # meta-line filter parity: a "query" that the slow path would have
+    # dropped as a meta line must take the slow path instead
+    if query.startswith(("Time ", "Tcp ", "TCP ", "/")):
+        return None
+    ev = new_event()
+    if ts:
+        ev["ts"] = ts
+    if user is not None:
+        ev["user"] = user
+        ev["host"] = host
+    tm, nm, bm = ev["time_metrics"], ev["number_metrics"], ev["bool_metrics"]
+    for line in metrics_block.splitlines():
+        for name, val in _metrics_re.findall(line):
+            if name.endswith("_time") or name.endswith("_wait"):
+                tm[name] = _parse_float32(val)
+            elif val == "Yes" or val == "No":
+                bm[name] = val == "Yes"
+            elif name == "Schema":
+                ev["db"] = val
+            elif name == "Log_slow_rate_type":
+                ev["rate_type"] = val
+            elif name == "Log_slow_rate_limit":
+                ev["rate_limit"] = _parse_uint(val) & 0xFF
+            else:
+                nm[name] = _parse_uint(val)
+    if "Query_time" not in tm:
+        return []  # leading partial event discarded (slow.go:309-311)
+    if db_use is not None:
+        ev["db"] = db_use.rstrip(";")  # use-line wins over Schema:
+    if _set_re.search(query):
+        # the state machine would SKIP a query line merely containing
+        # "SET timestamp/insert_id/last_insert_id" (unanchored search,
+        # slow.go:21,252-256 - bug-as-spec); let it decide
+        return None
+    # the fullmatch regex consumed exactly one trailing ';', matching the
+    # single TrimSuffix in sendEvent (slow.go:315)
+    ev["query"] = query
+    return [ev]
+
+
 def parse_slow_log_text(
     text: Union[str, bytes],
     start_offset: int = 0,
@@ -273,6 +342,11 @@ def parse_slow_log_text(
     slow.go:46-49): parsing begins at that byte and recorded offsets are
     absolute within the doc.
     """
+    if start_offset == 0:
+        s = text if isinstance(text, str) else text.decode("utf-8", errors="replace")
+        fast = _parse_fast(s)
+        if fast is not None:
+            return fast
     data = text.encode("utf-8") if isinstance(text, str) else text
     p = SlowLogDocParser(filter_admin_command=filter_admin_command)
     return p.run(data, start_offset)

@@ -64,7 +64,7 @@ def run_flagship(
     opt: Options = Options(),
     exact: bool = False,
     include_tokens_in_routed: bool = True,
-    parse_batch_size: int = 2048,
+    parse_batch_size=None,
     min_parallelism: Optional[int] = None,
 ) -> FlagshipResult:
     """Run the full pipeline; returns small materialized aggregate tables.

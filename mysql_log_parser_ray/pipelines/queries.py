@@ -243,6 +243,20 @@ def q_genlog_class_counts(sf_dir: str):
     return out
 
 
+def q_events_hourly(sf_dir: str):
+    from ..stages.window import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return tumbling_window_agg(ev, window_sec=3600)
+
+
+def q_events_sessions(sf_dir: str):
+    from ..stages.window import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return sessionize(ev, gap_sec=1800)
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 

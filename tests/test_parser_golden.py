@@ -627,3 +627,45 @@ def test_slow017_start_in_query(logs_dir):
             }
         ],
     )
+
+
+def test_fast_path_equivalence(logs_dir):
+    """Differential: the single-event fast path must be bit-identical to the
+    state machine on every doc it accepts - over all reference fixtures AND
+    a synthetic corpus with multi-event/admin/banner docs."""
+    import glob
+    import os
+
+    from mysql_log_parser_ray.functions.slowlog import (
+        SlowLogDocParser,
+        _parse_fast,
+    )
+    from mysql_log_parser_ray.sources.synth import generate_corpus
+    from mysql_log_parser_ray.sources.sequences import detokenize_column
+
+    texts = []
+    for path in sorted(glob.glob(os.path.join(logs_dir, "*.log"))):
+        with open(path, "rb") as f:
+            texts.append(f.read())
+    corpus = generate_corpus(2000, seed=11, n_sources=8)
+    texts += [bytes(t) for t in detokenize_column(corpus["tokens"])]
+    # adversarial shapes for the fast-path guards
+    texts += [
+        b"# Query_time: 1.0\nUPDATE t SET timestamp=5;\n",   # unanchored setRe skip
+        b"# Query_time: 1.0\nSET insert_id=3;\n",            # only-line-is-SET
+        b"# Time: 071218 11:48:27\n# Query_time: 1.0\nTcp port: 3306 blah blah with:\n",
+        b"# User@Host: [wrapped] @ h []\n# Query_time: 2.0\nSELECT 1;\n",
+        b"# Query_time: 1.0  Lock_time: \nSELECT 2;\n",      # empty metric value
+        b"# Schema: sdb\n# Query_time: 1.0\nuse udb;\nSELECT 3;\n",  # use wins
+        b"# Query_time: 1.0\nuse udb;;\nSELECT 4;;\n",       # rstrip parity
+    ]
+
+    n_fast = 0
+    for t in texts:
+        slow = SlowLogDocParser().run(t, 0)
+        fast = _parse_fast(t.decode("utf-8", errors="replace"))
+        if fast is not None:
+            n_fast += 1
+            assert fast == slow, f"fast-path divergence on: {t[:120]!r}"
+    # the fast path must actually engage on the common corpus shape
+    assert n_fast > 1500

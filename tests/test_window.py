@@ -1,0 +1,80 @@
+"""Tumbling windows + gap sessionization unit semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(rows):
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+ROWS = [
+    (0, "2024-01-01T00:10:00", 1, "click", 1.00),
+    (1, "2024-01-01T00:50:00", 1, "click", 2.00),   # same hour; 40min gap -> new session
+    (2, "2024-01-01T01:25:00", 1, "buy", 0.50),     # next hour, gap 35min > 30
+    (3, "2024-01-01T01:40:00", 1, "click", 0.25),   # gap 15min, same session
+    (4, "2024-01-01T00:10:00", 2, "click", 10.00),
+    (5, "2024-01-01T09:00:00", 2, "click", 1.00),   # huge gap, new session
+]
+
+
+@pytest.fixture(scope="module")
+def ev_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_events(ROWS))
+
+
+def test_tumbling_window(ev_ds):
+    from mysql_log_parser_ray.stages.window import tumbling_window_agg
+
+    out = tumbling_window_agg(ev_ds, window_sec=3600)
+    base = 1704067200  # 2024-01-01T00:00:00Z epoch
+    got = {
+        (int(r.window_start), r.event_type): (int(r.n), int(r.value_cents))
+        for r in out.itertuples()
+    }
+    assert got[(base, "click")] == (3, 1300)
+    assert got[(base + 3600, "click")] == (1, 25)
+    assert got[(base + 3600, "buy")] == (1, 50)
+    assert got[(base + 9 * 3600, "click")] == (1, 100)
+
+
+def test_sessionize_gap_semantics(ev_ds):
+    from mysql_log_parser_ray.stages.window import sessionize
+
+    out = sessionize(ev_ds, gap_sec=1800)
+    u1 = out[out["user_id"] == 1]
+    # user 1: events at 00:10, 00:50 (40min gap -> NEW session since > 30min),
+    # 01:25 (35min -> new), 01:40 (15min -> same)
+    assert list(u1["session_seq"]) == [1, 2, 3]
+    assert list(u1["n_events"]) == [1, 1, 2]
+    assert int(u1.iloc[2]["duration_us"]) == 15 * 60 * 1_000_000
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["n_events"]) == [1, 1]
+
+
+def test_sessionize_exact_gap_boundary(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.window import sessionize
+
+    rows = [
+        (0, "2024-01-01T00:00:00", 7, "a", 0.0),
+        (1, "2024-01-01T00:30:00", 7, "a", 0.0),  # exactly the gap: SAME session
+        (2, "2024-01-01T01:00:00.000001", 7, "a", 0.0),  # 1us over: new
+    ]
+    out = sessionize(rd.from_arrow(_events(rows)), gap_sec=1800)
+    assert list(out["n_events"]) == [2, 1]
