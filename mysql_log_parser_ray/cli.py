@@ -47,9 +47,17 @@ def _cmd_run(args: argparse.Namespace) -> int:
     from .pipelines.flagship import run_flagship
 
     t0 = time.perf_counter()
-    res = run_flagship(
-        args.input, routed_dir=args.routed_dir, exact=args.exact
-    )
+    if args.resume_dir:
+        from .pipelines.resumable import run_flagship_resumable
+
+        res = run_flagship_resumable(
+            args.input, args.resume_dir, exact=args.exact,
+            files_per_shard=args.files_per_shard,
+        )
+    else:
+        res = run_flagship(
+            args.input, routed_dir=args.routed_dir, exact=args.exact
+        )
     elapsed = time.perf_counter() - t0
     total = int(res.global_stats.total_queries)
     out = {
@@ -110,6 +118,13 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="full parse->enrich->route->aggregate")
     p_run.add_argument("input", help="sequences Parquet file/dir")
     p_run.add_argument("--routed-dir", default=None, help="fan-out sink dir")
+    p_run.add_argument(
+        "--resume-dir",
+        default=None,
+        help="checkpointed output dir: shard-level lineage manifests; "
+        "re-running skips committed shards (resumable mode)",
+    )
+    p_run.add_argument("--files-per-shard", type=int, default=8)
     p_run.add_argument("--exact", action="store_true", help="exact percentiles")
     p_run.add_argument("--num-cpus", type=int, default=None)
     p_run.add_argument("--json", action="store_true")

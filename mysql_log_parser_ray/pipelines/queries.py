@@ -37,6 +37,21 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# Per-worker-process cache of broadcast (ray.put) objects, keyed by ref.
+_BCAST_CACHE: Dict = {}
+
+
+def _broadcast_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        import ray
+
+        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        _BCAST_CACHE[key] = obj
+    return obj
+
+
 def derived_sequences_ds(sf_dir: str):
     """documents -> deterministic tokenized slow-log sequences Dataset."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
@@ -119,7 +134,9 @@ def q_slowlog_class_qt_stats(sf_dir: str):
 def q_slowlog_class_qt_pct95(sf_dir: str):
     """Nearest-rank pct95/median per class (reference convention,
     stats.go:124-129): vals[(95*cnt)//100] on the ascending sorted array."""
-    ev = _flat_events(sf_dir)
+    # prune to the two needed columns BEFORE the groupby shuffle - the full
+    # event rows (query text, metric maps) need not move
+    ev = _flat_events(sf_dir).select_columns(["class_id", "query_time"])
 
     def per_group(g) -> Dict:
         import pandas as pd
@@ -303,28 +320,23 @@ def q_orders_by_segment(sf_dir: str):
     )
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class AttachSegment:
-        def __init__(self, ref):
-            import ray as _ray
+    def attach_segment(b: pa.Table) -> pa.Table:
+        # stateless task + per-worker-process broadcast cache (module-level,
+        # keyed by ObjectRef): for a dict this small an actor pool pays ~2s
+        # of pool startup for no benefit
+        import pandas as pd
 
-            self.seg = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            seg = pd.Series(b["o_custkey"].to_pandas()).map(self.seg)
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(seg, pa.string()),
-                    "cents": _cents(b["o_totalprice"]),
-                }
-            )
+        seg_map = _broadcast_get(seg_ref)
+        seg = pd.Series(b["o_custkey"].to_pandas()).map(seg_map)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(
-        AttachSegment, fn_constructor_args=(seg_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    joined = ds.map_batches(attach_segment, batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd

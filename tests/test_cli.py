@@ -50,3 +50,17 @@ def test_cli_leaves_host_ray_session_alive(corpus):
 
     main(["report", corpus])
     assert ray.is_initialized()
+
+
+def test_cli_run_resumable(corpus, capsys, tmp_path):
+    from mysql_log_parser_ray.cli import main
+
+    out_dir = str(tmp_path / "resume_out")
+    assert main(["run", corpus, "--resume-dir", out_dir, "--json"]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # second run resumes: all shards committed, identical results
+    assert main(["run", corpus, "--resume-dir", out_dir, "--json"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["events"] == second["events"]
+    assert first["unique_classes"] == second["unique_classes"]
+    assert first["sinks"] == second["sinks"]
