@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
+        "events_props_k": q.q_events_props_k,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
@@ -228,6 +229,12 @@ def oracle_sql() -> dict[str, str]:
         "slowlog_db_user": f"""
             SELECT {_DB} AS db, {_USER} AS "user", COUNT(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "events_props_k": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY 1
         """,
         "events_hourly": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,

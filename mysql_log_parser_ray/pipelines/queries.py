@@ -274,6 +274,37 @@ def q_events_sessions(sf_dir: str):
     return sessionize(ev, gap_sec=1800)
 
 
+def q_events_props_k(sf_dir: str):
+    """JSON property extraction (vectorized regex over the props column) +
+    grouped sum - the log-attribute-parsing shape."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        k = (
+            pd.Series(b["props"].to_pandas())
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .fillna(0)
+            .astype("int64")
+        )
+        return pa.table(
+            {"event_type": b["event_type"], "k": pa.array(k, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ev.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    for c in ("n", "sum_k"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 

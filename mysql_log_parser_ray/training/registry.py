@@ -40,6 +40,15 @@ def q_doc_token_counts(sf_dir: str):
     return out
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    from .text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_doc_quality(sf_dir: str):
     from .text import quality_batch
 
@@ -182,6 +191,7 @@ def q_media_decode(sf_dir: str):
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -207,6 +217,13 @@ def register_oracles():
                    COUNT(*) AS n_docs,
                    SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_ws_tokens
             FROM documents GROUP BY 1
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_pieces
+            FROM documents
         """,
         "doc_quality": r"""
             SELECT doc_id,
