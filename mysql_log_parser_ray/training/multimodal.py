@@ -120,3 +120,70 @@ def decode_features(media_ds, feature_dim: int = 16, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synth_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake video rows: b"FAKV" + n_frames + w + h + frames."""
+    rng = np.random.default_rng(seed)
+    ids, payloads = [], []
+    for i in range(n):
+        nf = int(rng.integers(4, 24))
+        w, h = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        frames = rng.integers(0, 256, size=nf * w * h, dtype=np.uint8).tobytes()
+        payloads.append(b"FAKV" + struct.pack("<III", nf, w, h) + frames)
+        ids.append(f"video-{i:06d}")
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["video/fake"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def sample_frames_batch(batch: pa.Table, every: int = 4) -> pa.Table:
+    """One input video row -> one output row per SAMPLED frame (the
+    one-to-many frame-sampling shape; a flat map inside map_batches).
+
+    Frame payloads are sliced zero-copy-ish from the video payload; the
+    output schema (media_id, frame_index, width, height, frame) is what a
+    downstream image-decode actor pool consumes. Real codecs are stubbed
+    (decode_real) - the Ray-side plumbing is the tested part.
+    """
+    ids, fidx, ws, hs, frames = [], [], [], [], []
+    for mid, payload in zip(
+        batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+    ):
+        if payload[:4] != b"FAKV":
+            decode_real(payload)  # pragma: no cover (raises NotImplementedError)
+        nf, w, h = struct.unpack("<III", payload[4:16])
+        fsize = w * h
+        for k in range(0, nf, every):
+            ids.append(mid)
+            fidx.append(k)
+            ws.append(w)
+            hs.append(h)
+            frames.append(payload[16 + k * fsize : 16 + (k + 1) * fsize])
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(fidx, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        }
+    )
+
+
+def sample_frames(media_ds, every: int = 4, batch_size: int = 64):
+    """Frame sampling as a streaming stage: SMALL batches on purpose -
+    each input row fans out to nf/every binary rows, so batch_size bounds
+    the output block bytes (batch x frames x w x h must fit the heap)."""
+    import functools
+
+    return media_ds.map_batches(
+        functools.partial(sample_frames_batch, every=every),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -246,3 +246,30 @@ def test_lang_id_heuristic():
     )
     out = lang_id_batch(t)
     assert out["pred_lang"].to_pylist() == ["en", "es", "fr"]
+
+
+def test_frame_sampling(ray_session):
+    import ray.data as rd
+    import struct
+
+    from mysql_log_parser_ray.training.multimodal import (
+        sample_frames,
+        synth_video_table,
+    )
+
+    vids = synth_video_table(20, seed=9)
+    out = sample_frames(rd.from_arrow(vids), every=4).to_pandas()
+    # expected row count: ceil(nf/4) per video, frames byte-identical
+    expected = 0
+    payloads = {m: p for m, p in zip(vids["media_id"].to_pylist(),
+                                     vids["payload"].to_pylist())}
+    for mid, p in payloads.items():
+        nf, w, h = struct.unpack("<III", p[4:16])
+        expected += (nf + 3) // 4
+        sub = out[out["media_id"] == mid]
+        for r in sub.itertuples():
+            fsize = r.width * r.height
+            start = 16 + r.frame_index * fsize
+            assert bytes(r.frame) == p[start : start + fsize]
+            assert r.frame_index % 4 == 0
+    assert len(out) == expected
