@@ -130,7 +130,9 @@ def run_flagship(
     else:
         agg_src = enriched
 
-    cls_table, glob, counts_table = aggregate_events(agg_src, exact=exact)
+    cls_table, glob, counts_table = aggregate_events(
+        agg_src, exact=exact, example_queries=opt.example_queries
+    )
 
     return FlagshipResult(
         class_stats=cls_table,

@@ -164,8 +164,11 @@ def _explode_map(col):
     return keys, items, row_idx
 
 
-def make_class_partials_fn(exact: bool = False):
+def make_class_partials_fn(exact: bool = False, example_queries: bool = True):
     """map_batches fn: events batch -> one partial row per class in batch.
+
+    ``example_queries=False`` mirrors Options.ExampleQueries off
+    (options.go:5, class.go:100): no literal query examples are retained.
 
     Fully vectorized: class/metric keys are factorized once, metric maps are
     exploded via Arrow offsets, and per-(class, metric) segments are carved
@@ -250,7 +253,7 @@ def make_class_partials_fn(exact: bool = False):
                 parts[g // len(kuniq)].stats.bool[kuniq[g % len(kuniq)]] = bs
 
         # example argmax: (Query_time desc, doc_id asc) per class
-        if len(qt_rows):
+        if example_queries and len(qt_rows):
             docs = batch["doc_id"].take(pa.array(qt_rows)).to_pylist()
             df = pd.DataFrame({"c": codes[qt_rows], "qt": qt_vals, "i": qt_rows,
                                "doc": docs})
@@ -320,13 +323,14 @@ def _merge_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist([row], schema=CLASS_STATS_SCHEMA)
 
 
-def class_partials(events_ds, exact: bool = False, batch_size: int = 65536):
+def class_partials(events_ds, exact: bool = False, batch_size: int = 65536,
+                   example_queries: bool = True):
     """Events Dataset -> per-(batch, class) partials Dataset (tiny rows).
 
     Large batches on purpose: fewer partial blobs -> cheaper class merge.
     """
     return events_ds.map_batches(
-        make_class_partials_fn(exact),
+        make_class_partials_fn(exact, example_queries),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -431,7 +435,8 @@ MIXED_SCHEMA = pa.schema(
 )
 
 
-def collect_partials(agg_src, exact: bool = False, batch_size=None):
+def collect_partials(agg_src, exact: bool = False, batch_size=None,
+                     example_queries: bool = True):
     """ONE pass over the events: merged per-class partials + sink counts.
 
     batch_size=None on purpose: partials are computed per BLOCK as it
@@ -451,7 +456,7 @@ def collect_partials(agg_src, exact: bool = False, batch_size=None):
     """
     import pandas as pd
 
-    pfn = make_class_partials_fn(exact)
+    pfn = make_class_partials_fn(exact, example_queries)
 
     def _agg(batch: pa.Table) -> pa.Table:
         parts = pfn(batch)
@@ -556,9 +561,12 @@ def finalize_partials(merged_by_class: Dict, counts):
     return cls_table, glob, counts
 
 
-def aggregate_events(agg_src, exact: bool = False, batch_size=None):
+def aggregate_events(agg_src, exact: bool = False, batch_size=None,
+                     example_queries: bool = True):
     """ONE pass: (class_stats_table, GlobalStats, sink_counts_df)."""
-    merged_by_class, counts = collect_partials(agg_src, exact, batch_size)
+    merged_by_class, counts = collect_partials(
+        agg_src, exact, batch_size, example_queries
+    )
     return finalize_partials(merged_by_class, counts)
 
 

@@ -123,3 +123,28 @@ def test_bool_stats():
     for v in (True, False, True):
         s.add({"time_metrics": {}, "number_metrics": {}, "bool_metrics": {"QC_Hit": v}})
     assert s.current()["bool_metrics"]["QC_Hit"] == {"cnt": 3, "true": 2}
+
+
+def test_example_queries_off(ray_session):
+    """Options.ExampleQueries=false parity (options.go:5, class.go:100):
+    no literal query examples retained."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.options import Options
+    from mysql_log_parser_ray.pipelines.flagship import run_flagship
+    from mysql_log_parser_ray.sources.synth import generate_corpus
+
+    corpus = generate_corpus(200, seed=13, n_sources=4)
+    res_on = run_flagship(rd.from_arrow(corpus), exact=True)
+    res_off = run_flagship(
+        rd.from_arrow(corpus), exact=True, opt=Options(example_queries=False)
+    )
+    on = res_on.class_stats.to_pandas()
+    off = res_off.class_stats.to_pandas()
+    assert (on["example_query"] != "").any()
+    assert (off["example_query"] == "").all()
+    # everything else identical
+    cols = ["class_id", "total_queries"]
+    assert on[cols].sort_values(cols).reset_index(drop=True).equals(
+        off[cols].sort_values(cols).reset_index(drop=True)
+    )
