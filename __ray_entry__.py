@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_examples": q.q_slowlog_examples,
         "slowlog_db_user": q.q_slowlog_db_user,
         "genlog_parse_events": q.q_genlog_parse_events,
+        "jsonlog_parse_events": q.q_jsonlog_parse_events,
         "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
@@ -147,6 +148,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 2, '', TRUE, 'Quit',
                    '', '', '', n_chars % 100, '{_fp_quit}', '{_cls_quit}'
+            FROM documents
+        """,
+        "jsonlog_parse_events": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1400000000 + doc_id AS VARCHAR) AS ts,
+                   {_USER} AS "user",
+                   {_DB} AS db,
+                   {_QUERY_EXPR} AS query,
+                   {_FP_EXPR} AS fingerprint,
+                   {_CLASS_EXPR} AS class_id,
+                   {_QT} AS query_time,
+                   n_chars % 7 AS rows_sent,
+                   (n_chars % 2 = 1) AS full_scan
             FROM documents
         """,
         "genlog_class_counts": f"""

@@ -1,0 +1,69 @@
+"""Structured JSON log event extraction (one JSON object per line).
+
+Third registered format (after slowlog/genlog) for the parser registry -
+the shape MySQL 8 audit plugins and most modern telemetry emit. Field
+mapping follows the slow-log metric dispatch rules (slow.go:196-222) so the
+dynamic-metric model is identical across formats:
+
+* string fields ``ts user host db query`` -> the event's scalar fields
+* any numeric field whose key ends ``_time`` / ``_wait`` -> time_metrics
+  (float32 semantics, matching the slow-log parser)
+* any bool field -> bool_metrics
+* any other int field -> number_metrics (uint64 wrap semantics)
+* ``admin: true`` marks admin commands; filter_admin_command drops by
+  the query/command string, mirroring slow.go:280-288
+* unparseable lines are skipped (telemetry streams carry garbage; the
+  skip count is the caller's concern, not a crash)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Union
+
+from .slowlog import _parse_float32, new_event
+
+_SCALARS = {"ts", "user", "host", "db", "query"}
+_U64 = 1 << 64
+
+
+def parse_json_log_text(
+    text: Union[str, bytes],
+    start_offset: int = 0,
+    filter_admin_command=frozenset(),
+) -> List[Dict]:
+    """Parse one doc's JSON-lines text into event dicts."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    if start_offset:
+        text = text[start_offset:]
+
+    events: List[Dict] = []
+    offset = start_offset
+    for line in text.splitlines(keepends=True):
+        stripped = line.strip()
+        ln = len(line)
+        if stripped:
+            try:
+                obj = json.loads(stripped)
+            except ValueError:
+                obj = None
+            if isinstance(obj, dict):
+                ev = new_event()
+                ev["offset"] = offset
+                for k, v in obj.items():
+                    if k in _SCALARS:
+                        ev[k] = str(v)
+                    elif k == "admin":
+                        ev["admin"] = bool(v)
+                    elif isinstance(v, bool):
+                        ev["bool_metrics"][k] = v
+                    elif isinstance(v, (int, float)):
+                        if k.endswith("_time") or k.endswith("_wait"):
+                            ev["time_metrics"][k] = _parse_float32(str(v))
+                        else:
+                            ev["number_metrics"][k] = int(v) % _U64
+                if not (ev["admin"] and ev["query"] in filter_admin_command):
+                    events.append(ev)
+        offset += ln
+    return events

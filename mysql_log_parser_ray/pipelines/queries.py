@@ -225,6 +225,44 @@ def derived_genlog_sequences_ds(sf_dir: str):
     )
 
 
+def q_jsonlog_parse_events(sf_dir: str):
+    """Structured JSON-lines parse through the format registry."""
+    from ..sources.synth import jsonlog_sequences_from_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+    seqs = docs.map_batches(
+        jsonlog_sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ev = parse_events(seqs, fmt="jsonlog")
+
+    def project(b: pa.Table) -> pa.Table:
+        tm = [dict(x) for x in b["time_metrics"].to_pylist()]
+        nm = [dict(x) for x in b["number_metrics"].to_pylist()]
+        bm = [dict(x) for x in b["bool_metrics"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ts": b["ts"],
+                "user": b["user"],
+                "db": b["db"],
+                "query": b["query"],
+                "fingerprint": b["fingerprint"],
+                "class_id": b["class_id"],
+                "query_time": pa.array(
+                    [d.get("query_time") for d in tm], pa.float64()
+                ),
+                "rows_sent": pa.array(
+                    [d.get("rows_sent") for d in nm], pa.int64()
+                ),
+                "full_scan": pa.array(
+                    [d.get("full_scan") for d in bm], pa.bool_()
+                ),
+            }
+        )
+
+    return ev.map_batches(project, batch_format="pyarrow")
+
+
 def q_genlog_parse_events(sf_dir: str):
     """Full genlog parse through the format registry (fmt="genlog")."""
     ev = parse_events(derived_genlog_sequences_ds(sf_dir), fmt="genlog")

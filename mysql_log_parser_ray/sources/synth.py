@@ -115,6 +115,37 @@ def derived_genlog_text(doc_id: int, n_chars: int) -> str:
     )
 
 
+def derived_jsonlog_text(doc_id: int, n_chars: int) -> str:
+    """One JSON-lines event per documents row (same value derivation as the
+    slow-log family, so the oracle SQL fragments are shared)."""
+    import json
+
+    t = n_chars % 4
+    query = TEMPLATES[t][0].format(n=n_chars, m=doc_id)
+    obj = {
+        "ts": str(1400000000 + doc_id),
+        "user": f"u{n_chars % 5}",
+        "host": "localhost",
+        "db": f"db{n_chars % 3}",
+        "query": query,
+        "query_time": (n_chars % 128) / 4.0,
+        "lock_time": (n_chars % 32) / 8.0,
+        "rows_sent": n_chars % 7,
+        "rows_examined": n_chars % 11,
+        "full_scan": bool(n_chars % 2),
+    }
+    return json.dumps(obj, separators=(",", ":")) + "\n"
+
+
+def jsonlog_sequences_from_documents(documents: pa.Table) -> pa.Table:
+    """Derive a JSON-lines sequences table from ``documents``."""
+    doc_ids = documents["doc_id"].to_pylist()
+    n_chars = documents["n_chars"].to_pylist()
+    sources = documents["source"].to_pylist()
+    texts = [derived_jsonlog_text(d, n) for d, n in zip(doc_ids, n_chars)]
+    return build_sequences_table(texts, [str(d) for d in doc_ids], sources)
+
+
 def genlog_sequences_from_documents(documents: pa.Table) -> pa.Table:
     """Derive a general-log sequences table from ``documents``."""
     doc_ids = documents["doc_id"].to_pylist()

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from ..functions.fingerprint import Checksum, Fingerprint
 from ..functions.genlog import parse_general_log_text
+from ..functions.jsonlog import parse_json_log_text
 from ..functions.slowlog import parse_slow_log_text
 from ..options import Options
 
@@ -37,6 +38,7 @@ from ..options import Options
 PARSER_REGISTRY = {
     "slowlog": parse_slow_log_text,
     "genlog": parse_general_log_text,
+    "jsonlog": parse_json_log_text,
 }
 
 

@@ -70,3 +70,54 @@ def test_registry_dispatch(ray_session):
     q = ev[ev["event_seq"] == 1].iloc[0]
     assert q["fingerprint"] == "select * from t where id = ?"
     assert len(q["class_id"]) == 16
+
+
+# ---------------------------------------------------------------------------
+# jsonlog format
+# ---------------------------------------------------------------------------
+
+def test_jsonlog_basic():
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    text = (
+        '{"ts":"100","user":"u1","query":"SELECT 1","query_time":0.5,'
+        '"rows_sent":3,"full_scan":true}\n'
+        'garbage not json\n'
+        '{"admin":true,"query":"Quit"}\n'
+        '{"query":"SELECT 2","io_wait":1.25,"thread_id":9}\n'
+    )
+    evs = parse_json_log_text(text)
+    assert len(evs) == 3  # garbage line skipped
+    e0 = evs[0]
+    assert e0["ts"] == "100" and e0["user"] == "u1"
+    assert e0["time_metrics"]["query_time"] == 0.5
+    assert e0["number_metrics"]["rows_sent"] == 3
+    assert e0["bool_metrics"]["full_scan"] is True
+    assert evs[1]["admin"] and evs[1]["query"] == "Quit"
+    assert evs[2]["time_metrics"]["io_wait"] == 1.25
+    assert evs[2]["number_metrics"]["thread_id"] == 9
+    # offsets are line starts
+    assert evs[1]["offset"] == text.index('{"admin"')
+
+
+def test_jsonlog_filter_admin():
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    text = '{"admin":true,"query":"Quit"}\n{"query":"SELECT 1"}\n'
+    evs = parse_json_log_text(text, filter_admin_command=frozenset({"Quit"}))
+    assert len(evs) == 1 and evs[0]["query"] == "SELECT 1"
+
+
+def test_jsonlog_registry_dispatch(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.sources.synth import build_sequences_table
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    seqs = build_sequences_table(
+        ['{"query":"SELECT a FROM t WHERE x = 5","query_time":1.0}\n'],
+        ["d0"], ["src0"],
+    )
+    ev = parse_events(rd.from_arrow(seqs), fmt="jsonlog").to_pandas()
+    assert len(ev) == 1
+    assert ev.iloc[0]["fingerprint"] == "select a from t where x = ?"
