@@ -1,0 +1,140 @@
+"""Property-based invariants (hypothesis): GK sketch error bound,
+tokenization round-trip, fingerprint totality, fast-path equivalence over
+generated slow-log docs."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# ---------------------------------------------------------------------------
+# GK sketch: eps-rank guarantee, including after merges
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=1, max_size=3000),
+    st.integers(min_value=1, max_value=5),
+)
+def test_gk_rank_error_bound(vals, n_chunks):
+    from mysql_log_parser_ray.state.gk import GKSummary
+
+    eps = 0.01
+    chunks = np.array_split(np.asarray(vals, dtype=np.float64), n_chunks)
+    sketches = []
+    for c in chunks:
+        g = GKSummary(eps)
+        if len(c):
+            g.add_many(c)
+        sketches.append(g)
+    merged = GKSummary.merge_all(sketches)
+    # merging k eps-summaries yields a (k*eps)-ish summary in the worst
+    # case; the implementation compresses, so allow 2*k*eps slack
+    slack = 2 * n_chunks * eps
+    s = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(s)
+    for phi in (0.0, 0.25, 0.5, 0.75, 0.95, 1.0):
+        v = merged.query(phi)
+        lo = np.searchsorted(s, v, side="left")
+        hi = np.searchsorted(s, v, side="right")
+        target = phi * n
+        assert lo - slack * n - 1 <= target <= hi + slack * n + 1
+
+
+# ---------------------------------------------------------------------------
+# tokenize / detokenize round-trip
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=10))
+def test_tokenize_roundtrip(texts):
+    from mysql_log_parser_ray.sources.sequences import (
+        build_sequences_table,
+        detokenize_column,
+    )
+
+    t = build_sequences_table(
+        texts, [f"d{i}" for i in range(len(texts))], ["s"] * len(texts)
+    )
+    back = detokenize_column(t["tokens"])
+    assert [b.decode("utf-8") for b in back] == texts
+    assert t["n_tok"].to_pylist() == [len(x.encode("utf-8")) for x in texts]
+
+
+# ---------------------------------------------------------------------------
+# fingerprint totality + basic invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_fingerprint_total_and_checksum_shape(q):
+    from mysql_log_parser_ray.functions.fingerprint import Checksum, Fingerprint
+
+    fp = Fingerprint(q)  # must never raise
+    cs = Checksum(fp)
+    assert len(cs) == 16
+    assert cs == cs.upper()
+    # deterministic
+    assert Fingerprint(q) == fp and Checksum(fp) == cs
+
+
+# ---------------------------------------------------------------------------
+# fast-path equivalence over GENERATED docs (generalizes the fixture-based
+# differential test)
+# ---------------------------------------------------------------------------
+
+_metric_name = st.sampled_from(
+    ["Query_time", "Lock_time", "Rows_sent", "Rows_examined", "Thread_id",
+     "InnoDB_IO_r_wait", "QC_Hit", "Full_scan", "Schema",
+     "Log_slow_rate_type", "Log_slow_rate_limit"]
+)
+_metric_val = st.sampled_from(
+    ["0.000255", "1", "Yes", "No", "42", "session", "db7", "1.5e-3", ""]
+)
+_query_line = st.sampled_from(
+    [
+        "SELECT c FROM t WHERE id=5;",
+        "select * from x",
+        "UPDATE t SET timestamp=3;",   # unanchored-SET skip case
+        "# looks like a header",
+        "use otherdb;",
+        "SET timestamp=1400000000;",
+        "INSERT INTO t VALUES (1, 'a;b');",
+        "Tcp port: 3306  Unix socket: /var/lib/mysql.sock with:",
+    ]
+)
+
+
+@st.composite
+def _doc(draw):
+    lines = []
+    if draw(st.booleans()):
+        lines.append("# Time: 071218 11:48:27")
+    if draw(st.booleans()):
+        lines.append("# User@Host: bob[bob] @ localhost []")
+    n_metric_lines = draw(st.integers(min_value=0, max_value=3))
+    for _ in range(n_metric_lines):
+        pairs = draw(st.lists(st.tuples(_metric_name, _metric_val),
+                              min_size=1, max_size=4))
+        lines.append("# " + "  ".join(f"{k}: {v}" for k, v in pairs))
+    n_q = draw(st.integers(min_value=0, max_value=3))
+    for _ in range(n_q):
+        lines.append(draw(_query_line))
+    return "\n".join(lines) + ("\n" if draw(st.booleans()) else "")
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doc())
+def test_fast_path_equivalence_generated(text):
+    from mysql_log_parser_ray.functions.slowlog import (
+        SlowLogDocParser,
+        _parse_fast,
+    )
+
+    slow = SlowLogDocParser().run(text.encode("utf-8"), 0)
+    fast = _parse_fast(text)
+    if fast is not None:
+        assert fast == slow, f"divergence on: {text!r}"
