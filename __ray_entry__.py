@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
         "events_props_k": q.q_events_props_k,
+        "events_asof_tier": q.q_events_asof_tier,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
@@ -243,6 +244,19 @@ def oracle_sql() -> dict[str, str]:
         "slowlog_db_user": f"""
             SELECT {_DB} AS db, {_USER} AS "user", COUNT(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "events_asof_tier": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            dim AS (
+              SELECT user_id,
+                     TIMESTAMP '2024-01-01' + k * INTERVAL 7 DAY AS valid_from,
+                     'tier' || CAST((user_id + k) % 3 AS VARCHAR) AS tier
+              FROM users, UNNEST([0, 1, 2, 3]) AS t(k)
+            )
+            SELECT d.tier, COUNT(*) AS n_rows
+            FROM events e ASOF JOIN dim d
+              ON e.user_id = d.user_id AND e.ts >= d.valid_from
+            GROUP BY 1
         """,
         "events_props_k": """
             SELECT event_type,

@@ -343,6 +343,40 @@ def q_events_props_k(sf_dir: str):
     return out
 
 
+def q_events_asof_tier(sf_dir: str):
+    """As-of join events -> versioned user-tier history (latest version at
+    event time), then tier counts. Dim derived deterministically so the
+    DuckDB ASOF JOIN oracle builds the identical table."""
+    import pandas as pd
+
+    from ..stages.asof import asof_join_broadcast
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    users = sorted(ev.unique("user_id"))
+    base = pd.Timestamp("2024-01-01")
+    dim = pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "valid_from": base + pd.Timedelta(days=7 * k),
+                "tier": f"tier{(u + k) % 3}",
+            }
+            for u in users
+            for k in range(4)
+        ]
+    )
+    dim["valid_from"] = dim["valid_from"].astype("datetime64[us]")
+    joined = asof_join_broadcast(
+        ev, dim, on="ts", by="user_id", dim_on="valid_from",
+        columns=["event_id", "tier"],
+    )
+    from ..stages.aggregate import grouped_counts
+
+    out = grouped_counts(joined, keys=["tier"], sum_col=None)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 

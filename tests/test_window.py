@@ -78,3 +78,44 @@ def test_sessionize_exact_gap_boundary(ray_session):
     ]
     out = sessionize(rd.from_arrow(_events(rows)), gap_sec=1800)
     assert list(out["n_events"]) == [2, 1]
+
+
+def test_asof_join_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.asof import asof_join_broadcast
+
+    facts = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(x, "us") for x in
+                 ("2024-01-05", "2024-01-08", "2024-01-20", "2023-12-01")],
+                pa.timestamp("us"),
+            ),
+            "k": pa.array([7, 7, 7, 7], pa.int64()),
+        }
+    )
+    dim = pd.DataFrame(
+        {
+            "k": [7, 7],
+            "valid_from": pd.to_datetime(["2024-01-01", "2024-01-08"]).astype(
+                "datetime64[us]"
+            ),
+            "v": ["old", "new"],
+        }
+    )
+    out = (
+        asof_join_broadcast(
+            rd.from_arrow(facts), dim, on="ts", by="k", dim_on="valid_from",
+            columns=["id", "v"],
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    got = dict(zip(out["id"], out["v"]))
+    assert got[1] == "old"
+    assert got[2] == "new"      # boundary: ts == valid_from takes the new row
+    assert got[3] == "new"
+    assert pd.isna(got[4])      # before any version -> null (left join)
