@@ -106,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
+        "top_users_per_type": q.q_top_users_per_type,
+        "events_value_band": q.q_events_value_band,
+        "events_hash_sample": q.q_events_hash_sample,
+        "distinct_users_per_type": q.q_distinct_users_per_type,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
@@ -244,6 +248,34 @@ def oracle_sql() -> dict[str, str]:
         "slowlog_db_user": f"""
             SELECT {_DB} AS db, {_USER} AS "user", COUNT(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "top_users_per_type": """
+            SELECT event_type, user_id, n_rows FROM (
+              SELECT event_type, user_id, COUNT(*) AS n_rows,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC
+                     ) AS rn
+              FROM events GROUP BY 1, 2
+            ) WHERE rn <= 3
+        """,
+        "events_value_band": """
+            WITH bands(lo, hi, band) AS (
+              VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                     (150.0, 1e18, 'high')
+            )
+            SELECT e.event_type, b.band, COUNT(*) AS n_rows
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1, 2
+        """,
+        "events_hash_sample": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+            FROM events WHERE event_id % 100 < 5
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_asof_tier": """
             WITH users AS (SELECT DISTINCT user_id FROM events),

@@ -377,6 +377,115 @@ def q_events_asof_tier(sf_dir: str):
     return out
 
 
+def q_top_users_per_type(sf_dir: str):
+    """Top-3 users per event_type by event count (top-k per group): partial
+    counts per batch -> small groupby -> per-group head on the driver-sized
+    result. Only (type, user, count) rows ever move."""
+    from ..stages.aggregate import grouped_counts
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    counts = grouped_counts(ev, keys=["event_type", "user_id"], sum_col=None)
+    counts["n_rows"] = counts["n_rows"].astype("int64")
+    out = (
+        counts.sort_values(
+            ["event_type", "n_rows", "user_id"], ascending=[True, False, True]
+        )
+        .groupby("event_type", as_index=False)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def q_events_value_band(sf_dir: str):
+    """Range join: each event's value joined to its price band
+    (lo <= value < hi) via a broadcast sorted-bounds searchsorted - the
+    banded-join shape without a shuffle."""
+    import numpy as np
+
+    bands = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e18, "high")]
+    lows = np.array([b[0] for b in bands])
+    names = [b[2] for b in bands]
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _band(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(lows, v, side="right") - 1, 0, len(bands) - 1)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "band": pa.array([names[i] for i in idx], pa.string()),
+            }
+        )
+
+    from ..stages.aggregate import grouped_counts
+
+    out = grouped_counts(
+        ev.map_batches(_band, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "band"],
+        sum_col=None,
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_events_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (~5%): keep rows where
+    event_id % 100 < 5. Value-independent, reproducible across runs and
+    cluster sizes - the training-data sampling pattern (a seeded
+    random_sample cannot be oracle-checked; a hash sample can)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def sample_project(b: pa.Table) -> pa.Table:
+        # vectorized predicate inside the batch fn (Ray's filter expr
+        # parser has no arithmetic; pc.filter is the same pushdown)
+        mask = pc.less(
+            pc.subtract(
+                b["event_id"],
+                pc.multiply(pc.divide(b["event_id"], 100), 100),
+            ),
+            5,
+        )
+        sub = b.filter(mask)
+        return pa.table(
+            {
+                "event_id": sub["event_id"],
+                "event_type": sub["event_type"],
+                "value_cents": _cents(sub["value"]),
+            }
+        )
+
+    return ev.map_batches(sample_project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact distributed distinct-count: per-batch distinct pairs (the
+    combiner), then a distinct-pair groupby count. The dedup happens before
+    the shuffle, so only unique (type, user) pairs move."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+    )
+    out = out.rename(columns={"count()": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
