@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band": q.q_events_value_band,
         "events_hash_sample": q.q_events_hash_sample,
         "distinct_users_per_type": q.q_distinct_users_per_type,
+        "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,

@@ -486,6 +486,19 @@ def q_distinct_users_per_type(sf_dir: str):
     return out
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (mergeable sketch; the
+    10^12-row replacement for COUNT DISTINCT). Approximate by design ->
+    rows-only driver check; accuracy pinned in test_stats."""
+    import pandas as pd
+
+    from ..state.hll import approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ev, "user_id")
+    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 

@@ -148,3 +148,45 @@ def test_example_queries_off(ray_session):
     assert on[cols].sort_values(cols).reset_index(drop=True).equals(
         off[cols].sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from mysql_log_parser_ray.state.hll import HyperLogLog, approx_distinct
+
+    # accuracy: p=12 -> ~1.6% typical error; assert within 5%
+    n = 20000
+    h = HyperLogLog(12).add_many([f"v{i}" for i in range(n)])
+    assert abs(h.estimate() - n) / n < 0.05
+    # merge of disjoint halves == union
+    a = HyperLogLog(12).add_many([f"v{i}" for i in range(0, n, 2)])
+    b = HyperLogLog(12).add_many([f"v{i}" for i in range(1, n, 2)])
+    merged = a.merge(HyperLogLog.from_bytes(b.to_bytes()))
+    assert abs(merged.estimate() - h.estimate()) < 1e-9
+    # distributed path over a Dataset with duplicates
+    vals = [f"u{i % 500}" for i in range(5000)]
+    ds = rd.from_arrow(pa.table({"user": vals}))
+    est = approx_distinct(ds, "user")
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_skew_bound_partials(ray_session):
+    """Scale evidence: a 90%-hot-class batch still produces at most
+    (#classes) partial rows per batch - the combiner bounds what shuffles,
+    independent of skew."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.sources.synth import generate_corpus
+    from mysql_log_parser_ray.stages.parse import parse_events
+    from mysql_log_parser_ray.stages.aggregate import class_partials
+
+    corpus = generate_corpus(1000, seed=3, n_sources=2)
+    ev = parse_events(rd.from_arrow(corpus))
+    parts = class_partials(ev, exact=False).to_pandas()
+    n_classes = parts["class_id"].nunique()
+    n_blocks = len(parts) / max(1, n_classes)
+    # partial rows ~= blocks x classes, never events
+    assert len(parts) <= n_classes * (n_blocks + 1)
+    assert len(parts) < 200  # far fewer than the 1000+ events
