@@ -54,17 +54,35 @@ def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
 _A, _B = _perm_params()
 
 
+# Weights B^(k-1..0) for the vectorized polynomial shingle hash (wraps
+# mod 2^64 like Go/Java string hashes; deterministic across machines).
+_SHINGLE_B = np.uint64(1099511628211)  # FNV prime
+
+
+def _shingle_weights(k: int) -> np.ndarray:
+    # wraparound mod 2^64 is intended; compute in Python ints to avoid the
+    # numpy overflow warning
+    b = int(_SHINGLE_B)
+    return np.array(
+        [pow(b, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+
+
+_W5 = _shingle_weights(5)
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """crc32 hashes of the k-char shingles of normalized text."""
+    """64-bit polynomial hashes of the k-char shingles of normalized text.
+
+    Fully vectorized: one sliding_window_view + weighted uint64 sum per
+    doc (a per-shingle crc32 loop measured ~10x slower)."""
     norm = normalize_text(text).encode("utf-8")
     if len(norm) < k:
         return np.array([zlib.crc32(norm)], dtype=np.uint64)
-    return np.unique(
-        np.array(
-            [zlib.crc32(norm[i : i + k]) for i in range(len(norm) - k + 1)],
-            dtype=np.uint64,
-        )
-    )
+    b = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
+    w = _W5 if k == 5 else _shingle_weights(k)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    return np.unique((windows * w).sum(axis=1))
 
 
 def minhash_signature_batch(texts: List[str], k: int = 5) -> np.ndarray:
@@ -389,15 +407,30 @@ def ngram_jaccard_pairs(
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# Per-worker memo of word -> ±1 bit vector: natural-language word
+# frequency is Zipfian, so the hot words hit the cache almost always.
+_WORD_BITS: Dict[str, np.ndarray] = {}
+_WORD_BITS_MAX = 200_000
+
+
+def _word_bits(w: str) -> np.ndarray:
+    b = _WORD_BITS.get(w)
+    if b is None:
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
+        b = np.where(bits == 1, np.int64(1), np.int64(-1))
+        if len(_WORD_BITS) >= _WORD_BITS_MAX:
+            _WORD_BITS.clear()
+        _WORD_BITS[w] = b
+    return b
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace words (blake2b word hashes)."""
     acc = np.zeros(64, dtype=np.int64)
     for w in normalize_text(text).split(" "):
-        if not w:
-            continue
-        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
-        acc += np.where(bits == 1, 1, -1)
+        if w:
+            acc += _word_bits(w)
     out = 0
     for i in range(64):
         if acc[i] > 0:
