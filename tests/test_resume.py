@@ -74,3 +74,33 @@ def test_manifest_guard_on_changed_inputs(ray_session, corpus_dir, tmp_path_fact
         run_resumable(
             corpus_dir, out, lambda files, d: {}, files_per_shard=2
         )
+
+
+def test_write_through_idempotent_on_retry(ray_session, tmp_path):
+    """A retried task re-running the write-through fn on the same batch
+    must overwrite its own files (deterministic names + tmp/rename), never
+    duplicate rows - the at-least-once-task => exactly-once-output story."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.stages.route import make_write_through_fn
+
+    out = str(tmp_path / "routed")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "event_seq": pa.array([0, 0, 0], pa.int32()),
+            "sink": pa.array(["s1", "s1", "s2"]),
+            "payload": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    fn = make_write_through_fn(out, keep_columns=["doc_id"])
+    fn(batch)
+    files_first = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+    fn(batch)  # simulated retry
+    files_second = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+    assert files_first == files_second
+    total = sum(pq.read_table(f).num_rows for f in files_second)
+    assert total == 3  # no duplication
