@@ -104,3 +104,42 @@ def test_write_through_idempotent_on_retry(ray_session, tmp_path):
     assert files_first == files_second
     total = sum(pq.read_table(f).num_rows for f in files_second)
     assert total == 3  # no duplication
+
+
+def test_incremental_ingestion(ray_session, tmp_path_factory):
+    """Streaming-ingestion story: new input files appended after a run are
+    picked up by a re-run as NEW shards; earlier shards are not recomputed;
+    the final result equals a from-scratch run over everything."""
+    import os
+    import shutil as sh
+
+    from mysql_log_parser_ray.pipelines.resumable import run_flagship_resumable
+    from mysql_log_parser_ray.state.checkpoint import read_manifests
+
+    dim = dim_for_sources([f"src{i}" for i in range(8)])
+
+    base = str(tmp_path_factory.mktemp("incr_corpus"))
+    generate_corpus(2000, seed=21, n_sources=8, out_path=base, rows_per_file=500)
+    assert len(glob.glob(os.path.join(base, "*.parquet"))) == 4
+
+    out = str(tmp_path_factory.mktemp("incr_out"))
+    run_flagship_resumable(base, out, dim=dim, files_per_shard=2)
+    first = read_manifests(out)
+    assert len(first) == 2
+
+    # day 2: four more files arrive (named to sort after the first four)
+    extra = str(tmp_path_factory.mktemp("extra"))
+    generate_corpus(2000, seed=22, n_sources=8, out_path=extra, rows_per_file=500)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(extra, "*.parquet")))):
+        sh.copy(f, os.path.join(base, f"part-1000{i}.parquet"))
+
+    incr = run_flagship_resumable(base, out, dim=dim, files_per_shard=2)
+    after = read_manifests(out)
+    assert len(after) == 4
+    for s, m in first.items():  # old shards untouched
+        assert after[s]["committed_at"] == m["committed_at"]
+
+    # equivalence with a from-scratch run over the full 8-file corpus
+    fresh_out = str(tmp_path_factory.mktemp("incr_fresh"))
+    fresh = run_flagship_resumable(base, fresh_out, dim=dim, files_per_shard=2)
+    assert _result_fingerprint(incr) == _result_fingerprint(fresh)
