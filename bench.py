@@ -136,6 +136,10 @@ def run_scaling(trials: int = 2) -> dict:
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
     )
+    if len(levels) != 2 or levels[0] >= levels[1]:
+        raise SystemExit(
+            f"BENCH_SCALING_LEVELS must be two increasing ints, got {levels}"
+        )
     results = {}
     for ncpu in levels:
         best = None

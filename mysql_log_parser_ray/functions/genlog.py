@@ -34,10 +34,21 @@ from typing import Dict, List, Union
 
 from .slowlog import new_event
 
+# MySQL's command vocabulary (sql/sql_parse.cc command_name[]): restricting
+# the command group to it keeps multi-line SQL continuation lines like
+# "  2 UNION ALL" or "  5 AS x" from being misread as new events.
+_COMMANDS = (
+    "Sleep|Quit|Init DB|Query|Field List|Create DB|Drop DB|Refresh|Shutdown|"
+    "Statistics|Processlist|Connect Out|Connect|Kill|Debug|Ping|Time|"
+    "Delayed insert|Change user|Binlog Dump|Table Dump|Register Slave|"
+    "Prepare|Execute|Long Data|Close stmt|Reset stmt|Set option|Fetch|"
+    "Daemon|Error"
+)
+
 # Optional "YYMMDD  H:MM:SS" stamp (1-2 space-padded hour like the slow
-# log's Time: values), thread id, command word(s), optional argument.
+# log's Time: values), thread id, a known command, optional TAB + argument.
 _gen_line_re = re.compile(
-    r"^(?:(\d{6}\s+\d{1,2}:\d{2}:\d{2})|\s)\s*(\d+)\s+([A-Za-z][A-Za-z ]*?)(?:\t(.*))?$"
+    r"^(?:(\d{6}\s+\d{1,2}:\d{2}:\d{2})|\s)\s*(\d+)\s+(" + _COMMANDS + r")(?:\t(.*))?$"
 )
 _connect_re = re.compile(r"^(\S+)@(\S+) on (\S*)$")
 
@@ -47,11 +58,13 @@ def parse_general_log_text(
     start_offset: int = 0,
     filter_admin_command=frozenset(),
 ) -> List[Dict]:
-    """Parse one doc's general-log text into a list of event dicts."""
-    if isinstance(text, bytes):
-        text = text.decode("utf-8", errors="replace")
+    """Parse one doc's general-log text into a list of event dicts.
+
+    ``start_offset`` and recorded offsets are BYTE positions (the Options
+    contract shared with the slow-log parser)."""
+    data = text.encode("utf-8") if isinstance(text, str) else text
     if start_offset:
-        text = text[start_offset:]
+        data = data[start_offset:]
 
     events: List[Dict] = []
     cur: Dict = None  # type: ignore[assignment]
@@ -65,7 +78,8 @@ def parse_general_log_text(
             events.append(ev)
         del ev["_cmd"]
 
-    for line in text.splitlines(keepends=True):
+    for raw in data.splitlines(keepends=True):
+        line = raw.decode("utf-8", errors="replace")
         stripped = line.rstrip("\n")
         m = _gen_line_re.match(stripped) if stripped else None
         if m:
@@ -93,7 +107,7 @@ def parse_general_log_text(
         elif cur is not None:
             # continuation of a multi-line argument
             cur["query"] += "\n" + stripped
-        offset += len(line)
+        offset += len(raw)
 
     if cur is not None:
         _finish(cur)

@@ -32,20 +32,23 @@ def parse_json_log_text(
     start_offset: int = 0,
     filter_admin_command=frozenset(),
 ) -> List[Dict]:
-    """Parse one doc's JSON-lines text into event dicts."""
-    if isinstance(text, bytes):
-        text = text.decode("utf-8", errors="replace")
+    """Parse one doc's JSON-lines text into event dicts.
+
+    ``start_offset`` and recorded offsets are BYTE positions (the Options
+    contract shared with the slow-log parser), so a resume cursor recorded
+    by one run replays correctly even with multi-byte UTF-8 content.
+    """
+    data = text.encode("utf-8") if isinstance(text, str) else text
     if start_offset:
-        text = text[start_offset:]
+        data = data[start_offset:]
 
     events: List[Dict] = []
     offset = start_offset
-    for line in text.splitlines(keepends=True):
-        stripped = line.strip()
-        ln = len(line)
+    for raw in data.splitlines(keepends=True):
+        stripped = raw.strip()
         if stripped:
             try:
-                obj = json.loads(stripped)
+                obj = json.loads(stripped.decode("utf-8", errors="replace"))
             except ValueError:
                 obj = None
             if isinstance(obj, dict):
@@ -62,8 +65,15 @@ def parse_json_log_text(
                         if k.endswith("_time") or k.endswith("_wait"):
                             ev["time_metrics"][k] = _parse_float32(str(v))
                         else:
-                            ev["number_metrics"][k] = int(v) % _U64
+                            # json.loads accepts NaN/Infinity (non-standard
+                            # but common from lenient writers); parse
+                            # failures silently yield 0 like the slow-log
+                            # metric dispatch (slow.go:201)
+                            try:
+                                ev["number_metrics"][k] = int(v) % _U64
+                            except (ValueError, OverflowError):
+                                ev["number_metrics"][k] = 0
                 if not (ev["admin"] and ev["query"] in filter_admin_command):
                     events.append(ev)
-        offset += ln
+        offset += len(raw)
     return events

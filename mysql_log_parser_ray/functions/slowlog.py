@@ -278,7 +278,11 @@ class SlowLogDocParser:
 _fast_re = re.compile(
     r"\A(?:# Time: (\S+\s{1,2}\S+)\n)?"          # 1: ts (no trailing junk)
     r"(?:# User@Host: ([^\[\n]+)\[[^\]\n]*\] @ (\S*) \[[^\]\n]*\]\n)?"  # 2,3
-    r"((?:# \w+: [^\n]*\n)+)"                    # 4: metric lines block
+    # metric lines; "# Time: ..." must NOT be absorbed here (a Time line
+    # that failed the anchored ts group above - bad-format user-on-Time
+    # lines, ISO/single-token stamps, repeated Time lines - must fall back
+    # to the state machine, not be mis-read as a metric named "Time")
+    r"((?:# (?!Time: )\w+: [^\n]*\n)+)"          # 4: metric lines block
     r"(?:use ([^\n]*);\n)?"                      # 5: db
     r"(?:SET (?:last_insert_id|insert_id|timestamp)[^\n]*\n)*"
     r"([^#\n][^\n]*);\n\Z"                       # 6: single-line query

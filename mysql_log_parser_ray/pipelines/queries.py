@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..broadcast import broadcast_get as _broadcast_get
 from ..sources.synth import dim_for_sources, sequences_from_documents
 from ..stages.aggregate import class_stats, grouped_counts
 from ..stages.enrich import enrich_events
@@ -35,21 +36,6 @@ def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
-
-
-# Per-worker-process cache of broadcast (ray.put) objects, keyed by ref.
-_BCAST_CACHE: Dict = {}
-
-
-def _broadcast_get(ref):
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _BCAST_CACHE.get(key)
-    if obj is None:
-        import ray
-
-        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        _BCAST_CACHE[key] = obj
-    return obj
 
 
 def derived_sequences_ds(sf_dir: str):

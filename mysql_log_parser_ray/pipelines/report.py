@@ -56,7 +56,10 @@ def _quantile_rank(s: MetricStats, phi: float) -> Tuple[float, int, int]:
     vals = sorted(s.vals or [])
     if not vals:
         return 0.0, 0, 0
-    idx = min(int(phi * len(vals)), len(vals) - 1)
+    # integer arithmetic like the reference's (95*Cnt)//100 nearest-rank
+    # convention (stats.go:124-129): int(phi*n) in floats undershoots for
+    # e.g. phi=0.70, n=90 (0.7*90 == 62.999... in IEEE754)
+    idx = min((round(phi * 100) * len(vals)) // 100, len(vals) - 1)
     return float(vals[idx]), idx + 1, idx + 1
 
 

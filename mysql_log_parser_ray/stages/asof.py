@@ -20,18 +20,7 @@ from typing import List, Optional
 import pandas as pd
 import pyarrow as pa
 
-_DIM_CACHE: dict = {}
-
-
-def _resolve(ref):
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    dim = _DIM_CACHE.get(key)
-    if dim is None:
-        import ray
-
-        dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        _DIM_CACHE[key] = dim
-    return dim
+from ..broadcast import broadcast_get as _resolve
 
 
 def asof_join_broadcast(

@@ -532,6 +532,15 @@ def simhash_near_pairs(
         .aggregate(Min("hamming", alias_name="hamming"))
         .to_pandas()
     )
+    if out.empty:
+        # an all-empty groupby loses the schema; return the typed empty frame
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -627,4 +636,13 @@ def embedding_dup_pairs(
         .aggregate(Max("cosine", alias_name="cosine"))
         .to_pandas()
     )
+    if out.empty:
+        # an all-empty groupby loses the schema; return the typed empty frame
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -121,3 +121,50 @@ def test_jsonlog_registry_dispatch(ray_session):
     ev = parse_events(rd.from_arrow(seqs), fmt="jsonlog").to_pandas()
     assert len(ev) == 1
     assert ev.iloc[0]["fingerprint"] == "select a from t where x = ?"
+
+
+def test_genlog_continuation_not_misread_as_event():
+    """Regression (code review): multi-line SQL continuation lines shaped
+    like '<ws><digits> <words>' must stay part of the query, not start a
+    fabricated event."""
+    from mysql_log_parser_ray.functions.genlog import parse_general_log_text
+
+    text = (
+        "070823 21:01:10\t  1 Query\tSELECT x FROM t WHERE y IN (\n"
+        "  2 UNION ALL\n"
+        "  5 AS x\n"
+        "\t\t  1 Quit\t\n"
+    )
+    evs = parse_general_log_text(text)
+    assert [e["query"] for e in evs] == [
+        "SELECT x FROM t WHERE y IN (\n  2 UNION ALL\n  5 AS x",
+        "Quit",
+    ]
+
+
+def test_genlog_jsonlog_byte_offsets():
+    """Offsets are BYTE positions even with multi-byte UTF-8 content."""
+    from mysql_log_parser_ray.functions.genlog import parse_general_log_text
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    g = "070823 21:01:10\t  1 Query\tSELECT 'héllo'\n\t\t  1 Quit\t\n"
+    evs = parse_general_log_text(g)
+    assert evs[1]["offset"] == len(g.split("\n")[0].encode("utf-8")) + 1
+
+    j = '{"query":"séléct"}\n{"query":"x"}\n'
+    evs = parse_json_log_text(j)
+    assert evs[1]["offset"] == len('{"query":"séléct"}\n'.encode("utf-8"))
+    # byte-offset resume replays the second line exactly
+    resumed = parse_json_log_text(j.encode("utf-8"), start_offset=evs[1]["offset"])
+    assert [e["query"] for e in resumed] == ["x"]
+
+
+def test_jsonlog_nonfinite_numbers_yield_zero():
+    """Regression (code review): NaN/Infinity numeric fields (json.loads
+    accepts them) must not crash; parse failures yield 0 like slow.go:201."""
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    text = '{"query":"q","rows":NaN,"big":Infinity,"w_time":NaN}\n'
+    evs = parse_json_log_text(text)
+    assert evs[0]["number_metrics"]["rows"] == 0
+    assert evs[0]["number_metrics"]["big"] == 0

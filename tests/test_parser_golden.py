@@ -669,3 +669,33 @@ def test_fast_path_equivalence(logs_dir):
             assert fast == slow, f"fast-path divergence on: {t[:120]!r}"
     # the fast path must actually engage on the common corpus shape
     assert n_fast > 1500
+
+
+def test_fast_path_rejects_bad_format_time_lines():
+    """Regression (code review): a Percona bad-format Time line (user on
+    the Time line), repeated Time lines, or a non-two-token stamp must NOT
+    be absorbed as a 'Time' metric by the fast path - state machine wins."""
+    from mysql_log_parser_ray.functions.slowlog import (
+        SlowLogDocParser,
+        _parse_fast,
+        parse_slow_log_text,
+    )
+
+    bad = (
+        "# Time: 071218 11:48:27 # User@Host: bob[bob] @ localhost []\n"
+        "# Query_time: 1.0\n"
+        "SELECT 1;\n"
+    )
+    assert _parse_fast(bad) is None  # falls back
+    evs = parse_slow_log_text(bad)
+    assert evs[0]["ts"] == "071218 11:48:27"
+    assert evs[0]["user"] == "bob"
+    assert evs[0]["host"] == "localhost"
+    assert "Time" not in evs[0]["number_metrics"]
+
+    repeated = (
+        "# Time: 071218 11:48:27\n# Time: 071219 12:00:00\n"
+        "# Query_time: 1.0\nSELECT 1;\n"
+    )
+    assert _parse_fast(repeated) is None
+    assert parse_slow_log_text(repeated)[0]["ts"] == "071219 12:00:00"

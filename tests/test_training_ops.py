@@ -273,3 +273,30 @@ def test_frame_sampling(ray_session):
             assert bytes(r.frame) == p[start : start + fsize]
             assert r.frame_index % 4 == 0
     assert len(out) == expected
+
+
+def test_dedup_zero_pair_results_are_typed_empty(ray_session):
+    """Regression (code review): no near-dups at all must return typed
+    empty frames, not crash on a schema-less groupby result."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import (
+        embedding_dup_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["utterly unique first document text here",
+                 "completely different second text entirely"],
+    }))
+    out = simhash_near_pairs(docs, max_hamming=1)
+    assert list(out.columns) == ["doc_a", "doc_b", "hamming"] and len(out) == 0
+
+    rng = np.random.default_rng(1)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": list(range(6)),
+        "embedding": [r.tolist() for r in rng.standard_normal((6, 16))],
+    }))
+    out = embedding_dup_pairs(emb, threshold=0.999, exhaustive=False)
+    assert list(out.columns) == ["vec_a", "vec_b", "cosine"] and len(out) == 0
