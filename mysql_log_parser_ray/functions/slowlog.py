@@ -87,15 +87,21 @@ def _parse_float32(s: str) -> float:
 
 
 def _parse_uint(s: str) -> int:
-    """strconv.ParseUint(s, 10, 64) with errors yielding 0 (slow.go:215,219).
+    """strconv.ParseUint(s, 10, 64) with the error IGNORED (slow.go:215,219
+    does ``val, _ :=``), reproducing Go's error-value conventions exactly:
 
-    Go's ParseUint permits digits only (no sign, no decimal point) and
-    errors on overflow.
+    * syntax error (non-ASCII-digit chars, sign, decimal point, unicode
+      digits like '²' that Python isdigit() accepts) -> 0
+    * overflow (ErrRange) -> MaxUint64, because Go returns the CLAMPED
+      value alongside ErrRange and the ignored error keeps it
     """
-    if not s.isdigit():
+    if not s:
         return 0
+    for c in s:
+        if c < "0" or c > "9":
+            return 0
     v = int(s)
-    return v if v <= _UINT64_MAX else 0
+    return v if v <= _UINT64_MAX else _UINT64_MAX
 
 
 class SlowLogDocParser:

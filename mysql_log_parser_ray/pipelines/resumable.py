@@ -73,10 +73,14 @@ def _process_shard_factory(dim, opt: Options, exact: bool, min_parallelism: int)
             os.path.join(shard_out, "_sink_counts.parquet"),
         )
         return {
+            # additive across shards (summed by run_resumable's fold)
             "events": int(counts["n_rows"].sum()) if len(counts) else 0,
             "tokens": int(counts["n_tokens"].sum()) if len(counts) else 0,
-            "classes": len(merged_by_class),
-            "sinks": len(counts),
+            # shard_-prefixed = per-shard detail, NOT additive (distinct
+            # classes/sink-groups overlap between shards); excluded from
+            # the merged fold
+            "shard_classes": len(merged_by_class),
+            "shard_sink_groups": len(counts),
         }
 
     return process_shard

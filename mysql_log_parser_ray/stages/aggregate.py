@@ -46,6 +46,21 @@ STATS_STRUCT = pa.struct(
         ("max", pa.float64()),
     ]
 )
+
+# NumberStats is uint64 THROUGHOUT in the reference (stats.go:27-37); a
+# float64 struct would silently round sums past 2^53 (a class summing
+# Rows_examined at 10^12-row scale gets there easily).
+NUMBER_STATS_STRUCT = pa.struct(
+    [
+        ("cnt", pa.uint64()),
+        ("sum", pa.uint64()),
+        ("min", pa.uint64()),
+        ("avg", pa.uint64()),
+        ("pct95", pa.uint64()),
+        ("med", pa.uint64()),
+        ("max", pa.uint64()),
+    ]
+)
 BOOL_STRUCT = pa.struct([("cnt", pa.uint64()), ("true", pa.uint64())])
 
 CLASS_STATS_SCHEMA = pa.schema(
@@ -57,7 +72,7 @@ CLASS_STATS_SCHEMA = pa.schema(
         ("example_query_time", pa.float64()),
         ("example_ts", pa.string()),
         ("time_stats", pa.map_(pa.string(), STATS_STRUCT)),
-        ("number_stats", pa.map_(pa.string(), STATS_STRUCT)),
+        ("number_stats", pa.map_(pa.string(), NUMBER_STATS_STRUCT)),
         ("bool_stats", pa.map_(pa.string(), BOOL_STRUCT)),
     ]
 )
@@ -291,9 +306,9 @@ def make_class_partials_fn(exact: bool = False, example_queries: bool = True):
 def _finalize_class(cid: str, fp: str, p: _ClassPartial) -> Dict:
     cur = p.stats.current()
 
-    def smap(d, keys):
+    def smap(d, keys, cast=float):
         return [
-            (m, {k: float(s.get(k, 0)) if k != "cnt" else int(s["cnt"]) for k in keys})
+            (m, {k: cast(s.get(k, 0)) if k != "cnt" else int(s["cnt"]) for k in keys})
             for m, s in d.items()
         ]
 
@@ -307,7 +322,7 @@ def _finalize_class(cid: str, fp: str, p: _ClassPartial) -> Dict:
         "example_query_time": float(ex[0]),
         "example_ts": format_example_ts(ex[2]),
         "time_stats": smap(cur["time_metrics"], keys),
-        "number_stats": smap(cur["number_metrics"], keys),
+        "number_stats": smap(cur["number_metrics"], keys, cast=lambda v: int(v)),
         "bool_stats": [
             (m, {"cnt": s["cnt"], "true": s["true"]})
             for m, s in cur["bool_metrics"].items()

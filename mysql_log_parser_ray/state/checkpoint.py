@@ -135,6 +135,9 @@ def run_resumable(
     merged: Dict = {}
     for shard_id, m in read_manifests(out_dir).items():
         for k, v in m.get("counters", {}).items():
-            if isinstance(v, (int, float)):
+            # "shard_"-prefixed counters are per-shard detail (distinct
+            # counts that overlap across shards) - summing them would
+            # overstate; they stay in the per-shard manifests only
+            if isinstance(v, (int, float)) and not k.startswith("shard_"):
                 merged[k] = merged.get(k, 0) + v
     return {"completed": completed, "skipped": skipped, "counters": merged}

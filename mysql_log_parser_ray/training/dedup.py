@@ -165,12 +165,21 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: Optional[int] = 200,
 ):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns a pandas DataFrame (doc_a, doc_b, jaccard) with jaccard >=
     threshold, doc_a < doc_b. Candidate generation is banded (no all-pairs);
     verification recomputes shingles for candidates only.
+
+    ``max_bucket`` caps pathological LSH buckets: a band bucket with k
+    members emits k^2/2 candidates, so one giant boilerplate cluster can
+    dominate the run. NOTE the trade-off - a cluster larger than
+    max_bucket reports NO pairs from its saturated buckets. Pass
+    max_bucket=None for lossless candidate generation, or dedup such
+    clusters with exact_dedup first (identical boilerplate is usually
+    byte-identical).
     """
 
     def _sig(batch: pa.Table) -> pa.Table:
@@ -205,9 +214,11 @@ def minhash_dedup_pairs(
 
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # cap pathological buckets, then vectorized self-merge per bucket
-        g = g[
-            g.groupby(["band_id", "band_hash"])["band_id"].transform("size") <= 200
-        ]
+        if max_bucket is not None:
+            g = g[
+                g.groupby(["band_id", "band_hash"])["band_id"].transform("size")
+                <= max_bucket
+            ]
         m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_l", "_r"))
         m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
         return pd.DataFrame(
@@ -449,7 +460,10 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
 
 
 def simhash_near_pairs(
-    docs_ds, max_hamming: int = 3, id_col: str = "doc_id", max_bucket: int = 200
+    docs_ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: Optional[int] = 200,
 ):
     """Near-dup pairs by SimHash: LSH on bit chunks + exact hamming verify.
 
@@ -466,7 +480,10 @@ def simhash_near_pairs(
     """
     from ray.data.aggregate import Min
 
-    n_chunks = min(16, max_hamming + 1)
+    # pigeonhole needs max_hamming+1 chunks for the no-false-negative
+    # guarantee; 64 one-bit chunks is the ceiling (beyond that every pair
+    # of 64-bit signatures is within distance anyway)
+    n_chunks = min(max_hamming + 1, 64)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -504,10 +521,11 @@ def simhash_near_pairs(
         )
 
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[
-            g.groupby(["chunk", "chunk_key"])["chunk"].transform("size")
-            <= max_bucket
-        ]
+        if max_bucket is not None:
+            g = g[
+                g.groupby(["chunk", "chunk_key"])["chunk"].transform("size")
+                <= max_bucket
+            ]
         m = g.merge(g, on=["chunk", "chunk_key"], suffixes=("_l", "_r"))
         m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
         x = m["sig_l"].to_numpy().astype(np.int64).view(np.uint64) ^ m[

@@ -699,3 +699,24 @@ def test_fast_path_rejects_bad_format_time_lines():
     )
     assert _parse_fast(repeated) is None
     assert parse_slow_log_text(repeated)[0]["ts"] == "071219 12:00:00"
+
+
+def test_parse_uint_go_semantics():
+    """Regression (code review): Go strconv.ParseUint parity - overflow
+    keeps the clamped MaxUint64 (err ignored at slow.go:215,219); unicode
+    digits are a syntax error yielding 0, not a crash."""
+    from mysql_log_parser_ray.functions.slowlog import (
+        _UINT64_MAX,
+        parse_slow_log_text,
+    )
+
+    doc = (
+        "# Query_time: 1.0\n"
+        "# Bytes_sent: 99999999999999999999999  Rows_sent: ²  Thread_id: 7\n"
+        "SELECT 1;\n"
+    )
+    evs = parse_slow_log_text(doc)
+    nm = evs[0]["number_metrics"]
+    assert nm["Bytes_sent"] == _UINT64_MAX  # overflow -> clamped, kept
+    assert nm["Rows_sent"] == 0             # unicode digit -> syntax err -> 0
+    assert nm["Thread_id"] == 7

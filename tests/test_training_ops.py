@@ -300,3 +300,18 @@ def test_dedup_zero_pair_results_are_typed_empty(ray_session):
     }))
     out = embedding_dup_pairs(emb, threshold=0.999, exhaustive=False)
     assert list(out.columns) == ["vec_a", "vec_b", "cosine"] and len(out) == 0
+
+
+def test_minhash_max_bucket_none_is_lossless(ray_session):
+    """max_bucket=None disables the bucket cap: a duplicate cluster larger
+    than the default cap still reports its pairs."""
+    import ray.data as rd
+
+    texts = ["identical boilerplate text repeated verbatim"] * 250
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(250)), "text": texts}))
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    capped = minhash_dedup_pairs(ds, threshold=0.9)  # default cap 200
+    assert len(capped) == 0  # documented drop for saturated buckets
+    lossless = minhash_dedup_pairs(ds, threshold=0.9, max_bucket=None)
+    assert len(lossless) == 250 * 249 // 2
