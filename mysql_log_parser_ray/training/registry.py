@@ -155,6 +155,17 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def q_docs_curated(sf_dir: str):
+    """Composite curation keep-list: quality filter -> exact dedup. The
+    optional near-dup stage is off here so the result is SQL-expressible."""
+    from .curate import curate_keep_list
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate_keep_list(ds).to_pandas().sort_values("doc_id")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_media_decode(sf_dir: str):
     """Derive fake media payloads from documents, run the actor-pool decode
     stage (the multimodal plumbing), return the decoded metadata."""
@@ -203,6 +214,7 @@ def register_queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
+        "docs_curated": q_docs_curated,
     }
 
 
@@ -290,6 +302,18 @@ def register_oracles():
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        """,
+        "docs_curated": r"""
+            WITH q AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+              FROM documents
+            ), f AS (
+              SELECT * FROM q
+              WHERE n_words >= 10 AND n_punct <= 0.2 * n_words
+            )
+            SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text
         """,
         "media_decode": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

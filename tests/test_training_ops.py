@@ -315,3 +315,42 @@ def test_minhash_max_bucket_none_is_lossless(ray_session):
     assert len(capped) == 0  # documented drop for saturated buckets
     lossless = minhash_dedup_pairs(ds, threshold=0.9, max_bucket=None)
     assert len(lossless) == 250 * 249 // 2
+
+
+def test_curation_pipeline_end_to_end(ray_session, tmp_path):
+    """Composite curation: quality filter -> exact dedup -> near-dup
+    removal -> partitioned curated output."""
+    import glob
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    long_doc = ("informative sentence with many plain words " * 4).strip()
+    near_dup = long_doc.replace("plain", "simple")
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            long_doc,                      # keeper
+            long_doc,                      # exact dup of 0 -> dropped
+            near_dup,                      # near-dup of 0 -> dropped at 0.3
+            "too short",                   # quality: < 10 words
+            ",,,,. ! ? ; : . , ! ? ; :",   # quality: punct ratio
+            "another completely different long document with plenty of "
+            "ordinary words to pass the quality threshold easily",  # keeper
+        ],
+        "source": ["s0", "s0", "s1", "s1", "s0", "s1"],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    from mysql_log_parser_ray.training.curate import curate_keep_list, write_curated
+
+    keep = curate_keep_list(ds, near_dup_threshold=0.3)
+    kept = sorted(keep.to_pandas()["doc_id"] if hasattr(keep, "to_pandas")
+                  else keep["doc_id"].to_pylist())
+    assert kept == [0, 5]
+
+    out = str(tmp_path / "curated")
+    write_curated(ds, out, keep)
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    got = pa.concat_tables([pq.read_table(f, columns=["doc_id"]) for f in files])
+    assert sorted(got["doc_id"].to_pylist()) == [0, 5]
+    # partitioned by source
+    assert any("source=s0" in f for f in files) and any("source=s1" in f for f in files)
