@@ -213,3 +213,51 @@ def test_documents_derivation_deterministic():
     assert len(evs) == 1
     assert evs[0]["time_metrics"]["Query_time"] == pytest.approx((257 % 128) / 4.0)
     assert evs[0]["query"] == "SELECT * FROM orders WHERE user_id = 257 LIMIT 10"
+
+
+def test_parse_on_error_skip_and_raise(ray_session):
+    """Error-handling contract: a doc that makes the parser raise (the
+    reference PANICS on a Time header whose stamp doesn't match timeRe -
+    nil-submatch index at slow.go:173-174; our AttributeError is that
+    panic's parity) kills the task with on_error='raise' (default) and is
+    silently dropped with 'skip'."""
+    import pytest
+    import ray.data as rd
+
+    from mysql_log_parser_ray.sources.synth import build_sequences_table
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    good = "# Query_time: 1.0\nSELECT 1;\n"
+    # single-token stamp: timeRe finds no submatch -> reference panics
+    bad = "# Time: 2019-01-01T00:00:00Z\n# Query_time: 1.0\nSELECT 2;\n"
+    seqs = build_sequences_table([good, bad], ["g", "b"], ["s", "s"])
+
+    with pytest.raises(Exception):
+        parse_events(rd.from_arrow(seqs), on_error="raise").to_pandas()
+
+    out = parse_events(rd.from_arrow(seqs), on_error="skip").to_pandas()
+    assert list(out["doc_id"]) == ["g"]
+
+
+def test_parse_invalid_utf8_tokens(ray_session):
+    """Tokens that are not valid UTF-8 parse with replacement chars, not a
+    crash (bytes-level pipeline; decode errors='replace')."""
+    import pyarrow as pa
+    import numpy as np
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    raw = b"# Query_time: 1.0\nSELECT '\xff\xfe';\n"
+    toks = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    seqs = pa.table(
+        {
+            "doc_id": ["x"],
+            "tokens": pa.array([toks.tolist()], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(toks)], pa.int32()),
+            "source": ["s"],
+        }
+    )
+    out = parse_events(rd.from_arrow(seqs)).to_pandas()
+    assert len(out) == 1
+    assert "�" in out.iloc[0]["query"]
