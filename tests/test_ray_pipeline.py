@@ -261,3 +261,36 @@ def test_parse_invalid_utf8_tokens(ray_session):
     out = parse_events(rd.from_arrow(seqs)).to_pandas()
     assert len(out) == 1
     assert "�" in out.iloc[0]["query"]
+
+
+def test_reference_fixtures_through_ray_engine(ray_session):
+    """Close the loop: the reference's own 17 log fixtures, tokenized into
+    the sequences table and run through the REAL Ray parse stage, produce
+    exactly what the direct per-doc parser produces (which the golden suite
+    pins against parser_test.go)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.functions.slowlog import parse_slow_log_text
+    from mysql_log_parser_ray.sources.sequences import detokenize_column
+    from mysql_log_parser_ray.sources.synth import reference_fixture_table
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    table = reference_fixture_table()
+    assert table.num_rows >= 17
+    ev = parse_events(rd.from_arrow(table), on_error="skip").to_pandas()
+    ev = ev.sort_values(["doc_id", "event_seq"]).reset_index(drop=True)
+
+    texts = detokenize_column(table["tokens"])
+    expected = []
+    for did, text in zip(table["doc_id"].to_pylist(), texts):
+        try:
+            evs = parse_slow_log_text(text)
+        except Exception:
+            continue  # same docs the Ray stage skipped
+        for seq, e in enumerate(evs):
+            expected.append((did, seq, e["query"], e["offset"],
+                             e["time_metrics"].get("Query_time")))
+    got = list(zip(ev["doc_id"], ev["event_seq"], ev["query"], ev["offset"],
+                   [dict(t).get("Query_time") for t in ev["time_metrics"]]))
+    assert sorted(got) == sorted(expected)
+    assert len(expected) > 50  # the fixtures carry a substantial event set
