@@ -143,3 +143,19 @@ def test_incremental_ingestion(ray_session, tmp_path_factory):
     fresh_out = str(tmp_path_factory.mktemp("incr_fresh"))
     fresh = run_flagship_resumable(base, fresh_out, dim=dim, files_per_shard=2)
     assert _result_fingerprint(incr) == _result_fingerprint(fresh)
+
+
+def test_result_independent_of_shard_size(ray_session, corpus_dir, tmp_path_factory):
+    """Partitioning independence: the same corpus processed with different
+    files_per_shard yields identical final results (the cluster-size /
+    shard-plan invariance the scaling criterion presumes)."""
+    from mysql_log_parser_ray.pipelines.resumable import run_flagship_resumable
+
+    dim = dim_for_sources([f"src{i}" for i in range(8)])
+    a = run_flagship_resumable(
+        corpus_dir, str(tmp_path_factory.mktemp("fps2")), dim=dim, files_per_shard=2
+    )
+    b = run_flagship_resumable(
+        corpus_dir, str(tmp_path_factory.mktemp("fps8")), dim=dim, files_per_shard=8
+    )
+    assert _result_fingerprint(a) == _result_fingerprint(b)
