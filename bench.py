@@ -182,9 +182,71 @@ def run_scaling(trials: int = 2) -> dict:
     }
 
 
+def run_serial() -> dict:
+    """Single-process, single-core parse+fingerprint+aggregate - the
+    reference CLI's execution model (serial reader + in-process aggregation,
+    bin/parser-cli.go) on our corpus, as the apples-to-apples anchor for
+    'matches-or-beats the reference's single-node throughput'. No Ray."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.stages.aggregate import (
+        finalize_partials,
+        make_class_partials_fn,
+    )
+    from mysql_log_parser_ray.stages.parse import parse_events_batch
+
+    corpus = ensure_corpus()
+    pfn = make_class_partials_fn(exact=False)
+    import pickle
+
+    by_class, fps = {}, {}
+    n_docs = n_tokens = 0
+    t0 = time.perf_counter()
+    for f in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
+        t = pq.read_table(f)
+        n_docs += t.num_rows
+        n_tokens += int(
+            __import__("pyarrow.compute", fromlist=["sum"]).sum(t["n_tok"]).as_py()
+        )
+        for i in range(0, t.num_rows, 2048):
+            events = parse_events_batch(t.slice(i, 2048))
+            parts = pfn(events)
+            for cid, fp, blob in zip(
+                parts["class_id"].to_pylist(),
+                parts["fingerprint"].to_pylist(),
+                parts["blob"].to_pylist(),
+            ):
+                by_class.setdefault(cid, []).append(pickle.loads(blob))
+                fps.setdefault(cid, fp)
+    from mysql_log_parser_ray.stages.aggregate import merge_partials
+
+    merged = {c: (fps[c], merge_partials(p)) for c, p in by_class.items()}
+    import pandas as pd
+
+    _, glob_stats, _ = finalize_partials(
+        merged, pd.DataFrame(columns=["source", "class_id", "n_rows", "n_tokens"])
+    )
+    sec = time.perf_counter() - t0
+    return {
+        "metric": "serial_single_core",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "corpus_docs": n_docs,
+        "corpus_tokens": n_tokens,
+        "events": int(glob_stats.total_queries),
+        "tokens_per_sec": round(n_tokens / sec, 1),
+        "seqs_per_sec": round(n_docs / sec, 1),
+        "events_per_sec": round(glob_stats.total_queries / sec, 1),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--serial" in sys.argv:
+        print(json.dumps(run_serial()))
     else:
         result = run_bench(skip_queries=bool(os.environ.get("BENCH_SKIP_QUERIES")))
         print(json.dumps(result))
