@@ -168,3 +168,31 @@ def test_jsonlog_nonfinite_numbers_yield_zero():
     evs = parse_json_log_text(text)
     assert evs[0]["number_metrics"]["rows"] == 0
     assert evs[0]["number_metrics"]["big"] == 0
+
+
+def test_genlog_start_offset_partial_line_discarded():
+    """Resuming mid-line: the partial leading line is not a valid event
+    start, so it is discarded and parsing resumes at the next event -
+    the genlog analogue of slow016/slow017 partial-event discard."""
+    from mysql_log_parser_ray.functions.genlog import parse_general_log_text
+
+    text = (
+        "070823 21:01:10\t  1 Query\tSELECT first\n"
+        "070823 21:01:12\t  2 Query\tSELECT second\n"
+    )
+    data = text.encode("utf-8")
+    mid = data.index(b"SELECT first")  # inside line 1
+    evs = parse_general_log_text(data, start_offset=mid)
+    assert [e["query"] for e in evs] == ["SELECT second"]
+    # offsets remain absolute
+    assert evs[0]["offset"] == data.index(b"070823 21:01:12")
+
+
+def test_jsonlog_start_offset_mid_line():
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    data = b'{"query":"a"}\n{"query":"b"}\n'
+    evs = parse_json_log_text(data, start_offset=3)  # mid first line
+    # the truncated first line fails json parse and is skipped
+    assert [e["query"] for e in evs] == ["b"]
+    assert evs[0]["offset"] == data.index(b'{"query":"b"}')
