@@ -20,14 +20,13 @@ def broadcast_get(ref):
     """Resolve a ray.ObjectRef (or pass through a plain object), caching
     the deserialized value per worker process."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _CACHE.get(key)
-    if obj is None:
-        import ray
-
-        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        _CACHE[key] = obj
-        while len(_CACHE) > _MAX_ENTRIES:
-            _CACHE.popitem(last=False)
-    else:
+    if key in _CACHE:  # membership, not is-None: a broadcast None is valid
         _CACHE.move_to_end(key)
+        return _CACHE[key]
+    import ray
+
+    obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    _CACHE[key] = obj
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
     return obj

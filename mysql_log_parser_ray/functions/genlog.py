@@ -40,9 +40,10 @@ from .slowlog import new_event
 _COMMANDS = (
     "Sleep|Quit|Init DB|Query|Field List|Create DB|Drop DB|Refresh|Shutdown|"
     "Statistics|Processlist|Connect Out|Connect|Kill|Debug|Ping|Time|"
-    "Delayed insert|Change user|Binlog Dump|Table Dump|Register Slave|"
-    "Prepare|Execute|Long Data|Close stmt|Reset stmt|Set option|Fetch|"
-    "Daemon|Error"
+    "Delayed insert|Change user|Binlog Dump GTID|Binlog Dump|Table Dump|"
+    "Register Slave|Register Replica|Prepare|Execute|Long Data|Close stmt|"
+    "Reset stmt|Set option|Fetch|Daemon|Reset Connection|Clone|"
+    "Subscribe Group Replication Stream|Error"
 )
 
 # Optional "YYMMDD  H:MM:SS" stamp (1-2 space-padded hour like the slow

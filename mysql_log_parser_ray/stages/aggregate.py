@@ -322,7 +322,13 @@ def _finalize_class(cid: str, fp: str, p: _ClassPartial) -> Dict:
         "example_query_time": float(ex[0]),
         "example_ts": format_example_ts(ex[2]),
         "time_stats": smap(cur["time_metrics"], keys),
-        "number_stats": smap(cur["number_metrics"], keys, cast=lambda v: int(v)),
+        # sketch-mode percentiles come back as float64; float64 rounding of
+        # values near MaxUint64 can land on exactly 2^64, which overflows
+        # the uint64 struct - clamp
+        "number_stats": smap(
+            cur["number_metrics"], keys,
+            cast=lambda v: min(int(v), (1 << 64) - 1),
+        ),
         "bool_stats": [
             (m, {"cnt": s["cnt"], "true": s["true"]})
             for m, s in cur["bool_metrics"].items()

@@ -138,6 +138,10 @@ def run_resumable(
             # "shard_"-prefixed counters are per-shard detail (distinct
             # counts that overlap across shards) - summing them would
             # overstate; they stay in the per-shard manifests only
-            if isinstance(v, (int, float)) and not k.startswith("shard_"):
+            if (
+                isinstance(v, (int, float))
+                and not k.startswith("shard_")
+                and k not in ("classes", "sinks")  # legacy manifests
+            ):
                 merged[k] = merged.get(k, 0) + v
     return {"completed": completed, "skipped": skipped, "counters": merged}

@@ -19,7 +19,7 @@ heuristic near-dup stage, which is off in the oracle-checked query).
 
 from __future__ import annotations
 
-from typing import Optional, Set
+from typing import Optional
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -62,19 +62,20 @@ def curate_keep_list(
     )
     keep = exact_dedup(filtered).select_columns(["keep_doc_id"])
 
-    if near_dup_threshold is None:
-        def _rename(b: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": pc.cast(b["keep_doc_id"], pa.int64())})
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["keep_doc_id"], pa.int64())})
 
+    if near_dup_threshold is None:
         return keep.map_batches(_rename, batch_format="pyarrow")
 
-    # near-dup removal among the exact-dedup survivors
-    keep_ids: Set[int] = set(
-        int(x) for x in keep.to_pandas()["keep_doc_id"].tolist()
-    )
+    # Near-dup removal among the exact-dedup survivors. The keep-list is
+    # small relative to the corpus (it is the OUTPUT); it is broadcast as
+    # an Arrow value_set and filtered with the vectorized pc.is_in kernel.
+    keep_ids = keep.map_batches(_rename, batch_format="pyarrow").to_pandas()
+    keep_set = pa.array(sorted(int(x) for x in keep_ids["doc_id"]), pa.int64())
 
     def _survivors_only(b: pa.Table) -> pa.Table:
-        mask = pa.array([int(d) in keep_ids for d in b["doc_id"].to_pylist()])
+        mask = pc.is_in(pc.cast(b["doc_id"], pa.int64()), value_set=keep_set)
         return b.filter(mask)
 
     survivors = docs_ds.map_batches(
@@ -82,8 +83,12 @@ def curate_keep_list(
     )
     pairs = ngram_jaccard_pairs(survivors, threshold=near_dup_threshold)
     drop = set(int(x) for x in pairs["doc_b"].tolist())
-    final = sorted(keep_ids - drop)
-    return pa.table({"doc_id": pa.array(final, pa.int64())})
+    final = sorted(set(int(x) for x in keep_ids["doc_id"]) - drop)
+
+    import ray.data as rd
+
+    # same contract as the fast path: a (doc_id:int64) Dataset
+    return rd.from_arrow(pa.table({"doc_id": pa.array(final, pa.int64())}))
 
 
 def write_curated(
@@ -96,10 +101,10 @@ def write_curated(
     ids = keep_ids_ds
     if hasattr(ids, "to_pandas"):
         ids = ids.to_pandas()
-    keep: Set[int] = set(int(x) for x in ids["doc_id"].tolist())
+    keep_set = pa.array(sorted(int(x) for x in ids["doc_id"]), pa.int64())
 
     def _keep_only(b: pa.Table) -> pa.Table:
-        mask = pa.array([int(d) in keep for d in b["doc_id"].to_pylist()])
+        mask = pc.is_in(pc.cast(b["doc_id"], pa.int64()), value_set=keep_set)
         return b.filter(mask)
 
     docs_ds.map_batches(

@@ -44,6 +44,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+def _typed_empty(cols: Dict[str, str]) -> pd.DataFrame:
+    """Typed empty frame (an all-empty Ray groupby loses the schema)."""
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
 def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
@@ -406,13 +411,7 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     if df.empty:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64"),
-            }
-        )
+        return _typed_empty({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
     df["doc_a"] = df["doc_a"].astype("int64")
     df["doc_b"] = df["doc_b"].astype("int64")
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -551,14 +550,7 @@ def simhash_near_pairs(
         .to_pandas()
     )
     if out.empty:
-        # an all-empty groupby loses the schema; return the typed empty frame
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "hamming": pd.Series([], dtype="int64"),
-            }
-        )
+        return _typed_empty({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -655,12 +647,5 @@ def embedding_dup_pairs(
         .to_pandas()
     )
     if out.empty:
-        # an all-empty groupby loses the schema; return the typed empty frame
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
+        return _typed_empty({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -21,13 +21,13 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def q_doc_token_counts(sf_dir: str):
     from ..stages.aggregate import grouped_counts
-    from .text import _WS_RE
+    from .text import _ASCII_WS, _WS_RE
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def _tok(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch["text"].to_pandas())
-        n = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+        n = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
         return pa.table(
             {"source": batch["source"], "n_tok": pa.array(n, pa.int64())}
         )
@@ -227,19 +227,19 @@ def register_oracles():
         "doc_token_counts": r"""
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_ws_tokens
+                   SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS n_ws_tokens
             FROM documents GROUP BY 1
         """,
         "doc_bpe_tokens": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS n_ws_tokens,
                    len(regexp_extract_all(text,
                        ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_pieces
             FROM documents
         """,
         "doc_quality": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                   len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS n_words,
                    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
                    length(text) < 100 AS is_short
@@ -283,7 +283,7 @@ def register_oracles():
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
               FROM documents
             ), grams AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
@@ -306,7 +306,7 @@ def register_oracles():
         "docs_curated": r"""
             WITH q AS (
               SELECT doc_id, text,
-                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS n_words,
                      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
               FROM documents
             ), f AS (

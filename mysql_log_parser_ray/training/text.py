@@ -16,7 +16,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace explicitly, matching the DuckDB/RE2 oracle patterns
+# ('[ \t\n\r\v\f]+'); python's default \s and str.strip() are
+# unicode-aware and would diverge on e.g. \xa0
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_WS_RE = re.compile(r"\s+", re.ASCII)
 # BPE-ish pretokenizer: words with optional leading space, numbers, other
 # symbols - a simplified GPT-2-style split.
 _BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
@@ -35,7 +39,7 @@ _LANG_STOPWORDS = {
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace token count + BPE-ish piece count per doc."""
     s = pd.Series(batch["text"].to_pandas())
-    ws = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+    ws = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
     bpe = s.str.findall(_BPE_RE).str.len().fillna(0).astype("int64")
     return pa.table(
         {
@@ -49,7 +53,7 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality counters: words, punctuation, uppercase, length flags."""
     s = pd.Series(batch["text"].to_pandas())
-    n_words = s.str.strip().str.split(_WS_RE).str.len().fillna(0).astype("int64")
+    n_words = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
     n_punct = s.str.count(_PUNCT_RE).astype("int64")
     n_upper = s.str.count(_UPPER_RE).astype("int64")
     n_chars = s.str.len().astype("int64")

@@ -196,3 +196,48 @@ def test_jsonlog_start_offset_mid_line():
     # the truncated first line fails json parse and is skipped
     assert [e["query"] for e in evs] == ["b"]
     assert evs[0]["offset"] == data.index(b'{"query":"b"}')
+
+
+def test_genlog_modern_commands_recognized():
+    """Regression (review 3): 8.0-era commands (Reset Connection, Binlog
+    Dump GTID, Register Replica) are events, not continuation text."""
+    from mysql_log_parser_ray.functions.genlog import parse_general_log_text
+
+    text = (
+        "070823 21:01:10\t  1 Query\tSELECT 1\n"
+        "\t\t  2 Reset Connection\t\n"
+        "\t\t  3 Binlog Dump GTID\tLog: x\n"
+        "\t\t  4 Register Replica\t\n"
+    )
+    evs = parse_general_log_text(text)
+    assert [e["query"] for e in evs] == [
+        "SELECT 1",
+        "Reset Connection",
+        "Binlog Dump GTID Log: x",
+        "Register Replica",
+    ]
+
+
+def test_ascii_whitespace_parity_with_oracle():
+    """Regression (review 3): trailing \\n or \\t must give the same word
+    count on the Ray side and the DuckDB oracle side."""
+    import duckdb
+    import pyarrow as pa
+
+    from mysql_log_parser_ray.training.text import token_count_batch
+
+    texts = ["w1 w2 w3\n", "\ta b\tc \n", "x"]
+    batch = pa.table({"doc_id": [0, 1, 2], "text": texts})
+    ray_counts = dict(zip(
+        token_count_batch(batch)["doc_id"].to_pylist(),
+        token_count_batch(batch)["n_ws_tokens"].to_pylist(),
+    ))
+    con = duckdb.connect()
+    con.register("documents", batch.to_pandas())
+    sql = (
+        "SELECT doc_id, len(regexp_split_to_array("
+        "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),"
+        " '[ \t\n\r\v\f]+')) AS n FROM documents"
+    )
+    oracle = dict(con.execute(sql).fetchall())
+    assert ray_counts == {k: int(v) for k, v in oracle.items()}

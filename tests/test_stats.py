@@ -190,3 +190,25 @@ def test_skew_bound_partials(ray_session):
     # partial rows ~= blocks x classes, never events
     assert len(parts) <= n_classes * (n_blocks + 1)
     assert len(parts) < 200  # far fewer than the 1000+ events
+
+
+def test_sketch_mode_uint64_overflow_clamped(ray_session):
+    """Regression (review 3): sketch-mode number percentiles are float64
+    and can round to exactly 2^64 for values near MaxUint64 (reachable via
+    the ParseUint overflow clamp); finalization must clamp, not crash."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.sources.synth import build_sequences_table
+    from mysql_log_parser_ray.stages.aggregate import aggregate_events
+    from mysql_log_parser_ray.stages.parse import parse_events
+
+    doc = (
+        "# Query_time: 1.0\n"
+        "# Bytes_sent: 99999999999999999999999\n"
+        "SELECT overflow;\n"
+    )
+    ev = parse_events(rd.from_arrow(build_sequences_table([doc], ["d"], ["s"])))
+    cls_table, _, _ = aggregate_events(ev, exact=False)
+    row = cls_table.to_pylist()[0]
+    bs = dict(row["number_stats"])["Bytes_sent"]
+    assert bs["max"] == (1 << 64) - 1  # clamped, not crashed
