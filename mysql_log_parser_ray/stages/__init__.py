@@ -1,3 +1,5 @@
-"""Ray Data batch transforms: parse, enrich, route, aggregate."""
+"""Ray Data batch transforms: parse, enrich, route, aggregate, windows."""
 
-from .parse import EVENT_SCHEMA, make_parse_fn, parse_events  # noqa: F401
+from .asof import asof_join_broadcast  # noqa: F401
+from .parse import EVENT_SCHEMA, PARSER_REGISTRY, make_parse_fn, parse_events, register_parser  # noqa: F401
+from .window import sessionize, tumbling_window_agg  # noqa: F401
