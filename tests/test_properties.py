@@ -120,6 +120,8 @@ def _doc(draw):
         pairs = draw(st.lists(st.tuples(_metric_name, _metric_val),
                               min_size=1, max_size=4))
         lines.append("# " + "  ".join(f"{k}: {v}" for k, v in pairs))
+    if draw(st.booleans()):
+        lines.append("# administrator command: Quit;")
     n_q = draw(st.integers(min_value=0, max_value=3))
     for _ in range(n_q):
         lines.append(draw(_query_line))
