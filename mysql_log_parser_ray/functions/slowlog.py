@@ -341,6 +341,51 @@ def _parse_fast(text: str) -> Optional[List[Dict]]:
     return [ev]
 
 
+_header_start_b = re.compile(rb"#\s+[A-Z]")
+
+
+def _parse_fast_multi(data: bytes) -> Optional[List[Dict]]:
+    """Multi-event docs: split at header-block starts (a header line whose
+    predecessor is not a header line), fast-parse every segment.
+
+    Bails (None) unless EVERY segment is the canonical single-event shape
+    and the doc starts at a header - anything else goes to the state
+    machine. Caller must ensure no admin lines / admin filtering (the
+    reference's filtered-admin event-carryover crosses segment boundaries,
+    slow.go:285-288)."""
+    lines = data.split(b"\n")
+    if not lines or _header_start_b.match(lines[0]) is None:
+        return None
+    del lines[-1]  # '' after trailing \n, or unterminated tail (discarded)
+
+    # segment start byte positions
+    starts = [0]
+    pos = 0
+    prev_is_header = True
+    for i, raw in enumerate(lines):
+        if i > 0:
+            is_header = _header_start_b.match(raw) is not None
+            if is_header and not prev_is_header:
+                starts.append(pos)
+            prev_is_header = is_header
+        pos += len(raw) + 1
+    if len(starts) < 2:
+        return None  # single segment: the plain fast path already failed
+
+    starts.append(pos)
+    events: List[Dict] = []
+    for a, b in zip(starts, starts[1:]):
+        seg = _parse_fast(data[a:b].decode("utf-8", errors="replace"))
+        if seg is None:
+            return None
+        for ev in seg:
+            # the reference's +1 offset quirk for non-zero line offsets
+            # (slow.go:96-100)
+            ev["offset"] = a + 1 if a else 0
+            events.append(ev)
+    return events
+
+
 def parse_slow_log_text(
     text: Union[str, bytes],
     start_offset: int = 0,
@@ -352,11 +397,14 @@ def parse_slow_log_text(
     slow.go:46-49): parsing begins at that byte and recorded offsets are
     absolute within the doc.
     """
+    data = text.encode("utf-8") if isinstance(text, str) else text
     if start_offset == 0:
-        s = text if isinstance(text, str) else text.decode("utf-8", errors="replace")
-        fast = _parse_fast(s)
+        fast = _parse_fast(data.decode("utf-8", errors="replace"))
         if fast is not None:
             return fast
-    data = text.encode("utf-8") if isinstance(text, str) else text
+        if not filter_admin_command and b"# admin" not in data:
+            multi = _parse_fast_multi(data)
+            if multi is not None:
+                return multi
     p = SlowLogDocParser(filter_admin_command=filter_admin_command)
     return p.run(data, start_offset)

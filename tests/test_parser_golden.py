@@ -660,6 +660,8 @@ def test_fast_path_equivalence(logs_dir):
         b"# Query_time: 1.0\nuse udb;;\nSELECT 4;;\n",       # rstrip parity
     ]
 
+    from mysql_log_parser_ray.functions.slowlog import parse_slow_log_text
+
     n_fast = 0
     for t in texts:
         slow = SlowLogDocParser().run(t, 0)
@@ -667,6 +669,14 @@ def test_fast_path_equivalence(logs_dir):
         if fast is not None:
             n_fast += 1
             assert fast == slow, f"fast-path divergence on: {t[:120]!r}"
+        # the DISPATCHER (fast -> multi-event fast -> state machine) must
+        # equal the state machine on EVERY doc, whatever path it took
+        try:
+            dispatched = parse_slow_log_text(t)
+        except Exception:
+            dispatched = None  # machine itself raises (panic parity)
+        if dispatched is not None:
+            assert dispatched == slow, f"dispatcher divergence on: {t[:120]!r}"
     # the fast path must actually engage on the common corpus shape
     assert n_fast > 1500
 

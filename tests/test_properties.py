@@ -129,14 +129,24 @@ def _doc(draw):
 
 
 @settings(max_examples=150, deadline=None)
-@given(_doc())
-def test_fast_path_equivalence_generated(text):
+@given(st.lists(_doc(), min_size=1, max_size=3))
+def test_fast_path_equivalence_generated(docs):
+    """Single- AND multi-event docs (concatenations) through the full
+    dispatcher vs the state machine."""
     from mysql_log_parser_ray.functions.slowlog import (
         SlowLogDocParser,
         _parse_fast,
+        parse_slow_log_text,
     )
 
+    text = "".join(d if d.endswith("\n") else d + "\n" for d in docs)
     slow = SlowLogDocParser().run(text.encode("utf-8"), 0)
     fast = _parse_fast(text)
     if fast is not None:
         assert fast == slow, f"divergence on: {text!r}"
+    try:
+        dispatched = parse_slow_log_text(text)
+    except Exception:
+        dispatched = None
+    if dispatched is not None:
+        assert dispatched == slow, f"dispatcher divergence on: {text!r}"
