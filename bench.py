@@ -7,9 +7,11 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
    "tokens_per_sec": ..., "seqs_per_sec": ..., "events_per_sec": ...}
 
---scaling: runs the corpus pipeline in TWO fresh processes
-(num_cpus=8 and num_cpus=32) on the same input and reports throughputs +
-scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+--scaling: runs the corpus pipeline in TWO fresh processes (levels from
+BENCH_SCALING_LEVELS, default 8,32) on the same input and reports
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+--serial: single-process single-core anchor (the reference's execution
+model).
 """
 
 from __future__ import annotations
