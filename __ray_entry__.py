@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
+        "events_value_p95": q.q_events_value_p95,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
         "top_users_per_type": q.q_top_users_per_type,
@@ -295,6 +296,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(*) AS n,
                    SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "events_value_p95": """
+            SELECT event_type,
+                   (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))
+                     [(95 * COUNT(*)) // 100 + 1] AS p95_cents,
+                   (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))
+                     [(50 * COUNT(*)) // 100 + 1] AS med_cents
             FROM events GROUP BY 1
         """,
         "events_hourly": """

@@ -485,6 +485,41 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def q_events_value_p95(sf_dir: str):
+    """Exact nearest-rank p95/median of value per event_type (cents, so
+    the comparison is integer-exact), same convention as the slow-log
+    class percentiles (stats.go:124-129)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "cents": _cents(b["value"])}
+        )
+
+    def per_group(g) -> "pd.DataFrame":
+        vals = np.sort(g["cents"].to_numpy())
+        cnt = len(vals)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p95_cents": [int(vals[(95 * cnt) // 100])],
+                "med_cents": [int(vals[(50 * cnt) // 100])],
+            }
+        )
+
+    out = (
+        ev.map_batches(_narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("p95_cents", "med_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
