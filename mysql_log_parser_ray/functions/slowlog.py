@@ -335,6 +335,12 @@ def _parse_fast(text: str) -> Optional[List[Dict]]:
         # "SET timestamp/insert_id/last_insert_id" (unanchored search,
         # slow.go:21,252-256 - bug-as-spec); let it decide
         return None
+    if query.startswith("use "):
+        # regex backtracking can skip the optional use-group and surface a
+        # lone "use db;" line as the query; the state machine treats a
+        # first-query-line "use " as the db directive and emits NO event
+        # (slow.go:245-251) - let it decide
+        return None
     # the fullmatch regex consumed exactly one trailing ';', matching the
     # single TrimSuffix in sendEvent (slow.go:315)
     ev["query"] = query

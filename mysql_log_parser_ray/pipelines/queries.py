@@ -486,35 +486,49 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 def q_events_value_p95(sf_dir: str):
-    """Exact nearest-rank p95/median of value per event_type (cents, so
-    the comparison is integer-exact), same convention as the slow-log
-    class percentiles (stats.go:124-129)."""
+    """Exact nearest-rank p95/median of value per event_type, computed
+    from a bounded (event_type, cents) HISTOGRAM fold rather than sorting
+    full groups: values are integer cents, so per-batch partial counts +
+    a driver fold over distinct (type, cents) pairs give the identical
+    nearest-rank answer (stats.go:124-129 convention) without any task
+    ever holding a whole group's rows."""
     import pandas as pd
 
     ev = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def _narrow(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"event_type": b["event_type"], "cents": _cents(b["value"])}
-        )
-
-    def per_group(g) -> "pd.DataFrame":
-        vals = np.sort(g["cents"].to_numpy())
-        cnt = len(vals)
-        return pd.DataFrame(
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "p95_cents": [int(vals[(95 * cnt) // 100])],
-                "med_cents": [int(vals[(50 * cnt) // 100])],
+                "event_type": b["event_type"].to_pandas(),
+                "cents": _cents(b["value"]).to_pandas(),
             }
         )
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}),
+                                    preserve_index=False)
 
-    out = (
-        ev.map_batches(_narrow, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .map_groups(per_group, batch_format="pandas")
-        .to_pandas()
-    )
+    hist = pd.concat(
+        [
+            b.to_pandas()
+            for b in ev.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ],
+        ignore_index=True,
+    ).groupby(["event_type", "cents"], as_index=False)["n"].sum()
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        cum = g["n"].cumsum().to_numpy()
+        cnt = int(cum[-1])
+        cents = g["cents"].to_numpy()
+        # nearest-rank: value at 0-based index (pct*cnt)//100 of the
+        # conceptual sorted array == first cents with cum > index
+        p95 = int(cents[np.searchsorted(cum, (95 * cnt) // 100 + 1)])
+        med = int(cents[np.searchsorted(cum, (50 * cnt) // 100 + 1)])
+        rows.append({"event_type": etype, "p95_cents": p95, "med_cents": med})
+    out = pd.DataFrame(rows)
     for c in ("p95_cents", "med_cents"):
         out[c] = out[c].astype("int64")
     return out

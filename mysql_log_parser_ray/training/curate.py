@@ -63,18 +63,35 @@ def curate_keep_list(
     keep = exact_dedup(filtered).select_columns(["keep_doc_id"])
 
     def _rename(b: pa.Table) -> pa.Table:
+        if "keep_doc_id" not in b.column_names:
+            # zero survivors: an all-empty groupby loses the schema
+            return pa.table({"doc_id": pa.array([], pa.int64())})
         return pa.table({"doc_id": pc.cast(b["keep_doc_id"], pa.int64())})
 
+    import ray
+    import ray.data as rd
+
+    def _empty_keep():
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+
     if near_dup_threshold is None:
+        # stays lazy; _rename emits the typed empty schema if the dedup
+        # groupby produced a schema-less empty block (zero survivors)
         return keep.map_batches(_rename, batch_format="pyarrow")
 
     # Near-dup removal among the exact-dedup survivors. The keep-list is
-    # small relative to the corpus (it is the OUTPUT); it is broadcast as
-    # an Arrow value_set and filtered with the vectorized pc.is_in kernel.
-    keep_ids = keep.map_batches(_rename, batch_format="pyarrow").to_pandas()
-    keep_set = pa.array(sorted(int(x) for x in keep_ids["doc_id"]), pa.int64())
+    # the curated OUTPUT id set; ship it once via ray.put and resolve per
+    # worker (broadcast_get), filter with the vectorized pc.is_in kernel.
+    keep_df = keep.to_pandas()
+    if "keep_doc_id" not in keep_df.columns or keep_df.empty:
+        return _empty_keep()
+    keep_ints = sorted(int(x) for x in keep_df["keep_doc_id"])
+    keep_ref = ray.put(pa.array(keep_ints, pa.int64()))
+
+    from ..broadcast import broadcast_get
 
     def _survivors_only(b: pa.Table) -> pa.Table:
+        keep_set = broadcast_get(keep_ref)
         mask = pc.is_in(pc.cast(b["doc_id"], pa.int64()), value_set=keep_set)
         return b.filter(mask)
 
@@ -83,9 +100,7 @@ def curate_keep_list(
     )
     pairs = ngram_jaccard_pairs(survivors, threshold=near_dup_threshold)
     drop = set(int(x) for x in pairs["doc_b"].tolist())
-    final = sorted(set(int(x) for x in keep_ids["doc_id"]) - drop)
-
-    import ray.data as rd
+    final = sorted(set(keep_ints) - drop)
 
     # same contract as the fast path: a (doc_id:int64) Dataset
     return rd.from_arrow(pa.table({"doc_id": pa.array(final, pa.int64())}))
@@ -98,12 +113,21 @@ def write_curated(
     partition_col: str = "source",
 ):
     """Write surviving docs as partitioned Parquet (resumable layout)."""
+    import ray
+
+    from ..broadcast import broadcast_get
+
     ids = keep_ids_ds
     if hasattr(ids, "to_pandas"):
         ids = ids.to_pandas()
-    keep_set = pa.array(sorted(int(x) for x in ids["doc_id"]), pa.int64())
+    if "doc_id" not in getattr(ids, "columns", []) or len(ids) == 0:
+        return  # zero survivors: nothing to write
+    keep_ref = ray.put(
+        pa.array(sorted(int(x) for x in ids["doc_id"]), pa.int64())
+    )
 
     def _keep_only(b: pa.Table) -> pa.Table:
+        keep_set = broadcast_get(keep_ref)
         mask = pc.is_in(pc.cast(b["doc_id"], pa.int64()), value_set=keep_set)
         return b.filter(mask)
 

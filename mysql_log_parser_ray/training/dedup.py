@@ -480,9 +480,15 @@ def simhash_near_pairs(
     from ray.data.aggregate import Min
 
     # pigeonhole needs max_hamming+1 chunks for the no-false-negative
-    # guarantee; 64 one-bit chunks is the ceiling (beyond that every pair
-    # of 64-bit signatures is within distance anyway)
-    n_chunks = min(max_hamming + 1, 64)
+    # guarantee, which a 64-bit signature can only provide for
+    # max_hamming <= 63 (at >= 64 every pair qualifies and LSH is the
+    # wrong tool - that is an all-pairs cross join)
+    if max_hamming >= 64:
+        raise ValueError(
+            "max_hamming must be < 64 for 64-bit SimHash LSH; "
+            ">= 64 means every pair matches (use a cross join)"
+        )
+    n_chunks = max_hamming + 1
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
     def _explode(batch: pa.Table) -> pa.Table:

@@ -21,13 +21,12 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def q_doc_token_counts(sf_dir: str):
     from ..stages.aggregate import grouped_counts
-    from .text import _ASCII_WS, _WS_RE
+    from .text import ws_token_counts
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def _tok(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch["text"].to_pandas())
-        n = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
+        n = ws_token_counts(pd.Series(batch["text"].to_pandas()))
         return pa.table(
             {"source": batch["source"], "n_tok": pa.array(n, pa.int64())}
         )
@@ -161,7 +160,10 @@ def q_docs_curated(sf_dir: str):
     from .curate import curate_keep_list
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = curate_keep_list(ds).to_pandas().sort_values("doc_id")
+    out = curate_keep_list(ds).to_pandas()
+    if "doc_id" not in out.columns:  # zero survivors, schema-less empty
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out = out.sort_values("doc_id")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.reset_index(drop=True)
 

@@ -23,7 +23,7 @@ _ASCII_WS = " \t\n\r\x0b\x0c"
 _WS_RE = re.compile(r"\s+", re.ASCII)
 # BPE-ish pretokenizer: words with optional leading space, numbers, other
 # symbols - a simplified GPT-2-style split.
-_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+", re.ASCII)
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 _UPPER_RE = re.compile(r"[A-Z]")
 
@@ -36,10 +36,16 @@ _LANG_STOPWORDS = {
 }
 
 
+def ws_token_counts(s: "pd.Series") -> "pd.Series":
+    """ASCII-whitespace word counts (the one shared implementation both
+    query paths and their oracles are pinned to)."""
+    return s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace token count + BPE-ish piece count per doc."""
     s = pd.Series(batch["text"].to_pandas())
-    ws = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0).astype("int64")
+    ws = ws_token_counts(s)
     bpe = s.str.findall(_BPE_RE).str.len().fillna(0).astype("int64")
     return pa.table(
         {

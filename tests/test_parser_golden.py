@@ -671,12 +671,9 @@ def test_fast_path_equivalence(logs_dir):
             assert fast == slow, f"fast-path divergence on: {t[:120]!r}"
         # the DISPATCHER (fast -> multi-event fast -> state machine) must
         # equal the state machine on EVERY doc, whatever path it took
-        try:
-            dispatched = parse_slow_log_text(t)
-        except Exception:
-            dispatched = None  # machine itself raises (panic parity)
-        if dispatched is not None:
-            assert dispatched == slow, f"dispatcher divergence on: {t[:120]!r}"
+        # (`slow` above already succeeded, so the dispatcher must too)
+        dispatched = parse_slow_log_text(t)
+        assert dispatched == slow, f"dispatcher divergence on: {t[:120]!r}"
     # the fast path must actually engage on the common corpus shape
     assert n_fast > 1500
 

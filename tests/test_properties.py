@@ -140,13 +140,24 @@ def test_fast_path_equivalence_generated(docs):
     )
 
     text = "".join(d if d.endswith("\n") else d + "\n" for d in docs)
-    slow = SlowLogDocParser().run(text.encode("utf-8"), 0)
-    fast = _parse_fast(text)
-    if fast is not None:
-        assert fast == slow, f"divergence on: {text!r}"
+    try:
+        slow = SlowLogDocParser().run(text.encode("utf-8"), 0)
+        slow_exc = None
+    except Exception as e:
+        slow, slow_exc = None, e
     try:
         dispatched = parse_slow_log_text(text)
-    except Exception:
-        dispatched = None
-    if dispatched is not None:
+        disp_exc = None
+    except Exception as e:
+        dispatched, disp_exc = None, e
+    # the state machine is the spec: both raise, or both succeed equally
+    if slow_exc is None:
+        assert disp_exc is None, f"dispatcher crashed, machine didn't: {text!r}"
         assert dispatched == slow, f"dispatcher divergence on: {text!r}"
+        fast = _parse_fast(text)
+        if fast is not None:
+            assert fast == slow, f"divergence on: {text!r}"
+    else:
+        assert disp_exc is not None, (
+            f"machine raised (panic parity) but dispatcher returned: {text!r}"
+        )

@@ -354,3 +354,34 @@ def test_curation_pipeline_end_to_end(ray_session, tmp_path):
     assert sorted(got["doc_id"].to_pylist()) == [0, 5]
     # partitioned by source
     assert any("source=s0" in f for f in files) and any("source=s1" in f for f in files)
+
+
+def test_curate_zero_survivors(ray_session):
+    """Regression (review 4): every doc failing the quality filter must
+    yield a typed empty keep-list, not a KeyError, in both paths."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.curate import curate_keep_list, write_curated
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": ["too short", "also short"],
+        "source": ["s", "s"],
+    }))
+    for thr in (None, 0.5):
+        keep = curate_keep_list(ds, near_dup_threshold=thr)
+        df = keep.to_pandas() if hasattr(keep, "to_pandas") else keep
+        assert len(df) == 0
+    # write path: no-op, no crash
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        write_curated(ds, os.path.join(d, "out"), curate_keep_list(ds))
+
+
+def test_simhash_max_hamming_bound(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import simhash_near_pairs
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": ["a b", "c d"]}))
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(ds, max_hamming=64)
