@@ -142,7 +142,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls = {
         "genlog_parse_events": f"""
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS event_seq,
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS event_seq,
                    {_TS_GEN} AS ts, TRUE AS admin, 'Connect' AS query,
                    {_USER} AS "user", 'localhost' AS host, {_DB} AS db,
                    n_chars % 100 AS thread_id,
@@ -225,7 +225,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    {_CLASS_EXPR} AS class_id,
                    COUNT(*) AS n_rows,
-                   SUM(length({_DOC_TEXT})) AS n_tokens
+                   CAST(SUM(length({_DOC_TEXT})) AS BIGINT) AS n_tokens
             FROM documents GROUP BY 1, 2
         """,
         "slowlog_route_enrich": f"""
@@ -295,7 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
         "events_value_p95": """
@@ -310,7 +310,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                    event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
@@ -321,10 +321,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             ), s AS (
               SELECT user_id, us,
-                     SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY us, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM o
             )
             SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -335,7 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": """
             SELECT event_type,
                    COUNT(*) AS n,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1
         """,
         "top_users": """
@@ -346,7 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -354,7 +354,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    COUNT(*) AS n,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem GROUP BY 1, 2
         """,
     }

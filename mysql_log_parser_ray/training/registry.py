@@ -86,14 +86,26 @@ def q_lang_id_counts(sf_dir: str):
     return out
 
 
+def _query_vecs(sf_dir: str, n: int = 2) -> np.ndarray:
+    """Fetch the first n query vectors with a parquet row-filter pushdown
+    (predicate evaluated at the read — no per-row Python filter pass)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    qdf = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n,
+    ).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    return np.array(qdf["embedding"].tolist(), dtype=np.float64)
+
+
 def q_ann_topk(sf_dir: str):
     from .similarity import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] in (0, 1)).to_pandas()
-    qdf = qdf.sort_values("vec_id")
-    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    out = brute_force_topk(emb, qvecs, k=10)
+    out = brute_force_topk(emb, _query_vecs(sf_dir), k=10)
     out["cosine"] = out["cosine"].round(6)
     out["query_id"] = out["query_id"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
@@ -106,10 +118,7 @@ def q_ann_ivf_topk(sf_dir: str):
     from .similarity import ivf_topk_distributed
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] in (0, 1)).to_pandas()
-    qdf = qdf.sort_values("vec_id")
-    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    out = ivf_topk_distributed(emb, qvecs, k=10)
+    out = ivf_topk_distributed(emb, _query_vecs(sf_dir), k=10)
     out["cosine"] = out["cosine"].round(6)
     out["query_id"] = out["query_id"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
@@ -117,11 +126,13 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_embed_dup_pairs(sf_dir: str):
-    from .dedup import embedding_dup_pairs
+    """Exact distributed path (tile cross-product) — matches the all-pairs
+    oracle on any corpus while the O(n^2) flops run in parallel tasks."""
+    from .dedup import embedding_dup_pairs_tiles
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = embedding_dup_pairs(emb, threshold=0.95, exhaustive=True)
-    out["cosine"] = out["cosine"].round(6)
+    out = embedding_dup_pairs_tiles(emb, threshold=0.95)
+    out["cosine"] = out["cosine"].round(6).astype("float64")
     for c in ("vec_a", "vec_b"):
         out[c] = out[c].astype("int64")
     return out
@@ -229,7 +240,7 @@ def register_oracles():
         "doc_token_counts": r"""
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS n_ws_tokens
+                   CAST(SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS BIGINT) AS n_ws_tokens
             FROM documents GROUP BY 1
         """,
         "doc_bpe_tokens": r"""

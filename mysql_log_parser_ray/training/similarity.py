@@ -19,7 +19,20 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """Arrow list<float> column -> (n, d) float64 matrix, vectorized.
+
+    flatten() respects list offsets so this is one buffer copy, no per-row
+    Python. Falls back to the row-wise path only for ragged/null layouts
+    (never the case for embedding columns).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(
+            flat.astype(np.float64, copy=False).reshape(len(arr), -1)
+        )
+    except (ValueError, pa.ArrowInvalid):
+        return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -46,7 +59,7 @@ def brute_force_topk(
         q = _ray.get(qref) if isinstance(qref, _ray.ObjectRef) else qref
         x = _normalize(_to_matrix(batch[vec_col]))
         sims = x @ q.T  # (n, nq)
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         frames = []
         for qi in range(q.shape[0]):
             s = sims[:, qi]
@@ -75,6 +88,33 @@ def brute_force_topk(
     return out
 
 
+def _sampled_centroids(
+    emb_ds, n_centroids: int, sample: int, seed: int, vec_col: str
+) -> Optional[np.ndarray]:
+    """Driver-side centroid seed sample + a few deterministic Lloyd steps.
+
+    Uses limit(sample) (reads only the first blocks; no count() pass and no
+    full-dataset scan) — centroid quality needs coverage of the embedding
+    space, not uniform-random rows, and the recall-vs-brute-force invariant
+    is pinned in tests. Returns None for an empty dataset.
+    """
+    samp = emb_ds.limit(sample).to_pandas()
+    if len(samp) == 0:
+        return None
+    xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
+    # a few Lloyd iterations, deterministic
+    for _ in range(5):
+        assign = np.argmax(xs @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = xs[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
 def build_ivf(
     emb_ds,
     n_centroids: int = 16,
@@ -89,20 +129,9 @@ def build_ivf(
     At real scale the bucketed frame stays a Dataset partitioned by bucket;
     here the per-bucket matrices are materialized for probing.
     """
-    samp = emb_ds.random_sample(
-        min(1.0, sample / max(1, emb_ds.count())), seed=seed
-    ).to_pandas()
-    xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    cents = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
-    # a few Lloyd iterations, deterministic
-    for _ in range(5):
-        assign = np.argmax(xs @ cents.T, axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                v = xs[m].mean(axis=0)
-                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cents = _sampled_centroids(emb_ds, n_centroids, sample, seed, vec_col)
+    if cents is None:
+        return np.zeros((0, 0)), pd.DataFrame()
 
     import ray
 
@@ -145,19 +174,15 @@ def ivf_topk_distributed(
     """
     import ray
 
-    samp = emb_ds.random_sample(
-        min(1.0, sample / max(1, emb_ds.count())), seed=seed
-    ).to_pandas()
-    xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    cents = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
-    for _ in range(5):
-        assign = np.argmax(xs @ cents.T, axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                v = xs[m].mean(axis=0)
-                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cents = _sampled_centroids(emb_ds, n_centroids, sample, seed, vec_col)
+    if cents is None:  # empty dataset: typed-empty result, no crash
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
 
     qn = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     # per-bucket list of probing query indices (driver-side, tiny)
@@ -171,7 +196,7 @@ def ivf_topk_distributed(
     def _local_topk(batch: pa.Table) -> pa.Table:
         cs, q, bq = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
         x = _normalize(_to_matrix(batch[vec_col]))
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         buckets = np.argmax(x @ cs.T, axis=1)
         frames = []
         for b in np.unique(buckets):

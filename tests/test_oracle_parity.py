@@ -73,8 +73,19 @@ def _query_names():
 @pytest.mark.parametrize("name", _query_names())
 def test_query_matches_oracle(name, con, contract):
     queries, oracles = contract
-    got = _normalize(_to_pandas(queries[name](SF_DIR)))
-    want = _normalize(con.sql(oracles[name]).df())
+    got_raw = _to_pandas(queries[name](SF_DIR))
+    want_raw = con.sql(oracles[name]).arrow().to_pandas()
+    # Driver-faithful dtype check: the driver hashes arrow values WITHOUT
+    # normalization, so a DuckDB HUGEINT (decimal128) vs engine int64 is a
+    # hash mismatch even when values are equal. Oracle SQL must CAST.
+    got_dt = [str(got_raw[c].dtype) for c in sorted(got_raw.columns)]
+    want_dt = [str(want_raw[c].dtype) for c in sorted(want_raw.columns)]
+    assert got_dt == want_dt, (
+        f"{name}: dtype mismatch (add CAST in oracle_sql): "
+        f"engine {got_dt} != oracle {want_dt}"
+    )
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
