@@ -97,6 +97,33 @@ def _cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dump(args: argparse.Namespace) -> int:
+    """Parse -> emit events as JSONL (the reference test harness's event
+    dump, test/test.go:196-199): the first tool for debugging a log."""
+    from .options import Options
+    from .sources.sequences import read_sequences
+    from .stages.parse import parse_events
+
+    opt = Options(debug=args.debug)
+    events = parse_events(read_sequences(args.input), fmt=args.fmt, opt=opt)
+    if args.limit:
+        events = events.limit(args.limit)
+    sink = open(args.out, "w") if args.out else sys.stdout
+    n = 0
+    try:
+        for b in events.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for row in b.to_pylist():
+                for m in ("time_metrics", "number_metrics", "bool_metrics"):
+                    row[m] = dict(row[m] or ())
+                sink.write(json.dumps(row, separators=(",", ":")) + "\n")
+                n += 1
+    finally:
+        if args.out:
+            sink.close()
+            print(json.dumps({"events": n, "out": args.out}))
+    return 0
+
+
 def _cmd_synth(args: argparse.Namespace) -> int:
     from .sources.synth import generate_corpus
 
@@ -139,6 +166,21 @@ def main(argv=None) -> int:
     )
     p_rep.add_argument("--num-cpus", type=int, default=None)
     p_rep.set_defaults(fn=_cmd_report)
+
+    p_dmp = sub.add_parser("dump", help="parse and emit events as JSONL")
+    p_dmp.add_argument("input", help="sequences Parquet file/dir")
+    p_dmp.add_argument(
+        "--fmt", default="slowlog",
+        help="registered log format (slowlog|genlog|jsonlog)",
+    )
+    p_dmp.add_argument("--limit", type=int, default=0, help="0 = all events")
+    p_dmp.add_argument("--out", default=None, help="JSONL path (default stdout)")
+    p_dmp.add_argument(
+        "--debug", action="store_true",
+        help="Options.Debug: per-line parser state traces (worker stdout)",
+    )
+    p_dmp.add_argument("--num-cpus", type=int, default=None)
+    p_dmp.set_defaults(fn=_cmd_dump)
 
     p_syn = sub.add_parser("synth", help="generate a deterministic corpus")
     p_syn.add_argument("out")

@@ -58,6 +58,8 @@ def parse_general_log_text(
     text: Union[str, bytes],
     start_offset: int = 0,
     filter_admin_command=frozenset(),
+    debug: bool = False,
+    debug_sink=None,
 ) -> List[Dict]:
     """Parse one doc's general-log text into a list of event dicts.
 

@@ -31,6 +31,8 @@ def parse_json_log_text(
     text: Union[str, bytes],
     start_offset: int = 0,
     filter_admin_command=frozenset(),
+    debug: bool = False,
+    debug_sink=None,
 ) -> List[Dict]:
     """Parse one doc's JSON-lines text into event dicts.
 

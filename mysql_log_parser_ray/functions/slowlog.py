@@ -105,10 +105,20 @@ def _parse_uint(s: str) -> int:
 
 
 class SlowLogDocParser:
-    """One parse of one doc's text. Not reusable across docs."""
+    """One parse of one doc's text. Not reusable across docs.
 
-    def __init__(self, filter_admin_command=frozenset()):
+    ``debug`` mirrors Options.Debug (options.go:7): per-line state-
+    transition traces with the reference's exact labels (slow.go:102-292 -
+    "+<off> line:", "meta", "header", "time", "user (bad format)", "user",
+    "metrics", "query", "next event", "use db", "set var", "admin",
+    "not filtered", "send event", "done"). ``debug_sink`` receives each
+    trace line (default: print, i.e. worker stdout in a distributed run).
+    """
+
+    def __init__(self, filter_admin_command=frozenset(), debug: bool = False,
+                 debug_sink=None):
         self.filter_admin = filter_admin_command
+        self._dbg = (debug_sink if debug_sink is not None else print) if debug else None
         self.in_header = False
         self.in_query = False
         self.header_lines = 0
@@ -131,12 +141,17 @@ class SlowLogDocParser:
 
         bytes_read = self.bytes_read
         header_search = _header_re.search
+        dbg = self._dbg
         for raw in lines:
             line_len = len(raw) + 1  # + the stripped \n
             bytes_read += line_len
             self.line_offset = (
                 bytes_read - line_len + 1 if bytes_read != line_len else 0
             )  # the reference's off-by-one for non-zero offsets (slow.go:96-100)
+
+            if dbg is not None:  # slow.go:102-105
+                dbg(f"+{self.line_offset} line: "
+                    f"{raw.decode('utf-8', errors='replace')}")
 
             # Meta-line filter (slow.go:107-119), on the raw line incl. \n.
             if line_len >= 20 and (
@@ -145,6 +160,8 @@ class SlowLogDocParser:
                 or raw[0:4] == b"Tcp "
                 or raw[0:4] == b"TCP "
             ):
+                if dbg is not None:
+                    dbg("meta")
                 continue
 
             line = raw.decode("utf-8", errors="replace")
@@ -162,9 +179,13 @@ class SlowLogDocParser:
         self.bytes_read = bytes_read
         if self.query_lines > 0:
             self._send_event(False, False)
+        if dbg is not None:
+            dbg("done")
         return self.events
 
     def _parse_header(self, line: str, is_header: Optional[bool] = None) -> None:
+        if self._dbg is not None:
+            self._dbg("header")
         if is_header is None:
             is_header = _header_re.search(line) is not None
         if not is_header:
@@ -178,19 +199,27 @@ class SlowLogDocParser:
         self.header_lines += 1
 
         if line.startswith("# Time"):
+            if self._dbg is not None:
+                self._dbg("time")
             m = _time_re.search(line)
             self.event["ts"] = m.group(1)
             um = _user_re.search(line)
             if um:  # Percona "bad format": user on the Time line (slow.go:175-182)
+                if self._dbg is not None:
+                    self._dbg("user (bad format)")
                 self.event["user"] = um.group(1)
                 self.event["host"] = um.group(2)
         elif line.startswith("# User"):
+            if self._dbg is not None:
+                self._dbg("user")
             m = _user_re.search(line)
             self.event["user"] = m.group(1)
             self.event["host"] = m.group(2)
         elif line.startswith("# admin"):
             self._parse_admin(line)
         else:
+            if self._dbg is not None:
+                self._dbg("metrics")
             ev = self.event
             for name, val in _metrics_re.findall(line):
                 if name.endswith("_time") or name.endswith("_wait"):
@@ -207,6 +236,8 @@ class SlowLogDocParser:
                     ev["number_metrics"][name] = _parse_uint(val)
 
     def _parse_query(self, line: str, is_header: Optional[bool] = None) -> None:
+        if self._dbg is not None:
+            self._dbg("query")
         if line.startswith("# admin"):
             self._parse_admin(line)
             return
@@ -214,6 +245,8 @@ class SlowLogDocParser:
             is_header = _header_re.search(line) is not None
         if is_header:
             # Next event's header: finalize this one (slow.go:234-243).
+            if self._dbg is not None:
+                self._dbg("next event")
             self.in_header = True
             self.in_query = False
             self._send_event(True, False)
@@ -221,10 +254,16 @@ class SlowLogDocParser:
             return
 
         if self.query_lines == 0 and line.startswith("use "):
+            if self._dbg is not None:
+                self._dbg("use db")
             self.event["db"] = line[4:].rstrip(";")
         elif _set_re.search(line):
+            if self._dbg is not None:
+                self._dbg("set var")
             pass  # SET last_insert_id/insert_id/timestamp ignored (slow.go:252-256)
         else:
+            if self._dbg is not None:
+                self._dbg("query")
             if self.query_lines > 0:
                 self.event["query"] += "\n" + line
             else:
@@ -232,6 +271,8 @@ class SlowLogDocParser:
             self.query_lines += 1
 
     def _parse_admin(self, line: str) -> None:
+        if self._dbg is not None:
+            self._dbg("admin")
         self.event["admin"] = True
         m = _admin_re.search(line)
         q = m.group(1)
@@ -239,6 +280,8 @@ class SlowLogDocParser:
             q = q[:-1]
         self.event["query"] = q
         if q not in self.filter_admin:
+            if self._dbg is not None:
+                self._dbg("not filtered")
             self._send_event(False, False)
         else:
             # Filtered: state cleared but the event object is NOT reset,
@@ -247,6 +290,8 @@ class SlowLogDocParser:
             self.in_query = False
 
     def _send_event(self, in_header: bool, in_query: bool) -> None:
+        if self._dbg is not None:
+            self._dbg("send event")
         ev = self.event
         try:
             if "Query_time" not in ev["time_metrics"]:
@@ -396,15 +441,19 @@ def parse_slow_log_text(
     text: Union[str, bytes],
     start_offset: int = 0,
     filter_admin_command=frozenset(),
+    debug: bool = False,
+    debug_sink=None,
 ) -> List[Dict]:
     """Parse one doc's slow-log text into a list of event dicts.
 
     ``start_offset`` mirrors Options.StartOffset (seek before reading;
     slow.go:46-49): parsing begins at that byte and recorded offsets are
-    absolute within the doc.
+    absolute within the doc. ``debug`` mirrors Options.Debug: per-line
+    state traces; it forces the state machine (the fast path has no
+    per-line states to report).
     """
     data = text.encode("utf-8") if isinstance(text, str) else text
-    if start_offset == 0:
+    if start_offset == 0 and not debug:
         fast = _parse_fast(data.decode("utf-8", errors="replace"))
         if fast is not None:
             return fast
@@ -412,5 +461,6 @@ def parse_slow_log_text(
             multi = _parse_fast_multi(data)
             if multi is not None:
                 return multi
-    p = SlowLogDocParser(filter_admin_command=filter_admin_command)
+    p = SlowLogDocParser(filter_admin_command=filter_admin_command,
+                         debug=debug, debug_sink=debug_sink)
     return p.run(data, start_offset)

@@ -358,9 +358,47 @@ def class_partials(events_ds, exact: bool = False, batch_size: int = 65536,
     )
 
 
-def class_stats_from_partials(partials_ds):
-    return partials_ds.groupby("class_id").map_groups(
-        _merge_group, batch_format="pyarrow"
+def class_stats_from_partials(partials_ds, n_parts: int = 64):
+    """Distributed class merge: hash-bucket classes into ``n_parts`` coarse
+    partitions (ONE shuffle on a small key, never per-class ray dispatch)
+    and merge+finalize every class of a partition in one callback. The
+    worker-side loop is per class over tiny partial blobs, not per event.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _with_part(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch["class_id"].to_numpy(zero_copy_only=False)
+        )
+        part = (h % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def _merge_partition(g: pa.Table) -> pa.Table:
+        cids = g["class_id"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(cids)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        blobs = g["blob"].to_pylist()
+        fps = g["fingerprint"].to_pylist()
+        starts = np.r_[0, np.flatnonzero(np.diff(codes_s)) + 1]
+        ends = np.r_[starts[1:], len(codes_s)]
+        rows = []
+        for s0, e0 in zip(starts, ends):
+            merged = merge_partials(
+                [pickle.loads(blobs[order[i]]) for i in range(s0, e0)]
+            )
+            rows.append(
+                _finalize_class(uniq[codes_s[s0]], fps[order[s0]], merged)
+            )
+        return pa.Table.from_pylist(rows, schema=CLASS_STATS_SCHEMA)
+
+    return (
+        partials_ds.map_batches(
+            _with_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(_merge_partition, batch_format="pyarrow")
     )
 
 
@@ -456,8 +494,14 @@ MIXED_SCHEMA = pa.schema(
 )
 
 
+class DriverFoldOverflow(RuntimeError):
+    """Raised when a driver-side fold sees more distinct keys than its
+    bound; callers switch to the distributed (shuffle) reduction."""
+
+
 def collect_partials(agg_src, exact: bool = False, batch_size=None,
-                     example_queries: bool = True):
+                     example_queries: bool = True,
+                     max_driver_classes: Optional[int] = 100_000):
     """ONE pass over the events: merged per-class partials + sink counts.
 
     batch_size=None on purpose: partials are computed per BLOCK as it
@@ -472,6 +516,11 @@ def collect_partials(agg_src, exact: bool = False, batch_size=None,
     fold, use class_partials + class_stats_from_partials +
     grouped_counts(final="shuffle") instead - same partial machinery,
     distributed reduction.
+
+    Raises DriverFoldOverflow once more than ``max_driver_classes``
+    distinct classes accumulate (pass None to disable): the driver fold is
+    only safe when class cardinality is modest (slow-log fingerprints:
+    10^3-10^5); aggregate_events catches it and re-runs distributed.
 
     Returns ({class_id: (fingerprint, merged _ClassPartial)}, sink_counts_df).
     """
@@ -533,6 +582,11 @@ def collect_partials(agg_src, exact: bool = False, batch_size=None,
         ):
             by_class.setdefault(cid, []).append(pickle.loads(blob))
             fps.setdefault(cid, fp)
+        if max_driver_classes is not None and len(by_class) > max_driver_classes:
+            raise DriverFoldOverflow(
+                f"{len(by_class)} distinct classes exceed the driver-fold "
+                f"bound ({max_driver_classes}); use the distributed path"
+            )
         cnt_rows = b.filter(pa.array(kinds == 1))
         if cnt_rows.num_rows:
             count_frames.append(
@@ -583,12 +637,52 @@ def finalize_partials(merged_by_class: Dict, counts):
 
 
 def aggregate_events(agg_src, exact: bool = False, batch_size=None,
-                     example_queries: bool = True):
-    """ONE pass: (class_stats_table, GlobalStats, sink_counts_df)."""
-    merged_by_class, counts = collect_partials(
-        agg_src, exact, batch_size, example_queries
-    )
+                     example_queries: bool = True,
+                     max_driver_classes: Optional[int] = 100_000):
+    """(class_stats_table, GlobalStats, sink_counts_df).
+
+    ONE streaming pass with a driver fold while class cardinality stays
+    under ``max_driver_classes``; past that the fold aborts mid-stream and
+    the job re-runs through the distributed reduction (hash-bucketed class
+    merge + shuffle counts) with bounded driver memory. The re-execution
+    costs one extra source pass — only ever paid on corpora whose key
+    space was never driver-foldable to begin with.
+    """
+    try:
+        merged_by_class, counts = collect_partials(
+            agg_src, exact, batch_size, example_queries, max_driver_classes
+        )
+    except DriverFoldOverflow:
+        return _aggregate_events_distributed(agg_src, exact, example_queries)
     return finalize_partials(merged_by_class, counts)
+
+
+def _aggregate_events_distributed(agg_src, exact: bool, example_queries: bool):
+    """High-cardinality path: distributed class merge + shuffle counts.
+
+    The partials Dataset is materialized once (object store, spillable)
+    and feeds both the class-stats shuffle and the global fold; sink
+    counts take their own shuffle pass over the source.
+    """
+    import ray
+
+    parts_ds = class_partials(
+        agg_src, exact, example_queries=example_queries
+    ).materialize()
+    cls_ds = class_stats_from_partials(parts_ds)
+    refs = cls_ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    cls_table = (
+        pa.concat_tables([t.select(CLASS_STATS_SCHEMA.names) for t in tables])
+        if tables
+        else pa.Table.from_pylist([], schema=CLASS_STATS_SCHEMA)
+    )
+    glob = global_stats_from_partials(parts_ds)
+    glob.unique_queries = cls_table.num_rows
+    counts = grouped_counts(
+        agg_src, keys=["source", "class_id"], sum_col="n_tok", final="shuffle"
+    ).to_pandas()
+    return cls_table, glob, counts
 
 
 def grouped_counts(
@@ -596,14 +690,20 @@ def grouped_counts(
     keys: List[str],
     sum_col: Optional[str] = "n_tok",
     final: str = "driver",
+    max_driver_keys: Optional[int] = 200_000,
 ):
     """Pre-aggregated grouped counts.
 
     Per-batch pandas combine first (each block reduces to its distinct key
     set), then:
       final="driver" (default): stream the tiny partial rows to the driver
-        and fold with one pandas groupby - no shuffle; right when the
-        distinct-key cardinality is modest (sinks, sources, classes).
+        and fold INCREMENTALLY (re-grouping every ~256k buffered rows, so
+        driver memory is bounded by the distinct-key count, not by
+        blocks x keys) - no shuffle; right when the key cardinality is
+        modest (sinks, sources, classes). If distinct keys exceed
+        ``max_driver_keys`` the fold aborts mid-stream and the job
+        transparently re-runs through the shuffle path (pass None to pin
+        the driver fold).
       final="shuffle": ray groupby-sum over the partials - right when the
         key space itself is huge (e.g. grouping by doc_id).
     """
@@ -613,31 +713,62 @@ def grouped_counts(
         sel = keys + ([sum_col] if sum_col else [])
         df = batch.select(sel).to_pandas()
         if sum_col:
-            g = df.groupby(keys, as_index=False).agg(
+            g = df.groupby(keys, as_index=False, dropna=False).agg(
                 n_rows=(sum_col, "size"), n_tokens=(sum_col, "sum")
             )
         else:
-            g = df.groupby(keys, as_index=False).size().rename(columns={"size": "n_rows"})
+            g = (
+                df.groupby(keys, as_index=False, dropna=False)
+                .size()
+                .rename(columns={"size": "n_rows"})
+            )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    if final == "driver":
-        frames = [
-            b for b in partials.iter_batches(batch_size=None, batch_format="pandas")
-        ]
-        if not frames:
-            cols = keys + ["n_rows"] + (["n_tokens"] if sum_col else [])
-            return pd.DataFrame(columns=cols)
-        return (
-            pd.concat(frames, ignore_index=True)
-            .groupby(keys, as_index=False)
-            .sum()
+    def make_partials():
+        return ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
+
+    if final == "driver":
+        frames: List = []
+        buffered = 0
+        overflow = False
+
+        def _fold() -> "pd.DataFrame":
+            return (
+                pd.concat(frames, ignore_index=True)
+                .groupby(keys, as_index=False, dropna=False)
+                .sum()
+            )
+
+        for b in make_partials().iter_batches(
+            batch_size=None, batch_format="pandas"
+        ):
+            frames.append(b)
+            buffered += len(b)
+            if buffered >= 262_144:
+                frames = [_fold()]
+                buffered = len(frames[0])
+                if max_driver_keys is not None and buffered > max_driver_keys:
+                    overflow = True
+                    break  # stops the stream; fall through to shuffle
+        if not overflow:
+            if not frames:
+                cols = keys + ["n_rows"] + (["n_tokens"] if sum_col else [])
+                return pd.DataFrame(columns=cols)
+            out = _fold()
+            if max_driver_keys is None or len(out) <= max_driver_keys:
+                return out
+
     from ray.data.aggregate import Sum
 
     aggs = [Sum("n_rows", alias_name="n_rows")]
     if sum_col:
         aggs.append(Sum("n_tokens", alias_name="n_tokens"))
-    return partials.groupby(keys).aggregate(*aggs)
+    shuffled = make_partials().groupby(keys).aggregate(*aggs)
+    if final == "driver":
+        # overflow fallback: the REDUCTION ran distributed; the final
+        # result (one row per distinct key) still lands as the DataFrame
+        # this mode's callers expect
+        return shuffled.to_pandas()
+    return shuffled

@@ -44,7 +44,9 @@ PARSER_REGISTRY = {
 
 def register_parser(fmt: str, fn) -> None:
     """Register a per-doc text parser: fn(text, start_offset,
-    filter_admin_command) -> list of event dicts (new_event shape)."""
+    filter_admin_command) -> list of event dicts (new_event shape).
+    When Options.debug is set the parser is called with an extra
+    ``debug=True`` kwarg (trace to stdout); parsers may ignore it."""
     PARSER_REGISTRY[fmt] = fn
 from ..sources.sequences import detokenize_column
 
@@ -117,9 +119,15 @@ def parse_events_batch(
 
     filt = opt.filter_admin_command
     start = opt.start_offset
+    # Options.Debug (options.go:7): per-line state traces to worker stdout.
+    # Only passed when on, so third-party parsers registered before the
+    # debug contract keep working with the 3-arg signature.
+    kw = {"debug": True} if opt.debug else {}
     for i, data in enumerate(texts):
         try:
-            events = parse_text(data, start_offset=start, filter_admin_command=filt)
+            events = parse_text(
+                data, start_offset=start, filter_admin_command=filt, **kw
+            )
         except Exception:
             if on_error == "skip":
                 continue

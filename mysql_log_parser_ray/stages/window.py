@@ -10,10 +10,19 @@ Ray-Data-first:
   the same partial-then-shuffle shape as the class aggregation. Late data
   is a non-issue: event time is a column, not arrival time, so windows are
   simply keys and re-runs are deterministic.
-* ``sessionize``: gap-based sessions need per-user event-time ordering, so
-  the one shuffle is ``groupby(user)`` and the ordering is established
-  INSIDE each group (sort of one user's events), never globally. Skew
-  bound: the busiest single user's events must fit in one group task.
+* ``sessionize``: gap-based sessions need per-user event-time ordering.
+  A ``groupby(user)`` would dispatch one Python callback per user — death
+  by dispatch at 10^8 users — so the shuffle key is ``hash(user) % n_parts``
+  (~64 coarse buckets) and ONE vectorized pass sessionizes every user in a
+  partition: lexsort by (user, ts, order), session breaks = user-change OR
+  gap, per-session reduce via break-index arithmetic. Skew bound: the
+  busiest PARTITION (not user) must fit in one task; n_parts tunes that.
+
+Null handling (explicit, documented): rows with a null event-time are
+dropped at the stage boundary (the us-int64 arithmetic is undefined on
+null; a SQL oracle would keep a NULL group — divergence only for corpora
+with null timestamps). Null KEYS are kept as groups (dropna=False /
+factorize(use_na_sentinel=False)), matching SQL GROUP BY.
 """
 
 from __future__ import annotations
@@ -47,6 +56,7 @@ def tumbling_window_agg(
     width_us = int(window_sec) * 1_000_000
 
     def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))  # null event-time
         us = _epoch_us(batch[ts_col])
         win = (us // width_us) * window_sec  # window start, epoch SECONDS
         cols = {"window_start": win}
@@ -60,7 +70,7 @@ def tumbling_window_agg(
         agg = {"n": ("window_start", "size")}
         if value_col is not None:
             agg["value_cents"] = ("value_cents", "sum")
-        g = df.groupby(keys, as_index=False).agg(**agg)
+        g = df.groupby(keys, as_index=False, dropna=False).agg(**agg)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
@@ -88,49 +98,87 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    n_parts: int = 64,
 ):
     """Gap-based sessions per user. A new session starts when the gap to
     the previous event (per user, ordered by (ts, order_col)) exceeds
     ``gap_sec``. Returns one row per session:
     (user_id, session_seq, n_events, start_us, end_us, duration_us),
     microsecond-exact int64s so the result hashes deterministically.
+
+    Scale shape: users are hash-partitioned into ``n_parts`` coarse
+    buckets (one shuffle on a ~64-ary key, never per-user groups) and each
+    partition sessionizes ALL of its users in one vectorized pass —
+    lexsort by (user, ts, order), break detection, reduce by break-index
+    arithmetic. No per-user Python dispatch anywhere.
     """
     gap_us = int(gap_sec) * 1_000_000
 
     def _narrow(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))  # null event-time
+        users = batch[user_col]
+        if pa.types.is_integer(users.type):
+            u64 = users.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = u64 * np.uint64(2654435761)  # Knuth multiplicative mix
+        else:  # strings etc.: deterministic 64-bit hash (fixed hash_key)
+            h = pd.util.hash_array(users.to_numpy(zero_copy_only=False))
+        part_np = ((h >> np.uint64(13)) % np.uint64(n_parts)).astype(np.int64)
+        part = pa.array(part_np, pa.int64())
         return pa.table(
             {
-                user_col: batch[user_col],
+                "_part": part,
+                user_col: users,
                 "_us": pa.array(_epoch_us(batch[ts_col]), pa.int64()),
                 order_col: batch[order_col],
             }
         )
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g[order_col].to_numpy(), g["_us"].to_numpy()))
-        us = g["_us"].to_numpy()[order]
-        new_s = np.ones(len(us), dtype=np.int64)
-        new_s[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new_s)
-        df = pd.DataFrame({"sid": sid, "us": us})
-        s = df.groupby("sid", as_index=False).agg(
-            n_events=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
-        )
+    empty = pd.DataFrame(
+        {
+            user_col: pd.Series([], dtype="object"),
+            "session_seq": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "start_us": pd.Series([], dtype="int64"),
+            "end_us": pd.Series([], dtype="int64"),
+            "duration_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def _sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # every user of this hash bucket, one vectorized pass
+        if len(g) == 0:
+            return empty
+        codes, uniques = pd.factorize(g[user_col], use_na_sentinel=False)
+        us = g["_us"].to_numpy()
+        order_v = g[order_col].to_numpy()
+        o = np.lexsort((order_v, us, codes))
+        codes, us = codes[o], us[o]
+        new_user = np.ones(len(us), dtype=bool)
+        new_user[1:] = codes[1:] != codes[:-1]
+        brk = new_user | np.r_[True, (us[1:] - us[:-1]) > gap_us]
+        gsid = np.cumsum(brk)  # global (partition-wide) session id, 1-based
+        user_first = np.where(new_user, gsid, 0)
+        np.maximum.accumulate(user_first, out=user_first)
+        seq = gsid - user_first + 1
+        b = np.flatnonzero(brk)
+        e = np.r_[b[1:], len(us)] - 1
         return pd.DataFrame(
             {
-                user_col: g[user_col].iloc[0],
-                "session_seq": s["sid"].astype(np.int64),
-                "n_events": s["n_events"].astype(np.int64),
-                "start_us": s["start_us"],
-                "end_us": s["end_us"],
-                "duration_us": (s["end_us"] - s["start_us"]).astype(np.int64),
+                user_col: np.asarray(uniques)[codes[b]],
+                "session_seq": seq[b].astype(np.int64),
+                "n_events": (e - b + 1).astype(np.int64),
+                "start_us": us[b],
+                "end_us": us[e],
+                "duration_us": (us[e] - us[b]).astype(np.int64),
             }
         )
 
     out = (
         events_ds.map_batches(_narrow, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(user_col)
-        .map_groups(_sessions, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(_sessions_part, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:
+        return empty
     return out.sort_values([user_col, "session_seq"]).reset_index(drop=True)

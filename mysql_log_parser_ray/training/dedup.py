@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .text import _WS_RE as _WS_RE_SIM
 from .text import normalize_text
 
 _MERSENNE = (1 << 61) - 1
@@ -243,40 +244,83 @@ def minhash_dedup_pairs(
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
-    # Verify candidates with exact shingle Jaccard. The shingling runs
-    # DISTRIBUTED over the docs Dataset (filter to candidate ids + hash
-    # inside map_batches); only the candidates' shingle arrays - a set
-    # bounded by the LSH candidate count, not the corpus - reach the
-    # driver for the pairwise verify.
-    need = frozenset(cand["doc_a"]) | frozenset(cand["doc_b"])
+    # Verify candidates with exact shingle Jaccard — fully DISTRIBUTED.
+    # The driver holds only (doc_a, doc_b) id pairs (bounded by the LSH
+    # candidate count, never shingles). Pairs are hash-partitioned; the
+    # pair->partition routing map is broadcast ONCE (ray.put + per-worker
+    # cache); one pass over the docs Dataset re-shingles candidate docs
+    # and emits each doc's shingle array to every partition that verifies
+    # one of its pairs; groupby(partition) then verifies worker-side.
+    import ray
+
+    from ..broadcast import broadcast_get
+
+    n_vparts = 64
+    a_ids = cand["doc_a"].to_numpy()
+    b_ids = cand["doc_b"].to_numpy()
+    pair_part = (
+        pd.util.hash_array(a_ids) ^ pd.util.hash_array(b_ids)
+    ) % np.uint64(n_vparts)
+    pairs_by_part = {
+        int(p): (a_ids[pair_part == p], b_ids[pair_part == p])
+        for p in np.unique(pair_part)
+    }
+    # doc_id -> sorted unique partitions that need its shingles
+    doc_parts: Dict = {}
+    for p, (pa_ids, pb_ids) in pairs_by_part.items():
+        for did in np.unique(np.concatenate([pa_ids, pb_ids])):
+            doc_parts.setdefault(int(did), []).append(p)
+    route_ref = ray.put((doc_parts, pairs_by_part))
 
     def _cand_shingles(b: pa.Table) -> pa.Table:
+        routes, _ = broadcast_get(route_ref)
         ids = b[id_col].to_pylist()
         texts_ = b[text_col].to_pylist()
-        keep_ids, shingle_lists = [], []
+        out_part, out_id, out_sh = [], [], []
         for did, t in zip(ids, texts_):
-            if did in need:
-                keep_ids.append(did)
-                shingle_lists.append(char_shingles(t).tolist())
+            ps = routes.get(did)
+            if ps is None:
+                continue
+            sh = char_shingles(t).tolist()
+            for p in ps:
+                out_part.append(p)
+                out_id.append(did)
+                out_sh.append(sh)
         return pa.table(
             {
-                id_col: pa.array(keep_ids),
-                "shingles": pa.array(shingle_lists, pa.list_(pa.uint64())),
+                "vpart": pa.array(out_part, pa.int32()),
+                id_col: pa.array(out_id),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
             }
         )
 
-    sh_cache: Dict = {}
-    for b in docs_ds.map_batches(
-        _cand_shingles, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for did, sh in zip(b[id_col].to_pylist(), b["shingles"].to_pylist()):
-            sh_cache[did] = np.asarray(sh, dtype=np.uint64)
-    rows = []
-    for a_, b_ in cand.itertuples(index=False):
-        j = jaccard(sh_cache[a_], sh_cache[b_])
-        if j >= threshold:
-            rows.append((a_, b_, j))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    def _verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        _, pairs_map = broadcast_get(route_ref)
+        pa_ids, pb_ids = pairs_map[int(g["vpart"].iloc[0])]
+        sh = {
+            did: np.asarray(s, dtype=np.uint64)
+            for did, s in zip(g[id_col], g["shingles"])
+        }
+        rows = []
+        for a_, b_ in zip(pa_ids, pb_ids):
+            j = jaccard(sh[a_], sh[b_])
+            if j >= threshold:
+                rows.append((a_, b_, j))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    out = (
+        docs_ds.map_batches(
+            _cand_shingles, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vpart")
+        .map_groups(_verify_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _typed_empty(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def word_ngrams(text: str, n: int = 3) -> set:
@@ -449,11 +493,33 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
-    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+    """Vectorized SimHash: normalize + split via pandas str ops, hash only
+    UNIQUE words (factorize; Zipf makes this a small set), accumulate the
+    ±1 contributions per doc with one reduceat, pack sign bits with
+    packbits. Bit-identical to simhash64 per doc (pinned in tests)."""
+    texts = batch[text_col].to_pandas().reset_index(drop=True)
+    n = len(texts)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    words = (
+        texts.str.replace(_WS_RE_SIM, " ", regex=True).str.lower()
+        .str.split(" ")
+        .explode()
+    )
+    words = words[words.notna() & (words != "")]
+    if len(words):
+        doc_idx = words.index.to_numpy()  # nondecreasing (explode order)
+        codes, uniq = pd.factorize(words.to_numpy())
+        bit_mat = np.empty((len(uniq), 64), dtype=np.int64)
+        for i, w in enumerate(uniq):
+            bit_mat[i] = _word_bits(w)
+        contrib = bit_mat[codes]
+        starts = np.r_[0, np.flatnonzero(doc_idx[1:] != doc_idx[:-1]) + 1]
+        acc[doc_idx[starts]] = np.add.reduceat(contrib, starts, axis=0)
+    hs = np.packbits(acc > 0, axis=1, bitorder="little").view(np.uint64).ravel()
     return pa.table(
         {
             id_col: batch[id_col],
-            "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+            "simhash": pa.array(hs, pa.uint64()),
         }
     )
 

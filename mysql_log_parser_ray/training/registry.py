@@ -206,7 +206,11 @@ def q_media_decode(sf_dir: str):
         )
 
     media = docs.map_batches(_to_media, batch_format="pyarrow", zero_copy_batch=True)
-    out = decode_features(media, concurrency=(1, 4), batch_size=256)
+    # pool floor of 2: a floor of 1 serializes warm-up behind a single
+    # actor, but a higher floor can starve the upstream map tasks on small
+    # CPU budgets (the 4-CPU test session deadlocks at floor 4); the pool
+    # autoscales to 8 when CPUs allow, bounding per-node codec state
+    out = decode_features(media, concurrency=(2, 8), batch_size=256)
     return out.select_columns(
         ["media_id", "media_type", "decoded_width", "decoded_height"]
     )

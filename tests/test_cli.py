@@ -64,3 +64,48 @@ def test_cli_run_resumable(corpus, capsys, tmp_path):
     assert first["events"] == second["events"]
     assert first["unique_classes"] == second["unique_classes"]
     assert first["sinks"] == second["sinks"]
+
+
+def test_cli_dump_matches_parser_golden(ray_session, capsys, tmp_path):
+    """`dump` must emit exactly the events the per-doc parser produces for
+    the reference's slow001 fixture (test/test.go:196-199 parity)."""
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.cli import main
+    from mysql_log_parser_ray.functions import parse_slow_log_text
+    from mysql_log_parser_ray.sources.synth import build_sequences_table
+
+    from .conftest import read_log
+
+    text = read_log("slow001.log")
+    path = str(tmp_path / "seq.parquet")
+    pq.write_table(build_sequences_table([text], ["slow001"], ["s0"]), path)
+
+    assert main(["dump", path]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    got = [json.loads(l) for l in lines]
+    want = parse_slow_log_text(text)
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g["query"] == w["query"]
+        assert g["user"] == w["user"]
+        assert g["db"] == w["db"]
+        assert g["offset"] == w["offset"]
+        assert g["ts"] == w["ts"]
+        assert g["time_metrics"]["Query_time"] == pytest.approx(
+            w["time_metrics"]["Query_time"]
+        )
+        assert g["doc_id"] == "slow001" and g["source"] == "s0"
+        assert g["fingerprint"] and g["class_id"]
+
+
+def test_cli_dump_limit_and_file_out(corpus, capsys, tmp_path):
+    out_path = str(tmp_path / "events.jsonl")
+    from mysql_log_parser_ray.cli import main
+
+    assert main(["dump", corpus, "--limit", "5", "--out", out_path]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["events"] == 5
+    with open(out_path) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert len(rows) == 5 and all("class_id" in r for r in rows)

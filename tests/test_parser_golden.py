@@ -727,3 +727,30 @@ def test_parse_uint_go_semantics():
     assert nm["Bytes_sent"] == _UINT64_MAX  # overflow -> clamped, kept
     assert nm["Rows_sent"] == 0             # unicode digit -> syntax err -> 0
     assert nm["Thread_id"] == 7
+
+
+def test_debug_trace_slow001(logs_dir):
+    """Options.Debug parity (options.go:7, slow.go:102-292): per-line state
+    traces with the reference's labels, same events as the silent parse."""
+    trace = []
+    got = parse("slow001.log", debug=True, debug_sink=trace.append)
+    assert got == parse("slow001.log")  # tracing must not change results
+    labels = [t for t in trace if not t.startswith("+")]
+    line_traces = [t for t in trace if t.startswith("+")]
+    # slow001 has two events: User@Host headers, metric lines, one query each
+    assert labels.count("header") >= 2
+    assert labels.count("user") >= 2
+    assert labels.count("metrics") >= 2
+    assert labels.count("send event") == 2
+    assert labels.count("query") >= 2
+    assert labels[-1] == "done"
+    # every line of the doc is traced with its byte offset
+    assert line_traces[0].startswith("+0 line: ")
+    n_lines = read_log("slow001.log").count(b"\n")
+    assert len(line_traces) == n_lines
+
+
+def test_debug_forces_state_machine_same_result(logs_dir):
+    """debug=True must bypass the fast path yet stay bit-identical."""
+    for name in ("slow002.log", "slow009.log", "slow013.log"):
+        assert parse(name, debug=True, debug_sink=lambda _: None) == parse(name)

@@ -212,3 +212,119 @@ def test_sketch_mode_uint64_overflow_clamped(ray_session):
     row = cls_table.to_pylist()[0]
     bs = dict(row["number_stats"])["Bytes_sent"]
     assert bs["max"] == (1 << 64) - 1  # clamped, not crashed
+
+
+def _synthetic_events(n: int, n_blocks: int = 8):
+    """EVENT_SCHEMA-shaped dataset with n rows, every row a DISTINCT class."""
+    import ray.data as rd
+
+    def _mk(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = batch["id"].to_numpy()
+        k = len(ids)
+        off = pa.array(np.arange(k + 1), pa.int32())
+        tm = pa.MapArray.from_arrays(
+            off, pa.array(["Query_time"] * k, pa.string()),
+            pa.array(np.ones(k), pa.float32()))
+        empty_num = pa.MapArray.from_arrays(
+            pa.array(np.zeros(k + 1), pa.int32()),
+            pa.array([], pa.string()), pa.array([], pa.uint64()))
+        empty_bool = pa.MapArray.from_arrays(
+            pa.array(np.zeros(k + 1), pa.int32()),
+            pa.array([], pa.string()), pa.array([], pa.bool_()))
+        cid = pa.array([f"c{i:07d}" for i in ids], pa.string())
+        return pa.table({
+            "doc_id": pa.array([str(i) for i in ids], pa.string()),
+            "source": pa.array(["s" + str(i % 4) for i in ids], pa.string()),
+            "n_tok": pa.array(np.full(k, 3, np.int32), pa.int32()),
+            "event_seq": pa.array(np.zeros(k, np.int32), pa.int32()),
+            "offset": pa.array(np.zeros(k, np.uint64), pa.uint64()),
+            "ts": pa.array([""] * k, pa.string()),
+            "admin": pa.array([False] * k, pa.bool_()),
+            "query": pa.array(["SELECT 1"] * k, pa.string()),
+            "user": pa.array([""] * k, pa.string()),
+            "host": pa.array([""] * k, pa.string()),
+            "db": pa.array([""] * k, pa.string()),
+            "rate_type": pa.array([""] * k, pa.string()),
+            "rate_limit": pa.array(np.zeros(k, np.uint8), pa.uint8()),
+            "time_metrics": tm,
+            "number_metrics": empty_num,
+            "bool_metrics": empty_bool,
+            "fingerprint": cid,
+            "class_id": cid,
+        })
+
+    return rd.range(n, override_num_blocks=n_blocks).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+
+
+def test_high_cardinality_auto_switches_to_distributed(ray_session):
+    """~10^5+ distinct fingerprints: the driver fold must abort (bounded
+    memory) and the distributed path must produce the full result."""
+    from mysql_log_parser_ray.stages.aggregate import (
+        DriverFoldOverflow,
+        aggregate_events,
+        collect_partials,
+    )
+
+    n = 60_000
+    ev = _synthetic_events(n, n_blocks=4)
+    import pytest as _pytest
+
+    with _pytest.raises(DriverFoldOverflow):
+        collect_partials(ev, exact=True, max_driver_classes=20_000)
+
+    cls_table, glob, counts = aggregate_events(
+        ev, exact=True, max_driver_classes=20_000
+    )
+    assert cls_table.num_rows == n
+    assert glob.total_queries == n and glob.unique_queries == n
+    assert counts["n_rows"].sum() == n
+    assert set(counts["source"]) == {"s0", "s1", "s2", "s3"}
+
+
+def test_distributed_path_matches_driver_fold(ray_session):
+    """Small corpus: both aggregation paths must agree exactly."""
+    import pandas as pd
+
+    from mysql_log_parser_ray.stages.aggregate import aggregate_events
+
+    ev = _synthetic_events(512, n_blocks=4)
+    cls_d, glob_d, cnt_d = aggregate_events(ev, exact=True,
+                                            max_driver_classes=None)
+    cls_s, glob_s, cnt_s = aggregate_events(ev, exact=True,
+                                            max_driver_classes=100)
+    a = cls_d.to_pandas().sort_values("class_id").reset_index(drop=True)
+    b = cls_s.to_pandas().sort_values("class_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert glob_d.as_dict() == glob_s.as_dict()
+    ka = cnt_d.sort_values(["source", "class_id"]).reset_index(drop=True)
+    kb = cnt_s.sort_values(["source", "class_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ka[["source", "class_id", "n_rows", "n_tokens"]].astype({"n_rows": "int64", "n_tokens": "int64"}),
+        kb[["source", "class_id", "n_rows", "n_tokens"]].astype({"n_rows": "int64", "n_tokens": "int64"}),
+    )
+
+
+def test_grouped_counts_overflow_falls_back_to_shuffle(ray_session):
+    """grouped_counts(final='driver') past max_driver_keys must still
+    return the correct DataFrame (reduced via shuffle)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.aggregate import grouped_counts
+
+    def _mk(batch):
+        import pyarrow as pa
+        ids = batch["id"].to_numpy()
+        return pa.table({
+            "k": pa.array([f"k{i}" for i in ids], pa.string()),
+            "n_tok": pa.array(ids % 7, pa.int64()),
+        })
+
+    ds = rd.range(5000, override_num_blocks=4).map_batches(_mk, batch_format="pyarrow")
+    out = grouped_counts(ds, keys=["k"], sum_col="n_tok", max_driver_keys=1000)
+    assert len(out) == 5000  # every key distinct; result still complete
+    assert int(out["n_rows"].sum()) == 5000

@@ -385,3 +385,41 @@ def test_simhash_max_hamming_bound(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": ["a b", "c d"]}))
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_pairs(ds, max_hamming=64)
+
+
+def test_simhash_batch_matches_scalar():
+    """The vectorized simhash_batch must stay bit-identical to the scalar
+    simhash64 reference (unique-word factorize + reduceat + packbits vs
+    the per-word loop)."""
+    from mysql_log_parser_ray.training.dedup import simhash64, simhash_batch
+
+    texts = [
+        "hello world",
+        "",
+        "   ",
+        "  lots\t of\n whitespace  ",
+        "Hello WORLD hello",
+        "word " * 300,
+        "punct! mixed, 123 numbers?",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = simhash_batch(t)["simhash"].to_pylist()
+    assert got == [simhash64(x) for x in texts]
+
+
+def test_minhash_verify_is_distributed(ray_session, docs_ds):
+    """minhash_dedup_pairs must agree with a driver-side exact-Jaccard
+    recomputation of its own reported pairs (the verify step now runs in
+    workers; this pins its correctness)."""
+    from mysql_log_parser_ray.training.dedup import (
+        char_shingles,
+        jaccard,
+        minhash_dedup_pairs,
+    )
+
+    out = minhash_dedup_pairs(docs_ds, threshold=0.8)
+    assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+    docs = docs_ds.to_pandas().set_index("doc_id")["text"]
+    for r in out.itertuples(index=False):
+        j = jaccard(char_shingles(docs[r.doc_a]), char_shingles(docs[r.doc_b]))
+        assert abs(j - r.jaccard) < 1e-12 and j >= 0.8

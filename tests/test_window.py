@@ -119,3 +119,67 @@ def test_asof_join_broadcast(ray_session):
     assert got[2] == "new"      # boundary: ts == valid_from takes the new row
     assert got[3] == "new"
     assert pd.isna(got[4])      # before any version -> null (left join)
+
+
+def test_asof_join_partitioned_matches_broadcast(ray_session):
+    """Big-dim co-partitioned as-of join must reproduce the broadcast
+    variant exactly (many keys, many versions, facts before first
+    version, ties on the boundary)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.asof import (
+        asof_join_broadcast,
+        asof_join_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    n_facts, n_keys = 3000, 40
+    base = np.datetime64("2024-01-01", "us")
+    facts = pa.table(
+        {
+            "id": pa.array(np.arange(n_facts), pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(-5, 120, n_facts) * np.timedelta64(1, "D"),
+                pa.timestamp("us"),
+            ),
+            "k": pa.array(rng.integers(0, n_keys, n_facts), pa.int64()),
+            "payload": pa.array(rng.standard_normal(n_facts), pa.float64()),
+        }
+    )
+    dim = pd.DataFrame(
+        [
+            {
+                "k": k,
+                "valid_from": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(days=14 * v),
+                "v": f"v{k}-{v}",
+                "weight": k * 10 + v,
+            }
+            for k in range(n_keys)
+            for v in range(5)
+        ]
+    )
+    dim["valid_from"] = dim["valid_from"].astype("datetime64[us]")
+    cols = ["id", "k", "v", "weight"]
+    want = (
+        asof_join_broadcast(
+            rd.from_arrow(facts), dim, on="ts", by="k", dim_on="valid_from",
+            columns=cols,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    got = (
+        asof_join_partitioned(
+            rd.from_arrow(facts), rd.from_pandas(dim), on="ts", by="k",
+            dim_on="valid_from", columns=cols, n_parts=8,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # facts older than every dim version must carry nulls
+    assert want["v"].isna().sum() > 0
