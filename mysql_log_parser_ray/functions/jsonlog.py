@@ -9,7 +9,8 @@ dynamic-metric model is identical across formats:
 * any numeric field whose key ends ``_time`` / ``_wait`` -> time_metrics
   (float32 semantics, matching the slow-log parser)
 * any bool field -> bool_metrics
-* any other int field -> number_metrics (uint64 wrap semantics)
+* any other int field -> number_metrics (negatives -> 0 like Go's
+  ParseUint in the slow-log dispatch; positive overflow wraps mod 2^64)
 * ``admin: true`` marks admin commands; filter_admin_command drops by
   the query/command string, mirroring slow.go:280-288
 * unparseable lines are skipped (telemetry streams carry garbage; the
@@ -69,10 +70,14 @@ def parse_json_log_text(
                         else:
                             # json.loads accepts NaN/Infinity (non-standard
                             # but common from lenient writers); parse
-                            # failures silently yield 0 like the slow-log
-                            # metric dispatch (slow.go:201)
+                            # failures AND negatives yield 0, mirroring the
+                            # slow-log ParseUint dispatch (slow.go:201 -
+                            # Go's ParseUint errors on a minus sign)
                             try:
-                                ev["number_metrics"][k] = int(v) % _U64
+                                n = int(v)
+                                ev["number_metrics"][k] = (
+                                    0 if n < 0 else n % _U64
+                                )
                             except (ValueError, OverflowError):
                                 ev["number_metrics"][k] = 0
                 if not (ev["admin"] and ev["query"] in filter_admin_command):

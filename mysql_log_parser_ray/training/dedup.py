@@ -176,8 +176,13 @@ def minhash_dedup_pairs(
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns a pandas DataFrame (doc_a, doc_b, jaccard) with jaccard >=
-    threshold, doc_a < doc_b. Candidate generation is banded (no all-pairs);
-    verification recomputes shingles for candidates only.
+    threshold, doc_a < doc_b. Candidate generation is banded (no
+    all-pairs) with a signature-estimate prefilter inside the candidate
+    partitions (signatures ride the band rows; a pair whose estimated
+    jaccard sits >= 4 sigmas below the threshold is dropped before exact
+    verification - per-pair miss odds ~1e-5, far below the banding
+    scheme's own ~2e-4 miss rate at j=0.8). Survivors are verified with
+    EXACT shingle jaccard, distributed (see inline comments).
 
     ``max_bucket`` caps pathological LSH buckets: a band bucket with k
     members emits k^2/2 candidates, so one giant boilerplate cluster can
@@ -192,17 +197,20 @@ def minhash_dedup_pairs(
         texts = batch[text_col].to_pylist()
         sigs = minhash_signature_batch(texts)
         ids = batch[id_col].to_pylist()
-        rows = {"band_id": [], "band_hash": [], id_col: []}
+        rows = {"band_id": [], "band_hash": [], id_col: [], "sig": []}
         for i, did in enumerate(ids):
+            sig_bytes = sigs[i].tobytes()  # 64 perms x 8B, rides each band row
             for band_id, bh in enumerate(lsh_bands(sigs[i], n_bands)):
                 rows["band_id"].append(band_id)
                 rows["band_hash"].append(bh)
                 rows[id_col].append(did)
+                rows["sig"].append(sig_bytes)
         return pa.table(
             {
                 "band_id": pa.array(rows["band_id"], pa.int32()),
                 "band_hash": pa.array(rows["band_hash"], pa.int64()),
                 id_col: pa.array(rows[id_col]),
+                "sig": pa.array(rows["sig"], pa.binary()),
             }
         )
 
@@ -218,6 +226,13 @@ def minhash_dedup_pairs(
             "part", pa.array(part.astype(np.int32), pa.int32())
         )
 
+    # Signature-estimate prefilter margin: est ~ Binomial(64, j)/64, sd
+    # <= 0.0625; 4 sigmas below threshold keeps P(drop a true pair) per
+    # candidate under ~1e-5 - far below the banding scheme's own miss
+    # rate - while cutting the recall-tuned banding's false candidates
+    # (measured 340k -> a few hundred at sf0.1) before the exact verify.
+    est_floor = max(0.0, threshold - 0.25)
+
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # cap pathological buckets, then vectorized self-merge per bucket
         if max_bucket is not None:
@@ -227,12 +242,21 @@ def minhash_dedup_pairs(
             ]
         m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_l", "_r"))
         m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_a": m[f"{id_col}_l"].to_numpy(),
                 "doc_b": m[f"{id_col}_r"].to_numpy(),
             }
-        ).drop_duplicates()
+        )
+        if out.empty:
+            return _typed_empty({"doc_a": "int64", "doc_b": "int64"})
+        keep_first = ~out.duplicated()
+        m = m.loc[keep_first.to_numpy()]
+        out = out.loc[keep_first.to_numpy()]
+        sl = np.frombuffer(b"".join(m["sig_l"]), dtype=np.uint64).reshape(-1, _N_PERM)
+        sr = np.frombuffer(b"".join(m["sig_r"]), dtype=np.uint64).reshape(-1, _N_PERM)
+        est = (sl == sr).mean(axis=1)
+        return out.loc[est >= est_floor]
 
     cand = (
         banded.map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
@@ -244,82 +268,123 @@ def minhash_dedup_pairs(
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
-    # Verify candidates with exact shingle Jaccard — fully DISTRIBUTED.
-    # The driver holds only (doc_a, doc_b) id pairs (bounded by the LSH
-    # candidate count, never shingles). Pairs are hash-partitioned; the
-    # pair->partition routing map is broadcast ONCE (ray.put + per-worker
-    # cache); one pass over the docs Dataset re-shingles candidate docs
-    # and emits each doc's shingle array to every partition that verifies
-    # one of its pairs; groupby(partition) then verifies worker-side.
+    # Verify candidates with exact shingle Jaccard — fully DISTRIBUTED,
+    # pair-anchored (the ngram_jaccard two-stage shape). The driver holds
+    # only (doc_a, doc_b) id pairs (bounded by LSH banding + max_bucket,
+    # never shingles); the pair list is broadcast ONCE. One pass over the
+    # docs Dataset explodes candidate docs' (shingle, doc, n_sh) rows,
+    # hash-partitioned BY SHINGLE so each doc's shingles ship exactly
+    # once; per shingle-partition, two C-level merges anchor intersections
+    # to candidate pairs (work bounded by pairs x avg-shingles, immune to
+    # hot-shingle m^2 blowup); a pair-partitioned sum computes the exact
+    # jaccard and applies the threshold worker-side.
+    # Scale note: the candidate PAIR set sits on the driver/broadcast; at
+    # corpus sizes where even that overflows, replace the broadcast with a
+    # pair-Dataset join keyed by doc_a.
     import ray
 
     from ..broadcast import broadcast_get
 
     n_vparts = 64
-    a_ids = cand["doc_a"].to_numpy()
-    b_ids = cand["doc_b"].to_numpy()
-    pair_part = (
-        pd.util.hash_array(a_ids) ^ pd.util.hash_array(b_ids)
-    ) % np.uint64(n_vparts)
-    pairs_by_part = {
-        int(p): (a_ids[pair_part == p], b_ids[pair_part == p])
-        for p in np.unique(pair_part)
-    }
-    # doc_id -> sorted unique partitions that need its shingles
-    doc_parts: Dict = {}
-    for p, (pa_ids, pb_ids) in pairs_by_part.items():
-        for did in np.unique(np.concatenate([pa_ids, pb_ids])):
-            doc_parts.setdefault(int(did), []).append(p)
-    route_ref = ray.put((doc_parts, pairs_by_part))
+    need_docs = np.unique(
+        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
+    )
+    cand_pairs = cand[["doc_a", "doc_b"]].reset_index(drop=True)
+    cand_ref = ray.put((need_docs, cand_pairs))
 
     def _cand_shingles(b: pa.Table) -> pa.Table:
-        routes, _ = broadcast_get(route_ref)
-        ids = b[id_col].to_pylist()
-        texts_ = b[text_col].to_pylist()
-        out_part, out_id, out_sh = [], [], []
-        for did, t in zip(ids, texts_):
-            ps = routes.get(did)
-            if ps is None:
-                continue
-            sh = char_shingles(t).tolist()
-            for p in ps:
-                out_part.append(p)
-                out_id.append(did)
-                out_sh.append(sh)
+        docs_sorted, _ = broadcast_get(cand_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(np.isin(ids, docs_sorted))
+        texts_ = b[text_col].take(pa.array(sel)).to_pylist()
+        out_sh, out_id, out_n = [], [], []
+        for did, t in zip(ids[sel], texts_):
+            sh = char_shingles(t)
+            out_sh.append(sh.view(np.int64))
+            out_id.append(np.full(len(sh), did, dtype=np.int64))
+            out_n.append(np.full(len(sh), len(sh), dtype=np.int32))
+        if not out_sh:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int32()),
+                    "spart": pa.array([], pa.int32()),
+                }
+            )
+        sh_all = np.concatenate(out_sh)
         return pa.table(
             {
-                "vpart": pa.array(out_part, pa.int32()),
-                id_col: pa.array(out_id),
-                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+                "sh": pa.array(sh_all, pa.int64()),
+                "doc": pa.array(np.concatenate(out_id), pa.int64()),
+                "n_sh": pa.array(np.concatenate(out_n), pa.int32()),
+                "spart": pa.array(
+                    (np.abs(sh_all) % n_vparts).astype(np.int32), pa.int32()
+                ),
             }
         )
 
-    def _verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        _, pairs_map = broadcast_get(route_ref)
-        pa_ids, pb_ids = pairs_map[int(g["vpart"].iloc[0])]
-        sh = {
-            did: np.asarray(s, dtype=np.uint64)
-            for did, s in zip(g[id_col], g["shingles"])
-        }
-        rows = []
-        for a_, b_ in zip(pa_ids, pb_ids):
-            j = jaccard(sh[a_], sh[b_])
-            if j >= threshold:
-                rows.append((a_, b_, j))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    def _co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        _, pairs = broadcast_get(cand_ref)
+        a = pairs.merge(
+            g.rename(columns={"doc": "doc_a", "n_sh": "na"}), on="doc_a"
+        )
+        i = a.merge(
+            g.rename(columns={"doc": "doc_b", "n_sh": "nb"}),
+            on=["doc_b", "sh"],
+        )
+        if i.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int32"),
+                    "nb": pd.Series([], dtype="int32"),
+                }
+            )
+        return i[["doc_a", "doc_b", "na", "nb"]]
+
+    def _with_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(a * np.int64(1000003) + b) % n_vparts
+        return batch.append_column(
+            "ppart", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def _pair_agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("na", "size"), na=("na", "max"), nb=("nb", "max")
+        )
+        jac = s["inter"] / (s["na"] + s["nb"] - s["inter"])
+        keep = (jac >= threshold).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": s["doc_a"].to_numpy()[keep],
+                "doc_b": s["doc_b"].to_numpy()[keep],
+                "jaccard": jac.to_numpy()[keep],
+            }
+        )
 
     out = (
         docs_ds.map_batches(
             _cand_shingles, batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("vpart")
-        .map_groups(_verify_part, batch_format="pandas")
+        .groupby("spart")
+        .map_groups(_co_pairs, batch_format="pandas")
+        .map_batches(
+            _with_pair_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("ppart")
+        .map_groups(_pair_agg, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
         return _typed_empty(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -12,7 +12,12 @@ import pyarrow as pa
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from ..pipelines.queries import _blocks_for
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -241,3 +241,14 @@ def test_ascii_whitespace_parity_with_oracle():
     )
     oracle = dict(con.execute(sql).fetchall())
     assert ray_counts == {k: int(v) for k, v in oracle.items()}
+
+
+def test_jsonlog_negative_int_yields_zero():
+    """ADVICE parity fix: Go's ParseUint errors on a minus sign and the
+    slow-log dispatch stores 0; negative JSON ints must do the same, not
+    wrap mod 2^64."""
+    from mysql_log_parser_ray.functions.jsonlog import parse_json_log_text
+
+    evs = parse_json_log_text('{"query": "q", "Rows_sent": -3, "Bytes": 7}\n')
+    assert evs[0]["number_metrics"]["Rows_sent"] == 0
+    assert evs[0]["number_metrics"]["Bytes"] == 7
