@@ -244,11 +244,86 @@ def run_serial() -> dict:
     }
 
 
+def run_sessions(n_events: int = 4_000_000, n_users: int = 1_000_000) -> dict:
+    """Sessionization at high user cardinality vs the windowed aggregate
+    on the SAME synthetic events (the scale audit for the bucketed
+    sessionize: per-user dispatch would die here; the hash-bucketed pass
+    must stay within ~2x of the tumbling-window stage)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.window import sessionize, tumbling_window_agg
+
+    def _mk(batch):
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(ids[0] if len(ids) else 0)
+        base = np.datetime64("2024-01-01", "us")
+        ts = base + rng.integers(0, 30 * 86400, len(ids)) * np.timedelta64(
+            1_000_000, "us"
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(ids % n_users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(
+                    rng.standard_normal(len(ids)) * 50 + 100, pa.float64()
+                ),
+                "event_type": pa.array(
+                    np.char.add("t", (ids % 5).astype(str)), pa.string()
+                ),
+            }
+        )
+
+    ev = rd.range(n_events, override_num_blocks=64).map_batches(
+        _mk, batch_format="pyarrow"
+    ).materialize()  # fixed input for both stages; generation untimed
+
+    tumbling_window_agg(ev, window_sec=3600)  # warm-up (worker pool)
+
+    t0 = time.perf_counter()
+    win = tumbling_window_agg(ev, window_sec=3600)
+    window_sec_t = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ses_ds = sessionize(ev, gap_sec=1800, as_dataset=True).materialize()
+    session_sec = time.perf_counter() - t0
+    n_sessions = ses_ds.count()
+
+    return {
+        "metric": "sessionize_vs_window",
+        "value": round(session_sec / window_sec_t, 2),
+        "unit": "ratio",
+        "n_events": n_events,
+        "n_users": n_users,
+        "n_sessions": n_sessions,
+        "window_rows": len(win),
+        "window_sec": round(window_sec_t, 3),
+        "sessionize_sec": round(session_sec, 3),
+        "sessions_per_sec": round(n_events / session_sec, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--serial" in sys.argv:
         print(json.dumps(run_serial()))
+    elif "--sessions" in sys.argv:
+        print(json.dumps(run_sessions()))
+        import ray
+
+        ray.shutdown()
     else:
         result = run_bench(skip_queries=bool(os.environ.get("BENCH_SKIP_QUERIES")))
         print(json.dumps(result))

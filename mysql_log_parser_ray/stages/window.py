@@ -99,12 +99,17 @@ def sessionize(
     ts_col: str = "ts",
     order_col: str = "event_id",
     n_parts: int = 64,
+    as_dataset: bool = False,
 ):
     """Gap-based sessions per user. A new session starts when the gap to
     the previous event (per user, ordered by (ts, order_col)) exceeds
     ``gap_sec``. Returns one row per session:
     (user_id, session_seq, n_events, start_us, end_us, duration_us),
     microsecond-exact int64s so the result hashes deterministically.
+
+    ``as_dataset=True`` keeps the result distributed (one row per
+    session is user-cardinality-sized; collecting it to the driver is the
+    caller's choice, not the operator's cost) - the scale path.
 
     Scale shape: users are hash-partitioned into ``n_parts`` coarse
     buckets (one shuffle on a ~64-ary key, never per-user groups) and each
@@ -173,12 +178,14 @@ def sessionize(
             }
         )
 
-    out = (
+    ds = (
         events_ds.map_batches(_narrow, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(_sessions_part, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return ds
+    out = ds.to_pandas()
     if out.empty:
         return empty
     return out.sort_values([user_col, "session_seq"]).reset_index(drop=True)
