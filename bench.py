@@ -162,6 +162,7 @@ def run_scaling(trials: int = 2) -> dict:
             r = json.loads(out.strip().splitlines()[-1])
             if best is None or r["value"] < best["value"]:
                 best = r
+            time.sleep(10)  # let the previous Ray session's teardown settle
         results[ncpu] = best
     lo, hi = levels
     tps_lo = results[lo]["tokens_per_sec"]
