@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
         "lineitem_pricing": q.q_lineitem_pricing,
+        "supplier_by_nation": q.q_supplier_by_nation,
+        "part_type_stats": q.q_part_type_stats,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -356,6 +358,23 @@ def oracle_sql() -> dict[str, str]:
                    SUM(l_quantity) AS sum_qty,
                    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        "supplier_by_nation": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   COUNT(*) AS n_parts,
+                   MIN(p_size) AS min_size,
+                   MAX(p_size) AS max_size,
+                   CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+            FROM part GROUP BY 1
         """,
     }
     try:

@@ -467,28 +467,41 @@ def q_events_hash_sample(sf_dir: str):
 
 
 def q_distinct_users_per_type(sf_dir: str):
-    """Exact distributed distinct-count: per-batch distinct pairs (the
-    combiner), then a distinct-pair groupby count. The dedup happens before
-    the shuffle, so only unique (type, user) pairs move."""
+    """Exact distributed distinct-count, bucketed: per-batch distinct
+    pairs (the combiner) tagged with hash(user) % 64, ONE shuffle on the
+    coarse bucket key (never a groupby over millions of tiny (type, user)
+    groups), global dedup + per-type count vectorized inside each bucket
+    (a user's rows all land in one bucket), then a driver fold of
+    64 x n_types partial rows."""
+    import numpy as np
     import pandas as pd
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    n_parts = 64
 
     def _pairs(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
+        h = pd.util.hash_array(df["user_id"].to_numpy()) % np.uint64(n_parts)
+        df["_part"] = h.astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    from ray.data.aggregate import Count
+    def _count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = (
+            d.groupby("event_type", as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out
 
     out = (
         ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .count()
-        .groupby("event_type")
-        .count()
+        .groupby("_part")
+        .map_groups(_count_part, batch_format="pandas")
         .to_pandas()
+        .groupby("event_type", as_index=False, dropna=False)
+        .sum()
     )
-    out = out.rename(columns={"count()": "n_users"})
     out["n_users"] = out["n_users"].astype("int64")
     return out
 
@@ -684,4 +697,114 @@ def q_lineitem_pricing(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["sum_qty"] = out["sum_qty"].astype("float64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+def q_supplier_by_nation(sf_dir: str):
+    """Two-hop broadcast dim join: supplier -> nation -> region (both dim
+    tables are tiny; ONE ray.put of the composed lookup, no shuffle join),
+    then grouped counts + exact acctbal cents."""
+    import ray
+
+    nation = _read(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    nk = dict(
+        zip(
+            nation["n_nationkey"],
+            zip(
+                nation["n_name"],
+                nation["n_regionkey"].map(
+                    dict(zip(region["r_regionkey"], region["r_name"]))
+                ),
+            ),
+        )
+    )
+    ref = ray.put(nk)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lut = _broadcast_get(ref)
+        keys = pd.Series(b["s_nationkey"].to_pandas())
+        mapped = keys.map(lut)
+        return pa.table(
+            {
+                "nation": pa.array([m[0] for m in mapped], pa.string()),
+                "region": pa.array([m[1] for m in mapped], pa.string()),
+                "cents": _cents(b["s_acctbal"]),
+            }
+        )
+
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = df.groupby(["region", "nation"], as_index=False).agg(
+            n_suppliers=("cents", "size"), acctbal_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["region", "nation"])
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_suppliers", "acctbal_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_part_type_stats(sf_dir: str):
+    """Grouped min/max/sum over the part table (partial-agg shape)."""
+    ds = _read(
+        sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {
+                "p_type": b["p_type"],
+                "p_size": b["p_size"],
+                "retail_cents": _cents(b["p_retailprice"]),
+            }
+        ).to_pandas()
+        g = df.groupby("p_type", as_index=False).agg(
+            n_parts=("p_size", "size"),
+            min_size=("p_size", "min"),
+            max_size=("p_size", "max"),
+            retail_cents=("retail_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Min("min_size", alias_name="min_size"),
+            Max("max_size", alias_name="max_size"),
+            Sum("retail_cents", alias_name="retail_cents"),
+        )
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["retail_cents"] = out["retail_cents"].astype("int64")
+    # p_size is int32 in the parquet schema; DuckDB MIN/MAX preserve it
+    out["min_size"] = out["min_size"].astype("int32")
+    out["max_size"] = out["max_size"].astype("int32")
     return out
