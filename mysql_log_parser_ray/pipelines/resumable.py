@@ -51,6 +51,11 @@ def _process_shard_factory(dim, opt: Options, exact: bool, min_parallelism: int)
             batch_format="pyarrow",
             batch_size=None,
         )
+        # Per-SHARD class cardinality bounds this fold (a shard is a few
+        # files); collect_partials raises DriverFoldOverflow loudly past
+        # 1e5 classes rather than exhausting driver memory - a corpus that
+        # trips it needs the checkpoint blobs re-keyed by class bucket,
+        # not a bigger driver.
         merged_by_class, counts = collect_partials(agg_src, exact=exact)
 
         # Persist the shard's mergeable aggregation state.

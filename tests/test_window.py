@@ -183,3 +183,56 @@ def test_asof_join_partitioned_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # facts older than every dim version must carry nulls
     assert want["v"].isna().sum() > 0
+
+
+def test_sessionize_as_dataset_matches_dataframe(ray_session):
+    """as_dataset=True (the scale path) must yield exactly the DataFrame
+    path's rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    base = np.datetime64("2024-03-01", "us")
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "ts": pa.array(
+            base + rng.integers(0, 6 * 86400, n) * np.timedelta64(1_000_000, "us"),
+            pa.timestamp("us"),
+        ),
+    }))
+    df = sessionize(ev, gap_sec=900)
+    ds = (
+        sessionize(ev, gap_sec=900, as_dataset=True)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ds, df)
+
+
+def test_sessionize_invariant_to_partition_count(ray_session):
+    """Bucketing must not change results: n_parts=1 (everything in one
+    partition = the plain reference pass) vs n_parts=64."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    base = np.datetime64("2024-02-01", "us")
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "ts": pa.array(
+            base + rng.integers(0, 3 * 86400, n) * np.timedelta64(1_000_000, "us"),
+            pa.timestamp("us"),
+        ),
+    }))
+    a = sessionize(ev, gap_sec=1200, n_parts=1)
+    b = sessionize(ev, gap_sec=1200, n_parts=64)
+    pd.testing.assert_frame_equal(a, b)
