@@ -95,11 +95,11 @@ def _parse_uint(s: str) -> int:
     * overflow (ErrRange) -> MaxUint64, because Go returns the CLAMPED
       value alongside ErrRange and the ignored error keeps it
     """
-    if not s:
+    # isascii() guards isdigit() accepting unicode digits ('²') that int()
+    # rejects and Go calls a syntax error; both checks are C-level (the
+    # per-char Python loop showed up at 8% of the parse profile)
+    if not (s.isascii() and s.isdigit()):
         return 0
-    for c in s:
-        if c < "0" or c > "9":
-            return 0
     v = int(s)
     return v if v <= _UINT64_MAX else _UINT64_MAX
 

@@ -114,15 +114,16 @@ def parse_events_batch(
         batch["n_tok"].to_pylist() if "n_tok" in batch.column_names else [len(t) for t in texts]
     )
 
-    cols: Dict[str, list] = {name: [] for name in EVENT_SCHEMA.names}
-    tok_rows: List[int] = []  # input row index per emitted event
-
     filt = opt.filter_admin_command
     start = opt.start_offset
     # Options.Debug (options.go:7): per-line state traces to worker stdout.
     # Only passed when on, so third-party parsers registered before the
     # debug contract keep working with the 3-arg signature.
     kw = {"debug": True} if opt.debug else {}
+    # (input row idx, event_seq, event) flat list; columns are then built
+    # with one C-driven comprehension per column instead of 18 appends per
+    # event inside a Python loop (measured ~25% of this function)
+    flat: List[tuple] = []
     for i, data in enumerate(texts):
         try:
             events = parse_text(
@@ -132,29 +133,30 @@ def parse_events_batch(
             if on_error == "skip":
                 continue
             raise
-        did, src, ntk = doc_ids[i], sources[i], n_toks[i]
-        for seq, ev in enumerate(events):
-            fp, cid = _fingerprint_cached(ev["query"])
-            cols["doc_id"].append(did)
-            cols["source"].append(src)
-            cols["n_tok"].append(ntk)
-            cols["event_seq"].append(seq)
-            cols["offset"].append(ev["offset"])
-            cols["ts"].append(ev["ts"])
-            cols["admin"].append(ev["admin"])
-            cols["query"].append(ev["query"])
-            cols["user"].append(ev["user"])
-            cols["host"].append(ev["host"])
-            cols["db"].append(ev["db"])
-            cols["rate_type"].append(ev["rate_type"])
-            cols["rate_limit"].append(ev["rate_limit"])
-            cols["time_metrics"].append(list(ev["time_metrics"].items()))
-            cols["number_metrics"].append(list(ev["number_metrics"].items()))
-            cols["bool_metrics"].append(list(ev["bool_metrics"].items()))
-            cols["fingerprint"].append(fp)
-            cols["class_id"].append(cid)
-            if include_tokens:
-                tok_rows.append(i)
+        flat.extend((i, seq, ev) for seq, ev in enumerate(events))
+
+    fps_cids = [_fingerprint_cached(ev["query"]) for _, _, ev in flat]
+    cols: Dict[str, list] = {
+        "doc_id": [doc_ids[i] for i, _, _ in flat],
+        "source": [sources[i] for i, _, _ in flat],
+        "n_tok": [n_toks[i] for i, _, _ in flat],
+        "event_seq": [seq for _, seq, _ in flat],
+        "offset": [ev["offset"] for _, _, ev in flat],
+        "ts": [ev["ts"] for _, _, ev in flat],
+        "admin": [ev["admin"] for _, _, ev in flat],
+        "query": [ev["query"] for _, _, ev in flat],
+        "user": [ev["user"] for _, _, ev in flat],
+        "host": [ev["host"] for _, _, ev in flat],
+        "db": [ev["db"] for _, _, ev in flat],
+        "rate_type": [ev["rate_type"] for _, _, ev in flat],
+        "rate_limit": [ev["rate_limit"] for _, _, ev in flat],
+        "time_metrics": [list(ev["time_metrics"].items()) for _, _, ev in flat],
+        "number_metrics": [list(ev["number_metrics"].items()) for _, _, ev in flat],
+        "bool_metrics": [list(ev["bool_metrics"].items()) for _, _, ev in flat],
+        "fingerprint": [fc[0] for fc in fps_cids],
+        "class_id": [fc[1] for fc in fps_cids],
+    }
+    tok_rows: List[int] = [i for i, _, _ in flat] if include_tokens else []
 
     arrays = [
         pa.array(cols[f.name], type=f.type) for f in EVENT_SCHEMA
