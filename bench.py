@@ -168,10 +168,17 @@ def run_scaling(trials: int = 2) -> dict:
     tps_lo = results[lo]["tokens_per_sec"]
     tps_hi = results[hi]["tokens_per_sec"]
     eff = (tps_hi / tps_lo) / (hi / lo)
+    ceiling = _core_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        # same-box per-core frequency/membw ceiling measured NOW with a
+        # fixed-work pure-Python probe: the max efficiency ANY CPU-bound
+        # job can show between these levels on one shared box. A real
+        # N->4N-node cluster adds sockets/membw headroom with the cores.
+        "core_ceiling": ceiling,
+        "normalized_eff": round(eff / ceiling, 3) if ceiling else None,
         "cpus_n": lo,
         "cpus_4n": hi,
         f"sec_{lo}": results[lo]["value"],
@@ -183,6 +190,32 @@ def run_scaling(trials: int = 2) -> dict:
         "corpus_docs": results[hi]["corpus_docs"],
         "corpus_tokens": results[hi]["corpus_tokens"],
     }
+
+
+def _core_ceiling(lo: int, hi: int) -> float:
+    """Mean per-process time of a fixed pure-Python work loop with ``lo``
+    vs ``hi`` processes busy -> max possible lo->hi scaling efficiency on
+    this box (turbo/shared-cache/membw all reduce per-core speed as more
+    cores go busy)."""
+    import multiprocessing as mp
+
+    def probe(n: int) -> float:
+        with mp.Pool(n) as p:
+            times = p.map(_busy_loop, range(n))
+        return sum(times) / len(times)
+
+    t_lo = probe(lo)
+    time.sleep(2)
+    t_hi = probe(hi)
+    return round(t_lo / t_hi, 3) if t_hi else 0.0
+
+
+def _busy_loop(_) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i & 7
+    return time.perf_counter() - t0
 
 
 def run_serial() -> dict:
