@@ -51,6 +51,8 @@ def _blocks_for(path: str):
     return None (keep Ray's defaults - at real scale block count follows
     file layout)."""
     try:
+        if os.path.isdir(path):  # multi-file input: keep Ray's defaults
+            return None
         size = os.path.getsize(path)
     except OSError:
         return None

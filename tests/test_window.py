@@ -236,3 +236,34 @@ def test_sessionize_invariant_to_partition_count(ray_session):
     a = sessionize(ev, gap_sec=1200, n_parts=1)
     b = sessionize(ev, gap_sec=1200, n_parts=64)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sessionize_hot_user_skew(ray_session):
+    """Skew bound: one user owning half the events must neither break
+    correctness nor land outside its single hash bucket (the documented
+    partitioning assumption: busiest PARTITION fits one task)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    users = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n))
+    base = np.datetime64("2024-04-01", "us")
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(
+            base + rng.integers(0, 10 * 86400, n) * np.timedelta64(1_000_000, "us"),
+            pa.timestamp("us"),
+        ),
+    }))
+    out = sessionize(ev, gap_sec=600)
+    hot = out[out["user_id"] == 7]
+    assert hot["n_events"].sum() == int((users == 7).sum())
+    # sessions are disjoint, ordered, and gap-consistent for the hot user
+    assert (hot["session_seq"].to_numpy() == np.arange(1, len(hot) + 1)).all()
+    starts = hot["start_us"].to_numpy()
+    ends = hot["end_us"].to_numpy()
+    assert (starts[1:] - ends[:-1] > 600 * 1_000_000).all()
+    assert out["n_events"].sum() == n
