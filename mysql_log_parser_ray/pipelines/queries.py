@@ -482,9 +482,15 @@ def q_distinct_users_per_type(sf_dir: str):
     n_parts = 64
 
     def _pairs(b: pa.Table) -> pa.Table:
+        from ..partition import stable_partition
+
+        # partition from the ARROW column (dtype/null-stable) before the
+        # pandas conversion; a null user in the batch must not re-hash the
+        # other users as float64
+        b = b.append_column(
+            "_part", pa.array(stable_partition(b["user_id"], n_parts), pa.int64())
+        )
         df = b.to_pandas().drop_duplicates()
-        h = pd.util.hash_array(df["user_id"].to_numpy()) % np.uint64(n_parts)
-        df["_part"] = h.astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def _count_part(g: pd.DataFrame) -> pd.DataFrame:

@@ -756,9 +756,12 @@ def grouped_counts(
             if not frames:
                 cols = keys + ["n_rows"] + (["n_tokens"] if sum_col else [])
                 return pd.DataFrame(columns=cols)
-            out = _fold()
-            if max_driver_keys is None or len(out) <= max_driver_keys:
-                return out
+            # the stream is fully consumed and buffered rows are bounded
+            # (< fold threshold + folded keys): the final fold is already
+            # the complete answer, so return it even above max_driver_keys
+            # - re-running through the shuffle would pay a second source
+            # pass only to rebuild the same DataFrame on the driver
+            return _fold()
 
     from ray.data.aggregate import Sum
 

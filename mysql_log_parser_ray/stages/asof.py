@@ -48,7 +48,22 @@ def asof_join_broadcast(
 
     def _join(batch: pa.Table) -> pa.Table:
         d = _resolve(ref)
-        df = batch.to_pandas().sort_values(on, kind="mergesort")
+        df = batch.to_pandas()
+        # null key / null event time rows match nothing; split them out so
+        # the int->float null promotion can't poison the merge key dtype
+        # (merge_asof raises on mismatched 'by' dtypes) and restore the
+        # survivors' dtype
+        null_rows = df[on].isna()
+        if by is not None:
+            null_rows |= df[by].isna()
+        df_null = df.loc[null_rows]
+        df = df.loc[~null_rows]
+        if by is not None and df[by].dtype != d[by].dtype:
+            try:
+                df[by] = df[by].astype(d[by].dtype)
+            except (ValueError, TypeError):
+                pass
+        df = df.sort_values(on, kind="mergesort")
         out = pd.merge_asof(
             df,
             d,
@@ -57,6 +72,10 @@ def asof_join_broadcast(
             by=by,
             direction="backward",
         )
+        if len(df_null):
+            out = pd.concat(
+                [out, df_null.reindex(columns=out.columns)], ignore_index=True
+            )
         if columns is not None:
             out = out[columns]
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -117,11 +136,14 @@ def asof_join_partitioned(
     merged += [(n, dim_types[n]) for n in dim_cols if n not in fact_types]
     ordered = [n for n, _ in merged]
 
+    from ..partition import stable_partition
+
     def _tagger(side: int):
         def _tag(batch: pa.Table) -> pa.Table:
-            h = pd.util.hash_array(
-                batch[by].to_numpy(zero_copy_only=False)
-            ) % np.uint64(n_parts)
+            # dtype/null-stable: a null in the batch must not change how
+            # the other keys hash (int->float promotion would split a key
+            # across partitions and silently null out its joins)
+            part = stable_partition(batch[by], n_parts)
             n = batch.num_rows
             cols = {}
             for name, typ in merged:
@@ -129,7 +151,7 @@ def asof_join_partitioned(
                     batch[name] if name in batch.column_names
                     else pa.nulls(n, typ)
                 )
-            cols["_part"] = pa.array(h.astype(np.int64), pa.int64())
+            cols["_part"] = pa.array(part, pa.int64())
             cols["_side"] = pa.array(np.full(n, side, np.int8), pa.int8())
             return pa.table(cols)
 
@@ -161,16 +183,31 @@ def asof_join_partitioned(
 
     def _join_part(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
-        fac = _restore_dtypes(
-            g.loc[side == 1, fact_cols], fact_types
-        ).sort_values(on, kind="mergesort")
+        fac = g.loc[side == 1, fact_cols]
+        # facts with a null key or null event time match no dim version
+        # (merge_asof forbids them and they'd block the int-dtype restore);
+        # split them out and re-attach with null dim columns
+        null_rows = fac[by].isna() | fac[on].isna()
+        # restore dtypes on each half separately: the null half's key stays
+        # float (NaN has no int representation) but its OTHER columns must
+        # come back (id etc. were promoted by the union's null padding)
+        fac_null = _restore_dtypes(fac.loc[null_rows].copy(), fact_types)
+        fac = _restore_dtypes(fac.loc[~null_rows].copy(), fact_types).sort_values(
+            on, kind="mergesort"
+        )
+        dimp = g.loc[side == 0, dim_cols]
         dimp = _restore_dtypes(
-            g.loc[side == 0, dim_cols], dim_types
+            dimp.loc[~(dimp[by].isna() | dimp[dim_on].isna())], dim_types
         ).sort_values(dim_on, kind="mergesort")
         out = pd.merge_asof(
             fac, dimp, left_on=on, right_on=dim_on, by=by,
             direction="backward",
         )
+        if len(fac_null):
+            out = pd.concat(
+                [out, fac_null.reindex(columns=out.columns)],
+                ignore_index=True,
+            )
         return out[columns] if columns is not None else out
 
     return (

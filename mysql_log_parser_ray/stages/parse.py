@@ -102,9 +102,16 @@ def parse_events_batch(
     include_tokens: bool = False,
     on_error: str = "raise",
     fmt: str = "slowlog",
+    parse_text=None,
 ) -> pa.Table:
-    """One Arrow batch of docs -> one Arrow batch of events."""
-    parse_text = PARSER_REGISTRY[fmt]
+    """One Arrow batch of docs -> one Arrow batch of events.
+
+    ``parse_text`` (when given) overrides the registry lookup — the stage
+    factories resolve the parser ON THE DRIVER and ship the function with
+    the closure, so ``register_parser`` registrations made in the driver
+    process work in workers (each worker's module-level registry only has
+    the built-ins)."""
+    parse_text = parse_text if parse_text is not None else PARSER_REGISTRY[fmt]
     texts = detokenize_column(batch["tokens"])
     doc_ids = batch["doc_id"].to_pylist()
     sources = (
@@ -117,9 +124,21 @@ def parse_events_batch(
     filt = opt.filter_admin_command
     start = opt.start_offset
     # Options.Debug (options.go:7): per-line state traces to worker stdout.
-    # Only passed when on, so third-party parsers registered before the
-    # debug contract keep working with the 3-arg signature.
-    kw = {"debug": True} if opt.debug else {}
+    # Passed only when on AND the registered parser declares it, so
+    # third-party parsers with the documented 3-arg signature keep working
+    # (an unexpected kwarg would otherwise TypeError in every worker).
+    kw = {}
+    if opt.debug:
+        import inspect
+
+        try:
+            params = inspect.signature(parse_text).parameters
+            if "debug" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            ):
+                kw = {"debug": True}
+        except (TypeError, ValueError):
+            pass
     # (input row idx, event_seq, event) flat list; columns are then built
     # with one C-driven comprehension per column instead of 18 appends per
     # event inside a Python loop (measured ~25% of this function)
@@ -183,6 +202,10 @@ def make_parse_fn(
     fence, measured slower end-to-end.
     """
 
+    # resolve HERE (driver) so custom register_parser() registrations are
+    # shipped with the closure instead of re-looked-up in workers
+    parse_text = PARSER_REGISTRY[fmt]
+
     def _parse(batch: pa.Table) -> pa.Table:
         if batch.num_rows > slice_size:
             return pa.concat_tables(
@@ -190,13 +213,14 @@ def make_parse_fn(
                     parse_events_batch(
                         batch.slice(i, slice_size), opt=opt,
                         include_tokens=include_tokens, on_error=on_error, fmt=fmt,
+                        parse_text=parse_text,
                     )
                     for i in range(0, batch.num_rows, slice_size)
                 ]
             )
         return parse_events_batch(
             batch, opt=opt, include_tokens=include_tokens, on_error=on_error,
-            fmt=fmt,
+            fmt=fmt, parse_text=parse_text,
         )
 
     return _parse

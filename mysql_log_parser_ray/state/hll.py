@@ -88,9 +88,12 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     import pyarrow as pa
 
     def _sketch(batch: pa.Table) -> pa.Table:
-        h = HyperLogLog(p).add_many(
-            batch[column].to_numpy(zero_copy_only=False)
-        )
+        # drop_null BEFORE to_numpy: COUNT DISTINCT ignores nulls, and an
+        # int64 column batch containing a null would otherwise be promoted
+        # to float64, giving the same value a different hash than in
+        # null-free batches (double-counting it across sketches)
+        col = batch[column].combine_chunks().drop_null()
+        h = HyperLogLog(p).add_many(col.to_numpy(zero_copy_only=False))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     merged = HyperLogLog(p)

@@ -244,6 +244,9 @@ def minhash_dedup_pairs(
     # scheme's own ~2e-4 miss rate while cutting the recall-tuned
     # banding's false candidates (measured 340k -> ~1k at sf0.1) before
     # the exact verify.
+    est_perms = min(int(est_perms), _N_PERM)  # signature is _N_PERM wide
+    if est_perms < 1:
+        raise ValueError("est_perms must be >= 1")
     est_floor = max(0.0, threshold - 2.0 / float(est_perms) ** 0.5)
 
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -262,7 +265,8 @@ def minhash_dedup_pairs(
             }
         )
         if out.empty:
-            return _typed_empty({"doc_a": "int64", "doc_b": "int64"})
+            dt = str(g[id_col].dtype)
+            return _typed_empty({"doc_a": dt, "doc_b": dt})
         keep_first = ~out.duplicated()
         m = m.loc[keep_first.to_numpy()]
         out = out.loc[keep_first.to_numpy()]
@@ -310,17 +314,18 @@ def minhash_dedup_pairs(
         ids = b[id_col].to_numpy(zero_copy_only=False)
         sel = np.flatnonzero(np.isin(ids, docs_sorted))
         texts_ = b[text_col].take(pa.array(sel)).to_pylist()
+        id_type = b[id_col].type  # ids keep their own dtype (strings ok)
         out_sh, out_id, out_n = [], [], []
         for did, t in zip(ids[sel], texts_):
             sh = char_shingles(t)
             out_sh.append(sh.view(np.int64))
-            out_id.append(np.full(len(sh), did, dtype=np.int64))
+            out_id.append(np.repeat(did, len(sh)))
             out_n.append(np.full(len(sh), len(sh), dtype=np.int32))
         if not out_sh:
             return pa.table(
                 {
                     "sh": pa.array([], pa.int64()),
-                    "doc": pa.array([], pa.int64()),
+                    "doc": pa.array([], id_type),
                     "n_sh": pa.array([], pa.int32()),
                     "spart": pa.array([], pa.int32()),
                 }
@@ -329,7 +334,7 @@ def minhash_dedup_pairs(
         return pa.table(
             {
                 "sh": pa.array(sh_all, pa.int64()),
-                "doc": pa.array(np.concatenate(out_id), pa.int64()),
+                "doc": pa.array(np.concatenate(out_id), id_type),
                 "n_sh": pa.array(np.concatenate(out_n), pa.int32()),
                 "spart": pa.array(
                     (np.abs(sh_all) % n_vparts).astype(np.int32), pa.int32()
@@ -347,20 +352,20 @@ def minhash_dedup_pairs(
             on=["doc_b", "sh"],
         )
         if i.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "na": pd.Series([], dtype="int32"),
-                    "nb": pd.Series([], dtype="int32"),
-                }
+            dt = str(pairs["doc_a"].dtype)
+            return _typed_empty(
+                {"doc_a": dt, "doc_b": dt, "na": "int32", "nb": "int32"}
             )
         return i[["doc_a", "doc_b", "na", "nb"]]
 
     def _with_pair_part(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(a * np.int64(1000003) + b) % n_vparts
+        from ..partition import stable_pair_partition
+
+        part = stable_pair_partition(
+            batch["doc_a"].to_numpy(zero_copy_only=False),
+            batch["doc_b"].to_numpy(zero_copy_only=False),
+            n_vparts,
+        )
         return batch.append_column(
             "ppart", pa.array(part.astype(np.int32), pa.int32())
         )
@@ -393,11 +398,11 @@ def minhash_dedup_pairs(
         .to_pandas()
     )
     if out.empty:
-        return _typed_empty(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-        )
-    out["doc_a"] = out["doc_a"].astype("int64")
-    out["doc_b"] = out["doc_b"].astype("int64")
+        dt = str(cand["doc_a"].dtype)
+        return _typed_empty({"doc_a": dt, "doc_b": dt, "jaccard": "float64"})
+    if pd.api.types.is_integer_dtype(cand["doc_a"].dtype):
+        out["doc_a"] = out["doc_a"].astype("int64")
+        out["doc_b"] = out["doc_b"].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -733,9 +738,13 @@ def embedding_dup_pairs_tiles(
 
     def _norm(b: pa.Table) -> pa.Table:
         x = _normalize(_to_matrix(b[vec_col]))
-        d = x.shape[1] if len(x) else 0
-        vec = pa.FixedSizeListArray.from_arrays(
-            pa.array(x.ravel(), pa.float64()), d or 1
+        n, d = (x.shape[0], x.shape[1]) if x.ndim == 2 and len(x) else (0, 0)
+        # plain list<double>, NOT fixed_size_list: an empty block can't
+        # know d, and mixing fixed_size_list widths across blocks breaks
+        # schema unification
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d, pa.int32())
+        vec = pa.ListArray.from_arrays(
+            offsets, pa.array(x.ravel(), pa.float64())
         )
         return pa.table({id_col: b[id_col].cast(pa.int64()), "v": vec})
 
@@ -752,12 +761,16 @@ def embedding_dup_pairs_tiles(
             a = pa.Table.from_pandas(a)
         if hasattr(b, "to_arrow"):
             b = pa.Table.from_pandas(b)
-        xa, ia = _to_matrix(a["v"]), a[id_col].combine_chunks().to_numpy()
-        xb, ib = _to_matrix(b["v"]), b[id_col].combine_chunks().to_numpy()
-        if len(ia) == 0 or len(ib) == 0:
+        # empty blocks can be schema-less (no columns at all)
+        if (
+            a.num_rows == 0 or b.num_rows == 0
+            or "v" not in a.column_names or "v" not in b.column_names
+        ):
             return _typed_empty(
                 {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        xa, ia = _to_matrix(a["v"]), a[id_col].combine_chunks().to_numpy()
+        xb, ib = _to_matrix(b["v"]), b[id_col].combine_chunks().to_numpy()
         sims = xa @ xb.T
         mask = sims >= threshold
         if same:

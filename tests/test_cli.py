@@ -109,3 +109,30 @@ def test_cli_dump_limit_and_file_out(corpus, capsys, tmp_path):
     with open(out_path) as f:
         rows = [json.loads(l) for l in f if l.strip()]
     assert len(rows) == 5 and all("class_id" in r for r in rows)
+
+
+def test_dump_debug_with_three_arg_parser(ray_session, capsys, tmp_path):
+    """Review fix: Options.debug must not crash parsers registered with
+    the documented 3-arg signature (debug silently unavailable for them)."""
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.cli import main
+    from mysql_log_parser_ray.functions.slowlog import new_event
+    from mysql_log_parser_ray.sources.synth import build_sequences_table
+    from mysql_log_parser_ray.stages.parse import PARSER_REGISTRY, register_parser
+
+    def three_arg_parser(text, start_offset=0, filter_admin_command=frozenset()):
+        ev = new_event()
+        ev["query"] = "SELECT legacy"
+        ev["time_metrics"]["Query_time"] = 1.0
+        return [ev]
+
+    register_parser("legacyfmt", three_arg_parser)
+    try:
+        path = str(tmp_path / "seq.parquet")
+        pq.write_table(build_sequences_table([b"x\n"], ["d0"], ["s0"]), path)
+        assert main(["dump", path, "--fmt", "legacyfmt", "--debug"]) == 0
+        rows = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+        assert len(rows) == 1 and rows[0]["query"] == "SELECT legacy"
+    finally:
+        PARSER_REGISTRY.pop("legacyfmt", None)

@@ -328,3 +328,21 @@ def test_grouped_counts_overflow_falls_back_to_shuffle(ray_session):
     out = grouped_counts(ds, keys=["k"], sum_col="n_tok", max_driver_keys=1000)
     assert len(out) == 5000  # every key distinct; result still complete
     assert int(out["n_rows"].sum()) == 5000
+
+
+def test_hll_null_immune(ray_session):
+    """Review fix: nulls in an int column must be IGNORED (COUNT DISTINCT
+    semantics) and must not change how co-batched values hash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.state.hll import approx_distinct
+
+    vals = list(range(2000))
+    clean = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())}))
+    dirty = rd.from_arrow(
+        pa.table({"u": pa.array(vals + [None] * 50, pa.int64())})
+    )
+    a = approx_distinct(clean, "u")
+    b = approx_distinct(dirty, "u")
+    assert a == b  # same registers: nulls dropped, values hash identically

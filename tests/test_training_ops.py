@@ -423,3 +423,53 @@ def test_minhash_verify_is_distributed(ray_session, docs_ds):
     for r in out.itertuples(index=False):
         j = jaccard(char_shingles(docs[r.doc_a]), char_shingles(docs[r.doc_b]))
         assert abs(j - r.jaccard) < 1e-12 and j >= 0.8
+
+
+def test_minhash_string_doc_ids(ray_session):
+    """Review fix: the verify path must support non-integer doc ids."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [f"d{i}" for i in range(6)],
+        "text": [base, base + "tail!", "utterly different text entirely " * 6,
+                 base, "another unrelated document body " * 6, base + "tail?"],
+    }))
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(docs, threshold=0.8)
+    assert len(out) >= 3  # d0/d3 identical, d1/d5 near-identical, cross pairs
+    assert out["doc_a"].map(type).eq(str).all()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert ("d0", "d3") in pairs
+
+
+def test_minhash_est_perms_clamped(ray_session, docs_ds):
+    """est_perms beyond the signature width must clamp, not crash."""
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    big = minhash_dedup_pairs(docs_ds, threshold=0.8, est_perms=256)
+    ref = minhash_dedup_pairs(docs_ds, threshold=0.8, est_perms=64)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        big.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+
+
+def test_embedding_tiles_with_empty_block(ray_session):
+    """Review fix: empty blocks (over-partitioned tiny table) must not
+    break schema unification in the tiles path."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import embedding_dup_pairs_tiles
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 8))
+    x[1] = x[0] * 2.0  # exact-direction duplicate pair (cosine 1)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": list(range(5)),
+        "embedding": [r.tolist() for r in x],
+    })).repartition(16)  # more blocks than rows -> empty blocks
+    out = embedding_dup_pairs_tiles(emb, threshold=0.999)
+    assert [tuple(r) for r in out[["vec_a", "vec_b"]].to_numpy()] == [(0, 1)]

@@ -267,3 +267,60 @@ def test_sessionize_hot_user_skew(ray_session):
     ends = hot["end_us"].to_numpy()
     assert (starts[1:] - ends[:-1] > 600 * 1_000_000).all()
     assert out["n_events"].sum() == n
+
+
+def test_asof_join_partitioned_null_keys(ray_session):
+    """Review fix: a null 'by' key in a facts batch must neither re-route
+    the other keys (dtype promotion) nor crash merge_asof; null-keyed
+    facts come back with null dim columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.asof import (
+        asof_join_broadcast,
+        asof_join_partitioned,
+    )
+
+    base = np.datetime64("2024-01-10", "us")
+    facts = pa.table({
+        "id": pa.array(np.arange(8), pa.int64()),
+        "ts": pa.array([base + np.timedelta64(i, "D") for i in range(8)],
+                       pa.timestamp("us")),
+        "k": pa.array([7, 7, None, 9, 9, None, 7, 9], pa.int64()),
+    })
+    dim = pd.DataFrame({
+        "k": [7, 9],
+        "valid_from": pd.to_datetime(["2024-01-01", "2024-01-01"]).astype(
+            "datetime64[us]"),
+        "v": ["seven", "nine"],
+    })
+    got = (
+        asof_join_partitioned(
+            rd.from_arrow(facts), rd.from_pandas(dim), on="ts", by="k",
+            dim_on="valid_from", columns=["id", "v"], n_parts=4,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        asof_join_broadcast(
+            rd.from_arrow(facts), dim, on="ts", by="k",
+            dim_on="valid_from", columns=["id", "v"],
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got.loc[got["id"].isin([2, 5]), "v"].isna().all()
+    assert (got.loc[got["id"].isin([0, 1, 6]), "v"] == "seven").all()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stable_partition_null_immune():
+    """Review fix root cause: the partition of a key must not depend on
+    whether its batch happened to contain a null."""
+    from mysql_log_parser_ray.partition import stable_partition
+
+    clean = pa.chunked_array([pa.array([1, 2, 3, 42], pa.int64())])
+    dirty = pa.chunked_array([pa.array([1, 2, None, 42], pa.int64())])
+    pc_ = stable_partition(clean, 64)
+    pd_ = stable_partition(dirty, 64)
+    assert pc_[0] == pd_[0] and pc_[1] == pd_[1] and pc_[3] == pd_[3]
+    assert pd_[2] == 0  # nulls deterministically in partition 0
