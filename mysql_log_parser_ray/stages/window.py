@@ -121,18 +121,16 @@ def sessionize(
 
     def _narrow(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch[ts_col]))  # null event-time
-        users = batch[user_col]
-        if pa.types.is_integer(users.type):
-            u64 = users.to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = u64 * np.uint64(2654435761)  # Knuth multiplicative mix
-        else:  # strings etc.: deterministic 64-bit hash (fixed hash_key)
-            h = pd.util.hash_array(users.to_numpy(zero_copy_only=False))
-        part_np = ((h >> np.uint64(13)) % np.uint64(n_parts)).astype(np.int64)
-        part = pa.array(part_np, pa.int64())
+        from ..partition import stable_partition
+
+        # dtype/null-stable: a null user in the batch must not re-hash the
+        # other users (int->float promotion would split a user's events
+        # across buckets and fabricate extra sessions)
+        part = pa.array(stable_partition(batch[user_col], n_parts), pa.int64())
         return pa.table(
             {
                 "_part": part,
-                user_col: users,
+                user_col: batch[user_col],
                 "_us": pa.array(_epoch_us(batch[ts_col]), pa.int64()),
                 order_col: batch[order_col],
             }
