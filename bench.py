@@ -146,6 +146,8 @@ def run_scaling(trials: int = 2) -> dict:
     for ncpu in levels:
         best = None
         for _ in range(trials):
+            if results or best is not None:  # settle between Ray runs
+                time.sleep(10)
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
@@ -162,7 +164,6 @@ def run_scaling(trials: int = 2) -> dict:
             r = json.loads(out.strip().splitlines()[-1])
             if best is None or r["value"] < best["value"]:
                 best = r
-            time.sleep(10)  # let the previous Ray session's teardown settle
         results[ncpu] = best
     lo, hi = levels
     tps_lo = results[lo]["tokens_per_sec"]
@@ -343,7 +344,8 @@ def run_sessions(n_events: int = 4_000_000, n_users: int = 1_000_000) -> dict:
         "window_rows": len(win),
         "window_sec": round(window_sec_t, 3),
         "sessionize_sec": round(session_sec, 3),
-        "sessions_per_sec": round(n_events / session_sec, 1),
+        "sessions_per_sec": round(n_sessions / session_sec, 1),
+        "events_per_sec": round(n_events / session_sec, 1),
         "num_cpus": NUM_CPUS,
     }
 

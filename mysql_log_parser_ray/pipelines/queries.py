@@ -96,7 +96,7 @@ def q_slowlog_parse_events(sf_dir: str):
             }
         )
 
-    return _flat_events(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _flat_events(sf_dir).map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 def q_slowlog_class_counts(sf_dir: str):
@@ -124,7 +124,7 @@ def q_slowlog_class_qt_stats(sf_dir: str):
 
     from ray.data.aggregate import Max, Min, Sum
 
-    parts = ev.map_batches(partial, batch_format="pyarrow")
+    parts = ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
     out = (
         parts.groupby("class_id")
         .aggregate(
@@ -269,7 +269,7 @@ def q_jsonlog_parse_events(sf_dir: str):
             }
         )
 
-    return ev.map_batches(project, batch_format="pyarrow")
+    return ev.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 def q_genlog_parse_events(sf_dir: str):
@@ -296,7 +296,7 @@ def q_genlog_parse_events(sf_dir: str):
             }
         )
 
-    return ev.map_batches(project, batch_format="pyarrow")
+    return ev.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 def q_genlog_class_counts(sf_dir: str):
@@ -342,7 +342,7 @@ def q_events_props_k(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ev.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
+        ev.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
         .to_pandas()
@@ -431,7 +431,7 @@ def q_events_value_band(sf_dir: str):
     from ..stages.aggregate import grouped_counts
 
     out = grouped_counts(
-        ev.map_batches(_band, batch_format="pyarrow", zero_copy_batch=True),
+        ev.map_batches(_band, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         keys=["event_type", "band"],
         sum_col=None,
     )
@@ -465,7 +465,7 @@ def q_events_hash_sample(sf_dir: str):
             }
         )
 
-    return ev.map_batches(sample_project, batch_format="pyarrow", zero_copy_batch=True)
+    return ev.map_batches(sample_project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def q_distinct_users_per_type(sf_dir: str):
@@ -484,9 +484,10 @@ def q_distinct_users_per_type(sf_dir: str):
     def _pairs(b: pa.Table) -> pa.Table:
         from ..partition import stable_partition
 
-        # partition from the ARROW column (dtype/null-stable) before the
-        # pandas conversion; a null user in the batch must not re-hash the
-        # other users as float64
+        # COUNT(DISTINCT user_id) ignores NULL users (oracle parity), and
+        # dropping them first also keeps the remaining batch dtype-stable
+        # (no int->float promotion feeding the shuffle)
+        b = b.filter(pc.is_valid(b["user_id"]))
         b = b.append_column(
             "_part", pa.array(stable_partition(b["user_id"], n_parts), pa.int64())
         )
@@ -503,7 +504,7 @@ def q_distinct_users_per_type(sf_dir: str):
         return out
 
     out = (
-        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("_part")
         .map_groups(_count_part, batch_format="pandas")
         .to_pandas()
@@ -593,7 +594,7 @@ def q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("event_type")
         .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
         .to_pandas()
@@ -638,7 +639,7 @@ def q_orders_by_segment(sf_dir: str):
         )
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(attach_segment, batch_format="pyarrow")
+    joined = ds.map_batches(attach_segment, batch_format="pyarrow", batch_size=None)
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -652,7 +653,7 @@ def q_orders_by_segment(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        joined.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
@@ -693,7 +694,7 @@ def q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("n", alias_name="n"),
@@ -737,11 +738,15 @@ def q_supplier_by_nation(sf_dir: str):
         lut = _broadcast_get(ref)
         keys = pd.Series(b["s_nationkey"].to_pandas())
         mapped = keys.map(lut)
+        # inner-join semantics (oracle parity): suppliers with a null or
+        # unknown nationkey are dropped, not crashed on
+        hit = mapped.notna().to_numpy()
+        mapped = mapped[hit]
         return pa.table(
             {
                 "nation": pa.array([m[0] for m in mapped], pa.string()),
                 "region": pa.array([m[1] for m in mapped], pa.string()),
-                "cents": _cents(b["s_acctbal"]),
+                "cents": _cents(b["s_acctbal"]).filter(pa.array(hit)),
             }
         )
 
@@ -759,8 +764,8 @@ def q_supplier_by_nation(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["region", "nation"])
         .aggregate(
             Sum("n_suppliers", alias_name="n_suppliers"),
@@ -800,7 +805,7 @@ def q_part_type_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("p_type")
         .aggregate(
             Sum("n_parts", alias_name="n_parts"),

@@ -691,6 +691,7 @@ def grouped_counts(
     sum_col: Optional[str] = "n_tok",
     final: str = "driver",
     max_driver_keys: Optional[int] = 200_000,
+    fold_rows: int = 262_144,
 ):
     """Pre-aggregated grouped counts.
 
@@ -746,7 +747,7 @@ def grouped_counts(
         ):
             frames.append(b)
             buffered += len(b)
-            if buffered >= 262_144:
+            if buffered >= fold_rows:
                 frames = [_fold()]
                 buffered = len(frames[0])
                 if max_driver_keys is not None and buffered > max_driver_keys:

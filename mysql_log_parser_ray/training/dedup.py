@@ -739,11 +739,12 @@ def embedding_dup_pairs_tiles(
     def _norm(b: pa.Table) -> pa.Table:
         x = _normalize(_to_matrix(b[vec_col]))
         n, d = (x.shape[0], x.shape[1]) if x.ndim == 2 and len(x) else (0, 0)
-        # plain list<double>, NOT fixed_size_list: an empty block can't
-        # know d, and mixing fixed_size_list widths across blocks breaks
-        # schema unification
-        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d, pa.int32())
-        vec = pa.ListArray.from_arrays(
+        # plain large_list<double>, NOT fixed_size_list: an empty block
+        # can't know d, mixing fixed_size_list widths across blocks breaks
+        # schema unification, and int64 offsets avoid the 2^31-element
+        # ceiling a big embedding block would hit with list<double>
+        offsets = pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int64())
+        vec = pa.LargeListArray.from_arrays(
             offsets, pa.array(x.ravel(), pa.float64())
         )
         return pa.table({id_col: b[id_col].cast(pa.int64()), "v": vec})

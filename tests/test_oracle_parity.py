@@ -116,3 +116,59 @@ def test_queries_oracle_keys_consistent():
 
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+
+
+def test_distinct_users_ignores_null_users(ray_session, tmp_path):
+    """Review fix: COUNT(DISTINCT user_id) semantics — null users are not
+    distinct values, and their presence must not perturb bucketing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_distinct_users_per_type
+
+    pq.write_table(
+        pa.table({
+            "event_type": pa.array(["a"] * 6 + ["b"] * 3, pa.string()),
+            "user_id": pa.array([1, 2, 2, None, 1, 3, 9, None, 9], pa.int64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_distinct_users_per_type(str(tmp_path)).sort_values("event_type")
+    assert dict(zip(out["event_type"], out["n_users"])) == {"a": 3, "b": 1}
+
+
+def test_supplier_by_nation_drops_unknown_keys(ray_session, tmp_path):
+    """Review fix: inner-join semantics for null/unknown nationkeys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_supplier_by_nation
+
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_nationkey": pa.array([0, None, 99, 0], pa.int64()),
+            "s_acctbal": pa.array([10.0, 20.0, 30.0, 5.0], pa.float64()),
+        }),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([0], pa.int64()),
+            "n_name": pa.array(["ZERO"], pa.string()),
+            "n_regionkey": pa.array([0], pa.int64()),
+        }),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "r_regionkey": pa.array([0], pa.int64()),
+            "r_name": pa.array(["R0"], pa.string()),
+        }),
+        str(tmp_path / "region.parquet"),
+    )
+    out = q_supplier_by_nation(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["region"], row["nation"], int(row["n_suppliers"]),
+            int(row["acctbal_cents"])) == ("R0", "ZERO", 2, 1500)

@@ -310,8 +310,10 @@ def test_distributed_path_matches_driver_fold(ray_session):
 
 
 def test_grouped_counts_overflow_falls_back_to_shuffle(ray_session):
-    """grouped_counts(final='driver') past max_driver_keys must still
-    return the correct DataFrame (reduced via shuffle)."""
+    """grouped_counts(final='driver') whose fold EXCEEDS max_driver_keys
+    mid-stream must abort the fold and return the correct DataFrame via
+    the shuffle path (fold_rows lowered so the mid-stream check actually
+    fires on a small corpus)."""
     import ray.data as rd
 
     from mysql_log_parser_ray.stages.aggregate import grouped_counts
@@ -325,9 +327,20 @@ def test_grouped_counts_overflow_falls_back_to_shuffle(ray_session):
         })
 
     ds = rd.range(5000, override_num_blocks=4).map_batches(_mk, batch_format="pyarrow")
-    out = grouped_counts(ds, keys=["k"], sum_col="n_tok", max_driver_keys=1000)
+    out = grouped_counts(
+        ds, keys=["k"], sum_col="n_tok", max_driver_keys=1000, fold_rows=512
+    )
     assert len(out) == 5000  # every key distinct; result still complete
     assert int(out["n_rows"].sum()) == 5000
+
+    # a COMPLETED fold is kept even above max_driver_keys (no re-execution)
+    out2 = grouped_counts(ds, keys=["k"], sum_col="n_tok", max_driver_keys=1000)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True).astype({"n_rows": "int64", "n_tokens": "int64"}),
+        out2.sort_values("k").reset_index(drop=True).astype({"n_rows": "int64", "n_tokens": "int64"}),
+    )
 
 
 def test_hll_null_immune(ray_session):
