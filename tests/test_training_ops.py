@@ -473,3 +473,47 @@ def test_embedding_tiles_with_empty_block(ray_session):
     })).repartition(16)  # more blocks than rows -> empty blocks
     out = embedding_dup_pairs_tiles(emb, threshold=0.999)
     assert [tuple(r) for r in out[["vec_a", "vec_b"]].to_numpy()] == [(0, 1)]
+
+
+def test_minhash_recall_on_planted_near_dups(ray_session):
+    """Recall guard for the banding + signature-estimate prefilter: pairs
+    planted well above the threshold must ALL be reported (the prefilter's
+    4-sigma margin and 16x4 banding both claim negligible miss rates —
+    this pins it on 40 planted pairs with j ~ 0.85-0.97)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import (
+        char_shingles,
+        jaccard,
+        minhash_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    words = [f"tok{i}" for i in range(400)]
+    ids, texts = [], []
+    planted = []
+    k = 0
+    for p in range(40):
+        base_words = list(rng.choice(words, size=120))
+        a = " ".join(base_words)
+        b_words = base_words.copy()
+        # light edit: replace a couple of words -> jaccard stays high
+        for pos in rng.choice(len(b_words), size=2, replace=False):
+            b_words[pos] = str(rng.choice(words))
+        b = " ".join(b_words)
+        if jaccard(char_shingles(a), char_shingles(b)) < 0.82:
+            continue  # only plant clearly-above-threshold pairs
+        ids += [k, k + 1]
+        texts += [a, b]
+        planted.append((k, k + 1))
+        k += 2
+    # noise docs
+    for _ in range(150):
+        ids.append(k)
+        texts.append(" ".join(rng.choice(words, size=120)))
+        k += 1
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = minhash_dedup_pairs(docs, threshold=0.8)
+    found = set(zip(out["doc_a"], out["doc_b"]))
+    missed = [p for p in planted if p not in found]
+    assert not missed, f"planted near-dups missed: {missed}"
