@@ -142,25 +142,21 @@ def q_slowlog_class_qt_stats(sf_dir: str):
 
 def q_slowlog_class_qt_pct95(sf_dir: str):
     """Nearest-rank pct95/median per class (reference convention,
-    stats.go:124-129): vals[(95*cnt)//100] on the ascending sorted array."""
+    stats.go:124-129): vals[(95*cnt)//100] on the ascending sorted array.
+
+    Computed through the bounded histogram fold (nearest_rank_by_key):
+    query_time values come from a finite parse-token set, so a per-class
+    distinct-value histogram reproduces the exact nearest-rank answer with
+    per-task memory bounded by distinct values - a hot class at corpus
+    scale never materializes its raw event values in one task."""
+    from ..stages.aggregate import nearest_rank_by_key
+
     # prune to the two needed columns BEFORE the groupby shuffle - the full
     # event rows (query text, metric maps) need not move
     ev = _flat_events(sf_dir).select_columns(["class_id", "query_time"])
-
-    def per_group(g) -> Dict:
-        import pandas as pd
-
-        vals = np.sort(g["query_time"].to_numpy())
-        cnt = len(vals)
-        return pd.DataFrame(
-            {
-                "class_id": [g["class_id"].iloc[0]],
-                "pct95": [vals[(95 * cnt) // 100]],
-                "med": [vals[(50 * cnt) // 100]],
-            }
-        )
-
-    return ev.groupby("class_id").map_groups(per_group, batch_format="pandas")
+    return nearest_rank_by_key(
+        ev, "class_id", "query_time", {"pct95": 95, "med": 50}
+    )
 
 
 def q_slowlog_global(sf_dir: str):

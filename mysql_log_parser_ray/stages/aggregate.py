@@ -776,3 +776,126 @@ def grouped_counts(
         # this mode's callers expect
         return shuffled.to_pandas()
     return shuffled
+
+
+def nearest_rank_by_key(
+    ds,
+    key: str,
+    val: str,
+    pcts: Dict[str, int],
+    max_distinct_per_key: int = 5_000_000,
+):
+    """EXACT nearest-rank percentiles per key from a bounded histogram fold.
+
+    Reproduces the reference's ``vals[(p*cnt)//100]`` convention
+    (stats.go:124-129) without any task ever materializing a whole key's
+    raw values: metric values at parse time come from a finite token set
+    (float32-precision strings), so a per-(key, value) count histogram is
+    an exact, lossless compression of the sorted array.
+
+      1. map_batches partial: groupby (key, val) size per block
+      2. Ray groupby(key, val) Sum - one row per distinct pair survives
+         the shuffle (pre-aggregation bounds what moves to blocks x
+         distinct, the shuffle collapses it to distinct)
+      3. groupby(key) nearest-rank over the sorted cumulative histogram
+
+    Per-task memory in step 3 is the key's DISTINCT-value count, never its
+    event count. ``max_distinct_per_key`` is the guard for pathological
+    cardinality (a truly continuous metric): the reducer fails fast with
+    the remedy named instead of silently OOMing - switch that metric to
+    ``gk_percentiles_by_key`` (eps-approximate, O(1/eps) memory).
+
+    Returns a Dataset of one row per key: (key, *pcts.keys()).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.select([key, val]).to_pandas()
+        g = df.groupby([key, val], as_index=False, dropna=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    hist = (
+        ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby([key, val])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_distinct_per_key:
+            raise DriverFoldOverflow(
+                f"nearest_rank_by_key: key {g[key].iloc[0]!r} has "
+                f"{len(g)} distinct {val!r} values "
+                f"(> {max_distinct_per_key}); this metric is effectively "
+                "continuous - use gk_percentiles_by_key for it"
+            )
+        g = g.sort_values(val)
+        cum = g["n"].cumsum().to_numpy()
+        cnt = int(cum[-1])
+        vals = g[val].to_numpy()
+        row = {key: [g[key].iloc[0]]}
+        for name, p in pcts.items():
+            # nearest-rank: value at 0-based index (p*cnt)//100 of the
+            # conceptual sorted array == first value with cum > index
+            row[name] = [vals[np.searchsorted(cum, (p * cnt) // 100 + 1)]]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(_rank, batch_format="pandas")
+
+
+def gk_percentiles_by_key(
+    ds,
+    key: str,
+    val: str,
+    pcts: Dict[str, int],
+    eps: float = 0.01,
+):
+    """eps-APPROXIMATE percentiles per key via mergeable GK sketches - the
+    fallback for metrics whose distinct-value cardinality breaks the exact
+    histogram fold (see nearest_rank_by_key). Per-task memory is O(1/eps)
+    per key regardless of event or distinct-value counts.
+
+    Shape: per-(block, key) GK partial blobs -> groupby(key) merge ->
+    query. What shuffles is sketch blobs (KBs per key per block).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..state.gk import GKSummary
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.select([key, val]).to_pandas()
+        rows_k, rows_b = [], []
+        for k, g in df.groupby(key, dropna=False):
+            gk = GKSummary(eps)
+            gk.add_many(g[val].to_numpy(dtype=np.float64))
+            rows_k.append(k)
+            rows_b.append(gk.to_bytes())
+        return pa.table(
+            {key: pa.array(rows_k), "blob": pa.array(rows_b, pa.binary())}
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        gk = GKSummary.merge_all(
+            [GKSummary.from_bytes(b) for b in g["blob"]]
+        )
+        row = {key: [g[key].iloc[0]]}
+        for name, p in pcts.items():
+            row[name] = [gk.query(p / 100.0)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby(key)
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -359,3 +359,112 @@ def test_hll_null_immune(ray_session):
     a = approx_distinct(clean, "u")
     b = approx_distinct(dirty, "u")
     assert a == b  # same registers: nulls dropped, values hash identically
+
+
+def _rank_ds(n_hot: int, hot_vals: int = 37):
+    """One synthetic hot class (n_hot events over hot_vals distinct float
+    values) plus a small cold class, as a Dataset of many blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    hot = np.round(
+        (np.arange(n_hot, dtype=np.float64) % hot_vals) * 0.25, 6
+    )
+    cold = np.array([1.0, 2.0, 3.0], dtype=np.float64)
+    t = pa.table(
+        {
+            "class_id": pa.array(
+                ["HOT"] * n_hot + ["COLD"] * len(cold), pa.string()
+            ),
+            "v": pa.array(np.concatenate([hot, cold]), pa.float64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(32)
+
+
+def test_nearest_rank_by_key_hot_class_bounded(ray_session):
+    """A hot class (10^6 events, 37 distinct values) completes through the
+    bounded histogram fold and matches the full-sort nearest-rank answer;
+    what survives the shuffle is one row per distinct (key, value) pair,
+    never per event."""
+    from mysql_log_parser_ray.stages.aggregate import nearest_rank_by_key
+
+    n_hot, hot_vals = 1_000_000, 37
+    ds = _rank_ds(n_hot, hot_vals)
+    # the guard is the bounded-memory assertion: any reducer group larger
+    # than the distinct-value count raises instead of sorting raw events
+    out = (
+        nearest_rank_by_key(
+            ds, "class_id", "v", {"p95": 95, "med": 50},
+            max_distinct_per_key=hot_vals,
+        )
+        .to_pandas()
+        .set_index("class_id")
+    )
+    hot_sorted = np.sort(
+        np.round((np.arange(n_hot, dtype=np.float64) % hot_vals) * 0.25, 6)
+    )
+    assert out.loc["HOT", "p95"] == hot_sorted[(95 * n_hot) // 100]
+    assert out.loc["HOT", "med"] == hot_sorted[(50 * n_hot) // 100]
+    assert out.loc["COLD", "p95"] == 3.0
+    assert out.loc["COLD", "med"] == 2.0
+
+
+def test_nearest_rank_by_key_overflow_guard(ray_session):
+    """A key whose distinct-value cardinality exceeds the guard fails fast
+    with the GK remedy named (never a silent whole-class sort)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.aggregate import (
+        DriverFoldOverflow,
+        nearest_rank_by_key,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a"] * 1000, pa.string()),
+                "v": pa.array(np.arange(1000, dtype=np.float64)),
+            }
+        )
+    )
+    with pytest.raises(Exception) as ei:
+        nearest_rank_by_key(
+            ds, "k", "v", {"p95": 95}, max_distinct_per_key=100
+        ).to_pandas()
+    assert "gk_percentiles_by_key" in str(ei.value)
+
+
+def test_gk_percentiles_by_key_accuracy(ray_session):
+    """The GK fallback path: per-key eps-approximate percentiles within the
+    rank-error bound on a continuous metric."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.aggregate import gk_percentiles_by_key
+
+    rng = np.random.default_rng(42)
+    n = 50_000
+    vals = {"a": rng.standard_normal(n), "b": rng.exponential(size=n)}
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * n + ["b"] * n, pa.string()),
+            "v": pa.array(np.concatenate([vals["a"], vals["b"]])),
+        }
+    )
+    out = (
+        gk_percentiles_by_key(
+            rd.from_arrow(t).repartition(16), "k", "v",
+            {"p95": 95, "med": 50}, eps=0.01,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, v in vals.items():
+        s = np.sort(v)
+        for name, p in (("p95", 0.95), ("med", 0.50)):
+            got = out.loc[k, name]
+            # rank error <= eps*n (plus the merge slack the sketch budgets)
+            rank = np.searchsorted(s, got)
+            assert abs(rank - p * n) <= 2 * 0.01 * n, (k, name, rank)
