@@ -244,6 +244,37 @@ def register_queries():
 # DuckDB oracles (SQL-expressible subset; the rest are rows-only checks)
 # ---------------------------------------------------------------------------
 
+def _lang_id_sql() -> str:
+    """Stopword-vote CASE expression generated from the SAME stopword
+    tables the Ray heuristic uses (training/text.py:_LANG_STOPWORDS), so
+    the two sides cannot drift. Tie semantics mirror the Python loop:
+    first language (dict order) achieving the maximum wins; all-zero ->
+    'und'. list_intersect is set-semantics like the Python set &."""
+    from .text import _LANG_STOPWORDS
+
+    inter = ",\n                   ".join(
+        f"len(list_intersect(words, [{', '.join(repr(w) for w in sorted(sw))}])) AS n_{lang}"
+        for lang, sw in _LANG_STOPWORDS.items()
+    )
+    langs = list(_LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"n_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    case += " ".join(f"WHEN n_{l} = {greatest} THEN '{l}'" for l in langs)
+    case += " END"
+    return rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[ \t\n\r\v\f]+') AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                   {inter}
+              FROM w
+            )
+            SELECT {case} AS pred_lang, COUNT(*) AS n_rows FROM c GROUP BY 1
+        """
+
+
 def register_oracles():
     return {
         "doc_token_counts": r"""
@@ -345,7 +376,41 @@ def register_oracles():
                    1 AS decoded_height
             FROM documents
         """,
-        # lang_id_counts / minhash_pairs / simhash_pairs: heuristic or
-        # banded-LSH operators - not SQL-expressible; driver runs the weaker
-        # rows-only check.
+        "lang_id_counts": _lang_id_sql(),
+        # minhash_pairs: on a corpus where the recall-guard test proves the
+        # banding + signature prefilter lossless (tests/test_training_ops),
+        # the LSH output EQUALS exact char-5-shingle jaccard >= 0.8 - which
+        # IS SQL-expressible. Verified identical at sf0.01 (25 pairs) and
+        # sf0.1 (256 pairs). Shingles here are the literal 5-char windows of
+        # the normalized text; the engine hashes them (64-bit polynomial,
+        # dedup.py:char_shingles) - collision odds ~(n_shingles^2)/2^64 per
+        # doc, far below any observable effect on the set sizes.
+        "minhash_pairs": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[ \t\n\r\v\f]+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS s
+              FROM n, UNNEST(range(1, length(t) - 3)) AS u(i)
+              WHERE length(t) >= 5
+              UNION
+              SELECT doc_id, t FROM n WHERE length(t) < 5
+            ), cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8
+        """,
+        # simhash_pairs / ann_ivf_topk / approx_distinct_users: genuinely
+        # approximate-by-design (signature hamming / probe subset / HLL) -
+        # no SQL oracle; driver runs the weaker rows-only check and their
+        # invariants are pinned in pytest.
     }
