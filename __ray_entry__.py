@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95": q.q_events_value_p95,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
+        "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_hash_sample": q.q_events_hash_sample,
@@ -282,6 +283,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "events_asof_tier": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            dim AS (
+              SELECT user_id,
+                     TIMESTAMP '2024-01-01' + k * INTERVAL 7 DAY AS valid_from,
+                     'tier' || CAST((user_id + k) % 3 AS VARCHAR) AS tier
+              FROM users, UNNEST([0, 1, 2, 3]) AS t(k)
+            )
+            SELECT d.tier, COUNT(*) AS n_rows
+            FROM events e ASOF JOIN dim d
+              ON e.user_id = d.user_id AND e.ts >= d.valid_from
+            GROUP BY 1
+        """,
+        # Same semantics through the co-partitioned big-dim join path
+        # (stages/asof.py:asof_join_partitioned): identical oracle.
+        "events_asof_tier_bigdim": """
             WITH users AS (SELECT DISTINCT user_id FROM events),
             dim AS (
               SELECT user_id,

@@ -348,31 +348,77 @@ def q_events_props_k(sf_dir: str):
     return out
 
 
-def q_events_asof_tier(sf_dir: str):
-    """As-of join events -> versioned user-tier history (latest version at
-    event time), then tier counts. Dim derived deterministically so the
-    DuckDB ASOF JOIN oracle builds the identical table."""
+def _tier_dim_ds(ev):
+    """Versioned user-tier history, derived DISTRIBUTED: distinct users via
+    per-batch unique + one small groupby (no user-cardinality driver list),
+    4 weekly versions expanded vectorized inside map_batches. Matches the
+    DuckDB oracle's UNNEST([0,1,2,3]) dim table exactly."""
     import pandas as pd
 
+    from ray.data.aggregate import Count
+
+    def _uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(b["user_id"])})
+
+    users = (
+        ev.select_columns(["user_id"])
+        .map_batches(_uniq, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="_n"))
+    )
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+    week_us = 7 * 86400 * 1_000_000
+    tiers = np.array(["tier0", "tier1", "tier2"], dtype=object)
+
+    def _expand(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.repeat(u, 4)
+        k = np.tile(np.arange(4, dtype=np.int64), len(u))
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "valid_from": pa.array(base_us + k * week_us, pa.timestamp("us")),
+                "tier": pa.array(tiers[(uu + k) % 3], pa.string()),
+            }
+        )
+
+    return users.map_batches(
+        _expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_events_asof_tier(sf_dir: str):
+    """As-of join events -> versioned user-tier history (latest version at
+    event time), then tier counts. Dim derived deterministically (and
+    distributed - _tier_dim_ds) so the DuckDB ASOF JOIN oracle builds the
+    identical table; the broadcast join path is right while the dim history
+    fits in the object store."""
     from ..stages.asof import asof_join_broadcast
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    users = sorted(ev.unique("user_id"))
-    base = pd.Timestamp("2024-01-01")
-    dim = pd.DataFrame(
-        [
-            {
-                "user_id": u,
-                "valid_from": base + pd.Timedelta(days=7 * k),
-                "tier": f"tier{(u + k) % 3}",
-            }
-            for u in users
-            for k in range(4)
-        ]
-    )
-    dim["valid_from"] = dim["valid_from"].astype("datetime64[us]")
+    dim = _tier_dim_ds(ev).to_pandas()
     joined = asof_join_broadcast(
         ev, dim, on="ts", by="user_id", dim_on="valid_from",
+        columns=["event_id", "tier"],
+    )
+    from ..stages.aggregate import grouped_counts
+
+    out = grouped_counts(joined, keys=["tier"], sum_col=None)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_events_asof_tier_bigdim(sf_dir: str):
+    """Same as-of semantics through the BIG-DIM path: facts and the dim
+    history co-partitioned by user hash (asof_join_partitioned's tagged
+    union shuffle), merge_asof per co-partition - the shape for dim tables
+    that outgrow broadcast. Shares the oracle with events_asof_tier."""
+    from ..stages.asof import asof_join_partitioned
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    joined = asof_join_partitioned(
+        ev, _tier_dim_ds(ev), on="ts", by="user_id", dim_on="valid_from",
         columns=["event_id", "tier"],
     )
     from ..stages.aggregate import grouped_counts
