@@ -165,6 +165,195 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _shingle_rows_fn(text_col: str, id_col: str):
+    """map_batches fn: explode each doc into (doc, sh, n_sh) rows — one row
+    per distinct char-5 shingle hash, with the doc's shingle count riding
+    every row (immutable per doc, so max() recovers it after any join;
+    carrying it eliminates a count-join entirely)."""
+
+    def _fn(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        id_type = b[id_col].type
+        out_sh, out_id, out_n = [], [], []
+        for did, t in zip(ids, texts):
+            sh = char_shingles(t)
+            out_sh.append(sh.view(np.int64))
+            out_id.append(np.repeat(did, len(sh)))
+            out_n.append(np.full(len(sh), len(sh), dtype=np.int32))
+        if not out_sh:
+            return pa.table(
+                {
+                    "doc": pa.array([], id_type),
+                    "sh": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate(out_id), id_type),
+                "sh": pa.array(np.concatenate(out_sh), pa.int64()),
+                "n_sh": pa.array(np.concatenate(out_n), pa.int32()),
+            }
+        )
+
+    return _fn
+
+
+def _verify_pairs_joined(
+    docs_ds,
+    cand_ds,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n_parts: Optional[int] = None,
+):
+    """Fully DISTRIBUTED exact-Jaccard verification: nothing pair- or
+    doc-cardinality-sized ever lands on the driver (the scale path when
+    the candidate pair set outgrows broadcast).
+
+    Shape: dedupe candidate pairs with one groupby; select candidate DOCS
+    with a hash semi-join (doc text shuffles once, and only for docs that
+    appear in some pair); explode their shingles to (doc, sh, n_sh) rows;
+    then two hash joins anchor intersections to pairs — pair rows pick up
+    doc_a's shingles on doc_a, the result inner-joins doc_b's shingles on
+    (doc_b, sh). The final jaccard + threshold is the same ppart-bucketed
+    vectorized aggregate the broadcast path uses, applied worker-side.
+
+    Volume bound: the one super-candidate intermediate is
+    |pairs| x avg-shingles(doc_a), shuffled once — the price of taking the
+    pair list off the driver. Per-partition memory is 1/n_parts of that.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    if n_parts is None:
+        # the hash-join aggregator pool reserves CPU proportional to the
+        # partition count; size it to the session so join actors and the
+        # upstream map tasks can coexist (64 fixed partitions starve a
+        # 4-CPU session the same way oversized actor-pool floors did)
+        n_parts = min(64, max(8, int(ray.cluster_resources().get("CPU", 8))))
+
+    # Normalized arrow id type: empty blocks passed to a join must stay
+    # schema-ful (a schema-less empty — the all-empty-groupby artifact —
+    # fails acero's key-field lookup inside the hash join).
+    _sch = docs_ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):
+        try:
+            id_type = pa.from_numpy_dtype(np.dtype(id_type))
+        except (TypeError, pa.ArrowNotImplementedError):
+            id_type = pa.string()
+
+    # Every map feeding a join uses a NUMERIC batch_size (deliberate
+    # exception to the batch_size=None rule): bundling coalesces the
+    # schema-less empty blocks the upstream groupby can emit into
+    # schema-ful batches before the join's hash partitioner sees them.
+    _coalesce = 1 << 16
+
+    def _proj(b: pa.Table) -> pa.Table:
+        if "doc_a" not in b.column_names:  # all-empty trailing bundle
+            return pa.table(
+                {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)}
+            )
+        return b.select(["doc_a", "doc_b"])
+
+    pairs = (
+        cand_ds.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nc"))
+        .map_batches(_proj, batch_format="pyarrow", batch_size=_coalesce)
+        .materialize()
+    )
+
+    def _stack(b: pa.Table) -> pa.Table:
+        if "doc_a" not in b.column_names or b.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type)})
+        return pa.table(
+            {
+                id_col: pa.chunked_array(
+                    b["doc_a"].chunks + b["doc_b"].chunks, type=b["doc_a"].type
+                )
+            }
+        )
+
+    need = pairs.map_batches(
+        _stack, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_coalesce,
+    )
+    cand_docs = docs_ds.join(
+        need, "left_semi", num_partitions=n_parts, on=(id_col,)
+    )
+    sh = cand_docs.map_batches(
+        _shingle_rows_fn(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=_coalesce,
+    ).materialize()
+
+    def _as_a(b: pa.Table) -> pa.Table:
+        return pa.table({"a_doc": b["doc"], "sh": b["sh"], "na": b["n_sh"]})
+
+    def _as_b(b: pa.Table) -> pa.Table:
+        return pa.table({"b_doc": b["doc"], "shb": b["sh"], "nb": b["n_sh"]})
+
+    j1 = pairs.join(
+        sh.map_batches(
+            _as_a, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=_coalesce,
+        ),
+        "inner",
+        num_partitions=n_parts,
+        on=("doc_a",),
+        right_on=("a_doc",),
+    )
+    inter = j1.join(
+        sh.map_batches(
+            _as_b, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=_coalesce,
+        ),
+        "inner",
+        num_partitions=n_parts,
+        on=("doc_b", "sh"),
+        right_on=("b_doc", "shb"),
+    )
+
+    def _with_pair_part(batch: pa.Table) -> pa.Table:
+        from ..partition import stable_pair_partition
+
+        part = stable_pair_partition(
+            batch["doc_a"].to_numpy(zero_copy_only=False),
+            batch["doc_b"].to_numpy(zero_copy_only=False),
+            n_parts,
+        )
+        return batch.append_column(
+            "ppart", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def _pair_agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("na", "size"), na=("na", "max"), nb=("nb", "max")
+        )
+        jac = s["inter"] / (s["na"] + s["nb"] - s["inter"])
+        keep = (jac >= threshold).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": s["doc_a"].to_numpy()[keep],
+                "doc_b": s["doc_b"].to_numpy()[keep],
+                "jaccard": jac.to_numpy()[keep],
+            }
+        )
+
+    return (
+        inter.select_columns(["doc_a", "doc_b", "na", "nb"])
+        .map_batches(
+            _with_pair_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("ppart")
+        .map_groups(_pair_agg, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def minhash_dedup_pairs(
     docs_ds,
     threshold: float = 0.8,
@@ -173,6 +362,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     max_bucket: Optional[int] = 200,
     est_perms: int = 64,
+    pair_broadcast_limit: Optional[int] = 1_000_000,
 ):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -275,29 +465,50 @@ def minhash_dedup_pairs(
         est = (sl == sr).mean(axis=1)
         return out.loc[est >= est_floor]
 
-    cand = (
+    cand_ds = (
         banded.map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(_partition_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .materialize()
     )
-    if cand.empty:
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
-    # Verify candidates with exact shingle Jaccard — fully DISTRIBUTED,
-    # pair-anchored (the ngram_jaccard two-stage shape). The driver holds
-    # only (doc_a, doc_b) id pairs (bounded by LSH banding + max_bucket,
-    # never shingles); the pair list is broadcast ONCE. One pass over the
-    # docs Dataset explodes candidate docs' (shingle, doc, n_sh) rows,
-    # hash-partitioned BY SHINGLE so each doc's shingles ship exactly
-    # once; per shingle-partition, two C-level merges anchor intersections
-    # to candidate pairs (work bounded by pairs x avg-shingles, immune to
-    # hot-shingle m^2 blowup); a pair-partitioned sum computes the exact
-    # jaccard and applies the threshold worker-side.
-    # Scale note: the candidate PAIR set sits on the driver/broadcast; at
-    # corpus sizes where even that overflows, replace the broadcast with a
-    # pair-Dataset join keyed by doc_a.
+    # Exact-Jaccard verification dispatch. The candidate pair set stays a
+    # DATASET; the driver never holds it unconditionally:
+    #   n_pairs <= pair_broadcast_limit: broadcast verify (below) — the
+    #     pair list ships once via ray.put, each doc's shingles ship once
+    #     hash-partitioned BY SHINGLE, two C-level merges per partition
+    #     anchor intersections to pairs. Fastest shape; driver/object-store
+    #     footprint explicitly BOUNDED by the limit.
+    #   n_pairs > pair_broadcast_limit (dup-heavy corpus at scale):
+    #     _verify_pairs_joined — pair rows hash-join shingle rows
+    #     (semi-join for candidate docs, two inner joins for the
+    #     intersection); nothing pair-sized ever reaches the driver.
+    # Both paths compute the identical exact jaccard (equality pinned in
+    # tests) and apply the threshold worker-side.
+    if pair_broadcast_limit is not None and n_pairs > pair_broadcast_limit:
+        out = _verify_pairs_joined(
+            docs_ds, cand_ds, threshold, text_col, id_col
+        )
+        id_arrow = cand_ds.schema().types[0]
+        empty_dt = (
+            "int64"
+            if isinstance(id_arrow, pa.DataType) and pa.types.is_integer(id_arrow)
+            else str(getattr(id_arrow, "name", id_arrow))
+        )
+        if out.empty:
+            return _typed_empty(
+                {"doc_a": empty_dt, "doc_b": empty_dt, "jaccard": "float64"}
+            )
+        if pd.api.types.is_integer_dtype(out["doc_a"].dtype):
+            out["doc_a"] = out["doc_a"].astype("int64")
+            out["doc_b"] = out["doc_b"].astype("int64")
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    cand = cand_ds.to_pandas().drop_duplicates()
+
     import ray
 
     from ..broadcast import broadcast_get

@@ -517,3 +517,58 @@ def test_minhash_recall_on_planted_near_dups(ray_session):
     found = set(zip(out["doc_a"], out["doc_b"]))
     missed = [p for p in planted if p not in found]
     assert not missed, f"planted near-dups missed: {missed}"
+
+
+def test_minhash_joined_verify_matches_broadcast(ray_session):
+    """The distributed pair-join verify path (pair_broadcast_limit
+    exceeded) must produce bit-identical results to the broadcast path on
+    a dup-heavy (~20% near-dup) corpus — the candidate pair Dataset never
+    reaches the driver in that mode."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(57)
+    words = [f"tok{i}" for i in range(400)]
+    ids, texts = [], []
+    k = 0
+    for _ in range(30):  # planted near-dup pairs (~20% of docs duplicated)
+        base = list(rng.choice(words, size=120))
+        a = " ".join(base)
+        b_words = base.copy()
+        for pos in rng.choice(len(b_words), size=2, replace=False):
+            b_words[pos] = str(rng.choice(words))
+        ids += [k, k + 1]
+        texts += [a, " ".join(b_words)]
+        k += 2
+    for _ in range(240):
+        ids.append(k)
+        texts.append(" ".join(rng.choice(words, size=120)))
+        k += 1
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})).repartition(8)
+
+    via_broadcast = minhash_dedup_pairs(docs, threshold=0.8)
+    via_join = minhash_dedup_pairs(docs, threshold=0.8, pair_broadcast_limit=0)
+    assert len(via_broadcast) >= 20  # the corpus genuinely is dup-heavy
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(via_broadcast, via_join)
+
+
+def test_minhash_joined_verify_string_ids(ray_session):
+    """The joined verify path keeps non-integer doc ids intact (ids are
+    join keys end-to-end, never arithmetic)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = rd.from_items(
+        [
+            {"doc_id": "a1", "text": base},
+            {"doc_id": "b2", "text": base + " tail"},
+            {"doc_id": "c3", "text": "completely different content here"},
+        ]
+    )
+    out = minhash_dedup_pairs(docs, threshold=0.8, pair_broadcast_limit=0)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [("a1", "b2")]
