@@ -32,6 +32,7 @@ def curate_keep_list(
     min_words: int = 10,
     max_punct_ratio: float = 0.2,
     near_dup_threshold: Optional[float] = None,
+    keep_broadcast_limit: Optional[int] = 1_000_000,
 ):
     """Return a Dataset of surviving (doc_id) rows.
 
@@ -42,6 +43,13 @@ def curate_keep_list(
       4. (optional) near-dup removal at ``near_dup_threshold`` n-gram
          jaccard: the LARGER doc_id of each surviving pair is dropped.
          Heuristic stage - excluded from the oracle-checked query.
+
+    The near-dup branch is output-cardinality-sized: when the exact-dedup
+    keep-list exceeds ``keep_broadcast_limit`` it is NOT collected/broadcast
+    — survivors are selected by a hash semi-join against the keep Dataset
+    and near-dup losers are removed with an anti-join, so nothing
+    survivor-sized ever lands on the driver (set the limit to None to force
+    the broadcast path).
     """
     from .dedup import exact_dedup, ngram_jaccard_pairs
 
@@ -79,13 +87,23 @@ def curate_keep_list(
         # groupby produced a schema-less empty block (zero survivors)
         return keep.map_batches(_rename, batch_format="pyarrow")
 
-    # Near-dup removal among the exact-dedup survivors. The keep-list is
-    # the curated OUTPUT id set; ship it once via ray.put and resolve per
-    # worker (broadcast_get), filter with the vectorized pc.is_in kernel.
-    keep_df = keep.to_pandas()
-    if "keep_doc_id" not in keep_df.columns or keep_df.empty:
+    # numeric batch_size: bundling coalesces schema-less empty blocks the
+    # dedup groupby can emit (map_batches passes untouched empties through,
+    # and keep_ds feeds joins, which reject schema-less blocks)
+    keep_ds = keep.map_batches(
+        _rename, batch_format="pyarrow", batch_size=1 << 16
+    ).materialize()
+    n_keep = keep_ds.count()
+    if n_keep == 0:
         return _empty_keep()
-    keep_ints = sorted(int(x) for x in keep_df["keep_doc_id"])
+    if keep_broadcast_limit is not None and n_keep > keep_broadcast_limit:
+        return _near_dup_removal_joined(docs_ds, keep_ds, near_dup_threshold)
+
+    # Near-dup removal among the exact-dedup survivors, broadcast mode
+    # (keep-list within the explicit size bound). The keep-list is the
+    # curated OUTPUT id set; ship it once via ray.put and resolve per
+    # worker (broadcast_get), filter with the vectorized pc.is_in kernel.
+    keep_ints = sorted(int(x) for x in keep_ds.to_pandas()["doc_id"])
     keep_ref = ray.put(pa.array(keep_ints, pa.int64()))
 
     from ..broadcast import broadcast_get
@@ -106,18 +124,106 @@ def curate_keep_list(
     return rd.from_arrow(pa.table({"doc_id": pa.array(final, pa.int64())}))
 
 
+def _cast_id_int64(b: pa.Table) -> pa.Table:
+    i = b.column_names.index("doc_id")
+    return b.set_column(i, "doc_id", pc.cast(b["doc_id"], pa.int64()))
+
+
+def _near_dup_removal_joined(docs_ds, keep_ds, threshold: float):
+    """Scale path for rule 4: survivor selection and loser removal as hash
+    joins — the keep-list never leaves the cluster.
+
+      docs  --left_semi join keep--> survivors     (text ships once, only
+                                                    for exact-dedup winners)
+      survivors -> ngram_jaccard_pairs(as_dataset) (pairs stay distributed)
+      keep  --left_anti join pairs.doc_b--> final
+
+    Identical output set to the broadcast path (equality pinned in tests);
+    row order is join-partition order rather than sorted.
+    """
+    import ray
+
+    from .dedup import ngram_jaccard_pairs
+
+    # joins reserve aggregator actors proportional to the partition count;
+    # size to the session so they coexist with upstream map tasks
+    n_parts = min(64, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    # numeric batch_size on join-feeding maps: bundles coalesce any
+    # schema-less empty blocks before the join's hash partitioner sees them
+    _coalesce = 1 << 16
+
+    survivors = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            _cast_id_int64,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=_coalesce,
+        )
+        .join(keep_ds, "left_semi", num_partitions=n_parts, on=("doc_id",))
+    )
+
+    pairs_ds = ngram_jaccard_pairs(
+        survivors, threshold=threshold, as_dataset=True
+    )
+
+    def _drop_ids(b: pa.Table) -> pa.Table:
+        if "doc_b" not in b.column_names:  # all-empty bundle (no near-dups)
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pc.cast(b["doc_b"], pa.int64())})
+
+    drop = pairs_ds.map_batches(
+        _drop_ids, batch_format="pyarrow", batch_size=_coalesce
+    ).materialize()
+    if drop.count() == 0:
+        # zero pairs means every block is a schema-less empty the bundler
+        # never touches (no rows to coalesce) — and the anti-join is a
+        # no-op anyway
+        return keep_ds
+    return keep_ds.join(drop, "left_anti", num_partitions=n_parts, on=("doc_id",))
+
+
 def write_curated(
     docs_ds,
     out_dir: str,
     keep_ids_ds,
     partition_col: str = "source",
+    keep_broadcast_limit: Optional[int] = 1_000_000,
 ):
-    """Write surviving docs as partitioned Parquet (resumable layout)."""
+    """Write surviving docs as partitioned Parquet (resumable layout).
+
+    Past ``keep_broadcast_limit`` survivors the selection is a hash
+    semi-join against the keep Dataset instead of a driver-collected
+    broadcast filter.
+    """
     import ray
 
     from ..broadcast import broadcast_get
 
     ids = keep_ids_ds
+    if keep_broadcast_limit is not None and hasattr(ids, "count"):
+        if ids.count() > keep_broadcast_limit:
+            n_parts = min(64, max(8, int(ray.cluster_resources().get("CPU", 8))))
+
+            def _id_schema(b: pa.Table) -> pa.Table:
+                # joins reject schema-less empty blocks (e.g. an upstream
+                # anti-join's empty partitions); coalesce + retype them
+                if "doc_id" not in b.column_names:
+                    return pa.table({"doc_id": pa.array([], pa.int64())})
+                return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+            ids_j = ids.map_batches(
+                _id_schema, batch_format="pyarrow", batch_size=1 << 16
+            )
+            docs_ds.map_batches(
+                _cast_id_int64,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=1 << 16,
+            ).join(
+                ids_j, "left_semi", num_partitions=n_parts, on=("doc_id",)
+            ).write_parquet(out_dir, partition_cols=[partition_col])
+            return
     if hasattr(ids, "to_pandas"):
         ids = ids.to_pandas()
     if "doc_id" not in getattr(ids, "columns", []) or len(ids) == 0:

@@ -643,6 +643,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: Optional[int] = None,
     n_parts: int = 64,
+    as_dataset: bool = False,
 ):
     """Exact word-n-gram Jaccard near-duplicate pairs, fully distributed.
 
@@ -667,6 +668,9 @@ def ngram_jaccard_pairs(
     above any useful threshold, and off by default for oracle parity.
 
     Returns pandas (doc_a, doc_b, jaccard), doc_a < doc_b, sorted.
+    With ``as_dataset=True`` the surviving pairs stay a DATASET (unsorted,
+    dtypes as produced) — the scale mode for callers that feed the pairs
+    into a downstream join instead of collecting them.
     """
 
     def _grams(batch: pa.Table) -> pa.Table:
@@ -739,15 +743,17 @@ def ngram_jaccard_pairs(
             }
         )
 
-    df = (
+    pairs_ds = (
         grams.map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(_partition_pairs, batch_format="pandas")
         .map_batches(_with_pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ppart")
         .map_groups(_pair_agg, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return pairs_ds
+    df = pairs_ds.to_pandas()
     if df.empty:
         return _typed_empty({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
     df["doc_a"] = df["doc_a"].astype("int64")

@@ -2,6 +2,8 @@
 embedding), similarity search (brute force + IVF), text analysis,
 multimodal plumbing - with planted duplicates and recall checks."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -572,3 +574,95 @@ def test_minhash_joined_verify_string_ids(ray_session):
     )
     out = minhash_dedup_pairs(docs, threshold=0.8, pair_broadcast_limit=0)
     assert list(zip(out["doc_a"], out["doc_b"])) == [("a1", "b2")]
+
+
+def test_curate_anti_join_matches_broadcast(ray_session, tmp_path):
+    """Past keep_broadcast_limit the near-dup branch must switch to the
+    semi-join + anti-join shape and produce the identical keep set; the
+    write path must likewise select by semi-join."""
+    import glob
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.training.curate import curate_keep_list, write_curated
+
+    long_doc = ("informative sentence with many plain words " * 4).strip()
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            long_doc,
+            long_doc,                              # exact dup -> dropped
+            long_doc.replace("plain", "simple"),   # near-dup -> dropped
+            "too short",
+            ",,,,. ! ? ; : . , ! ? ; :",
+            "another completely different long document with plenty of "
+            "ordinary words to pass the quality threshold easily",
+        ],
+        "source": ["s0", "s0", "s1", "s1", "s0", "s1"],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+
+    via_broadcast = curate_keep_list(ds, near_dup_threshold=0.3)
+    via_join = curate_keep_list(
+        ds, near_dup_threshold=0.3, keep_broadcast_limit=0
+    )
+    want = sorted(via_broadcast.to_pandas()["doc_id"])
+    got = sorted(via_join.to_pandas()["doc_id"])
+    assert got == want == [0, 5]
+
+    out = str(tmp_path / "curated_join")
+    write_curated(ds, out, via_join, keep_broadcast_limit=0)
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    written = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id"]) for f in files]
+    )
+    assert sorted(written["doc_id"].to_pylist()) == [0, 5]
+
+
+def test_curate_anti_join_no_near_dups(ray_session):
+    """Joined path with zero near-dup pairs: the empty drop Dataset must
+    flow through the anti-join (schema-ful empty bundles), keeping all
+    exact-dedup survivors."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.curate import curate_keep_list
+
+    docs = [
+        f"document number {i} holds its own completely distinct set of "
+        f"payload words alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(12)
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(12)), "text": docs})
+    ).repartition(4)
+    keep = curate_keep_list(ds, near_dup_threshold=0.9, keep_broadcast_limit=0)
+    assert sorted(keep.to_pandas()["doc_id"]) == list(range(12))
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~3 min at 4 CPUs; run with MLPR_BIG_TESTS=1 "
+    "(measured run recorded in BASELINE.md round 3)",
+)
+def test_curate_anti_join_million_survivors(ray_session):
+    """>=1M survivors through the joined near-dup branch: completes with
+    the full keep set and without any survivor-sized driver collection
+    (measured driver peak RSS 0.19 GB at 1.1M survivors)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.curate import curate_keep_list
+
+    n_docs = 1_100_000
+
+    def _synth(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        texts = [" ".join(f"w{i}x{j}" for j in range(10)) for i in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+        )
+
+    docs = rd.range(n_docs).map_batches(_synth, batch_format="pyarrow")
+    keep = curate_keep_list(
+        docs, near_dup_threshold=0.8, keep_broadcast_limit=100_000
+    )
+    assert keep.count() == n_docs
