@@ -394,25 +394,40 @@ def minhash_dedup_pairs(
     def _sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         sigs = minhash_signature_batch(texts)
-        ids = batch[id_col].to_pylist()
-        rows = {"band_id": [], "band_hash": [], id_col: [], "sig": []}
-        for i, did in enumerate(ids):
-            # only the first est_perms permutations ride the band rows
-            # (the estimator subsample: 128B/doc/band instead of 512B -
-            # shuffle weight matters more than estimator precision, which
-            # the margin below absorbs)
-            sig_bytes = sigs[i][:est_perms].tobytes()
-            for band_id, bh in enumerate(lsh_bands(sigs[i], n_bands)):
-                rows["band_id"].append(band_id)
-                rows["band_hash"].append(bh)
-                rows[id_col].append(did)
-                rows["sig"].append(sig_bytes)
+        nd = len(texts)
+        # band hashes stay zlib.crc32 (bit-compat with lsh_bands); the
+        # explode around them is pure numpy/Arrow — band_id tiles, the id
+        # column is an Arrow take (keeps its dtype, strings included), and
+        # the sig column is ONE binary array built from offsets over a
+        # repeated fixed-width row matrix (per-doc-per-band Python appends
+        # measured as the stage's tail at sf0.1)
+        r = sigs.shape[1] // n_bands
+        bh = np.empty((nd, n_bands), dtype=np.int64)
+        for i in range(nd):
+            s = sigs[i]
+            for b_ in range(n_bands):
+                bh[i, b_] = zlib.crc32(s[b_ * r : (b_ + 1) * r].tobytes())
+        # only the first est_perms permutations ride the band rows (the
+        # estimator subsample: shuffle weight matters more than estimator
+        # precision, which the prefilter margin absorbs)
+        width = est_perms * 8
+        sub = np.ascontiguousarray(sigs[:, :est_perms])
+        data = pa.py_buffer(np.repeat(sub, n_bands, axis=0).tobytes())
+        offsets = pa.py_buffer(
+            (np.arange(nd * n_bands + 1, dtype=np.int32) * width).tobytes()
+        )
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(), nd * n_bands, [None, offsets, data]
+        )
+        idx = np.repeat(np.arange(nd, dtype=np.int64), n_bands)
         return pa.table(
             {
-                "band_id": pa.array(rows["band_id"], pa.int32()),
-                "band_hash": pa.array(rows["band_hash"], pa.int64()),
-                id_col: pa.array(rows[id_col]),
-                "sig": pa.array(rows["sig"], pa.binary()),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), nd), pa.int32()
+                ),
+                "band_hash": pa.array(bh.ravel(), pa.int64()),
+                id_col: batch[id_col].take(pa.array(idx)),
+                "sig": sig_arr,
             }
         )
 
@@ -674,20 +689,36 @@ def ngram_jaccard_pairs(
     """
 
     def _grams(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        g_id, g_hash, g_n = [], [], []
-        for did, t in zip(ids, texts):
+        # per-gram blake2b hashing is the unavoidable Python work; the
+        # explode itself is np.repeat over per-doc gram counts (per-gram
+        # triple-appends measured as the stage's tail at sf0.1)
+        hashes = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             grams = word_ngrams(t, n)
-            for gr in grams:
-                g_id.append(did)
-                g_hash.append(_gram_hash64(gr))
-                g_n.append(len(grams))
+            if grams:
+                lens[i] = len(grams)
+                hashes.append(
+                    np.fromiter(
+                        (_gram_hash64(g) for g in grams),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                )
+        gram_col = (
+            np.concatenate(hashes) if hashes else np.array([], dtype=np.int64)
+        )
         return pa.table(
             {
-                "gram": pa.array(g_hash, pa.int64()),
-                id_col: pa.array(g_id, pa.int64()),
-                "n_grams": pa.array(g_n, pa.int32()),
+                "gram": pa.array(gram_col, pa.int64()),
+                id_col: pa.array(
+                    np.repeat(ids.astype(np.int64), lens), pa.int64()
+                ),
+                "n_grams": pa.array(
+                    np.repeat(lens, lens).astype(np.int32), pa.int32()
+                ),
             }
         )
 
@@ -860,21 +891,26 @@ def simhash_near_pairs(
     def _explode(batch: pa.Table) -> pa.Table:
         sigs = simhash_batch(batch, id_col=id_col)
         s = sigs["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = sigs[id_col].to_pylist()
-        out_chunk, out_key, out_id, out_sig = [], [], [], []
+        nd = len(s)
+        # fixed n_chunks rows per doc: the whole explode is numpy
+        # tile/repeat plus an Arrow take for the id column (per-row
+        # extend() loops were the stage's Python tail)
+        keys = np.empty((n_chunks, nd), dtype=np.int64)
         for chunk in range(n_chunks):
             lo, hi = bounds[chunk], bounds[chunk + 1]
-            keys = (s >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
-            out_chunk.extend([chunk] * len(ids))
-            out_key.extend(keys.astype(np.int64).tolist())
-            out_id.extend(ids)
-            out_sig.extend(s.view(np.int64).tolist())
+            keys[chunk] = (
+                (s >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+            ).astype(np.int64)
+        idx = np.tile(np.arange(nd, dtype=np.int64), n_chunks)
         return pa.table(
             {
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "chunk_key": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.int64()),
+                "chunk": pa.array(
+                    np.repeat(np.arange(n_chunks, dtype=np.int32), nd),
+                    pa.int32(),
+                ),
+                "chunk_key": pa.array(keys.ravel(), pa.int64()),
+                id_col: sigs[id_col].take(pa.array(idx)),
+                "sig": pa.array(np.tile(s.view(np.int64), n_chunks), pa.int64()),
             }
         )
 
