@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_class_qt_pct95": q.q_slowlog_class_qt_pct95,
         "slowlog_global": q.q_slowlog_global,
         "slowlog_sink_counts": q.q_slowlog_sink_counts,
+        "slowlog_report_quantiles": q.q_slowlog_report_quantiles,
         "slowlog_route_enrich": q.q_slowlog_route_enrich,
         "slowlog_examples": q.q_slowlog_examples,
         "slowlog_db_user": q.q_slowlog_db_user,

@@ -173,6 +173,38 @@ def q_slowlog_global(sf_dir: str):
     )
 
 
+def q_slowlog_report_quantiles(sf_dir: str):
+    """Rows-only driver surface for the GK report (parser-cli.go:118-137
+    parity path): the 21-step QueryRank table, the Histo(20) buckets, and
+    the Real pct95/median summary, as rows.
+
+    No SQL oracle: GK is an approximate sketch whose VALUES depend on
+    merge order; what this entry pins is the report SHAPE (fixed 43 rows:
+    21 quantile steps + 20 histogram buckets + 2 summary rows) and that
+    the surface keeps producing rows at all - regressions in
+    pipelines/report.py previously only pytest could catch."""
+    import pandas as pd
+
+    from .report import QUANTILE_STEPS, _quantile_rank, collect_partials
+
+    ev = parse_events(derived_sequences_ds(sf_dir))
+    glob, _classes = collect_partials(ev, exact=False)
+    rows: List[tuple] = []
+    if glob is not None and "Query_time" in glob.stats.time:
+        s = glob.stats.time["Query_time"]
+        for phi in QUANTILE_STEPS:
+            val, _rmin, rmax = _quantile_rank(s, phi)
+            rows.append(("quantile", float(phi), float(phi), float(val), int(rmax)))
+        for lo, hi, cnt in s.gk.histo(20):
+            rows.append(("histo", float(lo), float(hi), float(cnt), int(cnt)))
+        cur = s.current()
+        rows.append(("real", 0.95, 0.95, float(cur.get("pct95", 0.0)), int(s.cnt)))
+        rows.append(("real", 0.50, 0.50, float(cur.get("med", 0.0)), int(s.cnt)))
+    return pd.DataFrame(
+        rows, columns=["section", "lo", "hi", "value", "n"]
+    ).astype({"lo": "float64", "hi": "float64", "value": "float64", "n": "int64"})
+
+
 def q_slowlog_sink_counts(sf_dir: str):
     events = parse_events(derived_sequences_ds(sf_dir))
     out = grouped_counts(events, keys=["source", "class_id"], sum_col="n_tok")

@@ -172,3 +172,24 @@ def test_supplier_by_nation_drops_unknown_keys(ray_session, tmp_path):
     row = out.iloc[0]
     assert (row["region"], row["nation"], int(row["n_suppliers"]),
             int(row["acctbal_cents"])) == ("R0", "ZERO", 2, 1500)
+
+
+def test_report_quantiles_shape(ray_session):
+    """Rows-only GK report surface: fixed 43-row shape (21 QueryRank
+    steps + 20 Histo buckets + 2 Real summary rows), monotone quantile
+    values, histogram counts summing to the event total."""
+    import __ray_entry__ as e
+
+    out = _to_pandas(e.queries()["slowlog_report_quantiles"](SF_DIR))
+    assert list(out.columns) == ["section", "lo", "hi", "value", "n"]
+    assert out["section"].value_counts().to_dict() == {
+        "quantile": 21, "histo": 20, "real": 2,
+    }
+    quant = out[out["section"] == "quantile"].sort_values("lo")
+    assert (quant["value"].diff().dropna() >= 0).all()
+    histo = out[out["section"] == "histo"]
+    total = int(out.loc[out["section"] == "real", "n"].iloc[0])
+    assert total > 0
+    # histo counts come from GK rank estimates (eps=0.01 per boundary,
+    # 20 boundaries): within 2*eps*n_buckets of the true total
+    assert abs(int(histo["n"].sum()) - total) <= int(0.02 * 20 * total) + 1
