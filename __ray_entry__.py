@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genlog_class_counts": q.q_genlog_class_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
+        "events_hopping": q.q_events_hopping,
         "events_value_p95": q.q_events_value_p95,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
@@ -331,6 +332,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH ev AS (
+              SELECT event_type,
+                     epoch_us(ts) // 900000000 AS k_hi,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT CAST((ev.k_hi - r.range) * 900 AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM ev CROSS JOIN range(4) r
+            GROUP BY 1, 2
         """,
         "events_sessions": """
             WITH o AS (

@@ -342,6 +342,14 @@ def q_events_hourly(sf_dir: str):
     return tumbling_window_agg(ev, window_sec=3600)
 
 
+def q_events_hopping(sf_dir: str):
+    """1h windows advancing every 15min: each event lands in 4 windows."""
+    from ..stages.window import hopping_window_agg
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return hopping_window_agg(ev, window_sec=3600, hop_sec=900)
+
+
 def q_events_sessions(sf_dir: str):
     from ..stages.window import sessionize
 

@@ -92,6 +92,77 @@ def tumbling_window_agg(
     return out.sort_values(keys).reset_index(drop=True)
 
 
+def hopping_window_agg(
+    events_ds,
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+    ts_col: str = "ts",
+    key_col: Optional[str] = "event_type",
+    value_col: Optional[str] = "value",
+):
+    """Hopping (sliding) event-time windows: width ``window_sec``, advance
+    ``hop_sec`` (must divide the width). Every event belongs to exactly
+    ``window_sec // hop_sec`` windows; window starts are hop-aligned epoch
+    seconds. Count + exact integer-cents sum per (window_start, key).
+
+    Scale shape: the per-event window explode happens INSIDE the batch
+    combiner — each batch first replicates rows arithmetically (numpy
+    repeat/tile, no joins) and immediately pre-aggregates, so what
+    shuffles is at most ``n_covers``x the tumbling partial rows (distinct
+    (window, key) pairs per batch), never ``n_covers``x the events. The
+    final merge is the same small groupby as the tumbling path.
+    """
+    if window_sec % hop_sec != 0:
+        raise ValueError("hop_sec must divide window_sec")
+    n_covers = window_sec // hop_sec
+    hop_us = int(hop_sec) * 1_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[ts_col]))  # null event-time
+        us = _epoch_us(batch[ts_col])
+        k_hi = us // hop_us
+        # event i covers window starts (k_hi[i] - j) * hop_sec, j < n_covers
+        win = (
+            (k_hi[None, :] - np.arange(n_covers, dtype=np.int64)[:, None])
+            * hop_sec
+        ).ravel()
+        cols = {"window_start": win}
+        if key_col is not None:
+            cols[key_col] = np.tile(
+                batch[key_col].to_numpy(zero_copy_only=False), n_covers
+            )
+        df = pd.DataFrame(cols)
+        if value_col is not None:
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            df["value_cents"] = np.tile(
+                np.floor(v * 100 + 0.5).astype(np.int64), n_covers
+            )
+        keys = ["window_start"] + ([key_col] if key_col else [])
+        agg = {"n": ("window_start", "size")}
+        if value_col is not None:
+            agg["value_cents"] = ("value_cents", "sum")
+        g = df.groupby(keys, as_index=False, dropna=False).agg(**agg)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    keys = ["window_start"] + ([key_col] if key_col else [])
+    aggs = [Sum("n", alias_name="n")]
+    if value_col is not None:
+        aggs.append(Sum("value_cents", alias_name="value_cents"))
+    out = (
+        events_ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    out["window_start"] = out["window_start"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    if value_col is not None:
+        out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def sessionize(
     events_ds,
     gap_sec: int = 1800,

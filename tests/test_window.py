@@ -324,3 +324,55 @@ def test_stable_partition_null_immune():
     pd_ = stable_partition(dirty, 64)
     assert pc_[0] == pd_[0] and pc_[1] == pd_[1] and pc_[3] == pd_[3]
     assert pd_[2] == 0  # nulls deterministically in partition 0
+
+
+def test_hopping_window(ev_ds):
+    """1h windows hopping every 15min: an event at minute m lands in the 4
+    hop-aligned windows covering it; counts/sums match a brute-force
+    per-event check."""
+    from mysql_log_parser_ray.stages.window import hopping_window_agg
+
+    out = hopping_window_agg(ev_ds, window_sec=3600, hop_sec=900)
+    base = 1704067200
+
+    # brute force over ROWS
+    want = {}
+    for _eid, ts, _uid, etype, val in ROWS:
+        us = int(np.datetime64(ts, "us").astype(np.int64))
+        sec = us // 1_000_000
+        k_hi = sec // 900
+        for j in range(4):
+            key = ((k_hi - j) * 900, etype)
+            n, cents = want.get(key, (0, 0))
+            want[key] = (n + 1, cents + int(np.floor(val * 100 + 0.5)))
+    got = {
+        (int(r.window_start), r.event_type): (int(r.n), int(r.value_cents))
+        for r in out.itertuples()
+    }
+    assert got == want
+    # spot check: the 00:10 events (users 1+2) share windows 23:15..00:00
+    assert got[(base - 900, "click")] == (2, 1100)
+    assert got[(base, "click")][0] >= 2
+
+
+def test_hopping_window_validates_hop(ev_ds):
+    from mysql_log_parser_ray.stages.window import hopping_window_agg
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(ev_ds, window_sec=3600, hop_sec=1000)
+
+
+def test_hopping_window_drops_null_ts(ray_session):
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.window import hopping_window_agg
+
+    t = pa.table(
+        {
+            "ts": pa.array([np.datetime64("2024-01-01T00:00:00", "us"), None],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["a", "a"]),
+            "value": pa.array([1.0, 1.0]),
+        }
+    )
+    out = hopping_window_agg(rd.from_arrow(t), window_sec=3600, hop_sec=1800)
+    assert int(out["n"].sum()) == 2  # one valid event x 2 covering windows
