@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q.q_top_users,
         "orders_by_segment": q.q_orders_by_segment,
         "lineitem_pricing": q.q_lineitem_pricing,
+        "lineitem_order_priority": q.q_lineitem_order_priority,
         "supplier_by_nation": q.q_supplier_by_nation,
         "part_type_stats": q.q_part_type_stats,
     }
@@ -382,6 +383,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "lineitem_order_priority": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,
         "lineitem_pricing": """

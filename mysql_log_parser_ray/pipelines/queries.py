@@ -748,6 +748,57 @@ def q_orders_by_segment(sf_dir: str):
     return out
 
 
+def q_lineitem_order_priority(sf_dir: str):
+    """Big-to-big distributed hash join: lineitem x orders on orderkey via
+    ``Dataset.join`` (both sides shuffle by key - neither fits a broadcast
+    at scale, unlike the dim joins in orders_by_segment), then per-batch
+    revenue partials into a 5-row priority groupby. Partition count is
+    session-sized (CLAUDE.md join rules); join output feeds only
+    map_batches/groupby, which tolerate empty partitions."""
+    import ray
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_parts = min(64, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        df = pa.table(
+            {"o_orderpriority": b["o_orderpriority"], "revenue_cents": _cents(rev)}
+        ).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("revenue_cents", "size"),
+            revenue_cents=("revenue_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate, vectorized pyarrow partials."""
     ds = _read(
