@@ -44,6 +44,39 @@ def q_doc_token_counts(sf_dir: str):
     return out
 
 
+def q_doc_pack_stats(sf_dir: str):
+    """Sequence packing (training/pack.py) rolled up per pack: the
+    deterministic doc->pack map aggregated to (source, pack_id, n_docs,
+    pack_tokens). The per-doc pack rows stay a Dataset; only pack-level
+    partials reach the groupby."""
+    from .pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    packs = pack_sequences(ds, budget_tokens=2048, as_dataset=True)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.select(["source", "pack_id", "n_tok"]).to_pandas()
+        g = df.groupby(["source", "pack_id"], as_index=False).agg(
+            n_docs=("n_tok", "size"), pack_tokens=("n_tok", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        packs.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["source", "pack_id"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pack_tokens", alias_name="pack_tokens"),
+        )
+        .to_pandas()
+    )
+    for c in ("pack_id", "n_docs", "pack_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "pack_id"]).reset_index(drop=True)
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     from .text import token_count_batch
 
@@ -224,6 +257,7 @@ def q_media_decode(sf_dir: str):
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
+        "doc_pack_stats": q_doc_pack_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -282,6 +316,23 @@ def register_oracles():
                    COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS BIGINT) AS n_ws_tokens
             FROM documents GROUP BY 1
+        """,
+        "doc_pack_stats": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_offset
+              FROM t
+            )
+            SELECT source, CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY 1, 2
         """,
         "doc_bpe_tokens": r"""
             SELECT doc_id,

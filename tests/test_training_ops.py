@@ -666,3 +666,67 @@ def test_curate_anti_join_million_survivors(ray_session):
         docs, near_dup_threshold=0.8, keep_broadcast_limit=100_000
     )
     assert keep.count() == n_docs
+
+
+def test_pack_sequences_semantics(ray_session):
+    """Offset-binning pack assignment: per-key tape offsets reset per key,
+    a doc belongs to the bin its first token falls in, and the map is
+    identical across input partitionings."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.pack import pack_sequences
+
+    rows = {
+        "doc_id": [0, 1, 2, 3, 10, 11],
+        "source": ["a", "a", "a", "a", "b", "b"],
+        "text": [
+            "w1 w2 w3",          # 3 tok, offset 0  -> pack 0
+            "x1 x2 x3 x4",       # 4 tok, offset 3  -> pack 0
+            "y1 y2",             # 2 tok, offset 7  -> pack 0 (spans into 1)
+            "z1",                # 1 tok, offset 9  -> pack 1
+            "p1 p2 p3 p4 p5 p6 p7 p8",  # b: offset 0 -> pack 0
+            "q1",                # b: offset 8 -> pack 1
+        ],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = pack_sequences(ds, budget_tokens=8, key_col="source")
+    got = {
+        (r.source, int(r.doc_id)): (int(r.tok_offset), int(r.pack_id))
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("a", 0): (0, 0), ("a", 1): (3, 0), ("a", 2): (7, 0), ("a", 3): (9, 1),
+        ("b", 10): (0, 0), ("b", 11): (8, 1),
+    }
+
+    re8 = pack_sequences(
+        ds.repartition(5), budget_tokens=8, key_col="source"
+    )
+    pd.testing.assert_frame_equal(out, re8)
+
+    with pytest.raises(ValueError):
+        pack_sequences(ds, budget_tokens=0)
+
+
+def test_pack_sequences_as_dataset(ray_session):
+    """Scale mode: the doc->pack map stays distributed and totals agree
+    with the collected path."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.pack import pack_sequences
+
+    n = 500
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(n)),
+                "source": [f"s{i % 7}" for i in range(n)],
+                "text": ["tok " * (1 + i % 13) for i in range(n)],
+            }
+        )
+    ).repartition(8)
+    dist = pack_sequences(ds, budget_tokens=64, as_dataset=True)
+    local = pack_sequences(ds, budget_tokens=64)
+    assert dist.count() == n == len(local)
+    dsum = dist.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dsum, local)
