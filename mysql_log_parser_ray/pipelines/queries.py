@@ -457,8 +457,13 @@ def q_events_asof_tier_bigdim(sf_dir: str):
     from ..stages.asof import asof_join_partitioned
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    # materialize the derived dim (user-cardinality x 4, object-store
+    # resident, never on the driver): asof_join_partitioned needs its
+    # schema up front, and schema() on the lazy groupby pipeline would
+    # execute it once for inference and again for the join
+    dim = _tier_dim_ds(ev).materialize()
     joined = asof_join_partitioned(
-        ev, _tier_dim_ds(ev), on="ts", by="user_id", dim_on="valid_from",
+        ev, dim, on="ts", by="user_id", dim_on="valid_from",
         columns=["event_id", "tier"],
     )
     from ..stages.aggregate import grouped_counts
