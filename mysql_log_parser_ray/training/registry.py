@@ -163,6 +163,17 @@ def q_ann_ivf_topk(sf_dir: str):
     return out
 
 
+def q_embed_centroids(sf_dir: str):
+    """Per-label mean embedding (vector aggregate) in long (label, pos,
+    centroid) form - combiner partials shuffle, vectors never do."""
+    from .vectors import vector_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = vector_centroids(emb, key_col="label", vec_col="embedding")
+    out["label"] = out["label"].astype("int64")
+    return out
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """Exact distributed path (tile cross-product) — matches the all-pairs
     oracle on any corpus while the O(n^2) flops run in parallel tasks."""
@@ -266,6 +277,7 @@ def register_queries():
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_centroids": q_embed_centroids,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -333,6 +345,18 @@ def register_oracles():
             SELECT source, CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
                    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
             FROM c GROUP BY 1, 2
+        """,
+        "embed_centroids": r"""
+            WITH u AS (
+              SELECT label,
+                     unnest(embedding) AS x,
+                     unnest(range(len(embedding))) AS pos
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+            FROM u GROUP BY 1, 2
         """,
         "doc_bpe_tokens": r"""
             SELECT doc_id,

@@ -730,3 +730,39 @@ def test_pack_sequences_as_dataset(ray_session):
     assert dist.count() == n == len(local)
     dsum = dist.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(dsum, local)
+
+
+def test_vector_centroids(ray_session):
+    """Distributed vector centroid equals the numpy mean per key,
+    independent of partitioning; ragged vectors are rejected."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.vectors import vector_centroids
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 8
+    labels = rng.integers(0, 5, n)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table(
+        {
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    for parts in (1, 7):
+        out = vector_centroids(rd.from_arrow(t).repartition(parts))
+        for lab in range(5):
+            want = np.round(
+                mat[labels == lab].astype(np.float64).mean(axis=0), 6
+            )
+            got = out[out["label"] == lab].sort_values("pos")["centroid"].to_numpy()
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    ragged = pa.table(
+        {
+            "label": pa.array([0, 0], pa.int32()),
+            "embedding": pa.array([[1.0, 2.0], [1.0]], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(Exception):
+        vector_centroids(rd.from_arrow(ragged))
