@@ -174,6 +174,18 @@ def q_embed_centroids(sf_dir: str):
     return out
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means summary (iterative algorithm — rows-only
+    driver check; the trajectory-equals-local-reference and
+    partition-invariance properties are pinned in tests). Init centroids are
+    the first 8 vectors by vec_id (deterministic, fetched with a parquet
+    row-filter pushdown)."""
+    from .vectors import kmeans
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return kmeans(emb, _query_vecs(sf_dir, n=8), n_iter=5)
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """Exact distributed path (tile cross-product) — matches the all-pairs
     oracle on any corpus while the O(n^2) flops run in parallel tasks."""
@@ -278,6 +290,7 @@ def register_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_centroids": q_embed_centroids,
+        "embed_kmeans": q_embed_kmeans,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,

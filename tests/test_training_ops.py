@@ -766,3 +766,68 @@ def test_vector_centroids(ray_session):
     )
     with pytest.raises(Exception):
         vector_centroids(rd.from_arrow(ragged))
+
+
+def test_kmeans_distributed(ray_session):
+    """Distributed Lloyd's matches a local numpy reference running the
+    same per-iteration 6dp-rounding convention, independent of
+    partitioning; the as_dataset assignment path agrees with the summary."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.vectors import kmeans
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 400, 6, 5
+    proto = rng.normal(size=(k, dim))
+    mat = (proto[rng.integers(0, k, n)] + 0.1 * rng.normal(size=(n, dim))).astype(
+        np.float32
+    )
+    t = pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        }
+    )
+    init = mat[:k].astype(np.float64)
+
+    # local reference (identical rounding + argmin tie rule)
+    m = mat.astype(np.float64)
+    cents = np.round(init, 6)
+    for _ in range(5):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            if (a == j).any():
+                new[j] = m[a == j].sum(axis=0) / (a == j).sum()
+        cents = np.round(new, 6)
+    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    micro = np.floor(d[np.arange(n), a] * 1e6 + 0.5).astype(np.int64)
+    want = (
+        pd.DataFrame({"cluster": a.astype("int64"), "inertia_micro": micro})
+        .groupby("cluster", as_index=False)
+        .agg(n_vecs=("cluster", "size"), inertia_micro=("inertia_micro", "sum"))
+    )
+    want["n_vecs"] = want["n_vecs"].astype("int64")
+    want["inertia"] = want["inertia_micro"] / 1e6
+    want = want[["cluster", "n_vecs", "inertia"]]
+
+    outs = []
+    for parts in (1, 7):
+        out = kmeans(rd.from_arrow(t).repartition(parts), init, n_iter=5)
+        pd.testing.assert_frame_equal(out, want)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    assigned = kmeans(
+        rd.from_arrow(t).repartition(5), init, n_iter=5, as_dataset=True
+    ).to_pandas()
+    assert len(assigned) == n
+    got_counts = (
+        assigned.groupby("cluster")["vec_id"].size().sort_index().to_numpy()
+    )
+    np.testing.assert_array_equal(got_counts, want["n_vecs"].to_numpy())
+    np.testing.assert_array_equal(
+        assigned.sort_values("vec_id")["cluster"].to_numpy(), a
+    )
