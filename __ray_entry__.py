@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
+        "events_sorted_head": q.q_events_sorted_head,
+        "token_vocab_counts": q.q_token_vocab_counts,
         "events_hash_sample": q.q_events_hash_sample,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -366,6 +368,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(us) AS start_us, MAX(us) AS end_us,
                    MAX(us) - MIN(us) AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "token_vocab_counts": f"""
+            WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents)
+            SELECT CAST(unicode(substring(txt, CAST(i AS INTEGER), 1)) AS BIGINT) AS token,
+                   COUNT(*) AS n
+            FROM t, UNNEST(range(1, length(txt) + 1)) AS u(i)
+            GROUP BY 1
+        """,
+        "events_sorted_head": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 20
         """,
         "events_by_type": """
             SELECT event_type,

@@ -959,3 +959,56 @@ def q_part_type_stats(sf_dir: str):
     out["min_size"] = out["min_size"].astype("int32")
     out["max_size"] = out["max_size"].astype("int32")
     return out
+
+
+def q_token_vocab_counts(sf_dir: str):
+    """Corpus-wide token (vocabulary) frequency over the ``tokens``
+    array<int32> column — the canonical 10^12-sequence reduction.
+
+    Each block flattens its list column to the underlying values buffer
+    zero-copy and reduces to a <=vocab-row ``np.bincount`` partial, so what
+    shuffles is #blocks x vocab tiny rows; the token payload never moves
+    and the final groupby is bounded by vocab cardinality, not corpus
+    size. Oracle: byte histogram of the closed-form doc text (the derived
+    tokens ARE the utf-8 bytes, sources/sequences.py:60-65)."""
+    seqs = derived_sequences_ds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["tokens"].combine_chunks()
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        counts = np.bincount(vals)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        seqs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["token"] = out["token"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def q_events_sorted_head(sf_dir: str):
+    """Global distributed sort (Ray's range-partitioned all-to-all) with a
+    deterministic (value desc, event_id asc) total order; only the head
+    leaves the cluster. Cents conversion happens AFTER the sort so the
+    order matches the oracle's ORDER BY on the raw double."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    head = (
+        ds.sort(["value", "event_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    head["value_cents"] = np.floor(head["value"] * 100 + 0.5).astype("int64")
+    head["event_id"] = head["event_id"].astype("int64")
+    return head[["event_id", "event_type", "value_cents"]]
