@@ -757,17 +757,45 @@ def q_lineitem_order_priority(sf_dir: str):
     """Big-to-big distributed hash join: lineitem x orders on orderkey via
     ``Dataset.join`` (both sides shuffle by key - neither fits a broadcast
     at scale, unlike the dim joins in orders_by_segment), then per-batch
-    revenue partials into a 5-row priority groupby. Partition count is
-    session-sized (CLAUDE.md join rules); join output feeds only
-    map_batches/groupby, which tolerate empty partitions."""
+    revenue partials into a 5-row priority groupby.
+
+    Partition count is session-sized AND volume-capped: the join's
+    aggregator actor pool is sized by num_partitions, and 32 partitions on
+    a 13 MB input spent 2-4x the query's runtime on pool startup (measured
+    5.7 s -> 1.4 s at 8 partitions, sf0.1/32 CPUs). ~64 MB per partition
+    with the CPU cap untouched for big inputs. The lineitem side is
+    pre-aggregated per (block, orderkey) BEFORE the shuffle — per-line
+    cents rounding is preserved, so results are bit-identical while the
+    join moves order-level partials, not lines."""
     import ray
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    n_parts = min(64, max(8, int(ray.cluster_resources().get("CPU", 8))))
-    joined = li.join(
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("lineitem", "orders")
+    )
+    n_parts = min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-in_bytes // (64 << 20))),
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        df = pa.table(
+            {"l_orderkey": b["l_orderkey"], "revenue_cents": _cents(rev)}
+        ).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n_lines=("revenue_cents", "size"),
+            revenue_cents=("revenue_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = li.map_batches(pre, batch_format="pyarrow", batch_size=None).join(
         orders,
         "inner",
         num_partitions=n_parts,
@@ -778,12 +806,15 @@ def q_lineitem_order_priority(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
         df = pa.table(
-            {"o_orderpriority": b["o_orderpriority"], "revenue_cents": _cents(rev)}
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_lines": b["n_lines"],
+                "revenue_cents": b["revenue_cents"],
+            }
         ).to_pandas()
         g = df.groupby("o_orderpriority", as_index=False).agg(
-            n_lines=("revenue_cents", "size"),
+            n_lines=("n_lines", "sum"),
             revenue_cents=("revenue_cents", "sum"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
