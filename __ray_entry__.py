@@ -113,7 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
+        "events_hourly_distinct": q.q_events_hourly_distinct,
         "token_vocab_counts": q.q_token_vocab_counts,
+        "token_bigram_topk": q.q_token_bigram_topk,
         "events_hash_sample": q.q_events_hash_sample,
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "approx_distinct_users": q.q_approx_distinct_users,
@@ -375,6 +377,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM t, UNNEST(range(1, length(txt) + 1)) AS u(i)
             GROUP BY 1
+        """,
+        "token_bigram_topk": f"""
+            WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),
+            bg AS (
+              SELECT CAST(unicode(substring(txt, CAST(i AS INTEGER), 1)) AS BIGINT) AS token_a,
+                     CAST(unicode(substring(txt, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) AS token_b
+              FROM t, UNNEST(range(1, length(txt))) AS u(i)
+            )
+            SELECT token_a, token_b, COUNT(*) AS n FROM bg GROUP BY 1, 2
+            ORDER BY n DESC, token_a ASC, token_b ASC LIMIT 50
+        """,
+        "events_hourly_distinct": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_sorted_head": """
             SELECT event_id, event_type,

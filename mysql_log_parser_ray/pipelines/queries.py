@@ -1043,3 +1043,113 @@ def q_events_sorted_head(sf_dir: str):
     head["value_cents"] = np.floor(head["value"] * 100 + 0.5).astype("int64")
     head["event_id"] = head["event_id"].astype("int64")
     return head[["event_id", "event_type", "value_cents"]]
+
+
+def q_events_hourly_distinct(sf_dir: str):
+    """Windowed exact distinct: unique users per (hour, event_type).
+
+    The q_distinct_users_per_type bucket shape with the window key carried
+    through: per-batch distinct (window, type, user) triples tagged
+    hash(user) % 64 (the only shuffle is on that coarse bucket key — never
+    a groupby over per-user groups), per-bucket global dedupe + cell count
+    (every copy of a user lands in one bucket), then a driver fold of
+    64 x n_cells partial rows. Scales with distinct-triple cardinality per
+    bucket, never with event count."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "user_id"])
+    n_parts = 64
+
+    def _triples(b: pa.Table) -> pa.Table:
+        from ..partition import stable_partition
+
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"])))
+        us = b["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        t = pa.table(
+            {
+                "window_start": pc.cast(win, pa.int64()),
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "_part": pa.array(
+                    stable_partition(b["user_id"], n_parts), pa.int64()
+                ),
+            }
+        )
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    def _count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["window_start", "event_type", "user_id"])
+        return (
+            d.groupby(["window_start", "event_type"], as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    out = (
+        ev.map_batches(
+            _triples, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("_part")
+        .map_groups(_count_part, batch_format="pandas")
+        .to_pandas()
+        .groupby(["window_start", "event_type"], as_index=False, dropna=False)
+        .sum()
+    )
+    out["window_start"] = out["window_start"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_token_bigram_topk(sf_dir: str):
+    """Top-50 token bigrams corpus-wide (the n-gram frequency shape used
+    for contamination / boilerplate analysis). Each block computes bigram
+    codes over the flattened values buffer with document boundaries masked
+    out via the list offsets (no cross-doc bigrams), reduces to a bounded
+    <=vocab^2 bincount partial; the groupby is bigram-cardinality-sized and
+    the deterministic (n desc, token asc) head is the only driver result."""
+    seqs = derived_sequences_ds(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["tokens"].combine_chunks()
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vals) < 2:
+            return pa.table(
+                {
+                    "token_a": pa.array([], pa.int64()),
+                    "token_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = vals[:-1] * 256 + vals[1:]
+        # positions whose successor starts the next doc contribute no bigram
+        mask = np.ones(len(vals) - 1, dtype=bool)
+        ends = offsets[1:-1] - 1  # last index of every doc but the final one
+        mask[ends[(ends >= 0) & (ends < len(mask))]] = False
+        counts = np.bincount(codes[mask])
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token_a": pa.array(nz // 256, pa.int64()),
+                "token_b": pa.array(nz % 256, pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        seqs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["token_a", "token_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in ("token_a", "token_b", "n"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(
+        ["n", "token_a", "token_b"], ascending=[False, True, True]
+    ).head(50)
+    return out.reset_index(drop=True)
