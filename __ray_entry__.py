@@ -103,10 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genlog_parse_events": q.q_genlog_parse_events,
         "jsonlog_parse_events": q.q_jsonlog_parse_events,
         "genlog_class_counts": q.q_genlog_class_counts,
+        "all_formats_class_counts": q.q_all_formats_class_counts,
         "events_by_type": q.q_events_by_type,
         "events_hourly": q.q_events_hourly,
         "events_hopping": q.q_events_hopping,
         "events_value_p95": q.q_events_value_p95,
+        "events_value_qcont": q.q_events_value_qcont,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
@@ -188,6 +190,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT '{_cls_quit}', '{_fp_quit}' FROM documents
             )
             SELECT class_id, fingerprint, COUNT(*) AS total_queries
+            FROM ev GROUP BY 1, 2
+        """,
+        "all_formats_class_counts": f"""
+            WITH ev AS (
+              SELECT 'slowlog' AS fmt, {_CLASS_EXPR} AS class_id FROM documents
+              UNION ALL SELECT 'genlog', {_CLASS_EXPR} FROM documents
+              UNION ALL SELECT 'genlog', '{_cls_conn}' FROM documents
+              UNION ALL SELECT 'genlog', '{_cls_quit}' FROM documents
+              UNION ALL SELECT 'jsonlog', {_CLASS_EXPR} FROM documents
+            )
+            SELECT fmt, class_id, COUNT(*) AS total_queries
             FROM ev GROUP BY 1, 2
         """,
         "slowlog_parse_events": f"""
@@ -329,6 +342,12 @@ def oracle_sql() -> dict[str, str]:
                      [(95 * COUNT(*)) // 100 + 1] AS p95_cents,
                    (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))
                      [(50 * COUNT(*)) // 100 + 1] AS med_cents
+            FROM events GROUP BY 1
+        """,
+        "events_value_qcont": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.95), 6) AS q95
             FROM events GROUP BY 1
         """,
         "events_hourly": """

@@ -1153,3 +1153,57 @@ def q_token_bigram_topk(sf_dir: str):
         ["n", "token_a", "token_b"], ascending=[False, True, True]
     ).head(50)
     return out.reset_index(drop=True)
+
+
+def q_all_formats_class_counts(sf_dir: str):
+    """Multi-source fan-in: all three parser formats (slowlog / genlog /
+    jsonlog) merged with ``Dataset.union`` into ONE shared grouped count
+    keyed (fmt, class_id). Union is lazy block concatenation — no data
+    moves at the merge; each branch reduces to per-block partials and only
+    those tiny rows shuffle, so fan-in width is free at corpus scale."""
+    from ..sources.synth import jsonlog_sequences_from_documents
+
+    def _tag(fmt: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "fmt": pa.array([fmt] * len(b), pa.string()),
+                    "class_id": b["class_id"],
+                }
+            )
+
+        return f
+
+    slow = parse_events(derived_sequences_ds(sf_dir)).map_batches(
+        _tag("slowlog"), batch_format="pyarrow", batch_size=None
+    )
+    gen = parse_events(derived_genlog_sequences_ds(sf_dir), fmt="genlog").map_batches(
+        _tag("genlog"), batch_format="pyarrow", batch_size=None
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+    jseqs = docs.map_batches(
+        jsonlog_sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    js = parse_events(jseqs, fmt="jsonlog").map_batches(
+        _tag("jsonlog"), batch_format="pyarrow", batch_size=None
+    )
+    out = grouped_counts(
+        slow.union(gen).union(js), keys=["fmt", "class_id"], sum_col=None
+    )
+    out = out.rename(columns={"n_rows": "total_queries"})
+    out["total_queries"] = out["total_queries"].astype("int64")
+    return out
+
+
+def q_events_value_qcont(sf_dir: str):
+    """Linear-interpolated (quantile_cont / type-7) per-type value
+    quantiles through the bounded distinct-value histogram fold — exact at
+    any event count, per-task memory bounded by distinct values (see
+    stages/aggregate.py interpolated_quantile_by_key)."""
+    from ..stages.aggregate import interpolated_quantile_by_key
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = interpolated_quantile_by_key(
+        ev, "event_type", "value", {"q50": 0.5, "q95": 0.95}
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)

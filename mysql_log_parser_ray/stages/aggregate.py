@@ -23,6 +23,7 @@ import pickle
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.stats import BoolStats, EventStats, MetricStats
 from ..functions.ts import format_example_ts
@@ -848,6 +849,73 @@ def nearest_rank_by_key(
         return pd.DataFrame(row)
 
     return hist.groupby(key).map_groups(_rank, batch_format="pandas")
+
+
+def interpolated_quantile_by_key(
+    ds,
+    key: str,
+    val: str,
+    qs: Dict[str, float],
+    max_distinct_per_key: int = 5_000_000,
+):
+    """EXACT linear-interpolated quantiles per key (the type-7 /
+    ``quantile_cont`` convention: h = (cnt-1)*q, result =
+    v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] - v[floor(h)]) over the
+    conceptual sorted array) from the same bounded (key, value)-count
+    histogram fold as ``nearest_rank_by_key`` — no task ever holds a key's
+    raw values, only its distinct-value histogram. NULL values are dropped
+    before the fold (SQL aggregate semantics). Results round to 6 decimals
+    (both interpolation operand orders agree far below that grain).
+
+    Returns a Dataset of one row per key: (key, *qs.keys())."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[val]))
+        df = b.select([key, val]).to_pandas()
+        g = df.groupby([key, val], as_index=False, dropna=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    hist = (
+        ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby([key, val])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _interp(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_distinct_per_key:
+            raise DriverFoldOverflow(
+                f"interpolated_quantile_by_key: key {g[key].iloc[0]!r} has "
+                f"{len(g)} distinct {val!r} values "
+                f"(> {max_distinct_per_key}); this metric is effectively "
+                "continuous - use gk_percentiles_by_key for it"
+            )
+        g = g.sort_values(val)
+        cum = g["n"].cumsum().to_numpy()
+        cnt = int(cum[-1])
+        vals = g[val].to_numpy()
+
+        def at(i: int) -> float:
+            return float(vals[np.searchsorted(cum, i + 1)])
+
+        row = {key: [g[key].iloc[0]]}
+        for name, q in qs.items():
+            h = (cnt - 1) * float(q)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, cnt - 1)
+            v_lo = at(lo)
+            row[name] = [round(v_lo + (h - lo) * (at(hi) - v_lo), 6)]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(_interp, batch_format="pandas")
 
 
 def gk_percentiles_by_key(

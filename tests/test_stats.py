@@ -468,3 +468,48 @@ def test_gk_percentiles_by_key_accuracy(ray_session):
             # rank error <= eps*n (plus the merge slack the sketch budgets)
             rank = np.searchsorted(s, got)
             assert abs(rank - p * n) <= 2 * 0.01 * n, (k, name, rank)
+
+
+def test_interpolated_quantile_by_key(ray_session):
+    """The histogram-fold interpolated quantile equals numpy's linear
+    (type-7) quantile on the raw values — including a hot key whose events
+    far exceed its distinct values — and the overflow guard fires the same
+    way as nearest_rank_by_key's."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.aggregate import (
+        DriverFoldOverflow,
+        interpolated_quantile_by_key,
+    )
+
+    n_hot, hot_vals = 100_000, 37
+    ds = _rank_ds(n_hot, hot_vals)
+    out = (
+        interpolated_quantile_by_key(
+            ds, "class_id", "v", {"q50": 0.5, "q95": 0.95},
+            max_distinct_per_key=hot_vals,
+        )
+        .to_pandas()
+        .set_index("class_id")
+    )
+    hot = np.round((np.arange(n_hot, dtype=np.float64) % hot_vals) * 0.25, 6)
+    for key, arr in (("HOT", hot), ("COLD", np.array([1.0, 2.0, 3.0]))):
+        for col, q in (("q50", 0.5), ("q95", 0.95)):
+            want = round(float(np.quantile(arr, q, method="linear")), 6)
+            assert out.loc[key, col] == want, (key, col)
+
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "class_id": pa.array(["X"] * 10, pa.string()),
+                "v": pa.array(np.arange(10, dtype=np.float64)),
+            }
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DriverFoldOverflow):
+        interpolated_quantile_by_key(
+            big, "class_id", "v", {"q50": 0.5}, max_distinct_per_key=5
+        ).to_pandas()
