@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q.q_events_hopping,
         "events_value_p95": q.q_events_value_p95,
         "events_value_qcont": q.q_events_value_qcont,
+        "events_rollup": q.q_events_rollup,
+        "events_split_stats": q.q_events_split_stats,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
@@ -343,6 +345,29 @@ def oracle_sql() -> dict[str, str]:
                    (list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))))
                      [(50 * COUNT(*)) // 100 + 1] AS med_cents
             FROM events GROUP BY 1
+        """,
+        "events_rollup": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(CAST(hod AS VARCHAR), '<all>') AS hod,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM base GROUP BY ROLLUP(event_type, hod)
+        """,
+        "events_split_stats": """
+            SELECT CASE WHEN user_id % 10 < 8 THEN 'train'
+                        WHEN user_id % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_value_qcont": """
             SELECT event_type,

@@ -1207,3 +1207,97 @@ def q_events_value_qcont(sf_dir: str):
         ev, "event_type", "value", {"q50": 0.5, "q95": 0.95}
     ).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_rollup(sf_dir: str):
+    """Multi-level aggregate — ROLLUP over (event_type, hour-of-day).
+
+    The scale-correct rollup shape: the FINEST cells come from one
+    map_batches partial + one small shuffle; every coarser level
+    (per-type, grand total) is re-aggregated from the cells-cardinality
+    result on the driver — never a second pass over events. Rolled-up
+    dimensions carry the '<all>' sentinel (dtype-stable vs SQL NULLs)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = (us % 86_400_000_000) // 3_600_000_000
+        df = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hod": pa.array(hod.astype(np.int64), pa.int64()),
+                "cents": _cents(b["value"]),
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "hod"], as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    lvl2 = cells.copy()
+    lvl2["hod"] = lvl2["hod"].astype("int64").astype(str)
+    lvl1 = cells.groupby("event_type", as_index=False)[["n", "value_cents"]].sum()
+    lvl1["hod"] = "<all>"
+    lvl0 = pd.DataFrame(
+        {
+            "event_type": ["<all>"],
+            "hod": ["<all>"],
+            "n": [cells["n"].sum()],
+            "value_cents": [cells["value_cents"].sum()],
+        }
+    )
+    out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)[
+        ["event_type", "hod", "n", "value_cents"]
+    ]
+    out["n"] = out["n"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+def q_events_split_stats(sf_dir: str):
+    """Deterministic train/val/test split (the dataset-splitting primitive:
+    assignment is a pure function of the key, so it is reproducible across
+    runs, partitionings and cluster sizes — no sampling state), with
+    per-split per-type counts and value sums."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = b.filter(pc.is_valid(b["user_id"]))
+        m = pc.cast(b["user_id"], pa.int64()).to_numpy(zero_copy_only=False) % 10
+        split = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+        df = pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "event_type": b["event_type"],
+                "cents": _cents(b["value"]),
+            }
+        ).to_pandas()
+        g = df.groupby(["split", "event_type"], as_index=False).agg(
+            n=("cents", "size"), value_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["split", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values(["split", "event_type"]).reset_index(drop=True)
