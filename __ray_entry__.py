@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
+        "top_users_sketch": q.q_top_users_sketch,
         "orders_by_segment": q.q_orders_by_segment,
         "lineitem_pricing": q.q_lineitem_pricing,
         "lineitem_order_priority": q.q_lineitem_order_priority,
@@ -451,6 +452,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "top_users": """
+            SELECT user_id, COUNT(*) AS n_rows
+            FROM events GROUP BY 1
+            ORDER BY n_rows DESC, user_id ASC LIMIT 10
+        """,
+        # Same answer as top_users through the Misra-Gries candidate pass
+        # (state/heavyhitters.py): the sketch accelerates, never changes,
+        # the exact result.
+        "top_users_sketch": """
             SELECT user_id, COUNT(*) AS n_rows
             FROM events GROUP BY 1
             ORDER BY n_rows DESC, user_id ASC LIMIT 10

@@ -1301,3 +1301,16 @@ def q_events_split_stats(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["value_cents"] = out["value_cents"].astype("int64")
     return out.sort_values(["split", "event_type"]).reset_index(drop=True)
+
+
+def q_top_users_sketch(sf_dir: str):
+    """Exact top-10 users through the Misra-Gries candidate pass
+    (state/heavyhitters.py): block sketches bound pass-1 state to k
+    counters per block, the provable candidate superset is exact-counted
+    in pass 2 — same answer and oracle as top_users, one full groupby
+    avoided. Falls back to the exact groupby automatically when the
+    sketch is inconclusive (correctness never depends on data shape)."""
+    from ..state.heavyhitters import topk_exact_via_sketch
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return topk_exact_via_sketch(ev, "user_id", topn=10, k=256)

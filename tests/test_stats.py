@@ -513,3 +513,51 @@ def test_interpolated_quantile_by_key(ray_session):
         interpolated_quantile_by_key(
             big, "class_id", "v", {"q50": 0.5}, max_distinct_per_key=5
         ).to_pandas()
+
+
+def test_topk_exact_via_sketch(ray_session):
+    """The MG candidate pass returns the exact top-k on a skewed corpus
+    (identical to the full groupby), the compression bound holds per
+    block, and uniform data (sketch inconclusive) silently falls back to
+    the exact path with the same answer."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pandas as pd
+
+    from mysql_log_parser_ray.state.heavyhitters import (
+        _exact_topk,
+        mg_compress,
+        topk_exact_via_sketch,
+    )
+
+    # mg_compress bound: true - n/(k+1) <= est <= true
+    rng = np.random.default_rng(5)
+    keys = np.arange(500)
+    counts = rng.integers(1, 1000, 500).astype(np.int64)
+    ck, cc = mg_compress(keys, counts, k=50)
+    assert len(ck) <= 50
+    lookup = dict(zip(ck, cc))
+    n = counts.sum()
+    for key, true in zip(keys, counts):
+        est = lookup.get(key, 0)
+        assert est <= true
+        assert est >= true - n // (50 + 1) - 1
+
+    # skewed: zipf-ish user counts, sketch path must equal full groupby
+    users = np.repeat(np.arange(200), (2000 // (np.arange(200) + 1)).clip(1))
+    rng.shuffle(users)
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array(users, pa.int64())})
+    ).repartition(16)
+    got = topk_exact_via_sketch(ds, "user_id", topn=10, k=64, n_total=len(users))
+    want = _exact_topk(ds, "user_id", topn=10)
+    pd.testing.assert_frame_equal(got, want)
+
+    # uniform: every key count is below n/(k+1) -> fallback, still exact
+    uni = rd.from_arrow(
+        pa.table({"user_id": pa.array(np.arange(5000) % 1000, pa.int64())})
+    ).repartition(8)
+    got_u = topk_exact_via_sketch(uni, "user_id", topn=10, k=4, n_total=5000)
+    want_u = _exact_topk(uni, "user_id", topn=10)
+    pd.testing.assert_frame_equal(got_u, want_u)
