@@ -214,13 +214,23 @@ def write_curated(
 
             ids_j = ids.map_batches(
                 _id_schema, batch_format="pyarrow", batch_size=1 << 16
+            ).materialize()  # consumed twice: bloom build + exact join
+            # bloom-join: docs failing a broadcast bloom of the keep-ids
+            # are proven non-survivors and drop BEFORE the shuffle — their
+            # text never moves; the exact semi-join still runs on every
+            # maybe-row, so output is identical (state/bloom.py)
+            from ..state.bloom import bloom_prefilter
+
+            docs_j = bloom_prefilter(
+                docs_ds.map_batches(
+                    _cast_id_int64,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=1 << 16,
+                ),
+                ids_j,
             )
-            docs_ds.map_batches(
-                _cast_id_int64,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=1 << 16,
-            ).join(
+            docs_j.join(
                 ids_j, "left_semi", num_partitions=n_parts, on=("doc_id",)
             ).write_parquet(out_dir, partition_cols=[partition_col])
             return

@@ -831,3 +831,48 @@ def test_kmeans_distributed(ray_session):
     np.testing.assert_array_equal(
         assigned.sort_values("vec_id")["cluster"].to_numpy(), a
     )
+
+
+def test_bloom_prefilter(ray_session):
+    """The distributed bloom build has NO false negatives (every member
+    passes), a sane false-positive rate at the default sizing, and
+    bloom_prefilter + exact semi-join equals the direct semi-join."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.state.bloom import (
+        bloom_maybe,
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(13)
+    members = np.unique(rng.integers(0, 1 << 40, 50_000).astype(np.int64))
+    ids_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(members, pa.int64())})
+    ).repartition(8)
+    bits = build_bloom(ids_ds)
+
+    assert bloom_maybe(bits, members).all()  # no false negatives, ever
+
+    non = np.unique(rng.integers(1 << 41, 1 << 42, 50_000).astype(np.int64))
+    fp = bloom_maybe(bits, non).mean()
+    assert fp < 0.05, fp  # ~0.1% expected at 50k ids / 2^23 bits
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([members[:1000], non[:9000]]), pa.int64()
+                ),
+                "payload": pa.array(["x"] * 10000, pa.string()),
+            }
+        )
+    ).repartition(4)
+    pre = bloom_prefilter(corpus, ids_ds)
+    # the prefilter passes every true member and drops (almost) everything else
+    kept = pre.to_pandas()
+    assert set(members[:1000]).issubset(set(kept["doc_id"]))
+    assert len(kept) < 1000 + 0.05 * 9000
+    joined = pre.join(ids_ds, "left_semi", num_partitions=8, on=("doc_id",))
+    got = sorted(joined.to_pandas()["doc_id"])
+    assert got == sorted(members[:1000])
