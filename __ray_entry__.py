@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.q_orders_by_segment,
         "lineitem_pricing": q.q_lineitem_pricing,
         "lineitem_order_priority": q.q_lineitem_order_priority,
+        "customer_order_counts": q.q_customer_order_counts,
         "supplier_by_nation": q.q_supplier_by_nation,
         "part_type_stats": q.q_part_type_stats,
     }
@@ -476,6 +477,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lines,
                    CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "customer_order_counts": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+                   CAST(SUM(n_orders) AS BIGINT) AS n_orders
+            FROM (
+                SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            )
             GROUP BY 1
         """,
         "lineitem_pricing": """

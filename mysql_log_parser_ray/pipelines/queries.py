@@ -835,6 +835,114 @@ def q_lineitem_order_priority(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER distributed hash join: customer x per-customer order
+    counts, keeping customers with no orders (NULL fan-in -> 0).
+
+    Scale shape: the orders side is reduced to customer-cardinality count
+    partials BEFORE the shuffle (per-block groupby, then a Sum groupby on
+    o_custkey), so the left_outer ``Dataset.join`` moves one tiny row per
+    active customer instead of every order; the joined stream folds to a
+    segment-cardinality result via the usual partial+Sum shape. Join-side
+    hygiene per CLAUDE.md: the aggregated side passes through a
+    schema-enforcing map with a NUMERIC batch_size (groupby outputs can
+    carry schema-less empty blocks that acero rejects), and an all-empty
+    orders side skips the join entirely."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("customer", "orders")
+    )
+    n_parts = min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-in_bytes // (64 << 20))),
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table({"o_custkey": b["o_custkey"]}).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).size()
+        g = g.rename(columns={"size": "n_orders"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        orders.map_batches(pre, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def _schema_guard(b: pa.Table) -> pa.Table:
+        if "o_custkey" not in b.column_names:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            }
+        )
+
+    per_cust = per_cust.map_batches(
+        _schema_guard, batch_format="pyarrow", batch_size=1 << 16
+    )
+
+    if per_cust.count() == 0:
+        # all-empty join side: acero never sees it (CLAUDE.md join rule 3)
+        joined = cust.map_batches(
+            lambda b: b.append_column(
+                "n_orders", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:
+        joined = cust.join(
+            per_cust,
+            "left_outer",
+            num_partitions=n_parts,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = pc.coalesce(pc.cast(b["n_orders"], pa.int64()), pa.scalar(0, pa.int64()))
+        df = pa.table(
+            {"c_mktsegment": b["c_mktsegment"], "n_orders": n}
+        ).to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("n_orders", "size"),
+            n_no_orders=("n_orders", lambda s: int((s == 0).sum())),
+            n_orders=("n_orders", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_no_orders", alias_name="n_no_orders"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_customers", "n_no_orders", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate, vectorized pyarrow partials."""
     ds = _read(
@@ -1030,13 +1138,29 @@ def q_token_vocab_counts(sf_dir: str):
 
 
 def q_events_sorted_head(sf_dir: str):
-    """Global distributed sort (Ray's range-partitioned all-to-all) with a
-    deterministic (value desc, event_id asc) total order; only the head
-    leaves the cluster. Cents conversion happens AFTER the sort so the
-    order matches the oracle's ORDER BY on the raw double."""
+    """Global top-k via per-block prefilter + distributed sort.
+
+    A row outside its own block's top-20 under the (value desc, event_id
+    asc) total order cannot be in the global top-20, so each block keeps at
+    most 20 rows (pandas sort matches the oracle's NULLS LAST) and the
+    range-partitioned ``ds.sort`` all-to-all runs over <=20 x n_blocks tiny
+    rows instead of the whole corpus; a block with <20 non-null values
+    keeps its null rows too, so the null tail is preserved when the corpus
+    is that small. Cents conversion happens AFTER the sort so the order
+    matches the oracle's ORDER BY on the raw double."""
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["value", "event_id"], ascending=[False, True], na_position="last"
+        )
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
     head = (
-        ds.sort(["value", "event_id"], descending=[True, False])
+        ds.map_batches(
+            _block_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .sort(["value", "event_id"], descending=[True, False])
         .limit(20)
         .to_pandas()
     )

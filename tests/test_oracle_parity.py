@@ -193,3 +193,62 @@ def test_report_quantiles_shape(ray_session):
     # histo counts come from GK rank estimates (eps=0.01 per boundary,
     # 20 boundaries): within 2*eps*n_buckets of the true total
     assert abs(int(histo["n"].sum()) - total) <= int(0.02 * 20 * total) + 1
+
+
+def test_customer_order_counts_left_outer_nulls(ray_session, tmp_path):
+    """left_outer semantics: customers with no orders survive with
+    n_orders=0 (the sf testdata has none, so the NULL fan-in path is only
+    exercised here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_customer_order_counts
+
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string()),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q_customer_order_counts(str(tmp_path)).set_index("c_mktsegment")
+    assert out.loc["A", "n_customers"] == 2
+    assert out.loc["A", "n_no_orders"] == 1  # cust 2 has no orders
+    assert out.loc["A", "n_orders"] == 2
+    assert out.loc["B", "n_no_orders"] == 1  # cust 4
+    assert out.loc["B", "n_orders"] == 1
+
+
+def test_customer_order_counts_empty_orders(ray_session, tmp_path):
+    """All-empty join side: the count() guard must skip acero entirely
+    (CLAUDE.md join rule 3) and report every customer as zero-order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_customer_order_counts
+
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": pa.array(["A", "B"], pa.string()),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q_customer_order_counts(str(tmp_path)).set_index("c_mktsegment")
+    assert int(out["n_customers"].sum()) == 2
+    assert int(out["n_no_orders"].sum()) == 2
+    assert int(out["n_orders"].sum()) == 0
