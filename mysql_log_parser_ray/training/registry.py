@@ -240,6 +240,103 @@ def q_docs_curated(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_docs_stratified_sample(sf_dir: str, k: int = 5):
+    """Stratified deterministic sample: the k docs per source with the
+    smallest (md5(doc_id), doc_id) rank — the per-source/per-language
+    quota primitive for corpus balancing.
+
+    Scale shape: the rank is a pure function of the row key, so each block
+    reduces to its OWN per-source top-k candidates (<= k x n_sources rows
+    leave a block regardless of block size) and only those shuffle into a
+    source-cardinality groupby that keeps the global k. No sampling state,
+    reproducible across runs, partitionings and cluster sizes. md5 is the
+    rank key so the DuckDB oracle computes the identical order
+    (md5(CAST(doc_id AS VARCHAR))); the per-row digest costs ~1us and is
+    charged to the candidate rows only, never the text payload."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _rank(ids) -> list:
+        return [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+
+    def _cand(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "source": b["source"],
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            }
+        ).to_pandas()
+        df["rk"] = _rank(df["doc_id"])
+        df = df.sort_values(["rk", "doc_id"]).groupby("source").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["rk", "doc_id"]).head(k)[["source", "doc_id"]]
+
+    out = (
+        ds.map_batches(
+            _cand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("source")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def q_word_doc_freq(sf_dir: str, topn: int = 30):
+    """Document-frequency / IDF table: the 30 corpus-wide words appearing
+    in the most documents (lowercased, ASCII-whitespace split — the same
+    parity convention as doc_token_counts), with idf = ln(n_docs/df).
+
+    Scale shape: a document lives wholly inside one row/one block, so
+    per-block distinct-(doc, word) counting is EXACT — each block emits
+    (word, df_partial) rows bounded by its own vocabulary, the groupby is
+    vocab-cardinality (the canonical wordcount shuffle), and only the
+    deterministic (df desc, word asc) head reaches the driver. idf is
+    computed on the driver over the head rows from the streamed doc
+    count."""
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        words = (
+            s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        )
+        df = words[words.notna() & (words != "")].reset_index()
+        df.columns = ["doc", "word"]
+        part = (
+            df.drop_duplicates()
+            .groupby("word", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = ds.count()  # parquet metadata count, no scan
+    agg["df"] = agg["df"].astype("int64")
+    out = agg.sort_values(["df", "word"], ascending=[False, True]).head(topn)
+    out = out.reset_index(drop=True)
+    out["idf"] = np.round(np.log(float(n_docs) / out["df"].to_numpy()), 6)
+    return out[["word", "df", "idf"]]
+
+
 def q_media_decode(sf_dir: str):
     """Derive fake media payloads from documents, run the actor-pool decode
     stage (the multimodal plumbing), return the decoded metadata."""
@@ -296,6 +393,8 @@ def register_queries():
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
         "docs_curated": q_docs_curated,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "word_doc_freq": q_word_doc_freq,
     }
 
 
@@ -336,6 +435,32 @@ def _lang_id_sql() -> str:
 
 def register_oracles():
     return {
+        "docs_stratified_sample": r"""
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "word_doc_freq": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                           '[ \t\n\r\v\f]+')) AS word
+                FROM documents
+              ) WHERE word <> ''
+            ), d AS (
+              SELECT word, COUNT(*) AS df FROM w GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT word, df, ROUND(LN(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+            FROM d, n
+            ORDER BY df DESC, word ASC LIMIT 30
+        """,
         "doc_token_counts": r"""
             SELECT source,
                    COUNT(*) AS n_docs,
