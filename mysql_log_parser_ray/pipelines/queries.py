@@ -864,17 +864,26 @@ def q_customer_order_counts(sf_dir: str):
     def pre(b: pa.Table) -> pa.Table:
         import pandas as pd
 
+        from ..partition import stable_partition
+
         df = pa.table({"o_custkey": b["o_custkey"]}).to_pandas()
         g = df.groupby("o_custkey", as_index=False).size()
         g = g.rename(columns={"size": "n_orders"})
+        g["_part"] = stable_partition(g["o_custkey"], 64)
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _collapse(g) -> "pa.Table":
+        # all copies of a custkey land in this bucket: per-bucket sum is
+        # the global order count (never a groupby over per-customer groups)
+        out = g.groupby("o_custkey", as_index=False)["n_orders"].sum()
+        return out
 
     from ray.data.aggregate import Sum
 
     per_cust = (
         orders.map_batches(pre, batch_format="pyarrow", batch_size=None)
-        .groupby("o_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
     )
 
     def _schema_guard(b: pa.Table) -> pa.Table:
@@ -892,9 +901,13 @@ def q_customer_order_counts(sf_dir: str):
             }
         )
 
+    # materialize the customer-cardinality count rows ONCE (object store,
+    # never the driver): the empty-side count() guard and the join both
+    # consume them, and without this the whole orders aggregation pipeline
+    # executes twice (measured 4.5 s -> ~2 s at sf0.1)
     per_cust = per_cust.map_batches(
         _schema_guard, batch_format="pyarrow", batch_size=1 << 16
-    )
+    ).materialize()
 
     if per_cust.count() == 0:
         # all-empty join side: acero never sees it (CLAUDE.md join rule 3)
