@@ -295,16 +295,22 @@ def q_word_doc_freq(sf_dir: str, topn: int = 30):
 
     Scale shape: a document lives wholly inside one row/one block, so
     per-block distinct-(doc, word) counting is EXACT — each block emits
-    (word, df_partial) rows bounded by its own vocabulary, the groupby is
-    vocab-cardinality (the canonical wordcount shuffle), and only the
-    deterministic (df desc, word asc) head reaches the driver. idf is
-    computed on the driver over the head rows from the streamed doc
-    count."""
+    (word, df_partial) rows bounded by its own vocabulary, tagged
+    hash(word) % 64; the only shuffle is on that coarse bucket key (a
+    groupby over per-word groups is the banned tiny-groups shape at
+    web-scale vocabularies). Every copy of a word lands in one bucket, so
+    the per-bucket sum is the global df and each bucket's top-``topn``
+    candidates provably contain the global head — the driver folds
+    64 x topn rows, never the vocabulary. idf comes from the parquet
+    metadata row count."""
     from .text import _ASCII_WS, _WS_RE
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_parts = 64
 
     def _partial(b: pa.Table) -> pa.Table:
+        from ..partition import stable_partition
+
         s = b["text"].to_pandas()
         words = (
             s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
@@ -317,16 +323,19 @@ def q_word_doc_freq(sf_dir: str, topn: int = 30):
             .size()
             .rename(columns={"size": "df"})
         )
+        part["_part"] = stable_partition(part["word"], n_parts)
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def _bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("word", as_index=False)["df"].sum()
+        return tot.sort_values(["df", "word"], ascending=[False, True]).head(topn)
 
     agg = (
         ds.map_batches(
             _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
-        .groupby("word")
-        .aggregate(Sum("df", alias_name="df"))
+        .groupby("_part")
+        .map_groups(_bucket_top, batch_format="pandas")
         .to_pandas()
     )
     n_docs = ds.count()  # parquet metadata count, no scan
