@@ -876,3 +876,38 @@ def test_bloom_prefilter(ray_session):
     joined = pre.join(ids_ds, "left_semi", num_partitions=8, on=("doc_id",))
     got = sorted(joined.to_pandas()["doc_id"])
     assert got == sorted(members[:1000])
+
+
+def test_stratified_sample_partition_invariant(ray_session, tmp_path):
+    """The md5-rank quota sample is a pure function of the rows: the same
+    docs are chosen no matter how the input is blocked (the property that
+    makes it reproducible across cluster sizes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.training.registry import q_docs_stratified_sample
+
+    n = 300
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+            "text": pa.array(["x"] * n, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    import ray.data as rd
+    from unittest import mock
+
+    base = q_docs_stratified_sample(str(tmp_path))
+
+    real_read = rd.read_parquet
+
+    def chopped(path, **kw):
+        kw["override_num_blocks"] = 13
+        return real_read(path, **kw)
+
+    with mock.patch.object(rd, "read_parquet", side_effect=chopped):
+        alt = q_docs_stratified_sample(str(tmp_path))
+    pd.testing.assert_frame_equal(base, alt)
+    assert (base.groupby("source").size() == 5).all()
