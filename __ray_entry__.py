@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p95": q.q_events_value_p95,
         "events_value_qcont": q.q_events_value_qcont,
         "events_rollup": q.q_events_rollup,
+        "events_zscore_outliers": q.q_events_zscore_outliers,
         "events_split_stats": q.q_events_split_stats,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
@@ -370,6 +371,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events WHERE user_id IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_zscore_outliers": """
+            WITH c AS (
+                SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL
+            ), s AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(cents) AS sc, SUM(cents * cents) AS sc2
+                FROM c GROUP BY 1
+            ), m AS (
+                SELECT event_type, n,
+                       CAST(sc AS DOUBLE) / n AS mean,
+                       SQRT(CAST(sc2 AS DOUBLE) / n
+                            - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS sd
+                FROM s
+            )
+            SELECT m.event_type, m.n,
+                   ROUND(m.mean, 6) AS mean_cents,
+                   ROUND(m.sd, 6) AS std_cents,
+                   CAST(SUM(CASE WHEN c.cents < m.mean - 3.0 * m.sd
+                                   OR c.cents > m.mean + 3.0 * m.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM m JOIN c ON c.event_type = m.event_type
+            GROUP BY 1, 2, 3, 4
         """,
         "events_value_qcont": """
             SELECT event_type,

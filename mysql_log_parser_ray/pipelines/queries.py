@@ -1440,6 +1440,87 @@ def q_events_split_stats(sf_dir: str):
     return out.sort_values(["split", "event_type"]).reset_index(drop=True)
 
 
+def q_events_zscore_outliers(sf_dir: str):
+    """Per-group z-score outlier counts — the two-pass quality-filter
+    primitive (compute group moments, broadcast them back, flag rows
+    outside mean ± 3σ).
+
+    Exactness across engines: moments accumulate in INTEGER cents (sums
+    and sums-of-squares are exact, order-independent ints on both sides),
+    and the float thresholds are derived from those ints with the SAME
+    expression the oracle uses, so the boundary comparison is
+    bit-deterministic. Scale shape: pass 1 folds per-block
+    (type, n, Σc, Σc²) partials (type-cardinality on the driver); pass 2
+    re-streams events against the tiny per-type threshold table — no
+    event-cardinality state anywhere."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        df = pa.table(
+            {"event_type": b["event_type"], "cents": _cents(b["value"])}
+        ).to_pandas()
+        df["sq"] = df["cents"] * df["cents"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("cents", "size"), sc=("cents", "sum"), sc2=("sq", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pd.concat(
+        [
+            b.to_pandas()
+            for b in ev.map_batches(
+                _moments, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ],
+        ignore_index=True,
+    )
+    s = parts.groupby("event_type", as_index=False)[["n", "sc", "sc2"]].sum()
+    # identical expression order to the oracle SQL: mean = sc/n,
+    # var = sc2/n - mean*mean, bounds = mean -/+ 3*sd
+    mean = s["sc"].astype("float64") / s["n"]
+    sd = np.sqrt(s["sc2"].astype("float64") / s["n"] - mean * mean)
+    s["mean_cents"] = mean
+    s["std_cents"] = sd
+    s["lo"] = mean - 3.0 * sd
+    s["hi"] = mean + 3.0 * sd
+    bounds = s[["event_type", "lo", "hi"]]
+
+    def _flag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        df = pa.table(
+            {"event_type": b["event_type"], "cents": _cents(b["value"])}
+        ).to_pandas()
+        m = df.merge(bounds, on="event_type", how="inner")
+        m["out"] = (m["cents"] < m["lo"]) | (m["cents"] > m["hi"])
+        g = m.groupby("event_type", as_index=False)["out"].sum()
+        g["n_outliers"] = g["out"].astype("int64")
+        return pa.Table.from_pandas(
+            g[["event_type", "n_outliers"]], preserve_index=False
+        )
+
+    counts = pd.concat(
+        [
+            b.to_pandas()
+            for b in ev.map_batches(
+                _flag, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ],
+        ignore_index=True,
+    ).groupby("event_type", as_index=False)["n_outliers"].sum()
+
+    out = s[["event_type", "n", "mean_cents", "std_cents"]].merge(
+        counts, on="event_type", how="left"
+    )
+    out["n"] = out["n"].astype("int64")
+    out["mean_cents"] = np.round(out["mean_cents"], 6)
+    out["std_cents"] = np.round(out["std_cents"], 6)
+    out["n_outliers"] = out["n_outliers"].fillna(0).astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_top_users_sketch(sf_dir: str):
     """Exact top-10 users through the Misra-Gries candidate pass
     (state/heavyhitters.py): block sketches bound pass-1 state to k
