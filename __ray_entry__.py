@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_qcont": q.q_events_value_qcont,
         "events_rollup": q.q_events_rollup,
         "events_zscore_outliers": q.q_events_zscore_outliers,
+        "events_pivot_hour_type": q.q_events_pivot_hour_type,
         "events_split_stats": q.q_events_split_stats,
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
@@ -371,6 +372,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events WHERE user_id IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_pivot_hour_type": """
+            SELECT CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1
         """,
         "events_zscore_outliers": """
             WITH c AS (

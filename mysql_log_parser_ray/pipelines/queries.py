@@ -1440,6 +1440,59 @@ def q_events_split_stats(sf_dir: str):
     return out.sort_values(["split", "event_type"]).reset_index(drop=True)
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot_hour_type(sf_dir: str):
+    """Pivot / wide-format aggregate: hour-of-day rows x one count column
+    per event type (a pivot always carries a declared column spec — the
+    generator's five types here).
+
+    Scale shape: the long-form (hod, type) cells come from one per-block
+    partial + one small groupby (the rollup shape); the reshape to wide
+    happens on the driver over cells-cardinality rows (24 x n_types),
+    never over events."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = (us % 86_400_000_000) // 3_600_000_000
+        df = pa.table(
+            {
+                "hod": pa.array(hod.astype(np.int64), pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ).to_pandas()
+        g = df.groupby(["hod", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["hod", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wide = (
+        cells.pivot_table(
+            index="hod", columns="event_type", values="n", fill_value=0
+        )
+        .reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        .reset_index()
+    )
+    wide.columns.name = None
+    wide = wide.rename(columns={t: f"n_{t}" for t in _PIVOT_TYPES})
+    for c in wide.columns:
+        wide[c] = wide[c].astype("int64")
+    return wide.sort_values("hod").reset_index(drop=True)
+
+
 def q_events_zscore_outliers(sf_dir: str):
     """Per-group z-score outlier counts — the two-pass quality-filter
     primitive (compute group moments, broadcast them back, flag rows
