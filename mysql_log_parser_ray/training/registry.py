@@ -219,6 +219,32 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate clusters: the ngram-jaccard near-dup pair graph
+    (threshold 0.5, the q_ngram_jaccard_pairs edge set) closed under
+    transitive connectivity — every paired doc mapped to its component's
+    minimum doc_id (the canonical representative used to keep one copy
+    per cluster). Pairs stay a Dataset end-to-end into the
+    label-propagation rounds (training/graph.py)."""
+    from .dedup import ngram_jaccard_pairs
+    from .graph import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5, as_dataset=True)
+    out = connected_components(pairs).to_pandas()
+    if "node" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_rep": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "cluster_rep"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from .dedup import simhash_near_pairs
 
@@ -399,6 +425,7 @@ def register_queries():
         "embed_kmeans": q_embed_kmeans,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
         "docs_curated": q_docs_curated,
@@ -410,6 +437,30 @@ def register_queries():
 # ---------------------------------------------------------------------------
 # DuckDB oracles (SQL-expressible subset; the rest are rows-only checks)
 # ---------------------------------------------------------------------------
+
+# shared by ngram_jaccard_pairs and dup_clusters (its edge set)
+_NGRAM_PAIRS_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        """
 
 def _lang_id_sql() -> str:
     """Stopword-vote CASE expression generated from the SAME stopword
@@ -556,27 +607,22 @@ def register_oracles():
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
-        "ngram_jaccard_pairs": r"""
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
-              FROM documents
-            ), grams AS (
-              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-              WHERE len(w) >= 3
-            ), counts AS (
-              SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
-            ), inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
+        "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+        "dup_clusters": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+            und AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM und),
+            walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT und.v, walk.label FROM walk JOIN und ON und.u = walk.node
             )
-            SELECT doc_a, doc_b,
-                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN counts ca ON ca.doc_id = doc_a
-            JOIN counts cb ON cb.doc_id = doc_b
-            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+            SELECT node AS doc_id, MIN(label) AS cluster_rep
+            FROM walk GROUP BY 1
         """,
         "docs_curated": r"""
             WITH q AS (

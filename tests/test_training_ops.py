@@ -911,3 +911,52 @@ def test_stratified_sample_partition_invariant(ray_session, tmp_path):
         alt = q_docs_stratified_sample(str(tmp_path))
     pd.testing.assert_frame_equal(base, alt)
     assert (base.groupby("source").size() == 5).all()
+
+
+@pytest.mark.parametrize("limit", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_connected_components_shapes(ray_session, limit):
+    """Both the size-gated driver union-find and the distributed
+    label-propagation rounds find the right components on a graph with a
+    long chain (multi-round convergence), a clique, and disjoint pairs;
+    cluster_rep is the component minimum."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.graph import connected_components
+
+    # chain 1-2-3-4-5-6, clique {10,11,12}, pair {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 12), (10, 12), (21, 20)]
+    ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    })).repartition(4)
+    out = (
+        connected_components(ds, small_graph_limit=limit)
+        .to_pandas().set_index("node")["cluster_rep"]
+    )
+    assert {n: out[n] for n in (1, 2, 3, 4, 5, 6)} == {n: 1 for n in range(1, 7)}
+    assert {n: out[n] for n in (10, 11, 12)} == {n: 10 for n in (10, 11, 12)}
+    assert out[20] == 20 and out[21] == 20
+    assert len(out) == 11
+
+
+def test_connected_components_empty_and_maxiter(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest as _pytest
+
+    from mysql_log_parser_ray.training.graph import connected_components
+
+    empty = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    assert len(connected_components(empty).to_pandas()) == 0
+
+    chain = rd.from_arrow(pa.table({
+        "doc_a": pa.array(range(0, 9), pa.int64()),
+        "doc_b": pa.array(range(1, 10), pa.int64()),
+    }))
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=2, small_graph_limit=0)
