@@ -33,6 +33,7 @@ def curate_keep_list(
     max_punct_ratio: float = 0.2,
     near_dup_threshold: Optional[float] = None,
     keep_broadcast_limit: Optional[int] = 1_000_000,
+    cluster_removal: bool = False,
 ):
     """Return a Dataset of surviving (doc_id) rows.
 
@@ -42,7 +43,12 @@ def curate_keep_list(
       3. exact dedup on text: keep the smallest doc_id per distinct text
       4. (optional) near-dup removal at ``near_dup_threshold`` n-gram
          jaccard: the LARGER doc_id of each surviving pair is dropped.
-         Heuristic stage - excluded from the oracle-checked query.
+         With ``cluster_removal=True`` the pair graph is first closed
+         under transitive connectivity (graph.connected_components) and
+         exactly ONE doc — the minimum id — survives per near-dup
+         CLUSTER (pairs a-c, b-c then keep {a}, where the pairwise rule
+         keeps {a, b}). Heuristic stage - excluded from the
+         oracle-checked query.
 
     The near-dup branch is output-cardinality-sized: when the exact-dedup
     keep-list exceeds ``keep_broadcast_limit`` it is NOT collected/broadcast
@@ -97,7 +103,9 @@ def curate_keep_list(
     if n_keep == 0:
         return _empty_keep()
     if keep_broadcast_limit is not None and n_keep > keep_broadcast_limit:
-        return _near_dup_removal_joined(docs_ds, keep_ds, near_dup_threshold)
+        return _near_dup_removal_joined(
+            docs_ds, keep_ds, near_dup_threshold, cluster_removal
+        )
 
     # Near-dup removal among the exact-dedup survivors, broadcast mode
     # (keep-list within the explicit size bound). The keep-list is the
@@ -116,8 +124,24 @@ def curate_keep_list(
     survivors = docs_ds.map_batches(
         _survivors_only, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = ngram_jaccard_pairs(survivors, threshold=near_dup_threshold)
-    drop = set(int(x) for x in pairs["doc_b"].tolist())
+    if cluster_removal:
+        from .graph import connected_components
+
+        pairs_ds = ngram_jaccard_pairs(
+            survivors, threshold=near_dup_threshold, as_dataset=True
+        )
+        comps = connected_components(pairs_ds).to_pandas()
+        if "node" in comps.columns and len(comps):
+            drop = set(
+                int(n)
+                for n, r in zip(comps["node"], comps["cluster_rep"])
+                if int(n) != int(r)
+            )
+        else:
+            drop = set()
+    else:
+        pairs = ngram_jaccard_pairs(survivors, threshold=near_dup_threshold)
+        drop = set(int(x) for x in pairs["doc_b"].tolist())
     final = sorted(set(keep_ints) - drop)
 
     # same contract as the fast path: a (doc_id:int64) Dataset
@@ -129,7 +153,9 @@ def _cast_id_int64(b: pa.Table) -> pa.Table:
     return b.set_column(i, "doc_id", pc.cast(b["doc_id"], pa.int64()))
 
 
-def _near_dup_removal_joined(docs_ds, keep_ds, threshold: float):
+def _near_dup_removal_joined(
+    docs_ds, keep_ds, threshold: float, cluster_removal: bool = False
+):
     """Scale path for rule 4: survivor selection and loser removal as hash
     joins — the keep-list never leaves the cluster.
 
@@ -138,8 +164,11 @@ def _near_dup_removal_joined(docs_ds, keep_ds, threshold: float):
       survivors -> ngram_jaccard_pairs(as_dataset) (pairs stay distributed)
       keep  --left_anti join pairs.doc_b--> final
 
-    Identical output set to the broadcast path (equality pinned in tests);
-    row order is join-partition order rather than sorted.
+    With ``cluster_removal`` the drop set is every non-representative of
+    a connected component of the pair graph (graph.connected_components,
+    itself distributed) instead of every pair's doc_b. Identical output
+    set to the broadcast path (equality pinned in tests); row order is
+    join-partition order rather than sorted.
     """
     import ray
 
@@ -167,14 +196,32 @@ def _near_dup_removal_joined(docs_ds, keep_ds, threshold: float):
         survivors, threshold=threshold, as_dataset=True
     )
 
-    def _drop_ids(b: pa.Table) -> pa.Table:
-        if "doc_b" not in b.column_names:  # all-empty bundle (no near-dups)
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        return pa.table({"doc_id": pc.cast(b["doc_b"], pa.int64())})
+    if cluster_removal:
+        from .graph import connected_components
 
-    drop = pairs_ds.map_batches(
-        _drop_ids, batch_format="pyarrow", batch_size=_coalesce
-    ).materialize()
+        comps = connected_components(pairs_ds)
+
+        def _losers(b: pa.Table) -> pa.Table:
+            if "node" not in b.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            keep = pc.not_equal(b["node"], b["cluster_rep"])
+            return pa.table(
+                {"doc_id": pc.cast(b.filter(keep)["node"], pa.int64())}
+            )
+
+        drop = comps.map_batches(
+            _losers, batch_format="pyarrow", batch_size=_coalesce
+        ).materialize()
+    else:
+
+        def _drop_ids(b: pa.Table) -> pa.Table:
+            if "doc_b" not in b.column_names:  # all-empty bundle (no near-dups)
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return pa.table({"doc_id": pc.cast(b["doc_b"], pa.int64())})
+
+        drop = pairs_ds.map_batches(
+            _drop_ids, batch_format="pyarrow", batch_size=_coalesce
+        ).materialize()
     if drop.count() == 0:
         # zero pairs means every block is a schema-less empty the bundler
         # never touches (no rows to coalesce) — and the anti-join is a

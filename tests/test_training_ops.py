@@ -960,3 +960,42 @@ def test_connected_components_empty_and_maxiter(ray_session):
     }))
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(chain, max_iter=2, small_graph_limit=0)
+
+
+def test_curate_cluster_removal_policies(ray_session, tmp_path):
+    """cluster_removal keeps exactly ONE doc per transitive near-dup
+    cluster, where the pairwise rule keeps every non-doc_b: docs a-c and
+    b-c are pairs but a-b is not, so pairwise keeps {a,b} and cluster
+    keeps {a}. Both size-gate paths agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.curate import curate_keep_list
+
+    w = [f"w{i}" for i in range(1, 13)]
+    c_text = " ".join(w)
+    a_text = " ".join(w[:10] + ["x1", "x2"])
+    b_text = " ".join(["y1", "y2"] + w[2:])
+    other = " ".join(f"z{i}" for i in range(12))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "text": pa.array([a_text, b_text, c_text, other], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+
+    pairwise = sorted(curate_keep_list(
+        ds, near_dup_threshold=0.5).to_pandas()["doc_id"])
+    assert pairwise == [1, 2, 9]  # c(3) dropped as doc_b of both pairs
+
+    cluster = sorted(curate_keep_list(
+        ds, near_dup_threshold=0.5, cluster_removal=True
+    ).to_pandas()["doc_id"])
+    assert cluster == [1, 9]  # one representative for {1,2,3}
+
+    joined = sorted(curate_keep_list(
+        ds, near_dup_threshold=0.5, cluster_removal=True,
+        keep_broadcast_limit=0,
+    ).to_pandas()["doc_id"])
+    assert joined == cluster
