@@ -51,6 +51,46 @@ def read_routed(
     return ds
 
 
+def compact_parquet(
+    in_path: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    columns: Optional[List[str]] = None,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small Parquet
+    part files into ~``target_bytes``-sized files. Returns the output
+    file count.
+
+    The routed/streamed writers above deliberately emit one file per
+    (task, sink) for idempotent retries; after a large run the sink dirs
+    hold thousands of KB-sized parts, and at re-read every file costs a
+    metadata round-trip — the classic small-files problem. Compaction is
+    the maintenance pass: stream the parts back, coalesce to the target
+    size with ``repartition`` (split/coalesce, NOT a shuffle — each row
+    moves once and no sort order is promised), and rewrite.
+
+    Scale notes: output sizing uses the INPUT'S on-disk bytes, so the
+    target tracks the compressed payload, not Arrow in-memory estimates.
+    Run it per partition directory (sink=... / shard range) for
+    resumability — each directory compacts independently and a finished
+    directory is simply skipped by the caller.
+    """
+    import os
+
+    import ray.data as rd
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, -(-total // max(1, target_bytes)))
+    ds = rd.read_parquet(in_path, columns=columns)
+    ds.repartition(n_out).write_parquet(out_dir, compression=compression)
+    return int(n_out)
+
+
 def make_write_through_fn(
     out_dir: str,
     partition_col: str = "sink",

@@ -294,3 +294,38 @@ def test_reference_fixtures_through_ray_engine(ray_session):
                    [dict(t).get("Query_time") for t in ev["time_metrics"]]))
     assert sorted(got) == sorted(expected)
     assert len(expected) > 50  # the fixtures carry a substantial event set
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """Compaction coalesces many tiny part files into ~target-sized files
+    with byte-identical content (order-insensitive)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.route import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    n = 5000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(n)], pa.string()),
+    })
+    rd.from_arrow(t).repartition(40).write_parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src >= 20  # genuinely many small files
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    n_out = compact_parquet(src, dst, target_bytes=total // 3 + 1)
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= max(4, n_out + 1) < n_src
+
+    a = rd.read_parquet(src).to_pandas().sort_values("k").reset_index(drop=True)
+    b = rd.read_parquet(dst).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
