@@ -219,6 +219,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out
 
 
+def q_embed_nn_join(sf_dir: str):
+    """Nearest-neighbour JOIN over the embeddings table: every vector's
+    top-1 cosine neighbour (self excluded), broadcast-candidate baseline
+    shape (training/similarity.py nn_join_broadcast)."""
+    from .similarity import nn_join_broadcast
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return nn_join_broadcast(ds)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: the ngram-jaccard near-dup pair graph
     (threshold 0.5, the q_ngram_jaccard_pairs edge set) closed under
@@ -426,6 +436,7 @@ def register_queries():
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "embed_nn_join": q_embed_nn_join,
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
         "docs_curated": q_docs_curated,
@@ -606,6 +617,21 @@ def register_oracles():
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        "embed_nn_join": r"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT vec_id, nn_id, cos FROM (
+                SELECT a.vec_id, b.vec_id AS nn_id,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                                    b.vec_id ASC
+                       ) AS rk
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ) WHERE rk = 1
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "dup_clusters": rf"""

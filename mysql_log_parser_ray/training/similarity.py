@@ -281,3 +281,63 @@ def ivf_topk(
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         {"query_id": [], "vec_id": [], "cosine": []}
     )
+
+
+def nn_join_broadcast(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Each vector's single nearest neighbour (cosine, self excluded)
+    against a BROADCAST candidate matrix — the corpus-x-corpus NN join in
+    its baseline shape: the candidate side ships once via ``ray.put``,
+    every batch of query rows does one ``(n_batch, d) @ (d, N)`` matmul
+    and keeps its own winner, so the join streams over the query side.
+
+    Winner selection ranks by (cosine ROUNDED to ``round_dp``, neighbour
+    id ascending), making the result invariant to summation order across
+    engines — the SQL oracle ranks identically. The candidate matrix must
+    fit a worker (the broadcast contract, same bound as every broadcast
+    join here); past that use the tile cross-product pattern
+    (dedup.embedding_dup_pairs_tiles shape) or IVF.
+    """
+    import ray
+
+    cand = emb_ds.select_columns([id_col, vec_col]).to_pandas()
+    cand = cand.sort_values(id_col).reset_index(drop=True)
+    cand_ids = cand[id_col].to_numpy(dtype=np.int64)
+    X = _normalize(
+        np.ascontiguousarray(
+            np.stack(cand[vec_col].to_numpy()).astype(np.float64)
+        )
+    )
+    ref = ray.put((cand_ids, X))
+
+    from ..broadcast import broadcast_get
+
+    def _nn(batch: pa.Table) -> pa.Table:
+        ids_c, Xc = broadcast_get(ref)
+        x = _normalize(_to_matrix(batch[vec_col]))
+        ids_b = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = np.round(x @ Xc.T, round_dp)
+        sims[ids_b[:, None] == ids_c[None, :]] = -np.inf  # mask self
+        # argmax over candidates sorted by id: first maximum == smallest id
+        best = np.argmax(sims, axis=1)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": ids_b.astype(np.int64),
+                    "nn_id": ids_c[best],
+                    "cos": sims[np.arange(len(best)), best],
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out = emb_ds.map_batches(
+        _nn, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["nn_id"] = out["nn_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
