@@ -219,6 +219,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out
 
 
+def q_contamination_counts(sf_dir: str):
+    """Benchmark decontamination: per-source counts of docs sharing any
+    13-character gram with the deterministic benchmark subset
+    (doc_id % 97 == 0); see training/decontam.py."""
+    from .decontam import contamination_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return contamination_counts(ds)
+
+
 def q_embed_nn_join(sf_dir: str):
     """Nearest-neighbour JOIN over the embeddings table: every vector's
     top-1 cosine neighbour (self excluded), broadcast-candidate baseline
@@ -437,6 +447,7 @@ def register_queries():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "embed_nn_join": q_embed_nn_join,
+        "contamination_counts": q_contamination_counts,
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
         "docs_curated": q_docs_curated,
@@ -617,6 +628,26 @@ def register_oracles():
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
+        "contamination_counts": r"""
+            WITH bench AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+            ), bg AS (
+              SELECT DISTINCT substring(b.text, CAST(i AS INTEGER), 13) AS g
+              FROM bench b, UNNEST(range(1, length(b.text) - 11)) t(i)
+            ), dg AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, CAST(i AS INTEGER), 13) AS g
+              FROM documents d, UNNEST(range(1, length(d.text) - 11)) t(i)
+              WHERE d.doc_id % 97 <> 0
+            ), hits AS (
+              SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g)
+            )
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0
+            GROUP BY 1
         """,
         "embed_nn_join": r"""
             WITH e AS (

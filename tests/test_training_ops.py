@@ -999,3 +999,41 @@ def test_curate_cluster_removal_policies(ray_session, tmp_path):
         keep_broadcast_limit=0,
     ).to_pandas()["doc_id"])
     assert joined == cluster
+
+
+def test_contamination_planted_and_unicode(ray_session, tmp_path):
+    """A doc sharing a 13-char window with the benchmark doc is flagged,
+    a clean doc is not, and windows are CODE POINTS (non-ASCII text
+    agrees with the SQL substring oracle semantics)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.decontam import contamination_counts
+
+    bench_text = "das ist ein häßlich-geheimer Prüfsatz für die Bank"
+    dirty = "prefix text " + bench_text[10:30] + " suffix words here"
+    clean = "völlig anderer Inhalt ohne jede Überlappung überhaupt x"
+    short = "tiny"  # shorter than one window: never contaminated
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),  # 0 -> benchmark (0 % 97 == 0)
+        "text": pa.array([bench_text, dirty, clean, short], pa.string()),
+        "source": pa.array(["s", "s", "s", "s"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = contamination_counts(ds).set_index("source")
+    assert int(out.loc["s", "n_docs"]) == 3
+    assert int(out.loc["s", "n_contaminated"]) == 1  # only the planted doc
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    import __ray_entry__ as e
+
+    want = con.sql(e.oracle_sql()["contamination_counts"]).df()
+    assert int(want["n_contaminated"].iloc[0]) == 1
+    assert int(want["n_docs"].iloc[0]) == 3
