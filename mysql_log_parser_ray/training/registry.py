@@ -219,6 +219,70 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out
 
 
+def q_pii_redaction(sf_dir: str):
+    """PII scrubbing over a deterministically PII-augmented corpus: each
+    doc gains doc_id%3 planted emails and doc_id%2 planted IPs (the oracle
+    derives the identical text in SQL), then the vectorized redaction pass
+    (training/text.py redact_batch) replaces and counts them. Output is
+    per-source (n_docs, n_emails, n_ips, chars_after) — chars_after pins
+    the actual replacement, not just the counts."""
+    from .text import redact_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pandas()
+        s = b["text"].to_pandas()
+        email = " contact u" + ids.astype(str) + "@mail.example.com now"
+        t = (
+            s
+            + email * (ids % 3)
+            + pd.Series([" from 10.1.2.3"] * len(s)) * (ids % 2)
+        )
+        return pa.table(
+            {
+                "source": b["source"],
+                "text": pa.array(t.tolist(), pa.string()),
+            }
+        )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        r = redact_batch(b)
+        df = pd.DataFrame(
+            {
+                "source": r["source"].to_pandas(),
+                "n_emails": r["n_email"].to_pandas(),
+                "n_ips": r["n_ipv4"].to_pandas(),
+                "chars_after": r["text"].to_pandas().str.len().astype("int64"),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("chars_after", "size"),
+            n_emails=("n_emails", "sum"),
+            n_ips=("n_ips", "sum"),
+            chars_after=("chars_after", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_emails", alias_name="n_emails"),
+            Sum("n_ips", alias_name="n_ips"),
+            Sum("chars_after", alias_name="chars_after"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_emails", "n_ips", "chars_after"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_contamination_counts(sf_dir: str):
     """Benchmark decontamination: per-source counts of docs sharing any
     13-character gram with the deterministic benchmark subset
@@ -448,6 +512,7 @@ def register_queries():
         "dup_clusters": q_dup_clusters,
         "embed_nn_join": q_embed_nn_join,
         "contamination_counts": q_contamination_counts,
+        "pii_redaction": q_pii_redaction,
         "simhash_pairs": q_simhash_pairs,
         "media_decode": q_media_decode,
         "docs_curated": q_docs_curated,
@@ -512,6 +577,39 @@ def _lang_id_sql() -> str:
               FROM w
             )
             SELECT {case} AS pred_lang, COUNT(*) AS n_rows FROM c GROUP BY 1
+        """
+
+
+def _pii_sql() -> str:
+    """Generated from the SAME pattern table the Ray redaction uses
+    (training/text.py PII_PATTERNS) so the two sides cannot drift; the
+    per-kind counts are taken at the same point in the replacement chain
+    as redact_batch's loop (email counted on the raw text, ipv4 counted
+    after the email pass)."""
+    from .text import PII_PATTERNS
+
+    (_, email_re, email_repl), (_, ip_re, ip_repl) = PII_PATTERNS
+    return rf"""
+            WITH p AS (
+              SELECT source,
+                     text
+                     || repeat(' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com now',
+                               CAST(doc_id % 3 AS INTEGER))
+                     || repeat(' from 10.1.2.3', CAST(doc_id % 2 AS INTEGER)) AS t
+              FROM documents
+            ), r AS (
+              SELECT source,
+                     len(regexp_extract_all(t, '{email_re}')) AS n_emails,
+                     len(regexp_extract_all(regexp_replace(t, '{email_re}', '{email_repl}', 'g'), '{ip_re}')) AS n_ips,
+                     length(regexp_replace(regexp_replace(t, '{email_re}', '{email_repl}', 'g'), '{ip_re}', '{ip_repl}', 'g')) AS chars_after
+              FROM p
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+                   CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+                   CAST(SUM(chars_after) AS BIGINT) AS chars_after
+            FROM r GROUP BY 1
         """
 
 
@@ -629,6 +727,7 @@ def register_oracles():
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
+        "pii_redaction": _pii_sql(),
         "contamination_counts": r"""
             WITH bench AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0

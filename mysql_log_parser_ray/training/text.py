@@ -112,3 +112,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "crc": pa.array(np.array(rolls, dtype=np.int64), pa.int64()),
         }
     )
+
+
+# PII scrubbing: conservative ASCII patterns written to mean the same
+# thing in python `re` and RE2 (DuckDB regexp_*) — no lookarounds, no
+# unicode classes, so the oracle can run the IDENTICAL pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized PII redaction: replace every PII_PATTERNS match with its
+    placeholder (email pass first, then ipv4 — the oracle applies the same
+    order) and count matches per kind. Returns the input columns with
+    ``text_col`` redacted plus n_<kind> count columns."""
+    s = batch[text_col].to_pandas()
+    counts = {}
+    for kind, pat, repl in PII_PATTERNS:
+        counts[f"n_{kind}"] = s.str.count(pat).astype("int64")
+        s = s.str.replace(pat, repl, regex=True)
+    out = batch.drop([text_col]).append_column(
+        text_col, pa.array(s.tolist(), pa.string())
+    )
+    for name, vals in counts.items():
+        out = out.append_column(name, pa.array(vals.to_numpy(), pa.int64()))
+    return out
