@@ -252,3 +252,50 @@ def test_customer_order_counts_empty_orders(ray_session, tmp_path):
     assert int(out["n_customers"].sum()) == 2
     assert int(out["n_no_orders"].sum()) == 2
     assert int(out["n_orders"].sum()) == 0
+
+
+def test_zscore_degenerate_groups(ray_session, tmp_path):
+    """n=1 and constant-valued groups: sd is exactly 0.0 (integer-cents
+    moments are exact), no outliers, no NaN leakage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_zscore_outliers
+
+    pq.write_table(
+        pa.table({
+            "event_type": pa.array(["solo", "flat", "flat", "flat"], pa.string()),
+            "value": pa.array([12.34, 5.0, 5.0, 5.0], pa.float64()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_zscore_outliers(str(tmp_path)).set_index("event_type")
+    assert out.loc["solo", "std_cents"] == 0.0
+    assert out.loc["flat", "std_cents"] == 0.0
+    assert int(out["n_outliers"].sum()) == 0
+    assert not out.isna().any().any()
+
+
+def test_pivot_missing_type_column(ray_session, tmp_path):
+    """A corpus missing some declared pivot types still yields the full
+    declared column spec, zero-filled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_pivot_hour_type
+
+    ts = pa.array([3_600_000_000 * 5] * 3, pa.timestamp("us"))
+    pq.write_table(
+        pa.table({
+            "ts": ts,
+            "event_type": pa.array(["click", "view", "click"], pa.string()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_pivot_hour_type(str(tmp_path))
+    assert list(out.columns) == [
+        "hod", "n_click", "n_error", "n_purchase", "n_signup", "n_view",
+    ]
+    assert len(out) == 1 and int(out.loc[0, "hod"]) == 5
+    assert int(out.loc[0, "n_click"]) == 2 and int(out.loc[0, "n_view"]) == 1
+    assert int(out.loc[0, "n_error"]) == 0 == int(out.loc[0, "n_purchase"])
