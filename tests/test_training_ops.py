@@ -1037,3 +1037,68 @@ def test_contamination_planted_and_unicode(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["contamination_counts"]).df()
     assert int(want["n_contaminated"].iloc[0]) == 1
     assert int(want["n_docs"].iloc[0]) == 3
+
+
+def test_nn_join_tie_and_duplicate_vectors(ray_session):
+    """Duplicate vectors: cosine 1.0 both ways, winner is the smallest
+    neighbour id (the rounded-rank invariant)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import nn_join_broadcast
+
+    v = [1.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([7, 3, 5], pa.int64()),
+        "embedding": pa.array([v, v, w], pa.list_(pa.float32())),
+    }))
+    out = nn_join_broadcast(ds).set_index("vec_id")
+    assert out.loc[7, "nn_id"] == 3 and out.loc[7, "cos"] == 1.0
+    assert out.loc[3, "nn_id"] == 7 and out.loc[3, "cos"] == 1.0
+    # w is orthogonal to both copies of v: tie at 0.0 -> smallest id wins
+    assert out.loc[5, "nn_id"] == 3 and out.loc[5, "cos"] == 0.0
+
+
+def test_stratified_sample_underfull_group(ray_session, tmp_path):
+    """A source with fewer than k docs keeps them all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.training.registry import q_docs_stratified_sample
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 10, 11, 12, 13, 14, 15, 16], pa.int64()),
+            "source": pa.array(["tiny"] * 3 + ["big"] * 7, pa.string()),
+            "text": pa.array(["x"] * 10, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_docs_stratified_sample(str(tmp_path))
+    sizes = out.groupby("source").size()
+    assert sizes["tiny"] == 3 and sizes["big"] == 5
+
+
+def test_contamination_no_benchmark_docs(ray_session, tmp_path):
+    """A corpus with no benchmark ids (none % 97 == 0) reports zero
+    contamination for every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.decontam import contamination_counts
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["some shared prefix words here"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = contamination_counts(
+        rd.read_parquet(str(tmp_path / "documents.parquet"))
+    ).set_index("source")
+    assert int(out.loc["s", "n_docs"]) == 3
+    assert int(out.loc["s", "n_contaminated"]) == 0
