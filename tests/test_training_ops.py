@@ -1102,3 +1102,30 @@ def test_contamination_no_benchmark_docs(ray_session, tmp_path):
     ).set_index("source")
     assert int(out.loc["s", "n_docs"]) == 3
     assert int(out.loc["s", "n_contaminated"]) == 0
+
+
+def test_epoch_loader_two_level_shuffle(ray_session):
+    """Epoch order is a true permutation (every row exactly once), the
+    same seed reproduces it exactly, a different seed changes it, and
+    rows genuinely move within blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.loader import epoch_batches
+
+    n = 2000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+    })).repartition(8).materialize()
+
+    def order(seed):
+        out = []
+        for b in epoch_batches(ds, seed, batch_size=256):
+            out.extend(b["doc_id"].to_pylist())
+        return out
+
+    a1, a2, b = order(7), order(7), order(8)
+    assert sorted(a1) == list(range(n))      # permutation, nothing lost
+    assert a1 == a2                           # same seed -> same epoch
+    assert a1 != b                            # different seed -> different
+    assert a1 != list(range(n))               # actually shuffled
