@@ -1129,3 +1129,45 @@ def test_epoch_loader_two_level_shuffle(ray_session):
     assert a1 == a2                           # same seed -> same epoch
     assert a1 != b                            # different seed -> different
     assert a1 != list(range(n))               # actually shuffled
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~1 min; run with MLPR_BIG_TESTS=1 for the distributed-CC scale check",
+)
+def test_connected_components_distributed_at_scale(ray_session):
+    """2M-edge graph through the DISTRIBUTED label-propagation path:
+    identical labels to the driver union-find, bounded driver RSS."""
+    import tracemalloc
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.graph import connected_components
+
+    # 500k chains of length 5 (4 edges each): nodes 10*i..10*i+4
+    base = np.repeat(np.arange(500_000, dtype=np.int64) * 10, 4)
+    off = np.tile(np.arange(4, dtype=np.int64), 500_000)
+    a = base + off
+    b = base + off + 1
+    ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b),
+    })).repartition(16).materialize()
+
+    # driver PYTHON-heap bound (RSS would count shared plasma mmaps):
+    # nothing node- or edge-cardinality may live on the driver except the
+    # final 2.5M-row label frame collected at the end
+    tracemalloc.start()
+    dist = (
+        connected_components(ds, small_graph_limit=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(dist) == 2_500_000
+    # every node's rep is its chain head
+    nodes = dist["node"].to_numpy()
+    assert (dist["cluster_rep"].to_numpy() == (nodes // 10) * 10).all()
+    result_bytes = 2_500_000 * 16  # node + cluster_rep int64s
+    assert peak < result_bytes * 6 + 100 * 1024 * 1024, peak
