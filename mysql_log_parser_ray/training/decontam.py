@@ -55,6 +55,7 @@ def contamination_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    max_bench_grams: int = 50_000_000,
 ) -> pd.DataFrame:
     """Per-``group_col`` (n_docs, n_contaminated) over the non-benchmark
     corpus, where benchmark docs are ``doc_id % bench_mod == 0`` and a doc
@@ -100,6 +101,14 @@ def contamination_counts(
         ) if len(allg) else None
         if bench_sorted is not None:
             bench_sorted = np.unique(bench_sorted)
+            if len(bench_sorted) > max_bench_grams:
+                raise ValueError(
+                    f"contamination_counts: benchmark gram set has "
+                    f"{len(bench_sorted)} entries (> {max_bench_grams}) - "
+                    "too big to broadcast; put the gram set behind a bloom "
+                    "prefilter (state/bloom.py) with an exact verify on "
+                    "the maybes"
+                )
     else:
         bench_sorted = None
     ref = ray.put(bench_sorted)

@@ -288,6 +288,7 @@ def nn_join_broadcast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_broadcast_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Each vector's single nearest neighbour (cosine, self excluded)
     against a BROADCAST candidate matrix — the corpus-x-corpus NN join in
@@ -304,6 +305,15 @@ def nn_join_broadcast(
     """
     import ray
 
+    n = emb_ds.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"nn_join_broadcast: {n} candidate vectors exceed "
+            f"max_broadcast_rows={max_broadcast_rows} - the broadcast "
+            "baseline would hold the whole corpus per worker; use the "
+            "tile cross-product pattern (embedding_dup_pairs_tiles shape) "
+            "or ivf_topk_distributed instead"
+        )
     cand = emb_ds.select_columns([id_col, vec_col]).to_pandas()
     cand = cand.sort_values(id_col).reset_index(drop=True)
     cand_ids = cand[id_col].to_numpy(dtype=np.int64)

@@ -1171,3 +1171,34 @@ def test_connected_components_distributed_at_scale(ray_session):
     assert (dist["cluster_rep"].to_numpy() == (nodes // 10) * 10).all()
     result_bytes = 2_500_000 * 16  # node + cluster_rep int64s
     assert peak < result_bytes * 6 + 100 * 1024 * 1024, peak
+
+
+def test_broadcast_guards_fail_fast(ray_session, tmp_path):
+    """Past their broadcast bounds the NN join and decontamination raise
+    with the named remedy instead of silently collecting the corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import pytest as _pytest
+
+    from mysql_log_parser_ray.training.decontam import contamination_counts
+    from mysql_log_parser_ray.training.similarity import nn_join_broadcast
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float32())),
+    }))
+    with _pytest.raises(ValueError, match="tile cross-product"):
+        nn_join_broadcast(emb, max_broadcast_rows=2)
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["abcdefghijklmnop", "zzzz"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    with _pytest.raises(ValueError, match="bloom prefilter"):
+        contamination_counts(ds, max_bench_grams=1)
