@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
+        "events_range_join": q.q_events_range_join,
+        "events_rolling_max3": q.q_events_rolling_max3,
+        "customers_no_urgent": q.q_customers_no_urgent,
+        "users_funnel_outer": q.q_users_funnel_outer,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -335,6 +339,62 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN dim d
               ON e.user_id = d.user_id AND e.ts >= d.valid_from
             GROUP BY 1
+        """,
+        "events_range_join": """
+            WITH w AS (
+              SELECT k AS window_id,
+                     TIMESTAMP '2024-01-01' + k * INTERVAL 2 HOUR AS ws,
+                     TIMESTAMP '2024-01-01'
+                       + (k * 2 + 1 + k % 4) * INTERVAL 1 HOUR AS we
+              FROM range(372) t(k)
+            )
+            SELECT w.window_id, e.event_type, COUNT(*) AS n_events
+            FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+            GROUP BY 1, 2
+        """,
+        "events_rolling_max3": """
+            WITH r AS (
+              SELECT event_type,
+                     MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rm
+              FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(rm) AS BIGINT) AS rollmax_cents
+            FROM r GROUP BY 1
+        """,
+        "customers_no_urgent": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY 1
+        """,
+        "users_funnel_outer": """
+            WITH a AS (
+              SELECT user_id, COUNT(*) AS n_click
+              FROM events WHERE event_type = 'click' AND value > 180 GROUP BY 1
+            ), b AS (
+              SELECT user_id, COUNT(*) AS n_purchase
+              FROM events WHERE event_type = 'purchase' AND value > 180 GROUP BY 1
+            ), j AS (
+              SELECT COALESCE(a.n_click, 0) AS n_click,
+                     COALESCE(b.n_purchase, 0) AS n_purchase
+              FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+            )
+            SELECT CASE WHEN n_purchase = 0 THEN 'click_only'
+                        WHEN n_click = 0 THEN 'purchase_only'
+                        ELSE 'both' END AS segment,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(n_click) AS BIGINT) AS n_click,
+                   CAST(SUM(n_purchase) AS BIGINT) AS n_purchase
+            FROM j GROUP BY 1
         """,
         "events_props_k": """
             SELECT event_type,

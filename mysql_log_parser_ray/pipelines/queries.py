@@ -1585,3 +1585,287 @@ def q_top_users_sketch(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["user_id"])
     return topk_exact_via_sketch(ev, "user_id", topn=10, k=256)
+
+
+def q_events_range_join(sf_dir: str):
+    """Time-interval (range) join: events probed against 372 OVERLAPPING
+    maintenance windows (stride 2h, widths 1-4h, so one event can land in
+    up to 3 windows) — a genuine non-equi join no equality bucketing can
+    express. stages/interval.py broadcasts the sorted window bounds once
+    and bounds the per-event candidate probe by max_width//min_gap+1;
+    only (window_id, event_type) count partials ever shuffle."""
+    from ..stages.interval import interval_join_counts
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    base_us = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+    k = np.arange(372, dtype=np.int64)
+    starts = base_us + k * 7200 * 1_000_000
+    ends = base_us + (k * 2 + 1 + k % 4) * 3600 * 1_000_000
+    return interval_join_counts(ev, starts, ends)
+
+
+def q_events_rolling_max3(sf_dir: str):
+    """Ordered per-key rolling window: max of the last 3 values per user
+    in (ts, event_id) order, folded to per-type sums.
+
+    Scale shape (the sessionize pattern, stages/window.py:95): hash-bucket
+    users into 64 partitions (null-stable stable_partition), then ONE
+    vectorized lexsort + shifted-compare pass per bucket — never a
+    per-user groupby, never a whole-table sort. The rolling kernel is two
+    shifted np.maximum passes gated on user-boundary masks."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": _cents(b["value"]),
+                "_part": pa.array(stable_partition(b["user_id"], 64), pa.int64()),
+            }
+        )
+
+    def _roll(g: "pd.DataFrame") -> "pd.DataFrame":
+        o = np.lexsort(
+            (g["event_id"].to_numpy(), g["us"].to_numpy(), g["user_id"].to_numpy())
+        )
+        u = g["user_id"].to_numpy()[o]
+        c = g["cents"].to_numpy()[o]
+        et = g["event_type"].to_numpy()[o]
+        rm = c.copy()
+        if len(rm) > 1:
+            same = u[1:] == u[:-1]
+            np.maximum(rm[1:], np.where(same, c[:-1], np.int64(-(1 << 62))), out=rm[1:])
+        if len(rm) > 2:
+            same2 = u[2:] == u[:-2]
+            np.maximum(rm[2:], np.where(same2, c[:-2], np.int64(-(1 << 62))), out=rm[2:])
+        out = (
+            pd.DataFrame({"event_type": et, "rollmax_cents": rm})
+            .groupby("event_type", as_index=False)
+            .agg(n=("rollmax_cents", "size"), rollmax_cents=("rollmax_cents", "sum"))
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("_part")
+        .map_groups(_roll, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("rollmax_cents", alias_name="rollmax_cents"))
+        .to_pandas()
+    )
+    for c in ("n", "rollmax_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """Distributed ANTI join: customers with NO '1-URGENT' order, folded
+    to per-segment counts + balance cents.
+
+    Scale shape: the orders side is filtered AND reduced to per-batch
+    distinct custkeys before the shuffle (anti-join semantics are
+    duplicate-insensitive, so per-batch unique is enough — no global
+    dedup pass), then Dataset.join(left_anti) hash-co-partitions both
+    sides. Join hygiene per CLAUDE.md: numeric batch_size on the
+    join-feeding map (coalesces schema-less empties), empty-side guard
+    skips the join outright."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("customer", "orders")
+    )
+    n_parts = min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-in_bytes // (64 << 20))),
+    )
+
+    def _urgent_keys(b: pa.Table) -> pa.Table:
+        if "o_custkey" not in b.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64())})
+        keys = pc.unique(
+            pc.filter(b["o_custkey"], pc.equal(b["o_orderpriority"], "1-URGENT"))
+        )
+        return pa.table({"o_custkey": pc.cast(keys, pa.int64())})
+
+    urgent = orders.map_batches(
+        _urgent_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 16
+    ).materialize()
+
+    if urgent.count() == 0:
+        kept = cust
+    else:
+        kept = cust.join(
+            urgent,
+            "left_anti",
+            num_partitions=n_parts,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "c_mktsegment" not in b.column_names:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        df = pa.table(
+            {"c_mktsegment": b["c_mktsegment"], "cents": _cents(b["c_acctbal"])}
+        ).to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("cents", "size"), acctbal_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        kept.map_batches(partial, batch_format="pyarrow", batch_size=1 << 16)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_customers", "acctbal_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_users_funnel_outer(sf_dir: str):
+    """Distributed FULL OUTER join at user cardinality: per-user
+    high-value (>180) click counts vs purchase counts (either side may be
+    absent — the threshold keeps all three branches populated at every
+    sf), summarized to the 3-row funnel segment table
+    (click_only / purchase_only / both).
+
+    Scale shape: each side pre-reduces to user-cardinality count partials
+    inside map_batches before the groupby, the full_outer Dataset.join
+    co-partitions the two count streams (key column coalesced by acero),
+    and the joined stream folds to 3 rows via the usual partial+Sum
+    shape. Join hygiene per CLAUDE.md: schema-enforcing maps with numeric
+    batch_size feed the join; an all-empty side degrades to a single-
+    segment fold without the join."""
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    n_parts = min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-ev_bytes // (64 << 20))),
+    )
+    from ray.data.aggregate import Sum
+
+    def _side(event_type: str, out_col: str):
+        def _pre(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            if "user_id" not in b.column_names:
+                return pa.table(
+                    {"user_id": pa.array([], pa.int64()),
+                     out_col: pa.array([], pa.int64())}
+                )
+            u = pc.filter(
+                b["user_id"],
+                pc.and_(
+                    pc.equal(b["event_type"], event_type),
+                    pc.greater(b["value"], 180.0),
+                ),
+            )
+            df = pa.table({"user_id": u}).to_pandas()
+            g = df.groupby("user_id", as_index=False).size()
+            g = g.rename(columns={"size": out_col})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def _guard(b: pa.Table) -> pa.Table:
+            if "user_id" not in b.column_names:
+                return pa.table(
+                    {"user_id": pa.array([], pa.int64()),
+                     out_col: pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"user_id": pc.cast(b["user_id"], pa.int64()),
+                 out_col: pc.cast(b[out_col], pa.int64())}
+            )
+
+        return (
+            ev.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+            .groupby("user_id")
+            .aggregate(Sum(out_col, alias_name=out_col))
+            .map_batches(_guard, batch_format="pyarrow", batch_size=1 << 16)
+            .materialize()
+        )
+
+    clicks = _side("click", "n_click")
+    purchases = _side("purchase", "n_purchase")
+
+    if clicks.count() == 0 or purchases.count() == 0:
+        only = clicks if purchases.count() == 0 else purchases
+        seg = "click_only" if purchases.count() == 0 else "purchase_only"
+        col = "n_click" if purchases.count() == 0 else "n_purchase"
+        import pandas as pd
+
+        df = only.to_pandas()
+        out = pd.DataFrame(
+            {
+                "segment": [seg],
+                "n_users": [len(df)],
+                "n_click": [int(df["n_click"].sum()) if "n_click" in df else 0],
+                "n_purchase": [int(df["n_purchase"].sum()) if "n_purchase" in df else 0],
+            }
+        )
+        return out if len(df) else out.iloc[0:0]
+
+    joined = clicks.join(
+        purchases, "full_outer", num_partitions=n_parts, on=("user_id",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nc = pc.coalesce(pc.cast(b["n_click"], pa.int64()), pa.scalar(0, pa.int64()))
+        npu = pc.coalesce(pc.cast(b["n_purchase"], pa.int64()), pa.scalar(0, pa.int64()))
+        df = pa.table({"n_click": nc, "n_purchase": npu}).to_pandas()
+        df["segment"] = np.where(
+            df["n_purchase"] == 0,
+            "click_only",
+            np.where(df["n_click"] == 0, "purchase_only", "both"),
+        )
+        g = df.groupby("segment", as_index=False).agg(
+            n_users=("n_click", "size"),
+            n_click=("n_click", "sum"),
+            n_purchase=("n_purchase", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=1 << 16)
+        .groupby("segment")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_click", alias_name="n_click"),
+            Sum("n_purchase", alias_name="n_purchase"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_users", "n_click", "n_purchase"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("segment").reset_index(drop=True)

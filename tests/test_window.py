@@ -376,3 +376,80 @@ def test_hopping_window_drops_null_ts(ray_session):
     )
     out = hopping_window_agg(rd.from_arrow(t), window_sec=3600, hop_sec=1800)
     assert int(out["n"].sum()) == 2  # one valid event x 2 covering windows
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join — stages/interval.py
+# ---------------------------------------------------------------------------
+
+def _facts_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [np.datetime64(ts, "us") for ts, _ in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([et for _, et in rows]),
+            }
+        )
+    )
+
+
+def test_interval_join_overlap_and_boundaries(ray_session):
+    """An event inside two overlapping windows counts in both; start is
+    inclusive, end exclusive; window_id refers to the ORIGINAL (unsorted)
+    window positions."""
+    from mysql_log_parser_ray.stages.interval import interval_join_counts
+
+    h = 3_600_000_000
+    base = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    # window 0: [02:00, 04:00) ; window 1: [00:00, 03:00)  (unsorted input)
+    starts = np.array([base + 2 * h, base], dtype=np.int64)
+    ends = np.array([base + 4 * h, base + 3 * h], dtype=np.int64)
+    facts = _facts_ds(
+        [
+            ("2024-01-01T02:30:00", "a"),  # in both windows
+            ("2024-01-01T00:00:00", "a"),  # start-inclusive (window 1 only)
+            ("2024-01-01T04:00:00", "a"),  # end-exclusive -> no window
+            ("2024-01-01T03:30:00", "b"),  # window 0 only
+        ]
+    )
+    out = interval_join_counts(facts, starts, ends)
+    got = {
+        (int(r.window_id), r.event_type): int(r.n_events)
+        for r in out.itertuples()
+    }
+    assert got == {(0, "a"): 1, (0, "b"): 1, (1, "a"): 2}
+
+
+def test_interval_join_duplicate_starts_fallback(ray_session):
+    """Duplicate window starts break the min-gap layout bound; the probe
+    must fall back to checking every window, not silently drop matches."""
+    from mysql_log_parser_ray.stages.interval import interval_join_counts
+
+    h = 3_600_000_000
+    base = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    starts = np.array([base, base, base + h], dtype=np.int64)
+    ends = np.array([base + h, base + 2 * h, base + 2 * h], dtype=np.int64)
+    facts = _facts_ds([("2024-01-01T00:30:00", "a"), ("2024-01-01T01:30:00", "a")])
+    out = interval_join_counts(facts, starts, ends)
+    got = {
+        (int(r.window_id), r.event_type): int(r.n_events)
+        for r in out.itertuples()
+    }
+    assert got == {(0, "a"): 1, (1, "a"): 2, (2, "a"): 1}
+
+
+def test_interval_join_no_matches(ray_session):
+    from mysql_log_parser_ray.stages.interval import interval_join_counts
+
+    h = 3_600_000_000
+    base = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    starts = np.array([base], dtype=np.int64)
+    ends = np.array([base + h], dtype=np.int64)
+    facts = _facts_ds([("2024-06-01T00:00:00", "a")])
+    out = interval_join_counts(facts, starts, ends)
+    assert len(out) == 0
+    assert list(out.columns) == ["window_id", "event_type", "n_events"]
