@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": q.q_events_props_k,
         "events_asof_tier": q.q_events_asof_tier,
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
+        "corpus_line_dups": q.q_corpus_line_dups,
         "events_range_join": q.q_events_range_join,
         "events_rolling_max3": q.q_events_rolling_max3,
         "customers_no_urgent": q.q_customers_no_urgent,
@@ -339,6 +340,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN dim d
               ON e.user_id = d.user_id AND e.ts >= d.valid_from
             GROUP BY 1
+        """,
+        "corpus_line_dups": f"""
+            WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),
+            l AS (SELECT unnest(string_split(txt, chr(10))) AS line FROM t)
+            SELECT line, COUNT(*) AS n FROM l WHERE line <> ''
+            GROUP BY 1 HAVING COUNT(*) >= 10
         """,
         "events_range_join": """
             WITH w AS (

@@ -1869,3 +1869,50 @@ def q_users_funnel_outer(sf_dir: str):
     for c in ("n_users", "n_click", "n_purchase"):
         out[c] = out[c].astype("int64")
     return out.sort_values("segment").reset_index(drop=True)
+
+
+def q_corpus_line_dups(sf_dir: str):
+    """Corpus-level duplicate-LINE detection over the derived slow-log
+    corpus (the RefinedWeb/Gopher boilerplate-removal primitive: lines
+    repeated across many documents are template noise, not content).
+
+    Scale shape: lines are counted per batch first (local value_counts),
+    hash-bucketed by line (stable_partition, 64), and the >=10 frequency
+    threshold is applied INSIDE the bucket collapse — every copy of a line
+    lands in one bucket, so the per-bucket sum is the global count and
+    only boilerplate-frequency lines ever reach the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..sources.sequences import detokenize_column
+
+    seqs = derived_sequences_ds(sf_dir)
+
+    def _lines(b: pa.Table) -> pa.Table:
+        texts = detokenize_column(b["tokens"])
+        s = pd.Series(texts).str.decode("utf-8")
+        lines = s.str.split("\n").explode()
+        lines = lines[lines != ""]
+        vc = lines.value_counts()
+        df = pd.DataFrame({"line": vc.index.to_numpy(dtype=object),
+                           "n": vc.to_numpy(dtype=np.int64)})
+        df["_part"] = stable_partition(df["line"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("line", as_index=False)["n"].sum()
+        return out[out["n"] >= 10]
+
+    out = (
+        seqs.map_batches(_lines, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    if "line" not in out.columns:
+        out = pd.DataFrame({"line": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out[["line", "n"]].sort_values(["n", "line"],
+                                          ascending=[False, True]).reset_index(drop=True)

@@ -493,6 +493,39 @@ def q_media_decode(sf_dir: str):
     )
 
 
+
+
+def q_docs_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules (text.py:gopher_rules_batch) folded to
+    per-source pass counts: per-doc flags reduce to source-cardinality
+    partials INSIDE the batch fn, then one tiny Sum groupby."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .text import gopher_rules_batch
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flags = gopher_rules_batch(b).to_pandas()
+        g = flags.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    cols = ["n_docs", "n_wc_ok", "n_mwl_ok", "n_uniq_ok", "n_stop_ok", "n_pass"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -518,6 +551,7 @@ def register_queries():
         "docs_curated": q_docs_curated,
         "docs_stratified_sample": q_docs_stratified_sample,
         "word_doc_freq": q_word_doc_freq,
+        "docs_gopher_rules": q_docs_gopher_rules,
     }
 
 
@@ -615,6 +649,37 @@ def _pii_sql() -> str:
 
 def register_oracles():
     return {
+
+        "docs_gopher_rules": r"""
+            WITH w AS (
+              SELECT source,
+                     regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+') AS ws,
+                     length(regexp_replace(text, '[ \t\n\r\v\f]+', '', 'g')) AS n_wchars
+              FROM documents
+            ), m AS (
+              SELECT source,
+                     len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_uniq,
+                     n_wchars,
+                     len(list_filter(ws, x -> x IN ('the','a','and','of','to','in','is','that','for','it'))) AS n_stop
+              FROM w
+            ), f AS (
+              SELECT source,
+                     CAST(n_words BETWEEN 20 AND 90 AS BIGINT) AS wc_ok,
+                     CAST(n_wchars >= 4 * n_words AS BIGINT) AS mwl_ok,
+                     CAST(20 * n_uniq >= 11 * n_words AS BIGINT) AS uniq_ok,
+                     CAST(n_stop >= 2 AS BIGINT) AS stop_ok
+              FROM m
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(wc_ok) AS BIGINT) AS n_wc_ok,
+                   CAST(SUM(mwl_ok) AS BIGINT) AS n_mwl_ok,
+                   CAST(SUM(uniq_ok) AS BIGINT) AS n_uniq_ok,
+                   CAST(SUM(stop_ok) AS BIGINT) AS n_stop_ok,
+                   CAST(SUM(wc_ok * mwl_ok * uniq_ok * stop_ok) AS BIGINT) AS n_pass
+            FROM f GROUP BY 1
+        """,
         "docs_stratified_sample": r"""
             SELECT source, doc_id FROM (
                 SELECT source, doc_id,

@@ -139,3 +139,53 @@ def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for name, vals in counts.items():
         out = out.append_column(name, pa.array(vals.to_numpy(), pa.int64()))
     return out
+
+
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1), restated
+# with INTEGER-EXACT predicates so the DuckDB oracle evaluates the
+# identical arithmetic (no float-division thresholds to drift on):
+#   wc_ok:   20 <= n_words <= 90            (word-count bounds)
+#   mwl_ok:  n_word_chars >= 4 * n_words    (mean word length >= 4)
+#   uniq_ok: 20 * n_distinct >= 11 * n_words (unique-word fraction >= 0.55
+#            — the intra-doc repetition rule)
+#   stop_ok: >= 2 stopword hits (counting repeats) from _GOPHER_STOPWORDS
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that", "for", "it")
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher rule flags, vectorized: ONE strip/split pass plus an
+    explode+groupby for the per-doc distinct and stopword counters (C
+    groupby, never a per-doc Python set)."""
+    s = pd.Series(batch["text"].to_pandas())
+    words = s.str.strip(_ASCII_WS).str.split(_WS_RE)
+    n_words = words.str.len().fillna(0).astype("int64")
+    n_wchars = s.str.replace(_WS_RE, "", regex=True).str.len().astype("int64")
+    ex = words.explode()
+    g = ex.groupby(level=0)
+    n_uniq = g.nunique().reindex(s.index, fill_value=0).astype("int64")
+    n_stop = (
+        ex.isin(_GOPHER_STOPWORDS)
+        .groupby(level=0)
+        .sum()
+        .reindex(s.index, fill_value=0)
+        .astype("int64")
+    )
+    wc_ok = (n_words >= 20) & (n_words <= 90)
+    mwl_ok = n_wchars >= 4 * n_words
+    uniq_ok = 20 * n_uniq >= 11 * n_words
+    stop_ok = n_stop >= 2
+    return pa.table(
+        {
+            "source": batch["source"],
+            "n_docs": pa.array(np.ones(len(s), dtype=np.int64), pa.int64()),
+            "n_wc_ok": pa.array(wc_ok.to_numpy().astype(np.int64), pa.int64()),
+            "n_mwl_ok": pa.array(mwl_ok.to_numpy().astype(np.int64), pa.int64()),
+            "n_uniq_ok": pa.array(uniq_ok.to_numpy().astype(np.int64), pa.int64()),
+            "n_stop_ok": pa.array(stop_ok.to_numpy().astype(np.int64), pa.int64()),
+            "n_pass": pa.array(
+                (wc_ok & mwl_ok & uniq_ok & stop_ok).to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )

@@ -1202,3 +1202,28 @@ def test_broadcast_guards_fail_fast(ray_session, tmp_path):
     ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
     with _pytest.raises(ValueError, match="bloom prefilter"):
         contamination_counts(ds, max_bench_grams=1)
+
+
+def test_gopher_rules_batch_edges():
+    """Rule semantics on crafted docs: pass-all, repetition-only fail,
+    short-doc fail, whitespace-only doc must not crash."""
+    import pyarrow as pa
+
+    from mysql_log_parser_ray.training.text import gopher_rules_batch
+
+    good = " ".join(
+        ["the", "a", "of", "to"] + [f"word{i:02d}" for i in range(16)]
+    )  # 20 words, all unique, 4 stopword hits, every word >= 4 chars... ('the'=3)
+    # mean-word-length rule is aggregate (total chars / words), not per word
+    repetitive = " ".join(["boilerplate"] * 30 + ["the", "a"])  # uniq frac ~0.09
+    short = "the a tiny"
+    ws_only = "   \t  "
+    out = gopher_rules_batch(
+        pa.table({"source": ["s"] * 4, "text": [good, repetitive, short, ws_only]})
+    ).to_pandas()
+    assert out["n_docs"].tolist() == [1, 1, 1, 1]
+    g, r, s, w = out.iloc[0], out.iloc[1], out.iloc[2], out.iloc[3]
+    assert g["n_pass"] == 1 and g["n_wc_ok"] == 1 and g["n_uniq_ok"] == 1
+    assert r["n_wc_ok"] == 1 and r["n_uniq_ok"] == 0 and r["n_pass"] == 0
+    assert s["n_wc_ok"] == 0 and s["n_pass"] == 0
+    assert w["n_pass"] == 0
