@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max3": q.q_events_rolling_max3,
         "customers_no_urgent": q.q_customers_no_urgent,
         "users_funnel_outer": q.q_users_funnel_outer,
+        "user_event_paths": q.q_user_event_paths,
+        "events_cum_daily": q.q_events_cum_daily,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -340,6 +342,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN dim d
               ON e.user_id = d.user_id AND e.ts >= d.valid_from
             GROUP BY 1
+        """,
+        "user_event_paths": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS rn
+              FROM events
+            ), p AS (
+              SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM o WHERE rn <= 5 GROUP BY 1
+            )
+            SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1
+        """,
+        "events_cum_daily": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   CAST(SUM(n) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+            FROM d
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

@@ -1916,3 +1916,115 @@ def q_corpus_line_dups(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     return out[["line", "n"]].sort_values(["n", "line"],
                                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered per-key collect: each user's first-5 event-type path (by
+    ts, event_id), counted per distinct path — the behavioral-sequence
+    feature op.
+
+    Scale shape: the sessionize pattern again — hash-bucket users (64),
+    ONE lexsort per bucket, and the per-user first-5 extraction is a
+    vectorized boundary/position computation (no per-user Python loop:
+    positions come from arange minus each user's start index, the path
+    from five fillna'd column concats). Only (path, n_users) partials
+    leave the buckets."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "_part": pa.array(stable_partition(b["user_id"], 64), pa.int64()),
+            }
+        )
+
+    def _paths(g: "pd.DataFrame") -> "pd.DataFrame":
+        o = np.lexsort(
+            (g["event_id"].to_numpy(), g["us"].to_numpy(), g["user_id"].to_numpy())
+        )
+        u = g["user_id"].to_numpy()[o]
+        et = g["event_type"].to_numpy()[o]
+        n = len(u)
+        # position of each row within its user run, vectorized
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        pos = np.arange(n) - run_start
+        keep = pos < 5
+        uk, posk, etk = u[keep], pos[keep], et[keep]
+        wide = pd.DataFrame({"user_id": uk, "pos": posk, "et": etk}).pivot(
+            index="user_id", columns="pos", values="et"
+        )
+        path = wide.get(0, pd.Series("", index=wide.index)).fillna("")
+        for p in range(1, 5):
+            col = wide.get(p)
+            if col is None:
+                break
+            path = path.where(col.isna(), path + ">" + col.fillna(""))
+        out = (
+            pd.DataFrame({"path": path})
+            .groupby("path", as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("_part")
+        .map_groups(_paths, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("path").reset_index(drop=True)
+
+
+def q_events_cum_daily(sf_dir: str):
+    """Per-type daily counts with a RUNNING cumulative total (ordered
+    prefix aggregation). The distributed part folds events to
+    (type, day) partials — day-cardinality output — and the prefix sum
+    runs on that tiny frame (days x types), never on events."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.cast(
+                    pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 86400000000.0)),
+                    pa.int64(),
+                ),
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
+    out["cum_n"] = out.groupby("event_type")["n"].cumsum().astype("int64")
+    return out

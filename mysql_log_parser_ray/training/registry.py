@@ -526,6 +526,118 @@ def q_docs_gopher_rules(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+
+
+def q_gram_source_except(sf_dir: str):
+    """Distributed set DIFFERENCE (EXCEPT) on word 3-grams: grams that
+    occur in even-numbered sources but NEVER in odd ones, counted per
+    leading word (vocabulary-cardinality output).
+
+    Scale shape: per doc the distinct grams reduce to
+    (head_word, gram_hash64, odd_flag) fixed-width rows with a per-batch
+    max(odd) combine; gram-hash buckets (stable_partition, 64) make the
+    per-bucket max the GLOBAL max, so the even-only filter runs
+    worker-side and only per-head counts shuffle afterwards. Gram text
+    never moves - only its 64-bit hash does.
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..partition import stable_partition
+    from .dedup import _gram_hash64, word_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    _DIGITS = _re.compile(r"[^0-9]")
+
+    def _grams(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        heads, hashes, odds = [], [], []
+        for t, s in zip(texts, sources):
+            odd = int(_DIGITS.sub("", s) or 0) % 2
+            for g in word_ngrams(t, 3):
+                heads.append(g.split(" ", 1)[0])
+                hashes.append(_gram_hash64(g))
+                odds.append(odd)
+        df = pd.DataFrame(
+            {
+                "head": np.array(heads, dtype=object),
+                "gh": np.array(hashes, dtype=np.int64),
+                "odd": np.array(odds, dtype=np.int64),
+            }
+        )
+        g = df.groupby("gh", as_index=False).agg(
+            head=("head", "first"), odd=("odd", "max")
+        )
+        g["_part"] = stable_partition(g["gh"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        m = g.groupby("gh", as_index=False).agg(head=("head", "first"), odd=("odd", "max"))
+        m = m[m["odd"] == 0]
+        out = m.groupby("head", as_index=False).size()
+        return out.rename(columns={"size": "n_exclusive_grams", "head": "word"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(_grams, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n_exclusive_grams", alias_name="n_exclusive_grams"))
+        .to_pandas()
+    )
+    out["n_exclusive_grams"] = out["n_exclusive_grams"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): doc i gets key -ln(u_i)/w_i with u_i a
+    seeded uniform from md5(doc_id) and weight w_i = n_chars; the global
+    20 smallest keys ARE the weighted sample. Keys are rounded to 9 dp
+    (engine-invariant ranking, the embed_nn_join convention) with doc_id
+    tiebreak.
+
+    Scale shape: each batch computes keys vectorized and keeps only its
+    local top-20 candidates; the driver folds blocks x 20 candidate rows,
+    never the corpus."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def _keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.fromiter(
+            (int(_hl.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        u = (v.astype(np.float64) + 1.0) / 4294967296.0
+        key = np.round(-np.log(u) / w, 9)
+        df = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "samp_key": key})
+        df = df.sort_values(["samp_key", "doc_id"]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(
+        _keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    out = cand.sort_values(["samp_key", "doc_id"]).head(20).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["samp_key"] = out["samp_key"].astype("float64")
+    return out
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -552,6 +664,8 @@ def register_queries():
         "docs_stratified_sample": q_docs_stratified_sample,
         "word_doc_freq": q_word_doc_freq,
         "docs_gopher_rules": q_docs_gopher_rules,
+        "gram_source_except": q_gram_source_except,
+        "docs_weighted_sample": q_docs_weighted_sample,
     }
 
 
@@ -650,6 +764,35 @@ def _pii_sql() -> str:
 def register_oracles():
     return {
 
+
+        "gram_source_except": r"""
+            WITH toks AS (
+              SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS odd,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT odd, w[i] AS head,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ), ex AS (
+              SELECT head, gram FROM grams GROUP BY head, gram HAVING MAX(odd) = 0
+            )
+            SELECT head AS word, COUNT(*) AS n_exclusive_grams
+            FROM ex GROUP BY 1
+        """,
+        "docs_weighted_sample": """
+            WITH m AS (
+              SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), k AS (
+              SELECT doc_id,
+                     round(-ln((CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 1 AS BIGINT) + 1) / 4294967296.0)
+                           / n_chars, 9) AS samp_key
+              FROM m
+            )
+            SELECT doc_id, samp_key FROM k ORDER BY samp_key, doc_id LIMIT 20
+        """,
         "docs_gopher_rules": r"""
             WITH w AS (
               SELECT source,
