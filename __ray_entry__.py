@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_tier_bigdim": q.q_events_asof_tier_bigdim,
         "corpus_line_dups": q.q_corpus_line_dups,
         "events_range_join": q.q_events_range_join,
+        "events_range_join_bigwin": q.q_events_range_join_bigwin,
         "events_rolling_max3": q.q_events_rolling_max3,
         "customers_no_urgent": q.q_customers_no_urgent,
         "users_funnel_outer": q.q_users_funnel_outer,
@@ -376,6 +377,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 HAVING COUNT(*) >= 10
         """,
         "events_range_join": """
+            WITH w AS (
+              SELECT k AS window_id,
+                     TIMESTAMP '2024-01-01' + k * INTERVAL 2 HOUR AS ws,
+                     TIMESTAMP '2024-01-01'
+                       + (k * 2 + 1 + k % 4) * INTERVAL 1 HOUR AS we
+              FROM range(372) t(k)
+            )
+            SELECT w.window_id, e.event_type, COUNT(*) AS n_events
+            FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+            GROUP BY 1, 2
+        """,
+        # Same semantics through the co-partitioned big-window path
+        # (stages/interval.py:interval_join_counts_partitioned): identical oracle.
+        "events_range_join_bigwin": """
             WITH w AS (
               SELECT k AS window_id,
                      TIMESTAMP '2024-01-01' + k * INTERVAL 2 HOUR AS ws,

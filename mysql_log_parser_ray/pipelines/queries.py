@@ -2028,3 +2028,30 @@ def q_events_cum_daily(sf_dir: str):
     out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
     out["cum_n"] = out.groupby("event_type")["n"].cumsum().astype("int64")
     return out
+
+
+def q_events_range_join_bigwin(sf_dir: str):
+    """Same interval-join semantics through the BIG-WINDOW path: the
+    windows side is a Dataset co-partitioned with the facts by 4h time
+    bucket (interval_join_counts_partitioned's tagged-union shuffle) —
+    the shape for window tables that outgrow broadcast. Shares the
+    events_range_join oracle."""
+    import ray.data as rd
+
+    from ..stages.interval import interval_join_counts_partitioned
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    base_us = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+    k = np.arange(372, dtype=np.int64)
+    windows = rd.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(k, pa.int64()),
+                "start_us": pa.array(base_us + k * 7200 * 1_000_000, pa.int64()),
+                "end_us": pa.array(
+                    base_us + (k * 2 + 1 + k % 4) * 3600 * 1_000_000, pa.int64()
+                ),
+            }
+        )
+    )
+    return interval_join_counts_partitioned(ev, windows)

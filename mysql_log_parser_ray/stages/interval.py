@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..broadcast import broadcast_get
 
@@ -105,6 +106,170 @@ def interval_join_counts(
         .to_pandas()
     )
     if "window_id" not in out.columns:  # no fact matched any window
+        out = pd.DataFrame(
+            {
+                "window_id": pd.Series([], dtype="int64"),
+                key_col: pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("window_id", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out[["window_id", key_col, "n_events"]].sort_values(
+        ["window_id", key_col]
+    ).reset_index(drop=True)
+
+
+def interval_join_counts_partitioned(
+    facts,
+    windows,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_us: int = 14_400_000_000,
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """Big-window scale path: the windows side is a DATASET (too big to
+    broadcast) co-partitioned with the facts by coarse time bucket.
+
+    Partitioning assumption (document per use): a window spanning k
+    buckets is replicated k times, so ``bucket_us`` should be >= the
+    typical window width (replication factor ~ width/bucket_us + 1).
+    Facts land in exactly ONE bucket; each window replica carries its
+    target bucket and the probe matches only same-bucket replicas, so
+    replication can never double-count. Inside a co-partition the probe
+    is the same sorted-starts candidate scan as the broadcast variant
+    (duplicate starts fall back to probe-all within the bucket).
+
+    ``windows``: Dataset with int64 columns (window_id, start_us,
+    end_us), start-exclusive end. Returns the (window_id, key) counts
+    frame - output is windows x keys cardinality."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..partition import stable_partition
+
+    def _rep_windows(b: pa.Table) -> pa.Table:
+        s = b["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = s // bucket_us
+        b1 = (e - 1) // bucket_us  # end exclusive: last covered bucket
+        reps = (b1 - b0 + 1).astype(np.int64)
+        total = int(reps.sum())
+        widx = np.repeat(np.arange(len(s)), reps)
+        run_start = np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        bucket = b0[widx] + (np.arange(total) - run_start)
+        n = total
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "start_us": pa.array(s[widx], pa.int64()),
+                "end_us": pa.array(e[widx], pa.int64()),
+                "window_id": pa.array(w[widx], pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                key_col: pa.nulls(n, pa.string()),
+                "_part": pa.array(
+                    stable_partition(pa.array(bucket, pa.int64()), n_parts),
+                    pa.int64(),
+                ),
+                "_side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    def _tag_facts(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[ts_col], pa.int64())
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(ts, pa.float64()), float(bucket_us))),
+            pa.int64(),
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "bucket": bucket,
+                "start_us": pa.nulls(n, pa.int64()),
+                "end_us": pa.nulls(n, pa.int64()),
+                "window_id": pa.nulls(n, pa.int64()),
+                "ts_us": ts,
+                key_col: b[key_col],
+                "_part": pa.array(stable_partition(bucket, n_parts), pa.int64()),
+                "_side": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    tagged = facts.map_batches(
+        _tag_facts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        windows.map_batches(
+            _rep_windows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def _probe_part(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        fac = g.loc[side == 1]
+        win = g.loc[side == 0]
+        if not len(fac) or not len(win):
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        fb = fac["bucket"].to_numpy().astype(np.int64)
+        fts = fac["ts_us"].to_numpy().astype(np.int64)
+        fkey = fac[key_col].to_numpy()
+        wb = win["bucket"].to_numpy().astype(np.int64)
+        ws = win["start_us"].to_numpy().astype(np.int64)
+        we = win["end_us"].to_numpy().astype(np.int64)
+        wid = win["window_id"].to_numpy().astype(np.int64)
+        out_win, out_key = [], []
+        for b in np.unique(fb):
+            fm = fb == b
+            wm = wb == b
+            if not wm.any():
+                continue
+            order = np.argsort(ws[wm], kind="stable")
+            s, e2, w2 = ws[wm][order], we[wm][order], wid[wm][order]
+            ts = fts[fm]
+            keys = fkey[fm]
+            k = _max_candidates(s, e2)
+            hi = np.searchsorted(s, ts, side="right")
+            for c in range(k):
+                idx = hi - 1 - c
+                ok = idx >= 0
+                safe = np.where(ok, idx, 0)
+                ok &= (ts >= s[safe]) & (ts < e2[safe])
+                if not ok.any():
+                    continue
+                out_win.append(w2[safe[ok]])
+                out_key.append(keys[ok])
+        if not out_win:
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "window_id": np.concatenate(out_win),
+                key_col: np.concatenate(out_key),
+            }
+        )
+        out = df.groupby(["window_id", key_col], as_index=False).size()
+        return out.rename(columns={"size": "n_events"})
+
+    out = (
+        tagged.groupby("_part")
+        .map_groups(_probe_part, batch_format="pandas")
+        .groupby(["window_id", key_col])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    if "window_id" not in out.columns:
         out = pd.DataFrame(
             {
                 "window_id": pd.Series([], dtype="int64"),

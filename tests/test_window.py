@@ -453,3 +453,49 @@ def test_interval_join_no_matches(ray_session):
     out = interval_join_counts(facts, starts, ends)
     assert len(out) == 0
     assert list(out.columns) == ["window_id", "event_type", "n_events"]
+
+
+def test_interval_join_partitioned_matches_broadcast(ray_session):
+    """The co-partitioned big-window path must agree with the broadcast
+    path on an adversarial layout: windows spanning multiple buckets,
+    duplicate starts, and facts on bucket boundaries."""
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.interval import (
+        interval_join_counts,
+        interval_join_counts_partitioned,
+    )
+
+    rng = np.random.default_rng(7)
+    h = 3_600_000_000
+    base = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    # 40 windows: stride 1h, widths 1-9h (span up to 3 4h-buckets); two
+    # duplicate starts
+    k = np.arange(40, dtype=np.int64)
+    starts = base + k * h
+    ends = starts + (1 + k % 9) * h
+    starts[7] = starts[6]  # duplicate start
+    ts = base + rng.integers(-2 * h, 45 * h, size=3000)
+    et = rng.choice(["a", "b", "c"], size=3000)
+    facts = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    ).repartition(6)
+    want = interval_join_counts(facts, starts, ends)
+    windows = rd.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(np.arange(40), pa.int64()),
+                "start_us": pa.array(starts, pa.int64()),
+                "end_us": pa.array(ends, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = interval_join_counts_partitioned(
+        facts, windows, bucket_us=4 * h, n_parts=8
+    )
+    assert got.equals(want)
+    assert len(got) > 50  # layout actually produced matches
