@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_funnel_outer": q.q_users_funnel_outer,
         "user_event_paths": q.q_user_event_paths,
         "events_cum_daily": q.q_events_cum_daily,
+        "events_daily_dense": q.q_events_daily_dense,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -369,6 +370,23 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY day
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
             FROM d
+        """,
+        "events_daily_dense": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                     event_type, value
+              FROM events
+            ), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+            types AS (SELECT DISTINCT event_type FROM b),
+            grid AS (
+              SELECT t.event_type, bounds.d0 + u.i AS day
+              FROM types t, bounds, UNNEST(range(0, bounds.d1 - bounds.d0 + 1)) AS u(i)
+            ), r AS (
+              SELECT event_type, day, COUNT(*) AS n
+              FROM b WHERE value > 250 GROUP BY 1, 2
+            )
+            SELECT g.event_type, g.day, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_rare
+            FROM grid g LEFT JOIN r USING (event_type, day)
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

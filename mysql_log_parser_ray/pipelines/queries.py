@@ -2055,3 +2055,57 @@ def q_events_range_join_bigwin(sf_dir: str):
         )
     )
     return interval_join_counts_partitioned(ev, windows)
+
+
+def q_events_daily_dense(sf_dir: str):
+    """Gap-filled (dense) time series: rare-event (value > 250) daily
+    counts on the FULL day x type grid, zeros included — the
+    training-dashboard densification primitive.
+
+    Scale shape: one pass folds events to (type, day) partials carrying
+    both the all-events and rare counts; the dense grid is derived from
+    that day-cardinality fold (bounds + type set) and zero-filled on the
+    driver — days x types rows, never events."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.cast(
+                    pc.floor(
+                        pc.divide(pc.cast(pc.cast(b["ts"], pa.int64()), pa.float64()),
+                                  86400000000.0)
+                    ),
+                    pa.int64(),
+                ),
+                "rare": pc.cast(pc.greater(b["value"], 250.0), pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_all=("rare", "size"), n_rare=("rare", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_all", alias_name="n_all"), Sum("n_rare", alias_name="n_rare"))
+        .to_pandas()
+    )
+    d0, d1 = int(cells["day"].min()), int(cells["day"].max())
+    types = sorted(cells["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(d0, d1 + 1)], names=["event_type", "day"]
+    ).to_frame(index=False)
+    out = grid.merge(
+        cells[["event_type", "day", "n_rare"]], on=["event_type", "day"], how="left"
+    )
+    out["day"] = out["day"].astype("int64")
+    out["n_rare"] = out["n_rare"].fillna(0).astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

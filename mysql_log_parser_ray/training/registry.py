@@ -638,6 +638,95 @@ def q_docs_weighted_sample(sf_dir: str):
     return out
 
 
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Per-document TF-IDF top terms (keyword extraction): the global
+    document-frequency table is folded distributed (word_doc_freq shape),
+    broadcast as an idf lookup, and each batch scores its docs locally -
+    score = tf * ln(N/df), rounded to 6 dp for engine-invariant ranking
+    (word-asc tiebreak), top 3 per doc.
+
+    Scale note: the idf table is VOCABULARY-cardinality and is broadcast;
+    fail-fast guard below names the remedy (hash-partitioned join of
+    (doc, word, tf) rows against the df table) if a corpus outgrows it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from ..broadcast import broadcast_get
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tf(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pandas())
+        s.index = pd.Index(b["doc_id"].to_pandas())
+        ex = s.str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        ex = ex[ex != ""]
+        g = ex.groupby([ex.index, ex]).size()
+        g.index.names = ["doc_id", "word"]
+        out = g.reset_index(name="tf")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tf_ds = ds.map_batches(
+        _tf, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        # docs never split across batches: per-batch doc counts per word
+        # are exact df partials
+        df = pa.table({"word": b["word"]}).to_pandas()
+        g = df.groupby("word", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "df"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    dft = (
+        tf_ds.map_batches(_df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    if len(dft) > 5_000_000:
+        raise ValueError(
+            f"doc_top_terms: vocabulary {len(dft)} exceeds the broadcast "
+            "bound; switch to a hash-partitioned join of (doc, word, tf) "
+            "rows against the df table (the gram_source_except shape)"
+        )
+    n_docs = ds.count()
+    idf = dict(
+        zip(dft["word"], np.log(float(n_docs) / dft["df"].to_numpy(np.float64)))
+    )
+    ref = ray.put(idf)
+
+    def _score(b: pa.Table) -> pa.Table:
+        lookup = broadcast_get(ref)
+        df = b.to_pandas()
+        df["score"] = np.round(
+            df["tf"].to_numpy(np.float64)
+            * df["word"].map(lookup).to_numpy(np.float64),
+            6,
+        )
+        df = df.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True]
+        )
+        df["rank"] = df.groupby("doc_id").cumcount() + 1
+        out = df[df["rank"] <= 3][["doc_id", "word", "score", "rank"]]
+        out["rank"] = out["rank"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = tf_ds.map_batches(
+        _score, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -666,6 +755,7 @@ def register_queries():
         "docs_gopher_rules": q_docs_gopher_rules,
         "gram_source_except": q_gram_source_except,
         "docs_weighted_sample": q_docs_weighted_sample,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -765,6 +855,33 @@ def register_oracles():
     return {
 
 
+
+        "doc_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(w) AS word FROM toks
+              ) WHERE word <> '' GROUP BY 1, 2
+            ), df AS (
+              SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.word,
+                     round(tf.tf * ln(CAST(n.nd AS DOUBLE) / df.df), 6) AS score
+              FROM tf JOIN df USING (word), n
+            ), r AS (
+              SELECT doc_id, word, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, word ASC
+                     ) AS rn
+              FROM s
+            )
+            SELECT doc_id, word, score, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 3
+        """,
         "gram_source_except": r"""
             WITH toks AS (
               SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS odd,
