@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": q.q_user_event_paths,
         "events_cum_daily": q.q_events_cum_daily,
         "events_daily_dense": q.q_events_daily_dense,
+        "conversion_attribution": q.q_conversion_attribution,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -387,6 +388,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.event_type, g.day, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_rare
             FROM grid g LEFT JOIN r USING (event_type, day)
+        """,
+        "conversion_attribution": """
+            WITH p AS (
+              SELECT user_id, ts,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT day,
+                   COUNT(*) AS n_purchases,
+                   CAST(SUM(CASE WHEN EXISTS (
+                     SELECT 1 FROM events c
+                     WHERE c.event_type = 'click'
+                       AND c.user_id = p.user_id
+                       AND c.ts <= p.ts
+                       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM p GROUP BY 1
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

@@ -2109,3 +2109,84 @@ def q_events_daily_dense(sf_dir: str):
     out["day"] = out["day"].astype("int64")
     out["n_rare"] = out["n_rare"].fillna(0).astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def q_conversion_attribution(sf_dir: str):
+    """Time-bounded stream-stream self-join (attribution): purchases with
+    at least one SAME-USER click in the preceding 30 minutes (inclusive
+    of equal timestamps), counted per day.
+
+    Scale shape: both event roles co-partition by user hash (64 buckets);
+    per bucket ONE lexsort by (user, ts, role) with clicks ordered before
+    purchases at equal ts, then the latest-click timestamp forward-fills
+    through each user run (np.maximum.accumulate on a run-reset array) —
+    the sessionize machinery, no per-user loop and no quadratic join.
+    Only (day, n_purchases, n_converted) partials leave the buckets."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "is_purchase": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int8()
+                ),
+                "_part": pa.array(
+                    stable_partition(t["user_id"], 64), pa.int64()
+                ),
+            }
+        )
+
+    WINDOW_US = 30 * 60 * 1_000_000
+
+    def _attr(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        rp = g["is_purchase"].to_numpy()
+        o = np.lexsort((rp, us, u))  # clicks before purchases at equal ts
+        u, us, rp = u[o], us[o], rp[o]
+        n = len(u)
+        # forward-fill the POSITION of the latest click (monotone ints:
+        # cummax never overflows); a carried-over click from a previous
+        # user run fails the user-equality check, and any click inside
+        # the current contiguous run would have out-ranked it
+        pos = np.arange(n, dtype=np.int64)
+        last_click = np.maximum.accumulate(np.where(rp == 0, pos, np.int64(-1)))
+        purch = rp == 1
+        has = last_click >= 0
+        safe = np.where(has, last_click, 0)
+        converted = (
+            purch & has & (u[safe] == u) & (us[safe] >= us - WINDOW_US)
+        )
+        day = (us[purch] // 86_400_000_000).astype(np.int64)
+        out = (
+            pd.DataFrame({"day": day, "conv": converted[purch].astype(np.int64)})
+            .groupby("day", as_index=False)
+            .agg(n_purchases=("conv", "size"), n_converted=("conv", "sum"))
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_attr, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+        .to_pandas()
+    )
+    for c in ("day", "n_purchases", "n_converted"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -499,3 +499,40 @@ def test_interval_join_partitioned_matches_broadcast(ray_session):
     )
     assert got.equals(want)
     assert len(got) > 50  # layout actually produced matches
+
+
+def test_conversion_attribution_edges(ray_session, monkeypatch, tmp_path):
+    """Boundary semantics: same-ts click counts, exactly-30min click
+    counts (inclusive), older click does not, clicks never leak across
+    users, click AFTER purchase does not attribute."""
+    import pyarrow.parquet as pq
+    from mysql_log_parser_ray.pipelines.queries import q_conversion_attribution
+
+    m = 60 * 1_000_000
+    base = int(np.datetime64("2024-01-05T12:00:00", "us").astype(np.int64))
+    rows = [
+        # u1: click at t, purchase at t -> converted (same-ts inclusive)
+        (1, base, "click"), (1, base, "purchase"),
+        # u2: click exactly 30min before -> converted (inclusive)
+        (2, base - 30 * m, "click"), (2, base, "purchase"),
+        # u3: click 31min before -> NOT converted
+        (3, base - 31 * m, "click"), (3, base, "purchase"),
+        # u4: click AFTER purchase -> NOT converted
+        (4, base + m, "click"), (4, base, "purchase"),
+        # u5: no click at all; u1's click must not leak -> NOT converted
+        (5, base, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_conversion_attribution(str(tmp_path))
+    assert out["n_purchases"].tolist() == [5]
+    assert out["n_converted"].tolist() == [2]
