@@ -1,5 +1,7 @@
 """Tumbling windows + gap sessionization unit semantics."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -536,3 +538,65 @@ def test_conversion_attribution_edges(ray_session, monkeypatch, tmp_path):
     out = q_conversion_attribution(str(tmp_path))
     assert out["n_purchases"].tolist() == [5]
     assert out["n_converted"].tolist() == [2]
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~5 min at the 4-CPU test session; run with MLPR_BIG_TESTS=1 "
+    "(measured run recorded in BASELINE.md round 3)",
+)
+def test_interval_join_partitioned_at_scale(ray_session):
+    """5M facts x 50k overlapping windows through the co-partitioned path:
+    identical counts to the broadcast probe, and the driver's Python heap
+    stays bounded by the OUTPUT (windows x keys) cardinality — nothing
+    fact-cardinality is ever collected."""
+    import tracemalloc
+
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.interval import (
+        interval_join_counts,
+        interval_join_counts_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    minute = 60_000_000
+    base = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    n_win, n_facts = 50_000, 5_000_000
+    k = np.arange(n_win, dtype=np.int64)
+    starts = base + k * 10 * minute              # stride 10 min
+    ends = starts + (5 + k % 26) * minute        # widths 5-30 min
+    ts = base + rng.integers(0, n_win * 10 * minute, size=n_facts)
+    et = rng.choice(["a", "b", "c"], size=n_facts)
+    facts = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    ).repartition(32).materialize()
+    windows = rd.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(k, pa.int64()),
+                "start_us": pa.array(starts, pa.int64()),
+                "end_us": pa.array(ends, pa.int64()),
+            }
+        )
+    ).repartition(8)
+
+    want = interval_join_counts(facts, starts, ends)
+
+    tracemalloc.start()
+    got = interval_join_counts_partitioned(
+        facts, windows, bucket_us=3_600_000_000, n_parts=64
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    assert got.equals(want)
+    assert len(got) > 100_000  # output really is windows x keys sized
+    # peak driver PYTHON heap bounded by a small multiple of the output
+    # frame (5M facts would be ~120MB+ as a single int64 column alone)
+    out_bytes = got.memory_usage(deep=True).sum()
+    assert peak < 6 * out_bytes + 64 * 1024 * 1024
