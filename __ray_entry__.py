@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cum_daily": q.q_events_cum_daily,
         "events_daily_dense": q.q_events_daily_dense,
         "conversion_attribution": q.q_conversion_attribution,
+        "tpch_q3_topk": q.q_tpch_q3_topk,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -405,6 +406,18 @@ def oracle_sql() -> dict[str, str]:
                        AND c.ts >= p.ts - INTERVAL 30 MINUTE
                    ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
             FROM p GROUP BY 1
+        """,
+        "tpch_q3_topk": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+            GROUP BY 1, 3
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

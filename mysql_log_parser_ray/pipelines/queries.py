@@ -2190,3 +2190,157 @@ def q_conversion_attribution(sf_dir: str):
     for c in ("day", "n_purchases", "n_converted"):
         out[c] = out[c].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_tpch_q3_topk(sf_dir: str):
+    """TPC-H Q3 shape: 3-table join (customer semi-joins orders, lineitem
+    revenue inner-joins the surviving orders) + top-10 by revenue.
+
+    Scale shape: lineitem - the big side - is reduced to per-order revenue
+    partials BEFORE any shuffle; orders carries only 3 columns through the
+    left_semi join against the filtered BUILDING custkeys; the final
+    top-10 folds per-batch candidates on the driver (the sorted_head
+    shape). Join hygiene per CLAUDE.md: schema-enforcing numeric-batch
+    maps feed both joins, empty-side count() guards skip them."""
+    import pandas as pd
+    import ray
+
+    cutoff_us = int(pd.Timestamp("1995-03-15").value // 1000)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("customer", "orders", "lineitem")
+    )
+    n_parts = min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-in_bytes // (64 << 20))),
+    )
+
+    def _bldg(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64())})
+        keys = pc.filter(b["c_custkey"], pc.equal(b["c_mktsegment"], "BUILDING"))
+        return pa.table({"c_custkey": pc.cast(keys, pa.int64())})
+
+    bldg = cust.map_batches(
+        _bldg, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 16
+    ).materialize()
+
+    def _ofilt(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        keep = pc.less(pc.cast(b["o_orderdate"], pa.int64()), cutoff_us)
+        return b.filter(keep)
+
+    ofilt = orders.map_batches(
+        _ofilt, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 16
+    ).materialize()
+
+    def _empty_result() -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+
+    if bldg.count() == 0 or ofilt.count() == 0:
+        return _empty_result()
+
+    o2 = ofilt.join(
+        bldg, "left_semi", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def _lrev(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "l_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        df = pa.table(
+            {"l_orderkey": b["l_orderkey"], "revenue_cents": _cents(rev)}
+        ).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    lrev = (
+        li.map_batches(_lrev, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def _lrev_guard(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            }
+        )
+
+    lrev = lrev.map_batches(
+        _lrev_guard, batch_format="pyarrow", batch_size=1 << 16
+    ).materialize()
+    if lrev.count() == 0:
+        return _empty_result()
+
+    j = lrev.join(
+        o2, "inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "l_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        df = b.select(["l_orderkey", "revenue_cents", "o_orderdate"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue_cents", "l_orderkey"],
+                           ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    cand = j.map_batches(_topk, batch_format="pyarrow", batch_size=1 << 16).to_pandas()
+    if not len(cand):
+        return _empty_result()
+    out = (
+        cand.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
