@@ -46,12 +46,15 @@ def interval_join_counts(
     ends_us: np.ndarray,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    as_dataset: bool = False,
 ) -> pd.DataFrame:
     """Count facts per (window_id, key) for windows [start, end).
 
     ``starts_us``/``ends_us``: int64 microsecond bounds, starts sorted
     ascending (window_id is the position in that order). Returns a pandas
-    frame (windows x keys cardinality).
+    frame (windows x keys cardinality); pass ``as_dataset=True`` when the
+    window set is large enough that even the counts should stay in the
+    object store (unsorted Dataset, same columns).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -97,14 +100,16 @@ def interval_join_counts(
         g = g.rename(columns={"size": "n_events"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    agg = (
         facts.map_batches(
             probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         .groupby(["window_id", key_col])
         .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
     )
+    if as_dataset:
+        return agg
+    out = agg.to_pandas()
     if "window_id" not in out.columns:  # no fact matched any window
         out = pd.DataFrame(
             {
@@ -127,6 +132,7 @@ def interval_join_counts_partitioned(
     key_col: str = "event_type",
     bucket_us: int = 14_400_000_000,
     n_parts: int = 64,
+    as_dataset: bool = False,
 ) -> pd.DataFrame:
     """Big-window scale path: the windows side is a DATASET (too big to
     broadcast) co-partitioned with the facts by coarse time bucket.
@@ -262,13 +268,15 @@ def interval_join_counts_partitioned(
         out = df.groupby(["window_id", key_col], as_index=False).size()
         return out.rename(columns={"size": "n_events"})
 
-    out = (
+    agg = (
         tagged.groupby("_part")
         .map_groups(_probe_part, batch_format="pandas")
         .groupby(["window_id", key_col])
         .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
     )
+    if as_dataset:
+        return agg
+    out = agg.to_pandas()
     if "window_id" not in out.columns:
         out = pd.DataFrame(
             {

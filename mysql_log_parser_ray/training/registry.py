@@ -720,11 +720,23 @@ def q_doc_top_terms(sf_dir: str):
         out["rank"] = out["rank"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    out = tf_ds.map_batches(
+    # doc-cardinality output: stays a Dataset (the driver/compare layer
+    # collects only at the comparison scale it chooses)
+    def _dtypes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": _pc.cast(b["doc_id"], pa.int64()),
+                "word": b["word"],
+                "score": _pc.cast(b["score"], pa.float64()),
+                "rank": _pc.cast(b["rank"], pa.int64()),
+            }
+        )
+
+    return tf_ds.map_batches(
         _score, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    out["doc_id"] = out["doc_id"].astype("int64")
-    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    ).map_batches(_dtypes, batch_format="pyarrow", batch_size=None)
 
 
 def register_queries():
