@@ -61,6 +61,23 @@ def _blocks_for(path: str):
     return max(8, int(size // (4 << 20)) + 1)
 
 
+def _join_num_partitions(sf_dir: str, *tables: str) -> int:
+    """CLAUDE.md Dataset.join partition sizing, in ONE place: CPU-capped
+    (aggregator actors are pool-sized by partition count - 64 fixed
+    partitions starve a 4-CPU session) AND volume-capped when input size
+    is known (32 partitions on a 13 MB join input spent 2-4x the runtime
+    on pool startup)."""
+    import ray
+
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    return min(
+        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
+        max(8, -(-in_bytes // (64 << 20))),
+    )
+
+
 def derived_sequences_ds(sf_dir: str):
     """documents -> deterministic tokenized slow-log sequences Dataset."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
@@ -773,14 +790,7 @@ def q_lineitem_order_priority(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    in_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("lineitem", "orders")
-    )
-    n_parts = min(
-        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-in_bytes // (64 << 20))),
-    )
+    n_parts = _join_num_partitions(sf_dir, "lineitem", "orders")
 
     def pre(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -852,14 +862,7 @@ def q_customer_order_counts(sf_dir: str):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    in_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("customer", "orders")
-    )
-    n_parts = min(
-        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-in_bytes // (64 << 20))),
-    )
+    n_parts = _join_num_partitions(sf_dir, "customer", "orders")
 
     def pre(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1682,14 +1685,7 @@ def q_customers_no_urgent(sf_dir: str):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-    in_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("customer", "orders")
-    )
-    n_parts = min(
-        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-in_bytes // (64 << 20))),
-    )
+    n_parts = _join_num_partitions(sf_dir, "customer", "orders")
 
     def _urgent_keys(b: pa.Table) -> pa.Table:
         if "o_custkey" not in b.column_names:
@@ -1766,11 +1762,7 @@ def q_users_funnel_outer(sf_dir: str):
     import ray
 
     ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
-    ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    n_parts = min(
-        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-ev_bytes // (64 << 20))),
-    )
+    n_parts = _join_num_partitions(sf_dir, "events")
     from ray.data.aggregate import Sum
 
     def _side(event_type: str, out_col: str):
@@ -1817,10 +1809,10 @@ def q_users_funnel_outer(sf_dir: str):
     clicks = _side("click", "n_click")
     purchases = _side("purchase", "n_purchase")
 
-    if clicks.count() == 0 or purchases.count() == 0:
-        only = clicks if purchases.count() == 0 else purchases
-        seg = "click_only" if purchases.count() == 0 else "purchase_only"
-        col = "n_click" if purchases.count() == 0 else "n_purchase"
+    p_empty = purchases.count() == 0
+    if clicks.count() == 0 or p_empty:
+        only = clicks if p_empty else purchases
+        seg = "click_only" if p_empty else "purchase_only"
         import pandas as pd
 
         df = only.to_pandas()
@@ -1841,6 +1833,15 @@ def q_users_funnel_outer(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if "n_click" not in b.column_names:  # schema-less empty join block
+            return pa.table(
+                {
+                    "segment": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_click": pa.array([], pa.int64()),
+                    "n_purchase": pa.array([], pa.int64()),
+                }
+            )
         nc = pc.coalesce(pc.cast(b["n_click"], pa.int64()), pa.scalar(0, pa.int64()))
         npu = pc.coalesce(pc.cast(b["n_purchase"], pa.int64()), pa.scalar(0, pa.int64()))
         df = pa.table({"n_click": nc, "n_purchase": npu}).to_pandas()
@@ -2209,14 +2210,7 @@ def q_tpch_q3_topk(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    in_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("customer", "orders", "lineitem")
-    )
-    n_parts = min(
-        min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-in_bytes // (64 << 20))),
-    )
+    n_parts = _join_num_partitions(sf_dir, "customer", "orders", "lineitem")
 
     def _bldg(b: pa.Table) -> pa.Table:
         if "c_custkey" not in b.column_names:
@@ -2266,11 +2260,14 @@ def q_tpch_q3_topk(sf_dir: str):
     def _lrev(b: pa.Table) -> pa.Table:
         import pandas as pd
 
+        from ..partition import stable_partition
+
         if "l_orderkey" not in b.column_names:
             return pa.table(
                 {
                     "l_orderkey": pa.array([], pa.int64()),
                     "revenue_cents": pa.array([], pa.int64()),
+                    "_part": pa.array([], pa.int64()),
                 }
             )
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
@@ -2278,15 +2275,21 @@ def q_tpch_q3_topk(sf_dir: str):
             {"l_orderkey": b["l_orderkey"], "revenue_cents": _cents(rev)}
         ).to_pandas()
         g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        g["_part"] = stable_partition(g["l_orderkey"], 64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def _lrev_collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        # bucket-collapse per CLAUDE.md: never a raw groupby over
+        # order-cardinality keys (measured ~3x fixed overhead); every copy
+        # of an orderkey lands in this bucket, so the per-bucket sum is
+        # the exact per-order revenue
+        return g.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
 
     lrev = (
         li.map_batches(_lrev, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .groupby("_part")
+        .map_groups(_lrev_collapse, batch_format="pandas")
     )
 
     def _lrev_guard(b: pa.Table) -> pa.Table:

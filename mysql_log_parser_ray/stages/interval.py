@@ -155,6 +155,21 @@ def interval_join_counts_partitioned(
     from ..partition import stable_partition
 
     def _rep_windows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "start_us" not in b.column_names:
+            # upstream groupby/filter producers emit schema-less empties;
+            # np.repeat would raise on the (1,)x(0,) broadcast below
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.string()),
+                    "_part": pa.array([], pa.int64()),
+                    "_side": pa.array([], pa.int8()),
+                }
+            )
         s = b["start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         e = b["end_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = b["window_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -20,6 +20,7 @@ are stable across runs and cluster sizes.
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 from typing import Dict, List, Optional, Tuple
 
@@ -632,12 +633,20 @@ def minhash_dedup_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def word_ngrams(text: str, n: int = 3) -> set:
-    """Distinct word n-grams of lower(trim(text)) split on whitespace.
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_ASCII_WS_RE = re.compile(r"\s+", re.ASCII)
 
-    Tokenization mirrors the SQL oracle exactly:
-    ``regexp_split_to_array(lower(trim(text)), '\\s+')``."""
-    w = text.strip().lower().split()
+
+def word_ngrams(text: str, n: int = 3) -> set:
+    """Distinct word n-grams of lower(trim(text)) split on ASCII
+    whitespace.
+
+    Tokenization mirrors the SQL oracles exactly (CLAUDE.md explicit-ASCII
+    invariant): ``regexp_split_to_array(lower(trim(text, <ascii ws>)),
+    '[ \\t\\n\\r\\v\\f]+')`` — python's default str.split() is
+    unicode-aware and would diverge on e.g. \xa0."""
+    w = _ASCII_WS_RE.split(text.strip(_ASCII_WS).lower())
+    w = [t for t in w if t]
     if len(w) < n:
         return set()
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}

@@ -642,14 +642,22 @@ def q_docs_weighted_sample(sf_dir: str):
 
 def q_doc_top_terms(sf_dir: str):
     """Per-document TF-IDF top terms (keyword extraction): the global
-    document-frequency table is folded distributed (word_doc_freq shape),
-    broadcast as an idf lookup, and each batch scores its docs locally -
-    score = tf * ln(N/df), rounded to 6 dp for engine-invariant ranking
-    (word-asc tiebreak), top 3 per doc.
+    document-frequency table is folded distributed (bucket-collapse, never
+    a raw vocabulary-cardinality groupby), broadcast as an idf lookup, and
+    each doc-hash bucket scores its docs locally - score = tf * ln(N/df),
+    rounded to 6 dp for engine-invariant ranking (word-asc tiebreak),
+    top 3 per doc.
+
+    Split-safety: ranking runs per doc-hash bucket (stable_partition), so
+    Ray's dynamic block splitting of the exploded (doc, word, tf) rows can
+    never cut a document's rows across two ranking tasks. The df fold is
+    split-safe by construction ((doc, word) rows are globally unique, so
+    row counts per word ARE df regardless of block boundaries).
 
     Scale note: the idf table is VOCABULARY-cardinality and is broadcast;
-    fail-fast guard below names the remedy (hash-partitioned join of
-    (doc, word, tf) rows against the df table) if a corpus outgrows it."""
+    the fail-fast guard (a count() BEFORE any driver collect) names the
+    remedy - a hash-partitioned join of (doc, word, tf) rows against the
+    df table (the gram_source_except shape) - if a corpus outgrows it."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -657,6 +665,7 @@ def q_doc_top_terms(sf_dir: str):
     import ray
 
     from ..broadcast import broadcast_get
+    from ..partition import stable_partition
     from .text import _ASCII_WS, _WS_RE
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -669,6 +678,7 @@ def q_doc_top_terms(sf_dir: str):
         g = ex.groupby([ex.index, ex]).size()
         g.index.names = ["doc_id", "word"]
         out = g.reset_index(name="tf")
+        out["_part"] = stable_partition(out["doc_id"], 64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     tf_ds = ds.map_batches(
@@ -676,37 +686,41 @@ def q_doc_top_terms(sf_dir: str):
     ).materialize()
 
     def _df_partial(b: pa.Table) -> pa.Table:
-        # docs never split across batches: per-batch doc counts per word
-        # are exact df partials
+        # (doc, word) rows are globally unique, so per-batch row counts per
+        # word are exact df partials even if a doc's rows were block-split
         df = pa.table({"word": b["word"]}).to_pandas()
         g = df.groupby("word", as_index=False).size()
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "df"}), preserve_index=False
-        )
+        g = g.rename(columns={"size": "df"})
+        g["_wpart"] = stable_partition(g["word"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def _df_collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("word", as_index=False)["df"].sum()
 
-    dft = (
+    dft_ds = (
         tf_ds.map_batches(_df_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("word")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .groupby("_wpart")
+        .map_groups(_df_collapse, batch_format="pandas")
+        .materialize()
     )
-    if len(dft) > 5_000_000:
+    n_vocab = dft_ds.count()
+    if n_vocab > 5_000_000:
+        # fail BEFORE any vocabulary-cardinality driver collect
         raise ValueError(
-            f"doc_top_terms: vocabulary {len(dft)} exceeds the broadcast "
+            f"doc_top_terms: vocabulary {n_vocab} exceeds the broadcast "
             "bound; switch to a hash-partitioned join of (doc, word, tf) "
             "rows against the df table (the gram_source_except shape)"
         )
+    dft = dft_ds.to_pandas()
     n_docs = ds.count()
     idf = dict(
         zip(dft["word"], np.log(float(n_docs) / dft["df"].to_numpy(np.float64)))
     )
     ref = ray.put(idf)
 
-    def _score(b: pa.Table) -> pa.Table:
+    def _score(g: "pd.DataFrame") -> "pd.DataFrame":
         lookup = broadcast_get(ref)
-        df = b.to_pandas()
+        df = g[["doc_id", "word", "tf"]].copy()
         df["score"] = np.round(
             df["tf"].to_numpy(np.float64)
             * df["word"].map(lookup).to_numpy(np.float64),
@@ -717,14 +731,20 @@ def q_doc_top_terms(sf_dir: str):
         )
         df["rank"] = df.groupby("doc_id").cumcount() + 1
         out = df[df["rank"] <= 3][["doc_id", "word", "score", "rank"]]
-        out["rank"] = out["rank"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return out
 
-    # doc-cardinality output: stays a Dataset (the driver/compare layer
-    # collects only at the comparison scale it chooses)
     def _dtypes(b: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        if "doc_id" not in b.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "doc_id": _pc.cast(b["doc_id"], pa.int64()),
@@ -734,10 +754,13 @@ def q_doc_top_terms(sf_dir: str):
             }
         )
 
-    return tf_ds.map_batches(
-        _score, batch_format="pyarrow", batch_size=None
-    ).map_batches(_dtypes, batch_format="pyarrow", batch_size=None)
-
+    # doc-cardinality output: stays a Dataset (the driver/compare layer
+    # collects only at the comparison scale it chooses)
+    return (
+        tf_ds.groupby("_part")
+        .map_groups(_score, batch_format="pandas")
+        .map_batches(_dtypes, batch_format="pyarrow", batch_size=None)
+    )
 
 def register_queries():
     return {
@@ -896,7 +919,7 @@ def register_oracles():
         """,
         "gram_source_except": r"""
             WITH toks AS (
-              SELECT CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 2 AS odd,
+              SELECT CAST(COALESCE(NULLIF(regexp_replace(source, '[^0-9]', '', 'g'), ''), '0') AS BIGINT) % 2 AS odd,
                      regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
               FROM documents
             ), grams AS (

@@ -160,7 +160,9 @@ def gopher_rules_batch(batch: pa.Table) -> pa.Table:
     s = pd.Series(batch["text"].to_pandas())
     words = s.str.strip(_ASCII_WS).str.split(_WS_RE)
     n_words = words.str.len().fillna(0).astype("int64")
-    n_wchars = s.str.replace(_WS_RE, "", regex=True).str.len().astype("int64")
+    n_wchars = (
+        s.str.replace(_WS_RE, "", regex=True).str.len().fillna(0).astype("int64")
+    )
     ex = words.explode()
     g = ex.groupby(level=0)
     n_uniq = g.nunique().reindex(s.index, fill_value=0).astype("int64")
