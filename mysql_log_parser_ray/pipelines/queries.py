@@ -78,6 +78,15 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
     )
 
 
+def _typed_empty(**cols):
+    """Schema-stable empty result for queries whose upstream aggregate can
+    be entirely empty (Ray groupby on zero rows yields a column-less
+    frame)."""
+    import pandas as pd
+
+    return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
+
+
 def derived_sequences_ds(sf_dir: str):
     """documents -> deterministic tokenized slow-log sequences Dataset."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
@@ -1665,6 +1674,8 @@ def q_events_rolling_max3(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"), Sum("rollmax_cents", alias_name="rollmax_cents"))
         .to_pandas()
     )
+    if "event_type" not in out.columns:  # empty input
+        return _typed_empty(event_type=object, n="int64", rollmax_cents="int64")
     for c in ("n", "rollmax_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
@@ -1990,6 +2001,8 @@ def q_user_event_paths(sf_dir: str):
         .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
     )
+    if "path" not in out.columns:  # empty input
+        return _typed_empty(path=object, n_users="int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("path").reset_index(drop=True)
 
@@ -2025,6 +2038,8 @@ def q_events_cum_daily(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if "event_type" not in out.columns:  # empty input
+        return _typed_empty(event_type=object, day="int64", n="int64", cum_n="int64")
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
     out["cum_n"] = out.groupby("event_type")["n"].cumsum().astype("int64")
@@ -2099,6 +2114,8 @@ def q_events_daily_dense(sf_dir: str):
         .aggregate(Sum("n_all", alias_name="n_all"), Sum("n_rare", alias_name="n_rare"))
         .to_pandas()
     )
+    if "day" not in cells.columns or not len(cells):  # empty input
+        return _typed_empty(event_type=object, day="int64", n_rare="int64")
     d0, d1 = int(cells["day"].min()), int(cells["day"].max())
     types = sorted(cells["event_type"].unique())
     grid = pd.MultiIndex.from_product(
@@ -2188,6 +2205,8 @@ def q_conversion_attribution(sf_dir: str):
         )
         .to_pandas()
     )
+    if "day" not in out.columns:  # no purchases/clicks at all
+        return _typed_empty(day="int64", n_purchases="int64", n_converted="int64")
     for c in ("day", "n_purchases", "n_converted"):
         out[c] = out[c].astype("int64")
     return out.sort_values("day").reset_index(drop=True)

@@ -521,6 +521,12 @@ def q_docs_gopher_rules(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
         .to_pandas()
     )
+    if "source" not in out.columns:  # empty corpus
+        out = pd.DataFrame(
+            {"source": pd.Series([], dtype=object),
+             **{c: pd.Series([], dtype="int64") for c in cols}}
+        )
+        return out
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
@@ -592,6 +598,11 @@ def q_gram_source_except(sf_dir: str):
         .aggregate(Sum("n_exclusive_grams", alias_name="n_exclusive_grams"))
         .to_pandas()
     )
+    if "word" not in out.columns:  # empty corpus
+        return pd.DataFrame(
+            {"word": pd.Series([], dtype=object),
+             "n_exclusive_grams": pd.Series([], dtype="int64")}
+        )
     out["n_exclusive_grams"] = out["n_exclusive_grams"].astype("int64")
     return out.sort_values("word").reset_index(drop=True)
 
@@ -632,6 +643,11 @@ def q_docs_weighted_sample(sf_dir: str):
     cand = ds.map_batches(
         _keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).to_pandas()
+    if "samp_key" not in cand.columns:  # zero-block empty input
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "samp_key": pd.Series([], dtype="float64")}
+        )
     out = cand.sort_values(["samp_key", "doc_id"]).head(20).reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     out["samp_key"] = out["samp_key"].astype("float64")
@@ -710,6 +726,16 @@ def q_doc_top_terms(sf_dir: str):
             f"doc_top_terms: vocabulary {n_vocab} exceeds the broadcast "
             "bound; switch to a hash-partitioned join of (doc, word, tf) "
             "rows against the df table (the gram_source_except shape)"
+        )
+    if n_vocab == 0:  # empty corpus: zero blocks would reach the rankers
+        # (and Dataset.to_pandas drops the schema over zero rows)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "word": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
         )
     dft = dft_ds.to_pandas()
     n_docs = ds.count()
