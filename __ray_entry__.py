@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": q.q_events_daily_dense,
         "conversion_attribution": q.q_conversion_attribution,
         "tpch_q3_topk": q.q_tpch_q3_topk,
+        "events_type_share": q.q_events_type_share,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -418,6 +419,12 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < DATE '1995-03-15'
             GROUP BY 1, 3
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "events_type_share": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(CAST(COUNT(*) AS DOUBLE)
+                         / SUM(COUNT(*)) OVER (), 6) AS share
+            FROM events GROUP BY 1
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

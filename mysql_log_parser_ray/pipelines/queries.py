@@ -2366,3 +2366,20 @@ def q_tpch_q3_topk(sf_dir: str):
     out["l_orderkey"] = out["l_orderkey"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     return out
+
+
+def q_events_type_share(sf_dir: str):
+    """Ratio-to-report analytic: each type's event count and its share of
+    the grand total (6dp). The distributed part is the usual count fold;
+    the share divides the type-cardinality frame on the driver."""
+    from ..stages.aggregate import grouped_counts
+
+    counts = grouped_counts(
+        _read(sf_dir, "events", columns=["event_type"]),
+        keys=["event_type"], sum_col=None,
+    )
+    counts["n"] = counts["n_rows"].astype("int64")
+    total = float(counts["n"].sum())
+    counts["share"] = np.round(counts["n"].to_numpy(np.float64) / total, 6)
+    out = counts[["event_type", "n", "share"]]
+    return out.sort_values("event_type").reset_index(drop=True)

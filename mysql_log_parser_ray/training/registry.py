@@ -788,6 +788,91 @@ def q_doc_top_terms(sf_dir: str):
         .map_batches(_dtypes, batch_format="pyarrow", batch_size=None)
     )
 
+
+
+class _HashScoreModel:
+    """Stand-in model for the actor-pool scoring shape: 'weights' (a salt)
+    load ONCE per actor in __init__ (where a real perplexity/quality model
+    would load its checkpoint), __call__ scores batches vectorized. The
+    scorer itself is a deterministic md5-derived uniform so the DuckDB
+    oracle can reproduce it bit-exactly (the docs_weighted_sample hex
+    polynomial); swap __call__'s body for real model inference and the
+    Ray plumbing (pool sizing, batch flow, schema) is unchanged."""
+
+    def __init__(self, salt: str = ""):
+        import hashlib
+
+        self._md5 = hashlib.md5
+        self.salt = salt.encode()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        texts = b["text"].to_pylist()
+        v = np.fromiter(
+            (
+                int(self._md5(self.salt + t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas(),
+                "score_units": v,
+                "keep": (v > (1 << 31)).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("keep", "size"),
+            n_keep=("keep", "sum"),
+            sum_score_units=("score_units", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_docs_model_score(sf_dir: str):
+    """Model-scoring curation stage as an actor pool: per-doc quality
+    scores from a model held per-actor (__init__-loaded), folded to
+    per-source keep counts + integer-exact score sums. Pool floor 2 /
+    ceiling 8 per the 4-CPU-deadlock rule (CLAUDE.md)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    out = (
+        ds.map_batches(
+            _HashScoreModel,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=(2, 8),
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("sum_score_units", alias_name="sum_score_units"),
+        )
+        .to_pandas()
+    )
+    if "source" not in out.columns:  # empty corpus
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_keep": pd.Series([], dtype="int64"),
+                "sum_score_units": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("n_docs", "n_keep", "sum_score_units"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -817,6 +902,7 @@ def register_queries():
         "gram_source_except": q_gram_source_except,
         "docs_weighted_sample": q_docs_weighted_sample,
         "doc_top_terms": q_doc_top_terms,
+        "docs_model_score": q_docs_model_score,
     }
 
 
@@ -917,6 +1003,19 @@ def register_oracles():
 
 
 
+
+        "docs_model_score": """
+            WITH m AS (
+              SELECT source, md5(text) AS h FROM documents
+            ), v AS (
+              SELECT source, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 1 AS BIGINT) AS units FROM m
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN units > 2147483648 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(units) AS BIGINT) AS sum_score_units
+            FROM v GROUP BY 1
+        """,
         "doc_top_terms": r"""
             WITH toks AS (
               SELECT doc_id,
