@@ -161,3 +161,141 @@ def test_fast_path_equivalence_generated(docs):
         assert disp_exc is not None, (
             f"machine raised (panic parity) but dispatcher returned: {text!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Wave-3/4 vectorized kernels vs brute-force references
+# ---------------------------------------------------------------------------
+
+_ts_strategy = st.integers(min_value=0, max_value=48 * 3600)  # seconds in 2 days
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_ts_strategy, min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 47), st.integers(1, 6)),
+             min_size=1, max_size=12),
+)
+def test_interval_join_matches_bruteforce(ray_session, fact_secs, window_specs):
+    """Vectorized candidate-bounded probe == O(n*m) nested-loop reference
+    on arbitrary (possibly duplicate-start, overlapping) window layouts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.interval import interval_join_counts
+
+    H = 3_600_000_000
+    base = 1704067200 * 1_000_000
+    starts = np.array(sorted(base + s * H for s, _ in window_specs), dtype=np.int64)
+    widths = np.array([w for _, w in window_specs], dtype=np.int64)
+    ends = starts + widths * H
+    ts = np.array([base + s * 1_000_000 for s in fact_secs], dtype=np.int64)
+    facts = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["x"] * len(ts), pa.string()),
+            }
+        )
+    )
+    got = interval_join_counts(facts, starts, ends)
+    want = {}
+    for t in ts:
+        for wid, (s, e) in enumerate(zip(starts, ends)):
+            if s <= t < e:
+                want[(wid, "x")] = want.get((wid, "x"), 0) + 1
+    got_d = {(int(r.window_id), r.event_type): int(r.n_events)
+             for r in got.itertuples()}
+    assert got_d == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), _ts_strategy, st.integers(0, 50000)),
+        min_size=1, max_size=80,
+    )
+)
+def test_rolling_max3_matches_bruteforce(ray_session, rows):
+    """Bucketed shifted-compare rolling max == per-user sorted window scan."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_rolling_max3
+
+    d = tempfile.mkdtemp(prefix="mlpr_prop_")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [1704067200_000_000 + r[1] * 1_000_000 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/events.parquet")
+    got = q_events_rolling_max3(d)
+    # brute force: per user, sort by (ts, event_id), window max of last 3
+    per_user = {}
+    for eid, (u, s, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((s, eid, int(np.floor(v / 100.0 * 100 + 0.5))))
+    total = 0
+    n = 0
+    for u, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            total += max(c for _, _, c in evs[max(0, i - 2): i + 1])
+            n += 1
+    assert int(got["n"].sum()) == n
+    assert int(got["rollmax_cents"].sum()) == total
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 7200),
+                  st.sampled_from(["click", "purchase", "view"])),
+        min_size=1, max_size=60,
+    )
+)
+def test_conversion_attribution_matches_bruteforce(ray_session, rows):
+    """Forward-fill attribution == quadratic same-user window scan."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_conversion_attribution
+
+    d = tempfile.mkdtemp(prefix="mlpr_prop_")
+    base = 1704067200_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([base + r[1] * 1_000_000 for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/events.parquet")
+    got = q_conversion_attribution(d)
+    W = 30 * 60
+    n_p, n_c = 0, 0
+    for u, s, k in rows:
+        if k != "purchase":
+            continue
+        n_p += 1
+        if any(u2 == u and k2 == "click" and s - W <= s2 <= s
+               for u2, s2, k2 in rows):
+            n_c += 1
+    assert int(got["n_purchases"].sum()) == n_p
+    assert int(got["n_converted"].sum()) == n_c
