@@ -78,13 +78,7 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
     )
 
 
-def _typed_empty(**cols):
-    """Schema-stable empty result for queries whose upstream aggregate can
-    be entirely empty (Ray groupby on zero rows yields a column-less
-    frame)."""
-    import pandas as pd
-
-    return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
+from ..util import typed_empty as _typed_empty  # noqa: E402
 
 
 def derived_sequences_ds(sf_dir: str):
@@ -2378,8 +2372,14 @@ def q_events_type_share(sf_dir: str):
         _read(sf_dir, "events", columns=["event_type"]),
         keys=["event_type"], sum_col=None,
     )
+    if "event_type" not in counts.columns or not len(counts):  # empty input
+        return _typed_empty(event_type=object, n="int64", share="float64")
     counts["n"] = counts["n_rows"].astype("int64")
     total = float(counts["n"].sum())
-    counts["share"] = np.round(counts["n"].to_numpy(np.float64) / total, 6)
+    # HALF-UP ties to match DuckDB round(): n/total hits representable .5
+    # boundaries at many totals and np.round (half-to-even) diverges there
+    from ..util import round_half_up
+
+    counts["share"] = round_half_up(counts["n"].to_numpy(np.float64) / total, 6)
     out = counts[["event_type", "n", "share"]]
     return out.sort_values("event_type").reset_index(drop=True)

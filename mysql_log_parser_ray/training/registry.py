@@ -522,11 +522,9 @@ def q_docs_gopher_rules(sf_dir: str):
         .to_pandas()
     )
     if "source" not in out.columns:  # empty corpus
-        out = pd.DataFrame(
-            {"source": pd.Series([], dtype=object),
-             **{c: pd.Series([], dtype="int64") for c in cols}}
-        )
-        return out
+        from ..util import typed_empty
+
+        return typed_empty(source=object, **{c: "int64" for c in cols})
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
@@ -599,10 +597,9 @@ def q_gram_source_except(sf_dir: str):
         .to_pandas()
     )
     if "word" not in out.columns:  # empty corpus
-        return pd.DataFrame(
-            {"word": pd.Series([], dtype=object),
-             "n_exclusive_grams": pd.Series([], dtype="int64")}
-        )
+        from ..util import typed_empty
+
+        return typed_empty(word=object, n_exclusive_grams="int64")
     out["n_exclusive_grams"] = out["n_exclusive_grams"].astype("int64")
     return out.sort_values("word").reset_index(drop=True)
 
@@ -644,10 +641,9 @@ def q_docs_weighted_sample(sf_dir: str):
         _keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).to_pandas()
     if "samp_key" not in cand.columns:  # zero-block empty input
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "samp_key": pd.Series([], dtype="float64")}
-        )
+        from ..util import typed_empty
+
+        return typed_empty(doc_id="int64", samp_key="float64")
     out = cand.sort_values(["samp_key", "doc_id"]).head(20).reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     out["samp_key"] = out["samp_key"].astype("float64")
@@ -729,14 +725,9 @@ def q_doc_top_terms(sf_dir: str):
         )
     if n_vocab == 0:  # empty corpus: zero blocks would reach the rankers
         # (and Dataset.to_pandas drops the schema over zero rows)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "word": pd.Series([], dtype=object),
-                "score": pd.Series([], dtype="float64"),
-                "rank": pd.Series([], dtype="int64"),
-            }
-        )
+        from ..util import typed_empty
+
+        return typed_empty(doc_id="int64", word=object, score="float64", rank="int64")
     dft = dft_ds.to_pandas()
     n_docs = ds.count()
     idf = dict(
@@ -860,14 +851,10 @@ def q_docs_model_score(sf_dir: str):
         .to_pandas()
     )
     if "source" not in out.columns:  # empty corpus
-        return pd.DataFrame(
-            {
-                "source": pd.Series([], dtype=object),
-                "n_docs": pd.Series([], dtype="int64"),
-                "n_keep": pd.Series([], dtype="int64"),
-                "sum_score_units": pd.Series([], dtype="int64"),
-            }
-        )
+        from ..util import typed_empty
+
+        return typed_empty(source=object, n_docs="int64", n_keep="int64",
+                           sum_score_units="int64")
     for c in ("n_docs", "n_keep", "sum_score_units"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)

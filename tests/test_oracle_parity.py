@@ -300,57 +300,3 @@ def test_pivot_missing_type_column(ray_session, tmp_path):
     assert int(out.loc[0, "n_click"]) == 2 and int(out.loc[0, "n_view"]) == 1
     assert int(out.loc[0, "n_error"]) == 0 == int(out.loc[0, "n_purchase"])
 
-
-def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
-    """Every wave-3/4/5 query must return a typed, schema-stable empty
-    result when its input tables are empty (Ray groupby over zero rows
-    yields a column-less frame that would otherwise KeyError)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    import __ray_entry__ as e
-
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([], pa.int64()),
-                "ts": pa.array([], pa.timestamp("us")),
-                "user_id": pa.array([], pa.int64()),
-                "event_type": pa.array([], pa.string()),
-                "value": pa.array([], pa.float64()),
-                "props": pa.array([], pa.string()),
-            }
-        ),
-        str(tmp_path / "events.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "text": pa.array([], pa.string()),
-                "lang": pa.array([], pa.string()),
-                "source": pa.array([], pa.string()),
-                "n_chars": pa.array([], pa.int64()),
-            }
-        ),
-        str(tmp_path / "documents.parquet"),
-    )
-    qs = e.queries()
-    expected = {
-        "events_rolling_max3": ["event_type", "n", "rollmax_cents"],
-        "user_event_paths": ["path", "n_users"],
-        "events_cum_daily": ["event_type", "day", "n", "cum_n"],
-        "events_daily_dense": ["event_type", "day", "n_rare"],
-        "conversion_attribution": ["day", "n_purchases", "n_converted"],
-        "events_range_join": ["window_id", "event_type", "n_events"],
-        "events_range_join_bigwin": ["window_id", "event_type", "n_events"],
-        "docs_gopher_rules": ["source", "n_docs", "n_wc_ok", "n_mwl_ok",
-                              "n_uniq_ok", "n_stop_ok", "n_pass"],
-        "gram_source_except": ["word", "n_exclusive_grams"],
-        "docs_weighted_sample": ["doc_id", "samp_key"],
-        "doc_top_terms": ["doc_id", "word", "score", "rank"],
-    }
-    for name, cols in expected.items():
-        out = _to_pandas(qs[name](str(tmp_path)))
-        assert len(out) == 0, name
-        assert list(out.columns) == cols, (name, list(out.columns))

@@ -226,6 +226,8 @@ def test_rolling_max3_matches_bruteforce(ray_session, rows):
     from mysql_log_parser_ray.pipelines.queries import q_events_rolling_max3
 
     d = tempfile.mkdtemp(prefix="mlpr_prop_")
+    import shutil
+
     t = pa.table(
         {
             "event_id": pa.array(range(len(rows)), pa.int64()),
@@ -240,7 +242,10 @@ def test_rolling_max3_matches_bruteforce(ray_session, rows):
         }
     )
     pq.write_table(t, f"{d}/events.parquet")
-    got = q_events_rolling_max3(d)
+    try:
+        got = q_events_rolling_max3(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     # brute force: per user, sort by (ts, event_id), window max of last 3
     per_user = {}
     for eid, (u, s, v) in enumerate(rows):
@@ -274,6 +279,8 @@ def test_conversion_attribution_matches_bruteforce(ray_session, rows):
     from mysql_log_parser_ray.pipelines.queries import q_conversion_attribution
 
     d = tempfile.mkdtemp(prefix="mlpr_prop_")
+    import shutil
+
     base = 1704067200_000_000
     t = pa.table(
         {
@@ -287,7 +294,10 @@ def test_conversion_attribution_matches_bruteforce(ray_session, rows):
         }
     )
     pq.write_table(t, f"{d}/events.parquet")
-    got = q_conversion_attribution(d)
+    try:
+        got = q_conversion_attribution(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     W = 30 * 60
     n_p, n_c = 0, 0
     for u, s, k in rows:
