@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_attribution": q.q_conversion_attribution,
         "tpch_q3_topk": q.q_tpch_q3_topk,
         "events_type_share": q.q_events_type_share,
+        "user_retention": q.q_user_retention,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -425,6 +426,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(COUNT(*) AS DOUBLE)
                          / SUM(COUNT(*)) OVER (), 6) AS share
             FROM events GROUP BY 1
+        """,
+        "user_retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+              FROM events
+            ), f AS (
+              SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1
+            )
+            SELECT f.cohort,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(CASE WHEN EXISTS (
+                     SELECT 1 FROM d
+                     WHERE d.user_id = f.user_id AND d.day = f.cohort + 1
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_d1,
+                   CAST(SUM(CASE WHEN EXISTS (
+                     SELECT 1 FROM d
+                     WHERE d.user_id = f.user_id AND d.day = f.cohort + 7
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_d7
+            FROM f GROUP BY 1
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

@@ -2383,3 +2383,81 @@ def q_events_type_share(sf_dir: str):
     counts["share"] = round_half_up(counts["n"].to_numpy(np.float64) / total, 6)
     out = counts[["event_type", "n", "share"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST active day; for each
+    cohort, how many returned exactly 1 day and exactly 7 days later.
+
+    Scale shape: batches pre-reduce to distinct (user, day) pairs, users
+    hash-bucket (64) so each user's whole activity lands in one task, and
+    the per-bucket kernel is three vectorized groupbys (min-day transform
+    + membership flags). Only (cohort, n_users, n_d1, n_d7) partials leave
+    the buckets; events and the per-user day sets never reach the
+    driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pc.cast(
+                    pc.floor(
+                        pc.divide(
+                            pc.cast(pc.cast(b["ts"], pa.int64()), pa.float64()),
+                            86400000000.0,
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ).to_pandas().drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _cohort(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[["user_id", "day"]].drop_duplicates()
+        first = g.groupby("user_id")["day"].transform("min")
+        flags = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "cohort": first,
+                "d1": g["day"] == first + 1,
+                "d7": g["day"] == first + 7,
+            }
+        )
+        per_user = flags.groupby("user_id", as_index=False).agg(
+            cohort=("cohort", "first"), d1=("d1", "any"), d7=("d7", "any")
+        )
+        out = per_user.groupby("cohort", as_index=False).agg(
+            n_users=("d1", "size"),
+            n_retained_d1=("d1", "sum"),
+            n_retained_d7=("d7", "sum"),
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(_days, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_cohort, batch_format="pandas")
+        .groupby("cohort")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_retained_d1", alias_name="n_retained_d1"),
+            Sum("n_retained_d7", alias_name="n_retained_d7"),
+        )
+        .to_pandas()
+    )
+    if "cohort" not in out.columns:  # empty input
+        return _typed_empty(cohort="int64", n_users="int64",
+                            n_retained_d1="int64", n_retained_d7="int64")
+    for c in ("cohort", "n_users", "n_retained_d1", "n_retained_d7"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cohort").reset_index(drop=True)
