@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": q.q_tpch_q3_topk,
         "events_type_share": q.q_events_type_share,
         "user_retention": q.q_user_retention,
+        "orders_open_per_day": q.q_orders_open_per_day,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -446,6 +447,25 @@ def oracle_sql() -> dict[str, str]:
                      WHERE d.user_id = f.user_id AND d.day = f.cohort + 7
                    ) THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_d7
             FROM f GROUP BY 1
+        """,
+        "orders_open_per_day": """
+            WITH close AS (
+              SELECT l_orderkey, MAX(l_shipdate) AS close_d
+              FROM lineitem GROUP BY 1
+            ), span AS (
+              SELECT CAST(floor(epoch_us(o.o_orderdate) / 86400000000.0) AS BIGINT) AS d0,
+                     CAST(floor(epoch_us(c.close_d) / 86400000000.0) AS BIGINT) AS d1
+              FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey
+            ), deltas AS (
+              SELECT d0 AS day, 1 AS delta FROM span
+              UNION ALL
+              SELECT d1 + 1, -1 FROM span
+            ), agg AS (
+              SELECT day, SUM(delta) AS delta FROM deltas GROUP BY 1
+            )
+            SELECT day,
+                   CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+            FROM agg
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

@@ -2461,3 +2461,109 @@ def q_user_retention(sf_dir: str):
     for c in ("cohort", "n_users", "n_retained_d1", "n_retained_d7"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cohort").reset_index(drop=True)
+
+
+def q_orders_open_per_day(sf_dir: str):
+    """Concurrent-intervals sweep line: how many orders are OPEN on each
+    day, where an order spans [o_orderdate, max(l_shipdate)] inclusive.
+
+    Scale shape: lineitem folds to per-order close dates via
+    bucket-collapse (never a raw order-cardinality groupby), one
+    co-partitioned join attaches open dates, each span becomes two
+    (+1/-1) delta events folded per day inside the batch, and the global
+    prefix sum runs over the day-cardinality delta table on the driver —
+    the sweep line never sees individual orders."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    n_parts = _join_num_partitions(sf_dir, "orders", "lineitem")
+
+    def _close_partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "close_us": pc.cast(b["l_shipdate"], pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["close_us"].max()
+        g["_part"] = stable_partition(g["l_orderkey"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _close_collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("l_orderkey", as_index=False)["close_us"].max()
+
+    close = (
+        li.map_batches(_close_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part")
+        .map_groups(_close_collapse, batch_format="pandas")
+    )
+
+    def _close_guard(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "close_us": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "close_us": pc.cast(b["close_us"], pa.int64()),
+            }
+        )
+
+    close = close.map_batches(
+        _close_guard, batch_format="pyarrow", batch_size=1 << 16
+    ).materialize()
+    if close.count() == 0:
+        return _typed_empty(day="int64", n_open="int64")
+
+    spans = close.join(
+        orders, "inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    DAY_US = 86_400_000_000
+
+    def _deltas(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "close_us" not in b.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "delta": pa.array([], pa.int64())}
+            )
+        d0 = (
+            pc.cast(b["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        d1 = b["close_us"].to_numpy(zero_copy_only=False) // DAY_US
+        days = np.concatenate([d0, d1 + 1])
+        deltas = np.concatenate(
+            [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
+        )
+        g = (
+            pd.DataFrame({"day": days, "delta": deltas})
+            .groupby("day", as_index=False)["delta"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        spans.map_batches(_deltas, batch_format="pyarrow", batch_size=1 << 16)
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+    )
+    if "day" not in agg.columns:
+        return _typed_empty(day="int64", n_open="int64")
+    agg = agg.sort_values("day").reset_index(drop=True)
+    agg["n_open"] = agg["delta"].cumsum().astype("int64")
+    agg["day"] = agg["day"].astype("int64")
+    return agg[["day", "n_open"]]
