@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_share": q.q_events_type_share,
         "user_retention": q.q_user_retention,
         "orders_open_per_day": q.q_orders_open_per_day,
+        "funnel_steps": q.q_funnel_steps,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -466,6 +467,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT day,
                    CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
             FROM agg
+        """,
+        "funnel_steps": """
+            WITH v AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN v ON v.user_id = e.user_id
+                AND epoch_us(e.ts) > v.t
+              WHERE e.event_type = 'click' AND e.value > 120 GROUP BY 1
+            ), p AS (
+              SELECT DISTINCT e.user_id
+              FROM events e JOIN c ON c.user_id = e.user_id
+                AND epoch_us(e.ts) > c.t
+              WHERE e.event_type = 'purchase' AND e.value > 120
+            )
+            SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                   (SELECT COUNT(*) FROM c) AS n_view_click,
+                   (SELECT COUNT(*) FROM p) AS n_view_click_purchase
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

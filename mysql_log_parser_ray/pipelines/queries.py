@@ -2567,3 +2567,71 @@ def q_orders_open_per_day(sf_dir: str):
     agg["n_open"] = agg["delta"].cumsum().astype("int64")
     agg["day"] = agg["day"].astype("int64")
     return agg[["day", "n_open"]]
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered multi-step funnel: users with a view, users whose first
+    view is followed by a HIGH-VALUE (>120) click, and users whose first
+    such click is followed by a high-value purchase (strictly increasing
+    timestamps; the threshold keeps each step selective at every sf).
+
+    Scale shape: user-hash buckets again; the per-bucket kernel is three
+    vectorized rounds of groupby-min + timestamp-threshold mapping (first
+    view -> first later click -> any later purchase), never a per-user
+    Python loop. One 3-column row of counts leaves each bucket."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_type", "value"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["event_type"], value_set=pa.array(["view", "click", "purchase"])
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "_part": pa.array(stable_partition(t["user_id"], 64), pa.int64()),
+            }
+        )
+
+    def _steps(g: "pd.DataFrame") -> "pd.DataFrame":
+        views = g[g["event_type"] == "view"]
+        first_view = views.groupby("user_id")["us"].min()
+        clicks = g[(g["event_type"] == "click") & (g["value"] > 120.0)].copy()
+        clicks["thr"] = clicks["user_id"].map(first_view)
+        clicks = clicks[clicks["us"] > clicks["thr"]]
+        first_click = clicks.groupby("user_id")["us"].min()
+        purch = g[(g["event_type"] == "purchase") & (g["value"] > 120.0)].copy()
+        purch["thr"] = purch["user_id"].map(first_click)
+        purch = purch[purch["us"] > purch["thr"]]
+        n_p = purch["user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "n_view": [int(len(first_view))],
+                "n_view_click": [int(len(first_click))],
+                "n_view_click_purchase": [int(n_p)],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_steps, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["n_view", "n_view_click", "n_view_click_purchase"]
+    if "n_view" not in parts.columns:
+        return _typed_empty(**{c: "int64" for c in cols})
+    out = parts[cols].sum().to_frame().T
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
