@@ -600,3 +600,57 @@ def test_interval_join_partitioned_at_scale(ray_session):
     # frame (5M facts would be ~120MB+ as a single int64 column alone)
     out_bytes = got.memory_usage(deep=True).sum()
     assert peak < 6 * out_bytes + 64 * 1024 * 1024
+
+
+def test_rolling_max3_hot_key_skew(ray_session, tmp_path):
+    """One user owning 97% of all events (the hot-key regime): the
+    bucketed kernel must stay correct — verified against a pandas
+    rolling reference — and the hot user's rows all land in one
+    vectorized pass, not a per-user loop."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from mysql_log_parser_ray.pipelines.queries import q_events_rolling_max3
+
+    rng = np.random.default_rng(3)
+    n_hot, n_cold = 150_000, 5_000
+    user = np.concatenate(
+        [np.zeros(n_hot, np.int64), rng.integers(1, 50, n_cold)]
+    )
+    n = len(user)
+    secs = rng.integers(0, 10 * 86400, n)
+    vals = rng.integers(0, 50000, n) / 100.0
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(1704067200_000_000 + secs * 1_000_000,
+                           pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(
+                np.where(np.arange(n) % 2 == 0, "click", "view"), pa.string()
+            ),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_events_rolling_max3(str(tmp_path))
+
+    df = t.to_pandas()
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    rm = (
+        df.groupby("user_id")["cents"]
+        .rolling(3, min_periods=1)
+        .max()
+        .reset_index(level=0, drop=True)
+        .astype(np.int64)
+    )
+    df["rm"] = rm
+    want = (
+        df.groupby("event_type", as_index=False)
+        .agg(n=("rm", "size"), rollmax_cents=("rm", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    got2 = got[["event_type", "n", "rollmax_cents"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
