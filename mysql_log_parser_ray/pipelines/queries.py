@@ -81,6 +81,17 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
 from ..util import typed_empty as _typed_empty  # noqa: E402
 
 
+def _day_from_us(col):
+    """Microsecond int64 Arrow column -> int64 day bucket, via the SAME
+    float floor-division the oracle SQL uses (floor(epoch_us/86400e6);
+    exact at timestamp magnitudes — 1 us is ~6x a double's half-ULP
+    there, verified in review)."""
+    return pc.cast(
+        pc.floor(pc.divide(pc.cast(col, pa.float64()), 86400000000.0)),
+        pa.int64(),
+    )
+
+
 def derived_sequences_ds(sf_dir: str):
     """documents -> deterministic tokenized slow-log sequences Dataset."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
@@ -2014,10 +2025,7 @@ def q_events_cum_daily(sf_dir: str):
         df = pa.table(
             {
                 "event_type": b["event_type"],
-                "day": pc.cast(
-                    pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 86400000000.0)),
-                    pa.int64(),
-                ),
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
             }
         ).to_pandas()
         g = df.groupby(["event_type", "day"], as_index=False).size()
@@ -2084,13 +2092,7 @@ def q_events_daily_dense(sf_dir: str):
         df = pa.table(
             {
                 "event_type": b["event_type"],
-                "day": pc.cast(
-                    pc.floor(
-                        pc.divide(pc.cast(pc.cast(b["ts"], pa.int64()), pa.float64()),
-                                  86400000000.0)
-                    ),
-                    pa.int64(),
-                ),
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
                 "rare": pc.cast(pc.greater(b["value"], 250.0), pa.int64()),
             }
         ).to_pandas()
@@ -2405,15 +2407,7 @@ def q_user_retention(sf_dir: str):
         df = pa.table(
             {
                 "user_id": b["user_id"],
-                "day": pc.cast(
-                    pc.floor(
-                        pc.divide(
-                            pc.cast(pc.cast(b["ts"], pa.int64()), pa.float64()),
-                            86400000000.0,
-                        )
-                    ),
-                    pa.int64(),
-                ),
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
             }
         ).to_pandas().drop_duplicates()
         df["_part"] = stable_partition(df["user_id"], 64)
@@ -2440,24 +2434,22 @@ def q_user_retention(sf_dir: str):
         )
         return out
 
-    from ray.data.aggregate import Sum
-
-    out = (
+    parts = (
         ev.map_batches(_days, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None)
         .groupby("_part")
         .map_groups(_cohort, batch_format="pandas")
-        .groupby("cohort")
-        .aggregate(
-            Sum("n_users", alias_name="n_users"),
-            Sum("n_retained_d1", alias_name="n_retained_d1"),
-            Sum("n_retained_d7", alias_name="n_retained_d7"),
-        )
         .to_pandas()
     )
-    if "cohort" not in out.columns:  # empty input
+    if "cohort" not in parts.columns:  # empty input
         return _typed_empty(cohort="int64", n_users="int64",
                             n_retained_d1="int64", n_retained_d7="int64")
+    # 64 buckets x cohort-cardinality partial rows: fold on the driver
+    # (CLAUDE.md: a Ray groupby carries seconds of fixed overhead that the
+    # tiny partial frame never amortizes)
+    out = parts.groupby("cohort", as_index=False)[
+        ["n_users", "n_retained_d1", "n_retained_d7"]
+    ].sum()
     for c in ("cohort", "n_users", "n_retained_d1", "n_retained_d7"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cohort").reset_index(drop=True)
@@ -2528,8 +2520,6 @@ def q_orders_open_per_day(sf_dir: str):
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    DAY_US = 86_400_000_000
-
     def _deltas(b: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -2537,11 +2527,10 @@ def q_orders_open_per_day(sf_dir: str):
             return pa.table(
                 {"day": pa.array([], pa.int64()), "delta": pa.array([], pa.int64())}
             )
-        d0 = (
-            pc.cast(b["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
-            // DAY_US
+        d0 = _day_from_us(pc.cast(b["o_orderdate"], pa.int64())).to_numpy(
+            zero_copy_only=False
         )
-        d1 = b["close_us"].to_numpy(zero_copy_only=False) // DAY_US
+        d1 = _day_from_us(b["close_us"]).to_numpy(zero_copy_only=False)
         days = np.concatenate([d0, d1 + 1])
         deltas = np.concatenate(
             [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
@@ -2619,8 +2608,6 @@ def q_funnel_steps(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
-
     parts = (
         ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None)
@@ -2630,7 +2617,11 @@ def q_funnel_steps(sf_dir: str):
     )
     cols = ["n_view", "n_view_click", "n_view_click_purchase"]
     if "n_view" not in parts.columns:
-        return _typed_empty(**{c: "int64" for c in cols})
+        # oracle contract: the scalar-subquery SQL always returns ONE row
+        # of zero counts, never zero rows
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series([0], dtype="int64") for c in cols})
     out = parts[cols].sum().to_frame().T
     for c in cols:
         out[c] = out[c].astype("int64")

@@ -43,6 +43,30 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         ),
         str(tmp_path / "documents.parquet"),
     )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_extendedprice": pa.array([], pa.float64()),
+                "l_discount": pa.array([], pa.float64()),
+                "l_shipdate": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
     qs = e.queries()
     expected = {
         "events_rolling_max3": ["event_type", "n", "rollmax_cents"],
@@ -59,8 +83,16 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "doc_top_terms": ["doc_id", "word", "score", "rank"],
         "events_type_share": ["event_type", "n", "share"],
         "docs_model_score": ["source", "n_docs", "n_keep", "sum_score_units"],
+        "user_retention": ["cohort", "n_users", "n_retained_d1", "n_retained_d7"],
+        "orders_open_per_day": ["day", "n_open"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
         assert len(out) == 0, name
         assert list(out.columns) == cols, (name, list(out.columns))
+    # funnel_steps' oracle (scalar subqueries) ALWAYS emits one row of
+    # zeros — the engine must match that contract, not return 0 rows
+    out = _to_pandas(qs["funnel_steps"](str(tmp_path)))
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == [0, 0, 0]
+    assert list(out.columns) == ["n_view", "n_view_click", "n_view_click_purchase"]
