@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": q.q_user_retention,
         "orders_open_per_day": q.q_orders_open_per_day,
         "funnel_steps": q.q_funnel_steps,
+        "events_validation": q.q_events_validation,
         "top_users_per_type": q.q_top_users_per_type,
         "events_value_band": q.q_events_value_band,
         "events_sorted_head": q.q_events_sorted_head,
@@ -486,6 +487,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM v) AS n_view,
                    (SELECT COUNT(*) FROM c) AS n_view_click,
                    (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+        """,
+        "events_validation": """
+            SELECT 'r_props_json' AS rule, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN regexp_full_match(props, '\\{.*\\}')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'r_ts_not_null', COUNT(*),
+                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'r_type_known', COUNT(*),
+                   CAST(SUM(CASE WHEN event_type IN
+                            ('click', 'view', 'purchase', 'signup')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'r_value_range', COUNT(*),
+                   CAST(SUM(CASE WHEN COALESCE(value BETWEEN 0 AND 500, FALSE)
+                            THEN 0 ELSE 1 END) AS BIGINT)
+            FROM events
         """,
         "corpus_line_dups": f"""
             WITH t AS (SELECT {_DOC_TEXT} AS txt FROM documents),

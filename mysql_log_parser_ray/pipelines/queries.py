@@ -2626,3 +2626,20 @@ def q_funnel_steps(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_events_validation(sf_dir: str):
+    """Declarative data-quality gate (stages/validate.py): four rule kinds
+    (not-null, numeric range, set membership, RE2-safe regex) evaluated
+    vectorized per batch; only per-rule count partials shuffle."""
+    from ..stages.validate import validate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value", "props"])
+    rules = [
+        ("r_ts_not_null", "not_null", ("ts",)),
+        ("r_value_range", "in_range", ("value", 0.0, 500.0)),
+        ("r_type_known", "in_set",
+         ("event_type", ("click", "view", "purchase", "signup"))),
+        ("r_props_json", "regex", ("props", r"\{.*\}")),
+    ]
+    return validate(ev, rules)

@@ -1,0 +1,96 @@
+"""Declarative data-validation stage (quality gate).
+
+A rule set is a list of ``(rule_name, kind, params)`` tuples evaluated
+vectorized per batch; the stage emits per-rule violation counts (plus a
+row count), pre-aggregated inside the batch so only rule-cardinality
+partials ever shuffle. Kinds:
+
+- ``not_null``:   params = (column,)
+- ``in_range``:   params = (column, lo, hi)       # inclusive bounds
+- ``in_set``:     params = (column, values)        # membership
+- ``regex``:      params = (column, pattern)       # full-match required
+
+At 100 TB this is a pure streaming pass: no shuffle until the tiny
+per-rule Sum fold. The rule table is shipped in the task closure
+(rule-cardinality, trivially small)."""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Rule = Tuple[str, str, tuple]
+
+
+def _violations(batch: pa.Table, rules: Sequence[Rule]) -> List[Tuple[str, int]]:
+    out = []
+    for name, kind, params in rules:
+        col = params[0]
+        if col not in batch.column_names:
+            out.append((name, batch.num_rows))
+            continue
+        c = batch[col]
+        if kind == "not_null":
+            bad = pc.sum(pc.cast(pc.is_null(c), pa.int64())).as_py() or 0
+        elif kind == "in_range":
+            _, lo, hi = params
+            ok = pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+            bad = batch.num_rows - (pc.sum(pc.cast(pc.coalesce(ok, False), pa.int64())).as_py() or 0)
+        elif kind == "in_set":
+            _, values = params
+            ok = pc.is_in(c, value_set=pa.array(list(values)))
+            bad = batch.num_rows - (pc.sum(pc.cast(pc.coalesce(ok, False), pa.int64())).as_py() or 0)
+        elif kind == "regex":
+            _, pattern = params
+            s = pd.Series(c.to_pandas())
+            ok = s.str.fullmatch(pattern, na=False)
+            bad = int((~ok).sum())
+        else:
+            raise ValueError(f"unknown validation kind {kind!r}")
+        out.append((name, int(bad)))
+    return out
+
+
+def validate(ds, rules: Sequence[Rule]) -> pd.DataFrame:
+    """Run the rule set over a Dataset; returns (rule, n_rows, n_violations)
+    per rule, summed across all batches."""
+    from ray.data.aggregate import Sum
+
+    rules = list(rules)
+
+    def _check(b: pa.Table) -> pa.Table:
+        viols = _violations(b, rules)
+        return pa.table(
+            {
+                "rule": pa.array([v[0] for v in viols], pa.string()),
+                "n_rows": pa.array([b.num_rows] * len(viols), pa.int64()),
+                "n_violations": pa.array([v[1] for v in viols], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_check, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("rule")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_violations", alias_name="n_violations"),
+        )
+        .to_pandas()
+    )
+    if "rule" not in out.columns:  # empty input: zero counts per rule
+        return pd.DataFrame(
+            {
+                "rule": pd.Series([r[0] for r in rules], dtype=object),
+                "n_rows": pd.Series([0] * len(rules), dtype="int64"),
+                "n_violations": pd.Series([0] * len(rules), dtype="int64"),
+            }
+        ).sort_values("rule").reset_index(drop=True)
+    for c in ("n_rows", "n_violations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)

@@ -654,3 +654,43 @@ def test_rolling_max3_hot_key_skew(ray_session, tmp_path):
     )
     got2 = got[["event_type", "n", "rollmax_cents"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_validate_stage_kinds(ray_session):
+    """Rule semantics: nulls, range bounds inclusive, set membership,
+    regex full-match, and a missing column counting every row."""
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.validate import validate
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, 5.0, None, -1.0], pa.float64()),
+            "k": pa.array(["x", "y", "z", "x"], pa.string()),
+            "s": pa.array(["ab", "a", "abb", ""], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    out = validate(
+        ds,
+        [
+            ("null_a", "not_null", ("a",)),
+            ("range_a", "in_range", ("a", 1.0, 5.0)),  # null + (-1) violate
+            ("set_k", "in_set", ("k", ("x", "y"))),
+            ("re_s", "regex", ("s", r"ab*")),  # "" violates (no fullmatch)
+            ("missing", "not_null", ("zzz",)),
+        ],
+    )
+    got = dict(zip(out["rule"], out["n_violations"]))
+    assert got == {"null_a": 1, "range_a": 2, "set_k": 1, "re_s": 1, "missing": 4}
+    assert set(out["n_rows"]) == {4}
+
+
+def test_validate_stage_empty_input(ray_session):
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.validate import validate
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([], pa.float64())}))
+    out = validate(ds, [("null_a", "not_null", ("a",))])
+    assert out["rule"].tolist() == ["null_a"]
+    assert out["n_rows"].tolist() == [0]
+    assert out["n_violations"].tolist() == [0]
