@@ -490,23 +490,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_validation": """
             SELECT 'r_props_json' AS rule, COUNT(*) AS n_rows,
-                   CAST(SUM(CASE WHEN regexp_full_match(props, '\\{.*\\}')
-                            THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+                   CAST(COALESCE(SUM(CASE WHEN regexp_full_match(props, '\\{.*\\}')
+                            THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_violations
             FROM events
             UNION ALL
             SELECT 'r_ts_not_null', COUNT(*),
-                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM events
             UNION ALL
             SELECT 'r_type_known', COUNT(*),
-                   CAST(SUM(CASE WHEN event_type IN
+                   CAST(COALESCE(SUM(CASE WHEN event_type IN
                             ('click', 'view', 'purchase', 'signup')
-                            THEN 0 ELSE 1 END) AS BIGINT)
+                            THEN 0 ELSE 1 END), 0) AS BIGINT)
             FROM events
             UNION ALL
             SELECT 'r_value_range', COUNT(*),
-                   CAST(SUM(CASE WHEN COALESCE(value BETWEEN 0 AND 500, FALSE)
-                            THEN 0 ELSE 1 END) AS BIGINT)
+                   CAST(COALESCE(SUM(CASE WHEN COALESCE(value BETWEEN 0 AND 500, FALSE)
+                            THEN 0 ELSE 1 END), 0) AS BIGINT)
             FROM events
         """,
         "corpus_line_dups": f"""

@@ -9,17 +9,18 @@ partials ever shuffle. Kinds:
 - ``in_range``:   params = (column, lo, hi)       # inclusive bounds
 - ``in_set``:     params = (column, values)        # membership
 - ``regex``:      params = (column, pattern)       # full-match required
+                  (evaluated by Arrow's RE2 — the SAME engine DuckDB
+                  oracles use, so patterns can never diverge between the
+                  two sides; Python-re-only syntax is rejected by RE2)
 
-At 100 TB this is a pure streaming pass: no shuffle until the tiny
-per-rule Sum fold. The rule table is shipped in the task closure
+At 100 TB this is a pure streaming pass with NO shuffle at all: the
+blocks x rules partial rows fold on the driver. The rule table is shipped in the task closure
 (rule-cardinality, trivially small)."""
 
 from __future__ import annotations
 
-import re
 from typing import List, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -47,9 +48,11 @@ def _violations(batch: pa.Table, rules: Sequence[Rule]) -> List[Tuple[str, int]]
             bad = batch.num_rows - (pc.sum(pc.cast(pc.coalesce(ok, False), pa.int64())).as_py() or 0)
         elif kind == "regex":
             _, pattern = params
-            s = pd.Series(c.to_pandas())
-            ok = s.str.fullmatch(pattern, na=False)
-            bad = int((~ok).sum())
+            # anchored RE2 full-match via Arrow (same engine as DuckDB);
+            # nulls count as violations on both sides
+            m = pc.match_substring_regex(c, "^(?:" + pattern + ")$")
+            ok = pc.coalesce(m, False)
+            bad = batch.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
         else:
             raise ValueError(f"unknown validation kind {kind!r}")
         out.append((name, int(bad)))
@@ -59,8 +62,6 @@ def _violations(batch: pa.Table, rules: Sequence[Rule]) -> List[Tuple[str, int]]
 def validate(ds, rules: Sequence[Rule]) -> pd.DataFrame:
     """Run the rule set over a Dataset; returns (rule, n_rows, n_violations)
     per rule, summed across all batches."""
-    from ray.data.aggregate import Sum
-
     rules = list(rules)
 
     def _check(b: pa.Table) -> pa.Table:
@@ -73,17 +74,14 @@ def validate(ds, rules: Sequence[Rule]) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(_check, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby("rule")
-        .aggregate(
-            Sum("n_rows", alias_name="n_rows"),
-            Sum("n_violations", alias_name="n_violations"),
-        )
-        .to_pandas()
-    )
+    # blocks x rules partial rows: fold on the driver (per-block partial
+    # blobs only — a Ray groupby's fixed sort/actor overhead would dwarf
+    # the work; CLAUDE.md measured seconds for this shape)
+    out = ds.map_batches(
+        _check, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
     if "rule" not in out.columns:  # empty input: zero counts per rule
+        # (matches the oracle's COALESCE(SUM(...), 0) over zero rows)
         return pd.DataFrame(
             {
                 "rule": pd.Series([r[0] for r in rules], dtype=object),
@@ -91,6 +89,7 @@ def validate(ds, rules: Sequence[Rule]) -> pd.DataFrame:
                 "n_violations": pd.Series([0] * len(rules), dtype="int64"),
             }
         ).sort_values("rule").reset_index(drop=True)
+    out = out.groupby("rule", as_index=False)[["n_rows", "n_violations"]].sum()
     for c in ("n_rows", "n_violations"):
         out[c] = out[c].astype("int64")
     return out.sort_values("rule").reset_index(drop=True)

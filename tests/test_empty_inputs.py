@@ -96,3 +96,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 1
     assert out.iloc[0].tolist() == [0, 0, 0]
     assert list(out.columns) == ["n_view", "n_view_click", "n_view_click_purchase"]
+    # events_validation's oracle COALESCEs each rule's SUM over zero rows
+    # to 0 — the engine must return one zero row PER RULE, not 0 rows
+    out = _to_pandas(qs["events_validation"](str(tmp_path)))
+    assert list(out.columns) == ["rule", "n_rows", "n_violations"]
+    assert len(out) == 4
+    assert out["n_rows"].tolist() == [0, 0, 0, 0]
+    assert out["n_violations"].tolist() == [0, 0, 0, 0]
