@@ -860,6 +860,94 @@ def q_docs_model_score(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+
+
+def q_doc_prefix_editsim(sf_dir: str):
+    """Record-linkage (string-similarity) join: document pairs whose
+    24-char prefixes are within edit distance 4, blocked on the first 4
+    characters (the blocking IS part of the operator's definition and the
+    oracle applies the identical key — the standard linkage trade of
+    recall for tractability, documented here).
+
+    Scale shape: docs reduce to (block_key, 24-byte prefix) rows
+    hash-partitioned by block key; each bucket self-merges its blocks into
+    candidate pairs and scores them ALL AT ONCE with the
+    vectorized-across-pairs Levenshtein kernel (text.py:levenshtein_pairs
+    — loop count fixed at the prefix width, never per pair). Only
+    matching (doc_a, doc_b, dist) rows leave the buckets. ASCII corpus
+    assumed (byte == character, matching DuckDB's character semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..partition import stable_partition
+    from .text import levenshtein_pairs
+
+    W, K = 24, 4
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _prefixes(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas().str.slice(0, W)
+        df = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pandas(),
+                "pfx": s,
+                "key": s.str.slice(0, 4),
+            }
+        )
+        df["_part"] = stable_partition(df["key"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        # encode each ROW's prefix once (n iterations), then the pair
+        # matrices are pure fancy-indexing — never a per-PAIR loop
+        g = g.reset_index(drop=True)
+        n = len(g)
+        M = np.zeros((n, W), np.uint8)
+        L = np.zeros(n, np.int64)
+        for i, s_ in enumerate(g["pfx"].to_numpy(dtype=object)):
+            b_ = s_.encode("ascii", "replace")
+            M[i, : len(b_)] = np.frombuffer(b_, np.uint8)
+            L[i] = len(b_)
+        g["_row"] = np.arange(n)
+        m = g.merge(g, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        ia = m["_row_a"].to_numpy()
+        ib = m["_row_b"].to_numpy()
+        dist = levenshtein_pairs(M[ia], M[ib], L[ia], L[ib])
+        keep = dist <= 4
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": m["doc_id_b"].to_numpy()[keep].astype(np.int64),
+                "dist": dist[keep],
+            }
+        )
+
+    out = (
+        ds.map_batches(_prefixes, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        from ..util import typed_empty
+
+        return typed_empty(doc_a="int64", doc_b="int64", dist="int64")
+    for c in ("doc_a", "doc_b", "dist"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -890,6 +978,7 @@ def register_queries():
         "docs_weighted_sample": q_docs_weighted_sample,
         "doc_top_terms": q_doc_top_terms,
         "docs_model_score": q_docs_model_score,
+        "doc_prefix_editsim": q_doc_prefix_editsim,
     }
 
 
@@ -991,6 +1080,18 @@ def register_oracles():
 
 
 
+
+        "doc_prefix_editsim": """
+            WITH p AS (
+              SELECT doc_id, substring(text, 1, 24) AS pfx FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON substring(a.pfx, 1, 4) = substring(b.pfx, 1, 4)
+             AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pfx, b.pfx) <= 4
+        """,
         "docs_model_score": """
             WITH m AS (
               SELECT source, md5(text) AS h FROM documents

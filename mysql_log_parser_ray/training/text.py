@@ -191,3 +191,29 @@ def gopher_rules_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def levenshtein_pairs(a_codes, b_codes, la, lb):
+    """Edit distance for P string pairs AT ONCE: full DP with the two
+    character loops in Python (bounded by the fixed prefix width, e.g.
+    24x24 = 576 iterations) and every cell update vectorized across the
+    whole pair batch — the loop count is independent of P, so the kernel
+    stays O(width^2) vector ops no matter how many candidate pairs a
+    bucket holds.
+
+    ``a_codes``/``b_codes``: (P, W) uint8 matrices (ASCII, zero-padded);
+    ``la``/``lb``: true lengths. Returns int64 distances (true lengths
+    honoured via the (la, lb) cell, so padding never affects results)."""
+    P, W = a_codes.shape
+    dp = np.zeros((P, W + 1, W + 1), dtype=np.int16)
+    dp[:, 0, :] = np.arange(W + 1, dtype=np.int16)
+    dp[:, :, 0] = np.arange(W + 1, dtype=np.int16)
+    for i in range(1, W + 1):
+        ai = a_codes[:, i - 1]
+        for j in range(1, W + 1):
+            cost = (ai != b_codes[:, j - 1]).astype(np.int16)
+            dp[:, i, j] = np.minimum(
+                np.minimum(dp[:, i - 1, j] + 1, dp[:, i, j - 1] + 1),
+                dp[:, i - 1, j - 1] + cost,
+            )
+    return dp[np.arange(P), la, lb].astype(np.int64)

@@ -85,6 +85,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "docs_model_score": ["source", "n_docs", "n_keep", "sum_score_units"],
         "user_retention": ["cohort", "n_users", "n_retained_d1", "n_retained_d7"],
         "orders_open_per_day": ["day", "n_open"],
+        "doc_prefix_editsim": ["doc_a", "doc_b", "dist"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
