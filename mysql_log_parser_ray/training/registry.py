@@ -898,7 +898,18 @@ def q_doc_prefix_editsim(sf_dir: str):
         df["_part"] = stable_partition(df["key"], 64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    MAX_BLOCK = 100_000  # stop-prefix guard: a block of k docs emits
+    # k(k-1)/2 pairs; past this bound fail fast with the remedy rather
+    # than silently going quadratic (the ngram max_df convention)
+
     def _pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        top = g.groupby("key").size().max()
+        if top > MAX_BLOCK:
+            raise ValueError(
+                f"doc_prefix_editsim: a prefix block holds {top} docs "
+                f"(> {MAX_BLOCK}); lengthen the blocking key or add a "
+                "second blocking attribute before re-running"
+            )
         # encode each ROW's prefix once (n iterations), then the pair
         # matrices are pure fancy-indexing — never a per-PAIR loop
         g = g.reset_index(drop=True)
