@@ -1,0 +1,89 @@
+"""Incremental aggregate maintenance (the daily-ingest pattern).
+
+Each input file is an ingest unit: its per-class counts are computed once
+and committed ATOMICALLY as a per-file partial parquet under
+``state_dir/partials/`` (tmp + rename). The merged aggregate is a fold of
+all committed partials. Idempotence makes this crash-safe by
+construction: reprocessing a file overwrites its partial with identical
+content, so there is no window where a crash can double-count — unlike a
+read-modify-write of one global state file, which needs a transaction.
+
+At scale each ingest unit is one Ray pipeline over that file only
+(streaming, no driver materialization of events); the fold touches
+class-cardinality partial rows. Partials can be compacted with
+stages/route.compact_parquet when their count grows.
+
+Reference parity note: the per-class count semantics are the
+slowlog_class_counts contract (class.go:34-49 AddEvent counting).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import pandas as pd
+
+
+def _partial_path(state_dir: str, path: str) -> str:
+    key = os.path.basename(path).replace(".parquet", "")
+    return os.path.join(state_dir, "partials", f"{key}.parquet")
+
+
+def ingested_files(state_dir: str) -> set:
+    d = os.path.join(state_dir, "partials")
+    if not os.path.isdir(d):
+        return set()
+    return {os.path.splitext(f)[0] for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def ingest_documents_file(path: str, state_dir: str) -> None:
+    """Derive -> parse -> per-class counts for ONE documents parquet file;
+    commit the counts atomically as this file's partial."""
+    import ray.data as rd
+
+    from ..sources.synth import sequences_from_documents
+    from ..stages.aggregate import grouped_counts
+    from ..stages.parse import parse_events
+
+    docs = rd.read_parquet(path, columns=["doc_id", "n_chars", "source"])
+    seqs = docs.map_batches(
+        sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = grouped_counts(
+        parse_events(seqs), keys=["class_id", "fingerprint"], sum_col=None
+    ).rename(columns={"n_rows": "total_queries"})
+    counts["total_queries"] = counts["total_queries"].astype("int64")
+
+    d = os.path.join(state_dir, "partials")
+    os.makedirs(d, exist_ok=True)
+    out = _partial_path(state_dir, path)
+    tmp = out + ".tmp"
+    counts.to_parquet(tmp, index=False)
+    os.replace(tmp, out)  # the atomic commit point
+
+
+def incremental_class_counts(
+    input_paths: Sequence[str], state_dir: str
+) -> pd.DataFrame:
+    """Ingest every NOT-yet-committed input file, then return the merged
+    per-class counts across all committed partials. Safe to re-run after
+    any crash: work is keyed by file, committed atomically, idempotent."""
+    done = ingested_files(state_dir)
+    for path in input_paths:
+        key = os.path.basename(path).replace(".parquet", "")
+        if key not in done:
+            ingest_documents_file(path, state_dir)
+
+    d = os.path.join(state_dir, "partials")
+    frames: List[pd.DataFrame] = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            frames.append(pd.read_parquet(os.path.join(d, f)))
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["class_id", "fingerprint"], as_index=False)["total_queries"]
+        .sum()
+    )
+    merged["total_queries"] = merged["total_queries"].astype("int64")
+    return merged.sort_values(["class_id"]).reset_index(drop=True)

@@ -159,3 +159,65 @@ def test_result_independent_of_shard_size(ray_session, corpus_dir, tmp_path_fact
         corpus_dir, str(tmp_path_factory.mktemp("fps8")), dim=dim, files_per_shard=8
     )
     assert _result_fingerprint(a) == _result_fingerprint(b)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — pipelines/incremental.py
+# ---------------------------------------------------------------------------
+
+def _split_documents(tmp_path):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    h = len(t) // 2
+    a, b = str(tmp_path / "day1.parquet"), str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, h), a)
+    pq.write_table(t.slice(h), b)
+    return t, a, b
+
+
+def test_incremental_counts_match_one_shot(ray_session, tmp_path):
+    """Two-step ingest (day1 then day1+day2) must equal the one-shot
+    answer, re-running must be a no-op (idempotence), and a deleted
+    partial must be restored by the next run (crash recovery)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.incremental import (
+        incremental_class_counts,
+        ingested_files,
+    )
+
+    t, a, b = _split_documents(tmp_path)
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(t, full)
+    state = str(tmp_path / "state")
+    state_full = str(tmp_path / "state_full")
+
+    day1 = incremental_class_counts([a], state)
+    assert ingested_files(state) == {"day1"}
+    both = incremental_class_counts([a, b], state)  # a skipped, b ingested
+    assert ingested_files(state) == {"day1", "day2"}
+
+    want = incremental_class_counts([full], state_full)
+    pd.testing.assert_frame_equal(
+        both.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert int(day1["total_queries"].sum()) < int(both["total_queries"].sum())
+
+    # idempotence: same inputs -> identical result, partials untouched
+    mtimes = {
+        f: os.path.getmtime(os.path.join(state, "partials", f))
+        for f in os.listdir(os.path.join(state, "partials"))
+    }
+    again = incremental_class_counts([a, b], state)
+    pd.testing.assert_frame_equal(again, both)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(state, "partials", f)) == m
+
+    # crash recovery: lose one committed partial, next run restores it
+    os.remove(os.path.join(state, "partials", "day2.parquet"))
+    recovered = incremental_class_counts([a, b], state)
+    pd.testing.assert_frame_equal(recovered, both)
