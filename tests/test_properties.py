@@ -309,3 +309,43 @@ def test_conversion_attribution_matches_bruteforce(ray_session, rows):
             n_c += 1
     assert int(got["n_purchases"].sum()) == n_p
     assert int(got["n_converted"].sum()) == n_c
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=24),
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=24),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_levenshtein_pairs_matches_duckdb(pairs):
+    """The pair-vectorized DP kernel must agree with DuckDB's
+    levenshtein() on arbitrary printable-ASCII strings (the oracle
+    engine for doc_prefix_editsim)."""
+    import duckdb
+
+    from mysql_log_parser_ray.training.text import levenshtein_pairs
+
+    W = 24
+    P = len(pairs)
+    A = np.zeros((P, W), np.uint8)
+    B = np.zeros((P, W), np.uint8)
+    la = np.zeros(P, np.int64)
+    lb = np.zeros(P, np.int64)
+    for i, (a, b) in enumerate(pairs):
+        ab, bb = a.encode("ascii"), b.encode("ascii")
+        A[i, : len(ab)] = np.frombuffer(ab, np.uint8)
+        B[i, : len(bb)] = np.frombuffer(bb, np.uint8)
+        la[i], lb[i] = len(ab), len(bb)
+    got = levenshtein_pairs(A, B, la, lb).tolist()
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
