@@ -19,15 +19,24 @@ slowlog_class_counts contract (class.go:34-49 AddEvent counting).
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Sequence
 
 import pandas as pd
 
 
+def _file_key(path: str) -> str:
+    """Ingest-unit identity: basename + absolute-path hash, so two files
+    with the same name in different directories can never collide in the
+    state (the basename alone would silently skip the second one)."""
+    base = os.path.basename(path).replace(".parquet", "")
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"{base}-{h}"
+
+
 def _partial_path(state_dir: str, path: str) -> str:
-    key = os.path.basename(path).replace(".parquet", "")
-    return os.path.join(state_dir, "partials", f"{key}.parquet")
+    return os.path.join(state_dir, "partials", f"{_file_key(path)}.parquet")
 
 
 def ingested_files(state_dir: str) -> set:
@@ -71,8 +80,7 @@ def incremental_class_counts(
     any crash: work is keyed by file, committed atomically, idempotent."""
     done = ingested_files(state_dir)
     for path in input_paths:
-        key = os.path.basename(path).replace(".parquet", "")
-        if key not in done:
+        if _file_key(path) not in done:
             ingest_documents_file(path, state_dir)
 
     d = os.path.join(state_dir, "partials")

@@ -197,9 +197,11 @@ def test_incremental_counts_match_one_shot(ray_session, tmp_path):
     state_full = str(tmp_path / "state_full")
 
     day1 = incremental_class_counts([a], state)
-    assert ingested_files(state) == {"day1"}
+    keys1 = ingested_files(state)
+    assert len(keys1) == 1 and next(iter(keys1)).startswith("day1-")
     both = incremental_class_counts([a, b], state)  # a skipped, b ingested
-    assert ingested_files(state) == {"day1", "day2"}
+    keys2 = ingested_files(state)
+    assert len(keys2) == 2 and keys1 < keys2
 
     want = incremental_class_counts([full], state_full)
     pd.testing.assert_frame_equal(
@@ -218,6 +220,10 @@ def test_incremental_counts_match_one_shot(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(state, "partials", f)) == m
 
     # crash recovery: lose one committed partial, next run restores it
-    os.remove(os.path.join(state, "partials", "day2.parquet"))
+    day2_partial = [
+        f for f in os.listdir(os.path.join(state, "partials"))
+        if f.startswith("day2-")
+    ][0]
+    os.remove(os.path.join(state, "partials", day2_partial))
     recovered = incremental_class_counts([a, b], state)
     pd.testing.assert_frame_equal(recovered, both)
