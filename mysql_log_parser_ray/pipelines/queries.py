@@ -81,6 +81,18 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
 from ..util import typed_empty as _typed_empty  # noqa: E402
 
 
+def _fold_partials(ds, keys, sum_cols):
+    """Driver fold of bucket/block partial rows (bounded by keys-cardinality
+    x producer count): the measured alternative to a Ray groupby whose
+    fixed sort/actor cost dwarfs tiny partial frames (see the interval-join
+    ds.stats() note in BASELINE.md). Returns None on a column-less empty
+    collect so callers apply their typed-empty contract."""
+    out = ds.to_pandas()
+    if not len(out) or keys[0] not in out.columns:
+        return None
+    return out.groupby(keys, as_index=False)[sum_cols].sum()
+
+
 def _day_from_us(col):
     """Microsecond int64 Arrow column -> int64 day bucket, via the SAME
     float floor-division the oracle SQL uses (floor(epoch_us/86400e6);
@@ -1669,17 +1681,13 @@ def q_events_rolling_max3(sf_dir: str):
         )
         return out
 
-    from ray.data.aggregate import Sum
-
-    out = (
+    out = _fold_partials(
         ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("_part")
-        .map_groups(_roll, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n"), Sum("rollmax_cents", alias_name="rollmax_cents"))
-        .to_pandas()
+        .map_groups(_roll, batch_format="pandas"),
+        ["event_type"], ["n", "rollmax_cents"],
     )
-    if "event_type" not in out.columns:  # empty input
+    if out is None:  # empty input
         return _typed_empty(event_type=object, n="int64", rollmax_cents="int64")
     for c in ("n", "rollmax_cents"):
         out[c] = out[c].astype("int64")
@@ -1996,17 +2004,13 @@ def q_user_event_paths(sf_dir: str):
         )
         return out
 
-    from ray.data.aggregate import Sum
-
-    out = (
+    out = _fold_partials(
         ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("_part")
-        .map_groups(_paths, batch_format="pandas")
-        .groupby("path")
-        .aggregate(Sum("n_users", alias_name="n_users"))
-        .to_pandas()
+        .map_groups(_paths, batch_format="pandas"),
+        ["path"], ["n_users"],
     )
-    if "path" not in out.columns:  # empty input
+    if out is None:  # empty input
         return _typed_empty(path=object, n_users="int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("path").reset_index(drop=True)
@@ -2032,15 +2036,12 @@ def q_events_cum_daily(sf_dir: str):
         g = g.rename(columns={"size": "n"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+    out = _fold_partials(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["event_type", "day"], ["n"],
     )
-    if "event_type" not in out.columns:  # empty input
+    if out is None:  # empty input
         return _typed_empty(event_type=object, day="int64", n="int64", cum_n="int64")
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
@@ -2101,16 +2102,12 @@ def q_events_daily_dense(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    cells = (
+    cells = _fold_partials(
         ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("n_all", alias_name="n_all"), Sum("n_rare", alias_name="n_rare"))
-        .to_pandas()
+                       batch_size=None),
+        ["event_type", "day"], ["n_all", "n_rare"],
     )
-    if "day" not in cells.columns or not len(cells):  # empty input
+    if cells is None:  # empty input
         return _typed_empty(event_type=object, day="int64", n_rare="int64")
     d0, d1 = int(cells["day"].min()), int(cells["day"].max())
     types = sorted(cells["event_type"].unique())
@@ -2187,21 +2184,14 @@ def q_conversion_attribution(sf_dir: str):
         )
         return out
 
-    from ray.data.aggregate import Sum
-
-    out = (
+    out = _fold_partials(
         ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None)
         .groupby("_part")
-        .map_groups(_attr, batch_format="pandas")
-        .groupby("day")
-        .aggregate(
-            Sum("n_purchases", alias_name="n_purchases"),
-            Sum("n_converted", alias_name="n_converted"),
-        )
-        .to_pandas()
+        .map_groups(_attr, batch_format="pandas"),
+        ["day"], ["n_purchases", "n_converted"],
     )
-    if "day" not in out.columns:  # no purchases/clicks at all
+    if out is None:  # no purchases/clicks at all
         return _typed_empty(day="int64", n_purchases="int64", n_converted="int64")
     for c in ("day", "n_purchases", "n_converted"):
         out[c] = out[c].astype("int64")
@@ -2542,15 +2532,11 @@ def q_orders_open_per_day(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        spans.map_batches(_deltas, batch_format="pyarrow", batch_size=1 << 16)
-        .groupby("day")
-        .aggregate(Sum("delta", alias_name="delta"))
-        .to_pandas()
+    agg = _fold_partials(
+        spans.map_batches(_deltas, batch_format="pyarrow", batch_size=1 << 16),
+        ["day"], ["delta"],
     )
-    if "day" not in agg.columns:
+    if agg is None:
         return _typed_empty(day="int64", n_open="int64")
     agg = agg.sort_values("day").reset_index(drop=True)
     agg["n_open"] = agg["delta"].cumsum().astype("int64")

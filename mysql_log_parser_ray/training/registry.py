@@ -511,17 +511,15 @@ def q_docs_gopher_rules(sf_dir: str):
         g = flags.groupby("source", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.queries import _fold_partials
 
     cols = ["n_docs", "n_wc_ok", "n_mwl_ok", "n_uniq_ok", "n_stop_ok", "n_pass"]
-    out = (
+    out = _fold_partials(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby("source")
-        .aggregate(*[Sum(c, alias_name=c) for c in cols])
-        .to_pandas()
+                       batch_size=None),
+        ["source"], cols,
     )
-    if "source" not in out.columns:  # empty corpus
+    if out is None:  # empty corpus
         from ..util import typed_empty
 
         return typed_empty(source=object, **{c: "int64" for c in cols})
@@ -585,18 +583,16 @@ def q_gram_source_except(sf_dir: str):
         out = m.groupby("head", as_index=False).size()
         return out.rename(columns={"size": "n_exclusive_grams", "head": "word"})
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.queries import _fold_partials
 
-    out = (
+    out = _fold_partials(
         ds.map_batches(_grams, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None)
         .groupby("_part")
-        .map_groups(_collapse, batch_format="pandas")
-        .groupby("word")
-        .aggregate(Sum("n_exclusive_grams", alias_name="n_exclusive_grams"))
-        .to_pandas()
+        .map_groups(_collapse, batch_format="pandas"),
+        ["word"], ["n_exclusive_grams"],
     )
-    if "word" not in out.columns:  # empty corpus
+    if out is None:  # empty corpus
         from ..util import typed_empty
 
         return typed_empty(word=object, n_exclusive_grams="int64")
@@ -831,26 +827,20 @@ def q_docs_model_score(sf_dir: str):
     ceiling 8 per the 4-CPU-deadlock rule (CLAUDE.md)."""
     import pandas as pd
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.queries import _fold_partials
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
-    out = (
+    out = _fold_partials(
         ds.map_batches(
             _HashScoreModel,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
             concurrency=(2, 8),
-        )
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_keep", alias_name="n_keep"),
-            Sum("sum_score_units", alias_name="sum_score_units"),
-        )
-        .to_pandas()
+        ),
+        ["source"], ["n_docs", "n_keep", "sum_score_units"],
     )
-    if "source" not in out.columns:  # empty corpus
+    if out is None:  # empty corpus
         from ..util import typed_empty
 
         return typed_empty(source=object, n_docs="int64", n_keep="int64",
