@@ -63,7 +63,16 @@ def run_bench(skip_queries: bool = False) -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep worker/raylet log lines off OUR stdout: round 3's bench
+            # record was unparseable because forwarded Ray Data warnings
+            # ("Failed to hash the schemas ... unhashable type: 'dict'",
+            # from map-typed metric columns) interleaved with the final
+            # JSON line
+            log_to_driver=False,
         )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -288,7 +297,8 @@ def run_sessions(n_events: int = 4_000_000, n_users: int = 1_000_000) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -350,19 +360,35 @@ def run_sessions(n_events: int = 4_000_000, n_users: int = 1_000_000) -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """Print the result JSON as the LAST line on a clean stdout.
+
+    Ray is shut down FIRST (no worker/raylet can write another byte to our
+    fds afterwards), stderr+stdout are flushed, then the single JSON line
+    goes out. Also mirrored to $BENCH_OUT (default /tmp/bench_last.json)
+    so the record survives even a mangled pipe."""
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    line = json.dumps(result)
+    out_path = os.environ.get("BENCH_OUT", "/tmp/bench_last.json")
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     elif "--serial" in sys.argv:
-        print(json.dumps(run_serial()))
+        _emit(run_serial())
     elif "--sessions" in sys.argv:
-        print(json.dumps(run_sessions()))
-        import ray
-
-        ray.shutdown()
+        _emit(run_sessions())
     else:
-        result = run_bench(skip_queries=bool(os.environ.get("BENCH_SKIP_QUERIES")))
-        print(json.dumps(result))
-        import ray
-
-        ray.shutdown()
+        _emit(run_bench(skip_queries=bool(os.environ.get("BENCH_SKIP_QUERIES"))))

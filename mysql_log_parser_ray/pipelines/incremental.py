@@ -27,11 +27,19 @@ import pandas as pd
 
 
 def _file_key(path: str) -> str:
-    """Ingest-unit identity: basename + absolute-path hash, so two files
+    """Ingest-unit identity: basename + resolved-path hash, so two files
     with the same name in different directories can never collide in the
-    state (the basename alone would silently skip the second one)."""
-    base = os.path.basename(path).replace(".parquet", "")
-    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+    state (the basename alone would silently skip the second one).
+
+    ``realpath`` (not abspath) is the dedup key: the same physical file
+    reached via a symlink / different path spelling must map to ONE unit,
+    or its partial double-counts in the merged aggregate. Path identity —
+    after symlink resolution — is the documented contract; content-moved
+    files are new units by design (log shippers rotate by rename).
+    """
+    rp = os.path.realpath(path)
+    base = os.path.basename(rp).replace(".parquet", "")
+    h = hashlib.md5(rp.encode()).hexdigest()[:8]
     return f"{base}-{h}"
 
 

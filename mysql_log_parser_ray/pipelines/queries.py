@@ -1206,7 +1206,18 @@ def q_events_sorted_head(sf_dir: str):
         .limit(20)
         .to_pandas()
     )
-    head["value_cents"] = np.floor(head["value"] * 100 + 0.5).astype("int64")
+    import pandas as pd
+
+    cents = np.floor(head["value"].to_numpy() * 100 + 0.5)
+    if np.isnan(cents).any():
+        # Null values survive the per-block head when a block has <20
+        # non-null rows; emit NULL value_cents (nullable Int64) like the
+        # oracle instead of raising on the NaN->int64 cast. The plain
+        # int64 path is kept for the no-null case so dtype parity with
+        # the oracle's BIGINT is bit-exact.
+        head["value_cents"] = pd.Series(cents, index=head.index).astype("Int64")
+    else:
+        head["value_cents"] = cents.astype("int64")
     head["event_id"] = head["event_id"].astype("int64")
     return head[["event_id", "event_type", "value_cents"]]
 

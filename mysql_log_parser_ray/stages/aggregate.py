@@ -795,60 +795,74 @@ def nearest_rank_by_key(
     an exact, lossless compression of the sorted array.
 
       1. map_batches partial: groupby (key, val) size per block
-      2. Ray groupby(key, val) Sum - one row per distinct pair survives
-         the shuffle (pre-aggregation bounds what moves to blocks x
-         distinct, the shuffle collapses it to distinct)
-      3. groupby(key) nearest-rank over the sorted cumulative histogram
+      2. ONE coarse shuffle on ``hash(key) % 64`` (a raw Ray groupby on
+         the (key, value) composite costs seconds of fixed sort/actor
+         overhead for the same answer — the measured bucket-collapse rule,
+         same shape as ``interpolated_quantile_by_key`` below)
+      3. per bucket: collapse partials to global (key, val) counts, then
+         nearest-rank over each key's sorted cumulative histogram (every
+         copy of a key lands in exactly one bucket)
 
-    Per-task memory in step 3 is the key's DISTINCT-value count, never its
-    event count. ``max_distinct_per_key`` is the guard for pathological
-    cardinality (a truly continuous metric): the reducer fails fast with
-    the remedy named instead of silently OOMing - switch that metric to
-    ``gk_percentiles_by_key`` (eps-approximate, O(1/eps) memory).
+    Per-task memory in step 3 is the bucket's DISTINCT-pair count, never
+    its event count. ``max_distinct_per_key`` is the guard for
+    pathological cardinality (a truly continuous metric): the reducer
+    fails fast with the remedy named instead of silently OOMing - switch
+    that metric to ``gk_percentiles_by_key`` (eps-approximate, O(1/eps)
+    memory).
 
     Returns a Dataset of one row per key: (key, *pcts.keys()).
     """
     import numpy as np
     import pandas as pd
 
-    from ray.data.aggregate import Sum
+    n_parts = 64
 
-    def _partial(b: pa.Table) -> pa.Table:
+    def _partial_tagged(b: pa.Table) -> pa.Table:
+        from ..partition import stable_partition
+
         df = b.select([key, val]).to_pandas()
         g = df.groupby([key, val], as_index=False, dropna=False).size()
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "n"}), preserve_index=False
-        )
+        g = g.rename(columns={"size": "n"})
+        g["_part"] = stable_partition(g[key], n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = (
+    def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-block partials for a (key, val) pair all carry the key's
+        # bucket tag, so the in-bucket sum IS the global count
+        h = g.groupby([key, val], as_index=False, dropna=False)["n"].sum()
+        out = []
+        for kv, gg in h.groupby(key, dropna=False, sort=True):
+            if len(gg) > max_distinct_per_key:
+                raise DriverFoldOverflow(
+                    f"nearest_rank_by_key: key {kv!r} has "
+                    f"{len(gg)} distinct {val!r} values "
+                    f"(> {max_distinct_per_key}); this metric is effectively "
+                    "continuous - use gk_percentiles_by_key for it"
+                )
+            gg = gg.sort_values(val)
+            cum = gg["n"].cumsum().to_numpy()
+            cnt = int(cum[-1])
+            vals = gg[val].to_numpy()
+            row = {key: [kv]}
+            for name, p in pcts.items():
+                # nearest-rank: value at 0-based index (p*cnt)//100 of the
+                # conceptual sorted array == first value with cum > index
+                row[name] = [vals[np.searchsorted(cum, (p * cnt) // 100 + 1)]]
+            out.append(pd.DataFrame(row))
+        if not out:
+            empty = {key: pd.Series([], dtype="object")}
+            empty.update({n: pd.Series([], dtype="float64") for n in pcts})
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)
+
+    return (
         ds.map_batches(
-            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            _partial_tagged, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
-        .groupby([key, val])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("_part")
+        .map_groups(_rank_bucket, batch_format="pandas")
     )
-
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > max_distinct_per_key:
-            raise DriverFoldOverflow(
-                f"nearest_rank_by_key: key {g[key].iloc[0]!r} has "
-                f"{len(g)} distinct {val!r} values "
-                f"(> {max_distinct_per_key}); this metric is effectively "
-                "continuous - use gk_percentiles_by_key for it"
-            )
-        g = g.sort_values(val)
-        cum = g["n"].cumsum().to_numpy()
-        cnt = int(cum[-1])
-        vals = g[val].to_numpy()
-        row = {key: [g[key].iloc[0]]}
-        for name, p in pcts.items():
-            # nearest-rank: value at 0-based index (p*cnt)//100 of the
-            # conceptual sorted array == first value with cum > index
-            row[name] = [vals[np.searchsorted(cum, (p * cnt) // 100 + 1)]]
-        return pd.DataFrame(row)
-
-    return hist.groupby(key).map_groups(_rank, batch_format="pandas")
 
 
 def interpolated_quantile_by_key(

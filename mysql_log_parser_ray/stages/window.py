@@ -22,7 +22,9 @@ Null handling (explicit, documented): rows with a null event-time are
 dropped at the stage boundary (the us-int64 arithmetic is undefined on
 null; a SQL oracle would keep a NULL group — divergence only for corpora
 with null timestamps). Null KEYS are kept as groups (dropna=False /
-factorize(use_na_sentinel=False)), matching SQL GROUP BY.
+factorize(use_na_sentinel=False)), matching SQL GROUP BY. Null VALUES are
+skipped by the cents sum (SQL SUM semantics) but still counted in ``n``;
+a group whose values are ALL null sums to 0 here vs SQL NULL.
 """
 
 from __future__ import annotations
@@ -38,6 +40,19 @@ import pyarrow.compute as pc
 def _epoch_us(col: "pa.ChunkedArray") -> np.ndarray:
     """timestamp[us] (or s/ms/ns) column -> int64 microseconds."""
     return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _cents_f64(col) -> np.ndarray:
+    """value column -> half-up cents as float64 with NaN for nulls.
+
+    Null-safe (arrow kernels propagate null -> NaN on to_numpy); the
+    pandas groupby sum then SKIPS NaN, matching SQL SUM over NULLs. A raw
+    ``.astype(int64)`` on a NaN is undefined (typically INT64_MIN) and was
+    silently corrupting sums on null-valued corpora.
+    """
+    return pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)).to_numpy(
         zero_copy_only=False
     )
 
@@ -64,8 +79,7 @@ def tumbling_window_agg(
             cols[key_col] = batch[key_col].to_pandas()
         df = pd.DataFrame(cols)
         if value_col is not None:
-            v = batch[value_col].to_numpy(zero_copy_only=False)
-            df["value_cents"] = np.floor(v * 100 + 0.5).astype(np.int64)
+            df["value_cents"] = _cents_f64(batch[value_col])
         keys = ["window_start"] + ([key_col] if key_col else [])
         agg = {"n": ("window_start", "size")}
         if value_col is not None:
@@ -133,10 +147,7 @@ def hopping_window_agg(
             )
         df = pd.DataFrame(cols)
         if value_col is not None:
-            v = batch[value_col].to_numpy(zero_copy_only=False)
-            df["value_cents"] = np.tile(
-                np.floor(v * 100 + 0.5).astype(np.int64), n_covers
-            )
+            df["value_cents"] = np.tile(_cents_f64(batch[value_col]), n_covers)
         keys = ["window_start"] + ([key_col] if key_col else [])
         agg = {"n": ("window_start", "size")}
         if value_col is not None:

@@ -334,12 +334,18 @@ def nn_join_broadcast(
         sims[ids_b[:, None] == ids_c[None, :]] = -np.inf  # mask self
         # argmax over candidates sorted by id: first maximum == smallest id
         best = np.argmax(sims, axis=1)
+        best_sim = sims[np.arange(len(best)), best]
+        # a row with NO valid neighbour (single-vector corpus: every
+        # candidate is self-masked) has best_sim == -inf; the oracle's
+        # a.vec_id <> b.vec_id join emits nothing for it — drop, don't
+        # fabricate a self-match at index 0
+        ok = np.isfinite(best_sim)
         return pa.Table.from_pandas(
             pd.DataFrame(
                 {
-                    "vec_id": ids_b.astype(np.int64),
-                    "nn_id": ids_c[best],
-                    "cos": sims[np.arange(len(best)), best],
+                    "vec_id": ids_b[ok].astype(np.int64),
+                    "nn_id": ids_c[best[ok]],
+                    "cos": best_sim[ok],
                 }
             ),
             preserve_index=False,
@@ -348,6 +354,12 @@ def nn_join_broadcast(
     out = emb_ds.map_batches(
         _nn, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
+    if "vec_id" not in out.columns:  # all batches empty -> schema dropped
+        out = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "nn_id": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
     out["vec_id"] = out["vec_id"].astype("int64")
     out["nn_id"] = out["nn_id"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)

@@ -227,3 +227,12 @@ def test_incremental_counts_match_one_shot(ray_session, tmp_path):
     os.remove(os.path.join(state, "partials", day2_partial))
     recovered = incremental_class_counts([a, b], state)
     pd.testing.assert_frame_equal(recovered, both)
+
+    # path-identity: the same physical file reached via a symlink (or any
+    # other path spelling that resolves to it) is the SAME ingest unit —
+    # a second spelling must not re-ingest and double-count
+    alias = str(tmp_path / "day1_alias.parquet")
+    os.symlink(a, alias)
+    via_alias = incremental_class_counts([alias, b], state)
+    pd.testing.assert_frame_equal(via_alias, both)
+    assert len(ingested_files(state)) == 2

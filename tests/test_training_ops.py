@@ -1060,6 +1060,24 @@ def test_nn_join_tie_and_duplicate_vectors(ray_session):
     assert out.loc[5, "nn_id"] == 3 and out.loc[5, "cos"] == 0.0
 
 
+def test_nn_join_single_vector_no_self_match(ray_session):
+    """A one-row corpus has no valid neighbour: the oracle's
+    a.vec_id <> b.vec_id join returns zero rows, so must we (the argmax
+    over an all-self-masked row used to fabricate a cos=-inf match)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import nn_join_broadcast
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([42], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0, 0.0]], pa.list_(pa.float32())),
+    }))
+    out = nn_join_broadcast(ds)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "nn_id", "cos"]
+
+
 def test_stratified_sample_underfull_group(ray_session, tmp_path):
     """A source with fewer than k docs keeps them all."""
     import pyarrow as pa

@@ -380,6 +380,34 @@ def test_hopping_window_drops_null_ts(ray_session):
     assert int(out["n"].sum()) == 2  # one valid event x 2 covering windows
 
 
+def test_window_null_value_skipped_in_cents(ray_session):
+    """SQL SUM semantics on a null VALUE: counted in n, skipped by the
+    cents sum (a raw NaN->int64 cast used to poison the sum with
+    INT64_MIN)."""
+    import ray.data as rd
+    from mysql_log_parser_ray.stages.window import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    ts = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "ts": pa.array([ts, ts, ts], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array([1.5, None, 2.0], pa.float64()),
+        }
+    )
+    out = tumbling_window_agg(rd.from_arrow(t), window_sec=3600)
+    assert len(out) == 1
+    assert int(out["n"].iloc[0]) == 3
+    assert int(out["value_cents"].iloc[0]) == 350
+
+    hop = hopping_window_agg(rd.from_arrow(t), window_sec=3600, hop_sec=1800)
+    assert int(hop["n"].sum()) == 6  # 3 events x 2 covering windows
+    assert int(hop["value_cents"].sum()) == 700
+
+
 # ---------------------------------------------------------------------------
 # Interval (range) join — stages/interval.py
 # ---------------------------------------------------------------------------
