@@ -66,7 +66,9 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
     (aggregator actors are pool-sized by partition count - 64 fixed
     partitions starve a 4-CPU session) AND volume-capped when input size
     is known (32 partitions on a 13 MB join input spent 2-4x the runtime
-    on pool startup)."""
+    on pool startup; dropping the floor 8 -> 2 measured another 6-20%
+    off the four join-bound suite queries at sf0.1 - each partition is an
+    aggregator actor to start, and a <32 MB input needs two at most)."""
     import ray
 
     in_bytes = sum(
@@ -74,7 +76,7 @@ def _join_num_partitions(sf_dir: str, *tables: str) -> int:
     )
     return min(
         min(64, max(8, int(ray.cluster_resources().get("CPU", 8)))),
-        max(8, -(-in_bytes // (64 << 20))),
+        max(2, -(-in_bytes // (32 << 20))),
     )
 
 
@@ -150,6 +152,43 @@ def q_slowlog_class_counts(sf_dir: str):
     return out
 
 
+def q_incremental_class_counts(sf_dir: str):
+    """Crash-safe incremental ingest, end-to-end under the external oracle:
+    the documents table is split into four "daily" parquet units (the test
+    fixture for a rotating log shipper; production feeds real per-day
+    files), each ingested ONCE through pipelines/incremental.py — one Ray
+    pipeline per file committing an atomic, idempotent per-file partial —
+    and the merged fold of the partials must equal the one-shot per-class
+    counts (same oracle as slowlog_class_counts)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .incremental import incremental_class_counts
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars", "source"],
+    )
+    work = tempfile.mkdtemp(prefix="mlpr_incr_")
+    try:
+        step = max(1, -(-t.num_rows // 4))
+        paths = []
+        for i in range(4):
+            p = os.path.join(work, f"day{i}.parquet")
+            pq.write_table(t.slice(i * step, step), p)
+            paths.append(p)
+        out = incremental_class_counts(paths, os.path.join(work, "state"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if "class_id" not in out.columns or not len(out):
+        return _typed_empty(
+            class_id="object", fingerprint="object", total_queries="int64"
+        )
+    return out
+
+
 def q_slowlog_class_qt_stats(sf_dir: str):
     ev = _flat_events(sf_dir)
 
@@ -217,15 +256,16 @@ def q_slowlog_global(sf_dir: str):
 
 
 def q_slowlog_report_quantiles(sf_dir: str):
-    """Rows-only driver surface for the GK report (parser-cli.go:118-137
-    parity path): the 21-step QueryRank table, the Histo(20) buckets, and
-    the Real pct95/median summary, as rows.
+    """Driver surface for the GK report (parser-cli.go:118-137 parity
+    path): the 21-step QueryRank table, the Histo(20) buckets, and the
+    Real pct95/median summary, as rows (fixed 43: 21 + 20 + 2).
 
-    No SQL oracle: GK is an approximate sketch whose VALUES depend on
-    merge order; what this entry pins is the report SHAPE (fixed 43 rows:
-    21 quantile steps + 20 histogram buckets + 2 summary rows) and that
-    the surface keeps producing rows at all - regressions in
-    pipelines/report.py previously only pytest could catch."""
+    Value-checked since round 4: collect_partials merges partial blobs in
+    canonical sorted order, making the sketch a pure function of the
+    corpus (verified identical across runs and num_cpus 4/16/32), and the
+    oracle pins the exact rows per corpus size (__ray_entry__
+    _REPORT_PIN_ROWS - a reproducibility pin, since GK values are
+    sketch-defined rather than SQL-recomputable)."""
     import pandas as pd
 
     from .report import QUANTILE_STEPS, _quantile_rank, collect_partials

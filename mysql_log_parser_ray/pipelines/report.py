@@ -40,10 +40,16 @@ def collect_partials(
             batch["fingerprint"].to_pylist(),
             batch["blob"].to_pylist(),
         ):
-            per_class.setdefault(cid, []).append(pickle.loads(blob))
+            per_class.setdefault(cid, []).append(blob)
             fps[cid] = fp
+    # canonical merge order: blocks arrive in task-completion order (varies
+    # run to run), and GK merge is order-sensitive in its tie-breaking —
+    # sorting each class's partial BLOBS bytewise (and the classes by id)
+    # makes the merged sketch a pure function of the partial multiset, so
+    # report values are run-invariant and pinnable
     merged = {
-        cid: (fps[cid], merge_partials(parts)) for cid, parts in per_class.items()
+        cid: (fps[cid], merge_partials([pickle.loads(b) for b in sorted(parts)]))
+        for cid, parts in sorted(per_class.items())
     }
     glob = merge_partials([p for _, p in merged.values()]) if merged else None
     return glob, merged

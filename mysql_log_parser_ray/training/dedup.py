@@ -801,26 +801,25 @@ def ngram_jaccard_pairs(
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-# Per-worker memo of word -> ±1 bit vector: natural-language word
-# frequency is Zipfian, so the hot words hit the cache almost always.
-_WORD_BITS: Dict[str, np.ndarray] = {}
-_WORD_BITS_MAX = 200_000
+def _word_bit_matrix(uniq: np.ndarray) -> np.ndarray:
+    """Unique-word array -> (u, 64) ±1 int32 contribution rows, from ONE
+    vectorized 64-bit hash per word (pd.util.hash_array). The prior
+    per-word blake2b Python loop was the signature stage's dominant cost:
+    every worker re-paid it for its whole block vocabulary (a memo cache
+    only amortizes within a worker), measured ~3x the warm batch time."""
+    h = pd.util.hash_array(uniq)  # deterministic uint64 per word
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    return np.where(bits == 1, np.int32(1), np.int32(-1))
 
 
 def _word_bits(w: str) -> np.ndarray:
-    b = _WORD_BITS.get(w)
-    if b is None:
-        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
-        b = np.where(bits == 1, np.int64(1), np.int64(-1))
-        if len(_WORD_BITS) >= _WORD_BITS_MAX:
-            _WORD_BITS.clear()
-        _WORD_BITS[w] = b
-    return b
+    return _word_bit_matrix(np.array([w], dtype=object))[0].astype(np.int64)
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace words (blake2b word hashes)."""
+    """64-bit SimHash over whitespace words (vectorized-hash word bits)."""
     acc = np.zeros(64, dtype=np.int64)
     for w in normalize_text(text).split(" "):
         if w:
@@ -834,9 +833,10 @@ def simhash64(text: str) -> int:
 
 def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table:
     """Vectorized SimHash: normalize + split via pandas str ops, hash only
-    UNIQUE words (factorize; Zipf makes this a small set), accumulate the
-    ±1 contributions per doc with one reduceat, pack sign bits with
-    packbits. Bit-identical to simhash64 per doc (pinned in tests)."""
+    UNIQUE words (factorize; Zipf makes this a small set) in one
+    vectorized pass, accumulate the ±1 contributions per doc with one
+    reduceat, pack sign bits with packbits. Bit-identical to simhash64
+    per doc (pinned in tests)."""
     texts = batch[text_col].to_pandas().reset_index(drop=True)
     n = len(texts)
     acc = np.zeros((n, 64), dtype=np.int64)
@@ -849,9 +849,10 @@ def simhash_batch(batch: pa.Table, text_col="text", id_col="doc_id") -> pa.Table
     if len(words):
         doc_idx = words.index.to_numpy()  # nondecreasing (explode order)
         codes, uniq = pd.factorize(words.to_numpy())
-        bit_mat = np.empty((len(uniq), 64), dtype=np.int64)
-        for i, w in enumerate(uniq):
-            bit_mat[i] = _word_bits(w)
+        bit_mat = _word_bit_matrix(uniq)
+        # int32 contributions: |acc| <= words-per-doc, and reduceat keeps
+        # the operand dtype (int8 would silently wrap past 127 aligned
+        # word bits; int32 halves the int64 memory traffic)
         contrib = bit_mat[codes]
         starts = np.r_[0, np.flatnonzero(doc_idx[1:] != doc_idx[:-1]) + 1]
         acc[doc_idx[starts]] = np.add.reduceat(contrib, starts, axis=0)
@@ -880,11 +881,20 @@ def simhash_near_pairs(
     Fully distributed - no signature table ever reaches the driver:
     signatures -> explode one row per (chunk, chunk_key) carrying the full
     signature -> groupby buckets -> hamming-verified pairs inside
-    map_groups -> groupby(doc_a, doc_b) to dedupe pairs found in several
-    chunks. Everything shuffled is fixed-width ints.
-    """
-    from ray.data.aggregate import Min
+    map_groups, emitted ONLY from the pair's FIRST matching chunk. Both
+    sides' full signatures are in hand, so "does an earlier chunk also
+    match" is pure arithmetic — a pair found in several chunks is emitted
+    exactly once, with no pair-dedup shuffle at all (hamming is a function
+    of the two signatures, identical in every copy, so the dropped Min
+    aggregate was pure dedupe; this raw composite-key groupby was the
+    suite's perennial slowest-LSH-query overhead). Everything shuffled is
+    fixed-width ints.
 
+    ``max_bucket`` note: first-chunk emission decides by KEY equality, so
+    a pair whose first shared chunk sits in a saturated (capped) bucket is
+    suppressed even if a later chunk's bucket is small — the cap is lossy
+    by contract; pass ``max_bucket=None`` for the lossless guarantee.
+    """
     # pigeonhole needs max_hamming+1 chunks for the no-false-negative
     # guarantee, which a 64-bit signature can only provide for
     # max_hamming <= 63 (at >= 64 every pair qualifies and LSH is the
@@ -936,6 +946,16 @@ def simhash_near_pairs(
             "part", pa.array(part.astype(np.int32), pa.int32())
         )
 
+    def _chunk_keys(s: np.ndarray) -> np.ndarray:
+        """uint64 signatures -> (len(s), n_chunks) int64 chunk keys."""
+        out = np.empty((len(s), n_chunks), dtype=np.int64)
+        for chunk in range(n_chunks):
+            lo, hi = bounds[chunk], bounds[chunk + 1]
+            out[:, chunk] = (
+                (s >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+            ).astype(np.int64)
+        return out
+
     def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if max_bucket is not None:
             g = g[
@@ -944,11 +964,19 @@ def simhash_near_pairs(
             ]
         m = g.merge(g, on=["chunk", "chunk_key"], suffixes=("_l", "_r"))
         m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
-        x = m["sig_l"].to_numpy().astype(np.int64).view(np.uint64) ^ m[
-            "sig_r"
-        ].to_numpy().astype(np.int64).view(np.uint64)
-        ham = _popcount64(x).astype(np.int64)
-        keep = ham <= max_hamming
+        sl = m["sig_l"].to_numpy().astype(np.int64).view(np.uint64)
+        sr = m["sig_r"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = _popcount64(sl ^ sr).astype(np.int64)
+        # emit each pair only from its FIRST matching chunk: recompute the
+        # earlier chunks' keys for both sides (pure shifts/masks on the
+        # carried signatures) and drop the copy if any earlier chunk also
+        # matched — global dedupe with zero extra shuffle
+        c = m["chunk"].to_numpy().astype(np.int64)
+        kl, kr = _chunk_keys(sl), _chunk_keys(sr)
+        earlier = (kl == kr) & (
+            np.arange(n_chunks, dtype=np.int64)[None, :] < c[:, None]
+        )
+        keep = (ham <= max_hamming) & ~earlier.any(axis=1)
         return pd.DataFrame(
             {
                 "doc_a": m[f"{id_col}_l"].to_numpy()[keep],
@@ -962,12 +990,11 @@ def simhash_near_pairs(
         .map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(_partition_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
         .to_pandas()
     )
     if out.empty:
         return _typed_empty({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -1065,14 +1092,26 @@ def embedding_dup_pairs_tiles(
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def auto_planes(n_vecs: int, target_bucket: int = 256) -> int:
+    """Per-band hyperplane count that keeps EXPECTED bucket occupancy near
+    ``target_bucket``: n / 2^planes ~= target. Grows with log2(corpus), so
+    the per-bucket O(k^2) verify stays O(target^2) at any scale (a fixed
+    plane count re-becomes all-pairs as the corpus grows). Clamped to
+    [4, 30]: <4 planes is uselessly coarse on any corpus, 30 keeps the
+    band key in int32-safe range."""
+    return int(min(30, max(4, np.ceil(np.log2(max(n_vecs, 1) / target_bucket)))))
+
+
 def embedding_dup_pairs(
     emb_ds,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: Optional[int] = None,
     seed: int = 7,
     exhaustive: bool = False,
+    n_bands: int = 4,
+    target_bucket: int = 256,
 ):
     """Embedding-cosine near-dup pairs.
 
@@ -1081,11 +1120,19 @@ def embedding_dup_pairs(
     inherently quadratic, so there is nothing to distribute but the
     matmul tiles; embedding_dup_pairs_tiles IS that distribution and is
     the path registered with the driver).
-    exhaustive=False: random-hyperplane sign buckets, exact cosine verify
-    within buckets - fully distributed and sub-quadratic but approximate:
-    a pair at cosine ~0.95 can straddle a sign plane, so this variant can
-    MISS pairs; use it only when the exact tile cross-product is too
-    expensive.
+    exhaustive=False: BANDED random-hyperplane LSH, exact cosine verify
+    within buckets - fully distributed and sub-quadratic but approximate
+    (a pair can disagree on some plane in every band and be missed).
+    ``n_bands`` independent plane sets each key a bucket; a pair is a
+    candidate if it agrees on ALL planes of ANY band (the minhash banding
+    shape: bands buy recall, planes-per-band buy precision/occupancy).
+
+    ``n_planes`` is the per-band plane count. Default None auto-scales it
+    to the corpus: ceil(log2(n / target_bucket)) planes keep EXPECTED
+    bucket occupancy near ``target_bucket`` regardless of corpus size, so
+    the per-bucket O(k^2) verify stays O(target^2) at 10^9 vectors — the
+    previous fixed 256-bucket key grew occupancy linearly with the corpus
+    and re-became all-pairs at scale.
     """
     if exhaustive:
         mats, ids = [], []
@@ -1106,56 +1153,127 @@ def embedding_dup_pairs(
         df.loc[swap, ["vec_a", "vec_b"]] = df.loc[swap, ["vec_b", "vec_a"]].values
         return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
-    from ray.data.aggregate import Max
+    if n_planes is None:
+        n_planes = auto_planes(emb_ds.count(), target_bucket)
+    if not 1 <= n_planes <= 30:
+        raise ValueError(f"n_planes must be in [1, 30], got {n_planes}")
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
 
     _planes: Dict = {}
 
     def _keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    id_col: b[id_col],
+                    "vec": pa.array([], pa.large_list(pa.float64())),
+                    "keys": pa.array([], pa.large_list(pa.int64())),
+                }
+            )
         x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
         if "p" not in _planes:  # deterministic; built once per worker
             _planes["p"] = np.random.default_rng(seed).standard_normal(
-                (x.shape[1], n_planes)
+                (x.shape[1], n_bands * n_planes)
             )
-        signs = (xn @ _planes["p"]) > 0
-        keys = np.packbits(signs, axis=1, bitorder="little")[:, 0]
+        signs = (xn @ _planes["p"]) > 0  # (nd, n_bands * n_planes)
+        nd = len(xn)
+        # per-band int key from that band's sign bits; explode one row per
+        # (band, band_key) via arithmetic repeat/take (no per-row appends)
+        keys = np.empty((n_bands, nd), dtype=np.int64)
+        for band in range(n_bands):
+            keys[band] = signs[:, band * n_planes:(band + 1) * n_planes] @ pow2
+        idx = np.tile(np.arange(nd, dtype=np.int64), n_bands)
+        flat = pa.array(xn.ravel(), pa.float64())
+        offsets = pa.array(
+            np.arange(nd + 1, dtype=np.int64) * xn.shape[1], pa.int64()
+        )
+        vecs = pa.LargeListArray.from_arrays(offsets, flat)
+        # every copy also carries the doc's FULL band-key vector (n_bands
+        # int64s next to d float64s - noise) so pair emission can check
+        # "did an earlier band already match" arithmetically
+        kall = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(nd + 1, dtype=np.int64) * n_bands, pa.int64()),
+            pa.array(keys.T.ravel(), pa.int64()),
+        )
+        take = pa.array(idx)
         return pa.table(
             {
-                "bucket": pa.array(keys.astype(np.int32), pa.int32()),
-                id_col: b[id_col],
-                "vec": pa.array([v.tolist() for v in xn], pa.list_(pa.float64())),
+                "band": pa.array(
+                    np.repeat(np.arange(n_bands, dtype=np.int32), nd), pa.int32()
+                ),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                id_col: b[id_col].combine_chunks().take(take),
+                "vec": vecs.take(take),
+                "keys": kall.take(take),
             }
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
+    # one map_groups invocation per hash PARTITION of (band, bucket) keys,
+    # not per bucket: a Ray groupby over n_bands * 2^n_planes tiny groups
+    # is the per-group-dispatch anti-pattern (CLAUDE.md)
+    n_parts = 64
+
+    def _with_part(batch: pa.Table) -> pa.Table:
+        from ..partition import stable_pair_partition
+
+        part = stable_pair_partition(
+            batch["band"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["band_key"].to_numpy(zero_copy_only=False),
+            n_parts,
         )
-        if len(g) < 2:
-            return empty
-        order = np.argsort(g[id_col].to_numpy())
-        ids = g[id_col].to_numpy()[order]
-        xn = np.array(g["vec"].tolist(), dtype=np.float64)[order]
-        sub = xn @ xn.T
-        ia, ib = np.where(np.triu(sub >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia].astype(np.int64),
-                "vec_b": ids[ib].astype(np.int64),
-                "cosine": sub[ia, ib],
-            }
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int32), pa.int32())
         )
+
+    def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for (band, _), gg in g.groupby(["band", "band_key"], sort=False):
+            if len(gg) < 2:
+                continue
+            order = np.argsort(gg[id_col].to_numpy())
+            ids = gg[id_col].to_numpy()[order]
+            xn = np.array(gg["vec"].tolist(), dtype=np.float64)[order]
+            sub = xn @ xn.T
+            ia, ib = np.where(np.triu(sub >= threshold, k=1))
+            if not len(ia):
+                continue
+            # emit each pair only from its FIRST shared band (the carried
+            # band-key vectors make this pure arithmetic): a pair found by
+            # several bands dedupes with zero extra shuffle, and cosine is
+            # a function of the two vectors - identical in every copy
+            if band > 0:
+                kk = np.array(gg["keys"].tolist(), dtype=np.int64)[order]
+                fresh = ~(kk[ia, :band] == kk[ib, :band]).any(axis=1)
+                ia, ib = ia[fresh], ib[fresh]
+                if not len(ia):
+                    continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[ia].astype(np.int64),
+                        "vec_b": ids[ib].astype(np.int64),
+                        "cosine": sub[ia, ib],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
     out = (
         emb_ds.map_batches(_keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Max("cosine", alias_name="cosine"))
+        .map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_partition_pairs, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

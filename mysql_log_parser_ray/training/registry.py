@@ -330,10 +330,15 @@ def q_dup_clusters(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash LSH near-dup pairs, lossless (max_bucket=None) so the output
+    equals exact all-pairs Hamming <= 3 over the deterministic signatures —
+    which IS SQL-expressible (the embedded word->bits table in
+    _simhash_oracle_sql reconstructs the signatures). The production
+    bucket cap is covered by its own pytest contract."""
     from .dedup import simhash_near_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_pairs(ds, max_hamming=3)
+    return simhash_near_pairs(ds, max_hamming=3, max_bucket=None)
 
 
 def q_docs_curated(sf_dir: str):
@@ -1011,6 +1016,74 @@ _NGRAM_PAIRS_SQL = r"""
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
         """
 
+# The synthetic documents corpus draws from this fixed 31-word vocabulary
+# at every scale factor (verified at sf0.001/0.01/0.1); the simhash oracle
+# embeds each word's ±1 bit contributions so DuckDB can reconstruct the
+# signatures exactly. An out-of-vocabulary word would silently drop from
+# the oracle's inner join — tests/test_oracle_parity pins vocab coverage.
+_SIMHASH_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _simhash_oracle_sql() -> str:
+    r"""Exact all-pairs Hamming <= 3 over the deterministic SimHash
+    signatures, reconstructed IN SQL from an embedded word -> ±1-bits
+    table generated by the SAME hash kernel the engine uses
+    (dedup._word_bit_matrix — the lang-id shared-table precedent). The
+    tokenization mirrors simhash_batch exactly: ASCII-whitespace collapse,
+    lower, split on ' ', drop empties. Signatures are carried as two
+    32-bit halves (a 64-bit signed SUM of 1<<63 would overflow);
+    hamming = popcount(xor) summed over halves. The engine side runs
+    max_bucket=None, so LSH output == this brute force by the pigeonhole
+    guarantee."""
+    import numpy as np
+
+    from .dedup import _word_bit_matrix
+
+    bits = _word_bit_matrix(np.array(_SIMHASH_VOCAB, dtype=object))
+    rows = ", ".join(
+        "('%s', [%s])" % (w, ",".join(str(int(v)) for v in bits[i]))
+        for i, w in enumerate(_SIMHASH_VOCAB)
+    )
+    return f"""
+        WITH wb(word, bits) AS (VALUES {rows}),
+        tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(regexp_replace(
+                   text, '[ \t\n\r\v\f]+', ' ', 'g')), ' ')) AS word
+          FROM documents
+        ), tf AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        acc AS (
+          SELECT tf.doc_id, r.i AS bit,
+                 SUM(wb.bits[CAST(r.i AS INTEGER) + 1]) AS s
+          FROM tf JOIN wb USING (word) CROSS JOIN range(64) r(i)
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT doc_id,
+            SUM(CASE WHEN bit < 32 AND s > 0
+                THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                ELSE 0 END) AS lo,
+            SUM(CASE WHEN bit >= 32 AND s > 0
+                THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER))
+                ELSE 0 END) AS hi
+          FROM acc GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                   AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 3
+    """
+
+
 def _lang_id_sql() -> str:
     """Stopword-vote CASE expression generated from the SAME stopword
     tables the Ray heuristic uses (training/text.py:_LANG_STOPWORDS), so
@@ -1407,8 +1480,9 @@ def register_oracles():
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8
         """,
-        # simhash_pairs / ann_ivf_topk / approx_distinct_users: genuinely
-        # approximate-by-design (signature hamming / probe subset / HLL) -
-        # no SQL oracle; driver runs the weaker rows-only check and their
-        # invariants are pinned in pytest.
+        "simhash_pairs": _simhash_oracle_sql(),
+        # ann_ivf_topk / approx_distinct_users: genuinely
+        # approximate-by-design (probe subset / HLL) - no SQL oracle;
+        # driver runs the weaker rows-only check and their invariants are
+        # pinned in pytest.
     }

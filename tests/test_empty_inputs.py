@@ -86,6 +86,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "user_retention": ["cohort", "n_users", "n_retained_d1", "n_retained_d7"],
         "orders_open_per_day": ["day", "n_open"],
         "doc_prefix_editsim": ["doc_a", "doc_b", "dist"],
+        "incremental_class_counts": ["class_id", "fingerprint", "total_queries"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -300,3 +300,27 @@ def test_pivot_missing_type_column(ray_session, tmp_path):
     assert int(out.loc[0, "n_click"]) == 2 and int(out.loc[0, "n_view"]) == 1
     assert int(out.loc[0, "n_error"]) == 0 == int(out.loc[0, "n_purchase"])
 
+
+
+def test_simhash_oracle_vocab_covers_corpus():
+    """The simhash oracle embeds a fixed word->bits table; an
+    out-of-vocabulary word in the corpus would silently drop from the
+    oracle's inner join while the engine hashes it. Pin coverage at every
+    available scale factor."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.training.registry import _SIMHASH_VOCAB
+
+    vocab = set(_SIMHASH_VOCAB)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["text"])
+        words = set()
+        for s in t["text"].to_pylist():
+            words.update(re.split(r"[ \t\n\r\v\f]+", s.lower()))
+        words.discard("")
+        assert words <= vocab, f"{sf}: out-of-vocab {sorted(words - vocab)[:5]}"

@@ -100,9 +100,12 @@ def test_simhash_near_pairs(docs_ds):
     found = {tuple(sorted((int(a), int(b)))) for a, b in
              zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 7) in found  # exact dup -> hamming 0
-    assert (0, 5) in found  # one-word change -> hamming 7
-    # threshold is respected: rerun tighter, the hamming-7 pair drops out
-    tight = simhash_near_pairs(docs_ds, max_hamming=3)
+    assert (0, 5) in found  # one-word change -> hamming 3 (current hash)
+    # the exact dup matches in EVERY chunk; first-matching-chunk emission
+    # must still produce each pair exactly once
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+    # threshold is respected: rerun tighter, the hamming-3 pair drops out
+    tight = simhash_near_pairs(docs_ds, max_hamming=2)
     tfound = {tuple(sorted((int(a), int(b)))) for a, b in
               zip(tight["doc_a"], tight["doc_b"])}
     assert (1, 7) in tfound and (0, 5) not in tfound
@@ -132,6 +135,47 @@ def test_embedding_dup_bucketed_matches_exhaustive(ray_session):
     got_approx = set(zip(approx["vec_a"], approx["vec_b"]))
     assert len(got_approx & expected) >= 4
     assert got_approx <= got_exact  # verification means no false positives
+
+
+def test_hyperplane_lsh_occupancy_bounded_and_recall(ray_session):
+    """The banded hyperplane LSH scales its per-band plane count with the
+    corpus so expected bucket occupancy stays near target_bucket at ANY
+    size (the fixed 256-bucket key grew occupancy linearly and re-became
+    all-pairs); planted near-dup pairs are recovered at both test sizes."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import (
+        auto_planes,
+        embedding_dup_pairs,
+    )
+
+    # occupancy bound: n / 2^planes <= 2 * target at every corpus size
+    # (until the 30-plane int32-key clamp at ~10^11 vectors)
+    for n in (1_000, 1_000_000, 1_000_000_000):
+        p = auto_planes(n, 256)
+        assert n / 2 ** p <= 2 * 256
+    assert auto_planes(1_000_000) > auto_planes(10_000) > auto_planes(100)
+
+    expected = {(i, 10_000 + i) for i in range(10)}
+    for n in (300, 3000):
+        rng = np.random.default_rng(n)
+        base = rng.standard_normal((n, 16))
+        dups = base[:10] + 0.005 * rng.standard_normal((10, 16))
+        ids = list(range(n)) + list(range(10_000, 10_010))
+        x = np.vstack([base, dups])
+        ds = rd.from_arrow(pa.table(
+            {"vec_id": ids, "embedding": [r.tolist() for r in x]}
+        ))
+        out = embedding_dup_pairs(
+            ds, threshold=0.95, exhaustive=False, target_bucket=16
+        )
+        got = set(zip(out["vec_a"], out["vec_b"]))
+        assert expected <= got  # planted recall across band OR
+        # exact verify inside buckets: every reported cosine >= threshold
+        assert (out["cosine"] >= 0.95).all()
+        # planted near-identical pairs agree on ~every band; first-band
+        # emission must still produce each pair exactly once
+        assert not out.duplicated(["vec_a", "vec_b"]).any()
 
 
 def test_ivf_topk_recall(ray_session):
