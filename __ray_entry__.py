@@ -389,6 +389,21 @@ def oracle_sql() -> dict[str, str]:
                    SUM({_QT}) / COUNT(*) AS avg_qt
             FROM documents GROUP BY 1
         """,
+        # HLL determinism pin: register merge is an elementwise max
+        # (order-independent by construction), so the estimate is a pure
+        # function of the corpus; pinned per events-table size. A
+        # reproducibility oracle - the estimate is sketch-defined (true
+        # distinct-user counts at these sizes: 150 exact-match at sf0.01
+        # is coincidental; accuracy is pinned separately in test_stats).
+        "approx_distinct_users": """
+            WITH c(cnt) AS (SELECT COUNT(*) FROM events),
+            v(n_users_approx, corpus) AS (VALUES
+            (150, 10000),
+            (1517, 100000)
+            )
+            SELECT CAST(n_users_approx AS BIGINT) AS n_users_approx
+            FROM v JOIN c ON v.corpus = c.cnt
+        """,
         # GK report pin: rows for the 500-doc (sf0.01) and 5000-doc
         # (sf0.1) corpora; any other corpus yields zero rows (visible red)
         # rather than a silent pass. See _REPORT_PIN_ROWS comment.

@@ -687,8 +687,10 @@ def q_distinct_users_per_type(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users (mergeable sketch; the
-    10^12-row replacement for COUNT DISTINCT). Approximate by design ->
-    rows-only driver check; accuracy pinned in test_stats."""
+    10^12-row replacement for COUNT DISTINCT). The register merge is an
+    elementwise max — order-independent by construction — so the estimate
+    is a pure function of the corpus and is value-pinned per events-table
+    size (reproducibility oracle); accuracy is pinned in test_stats."""
     import pandas as pd
 
     from ..state.hll import approx_distinct

@@ -151,8 +151,10 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """Distributed IVF ANN (approximate - rows-only driver check; the
-    recall-vs-brute-force invariant is pinned in tests)."""
+    """Distributed IVF ANN. Approximate (probe subset) but deterministic
+    by design — centroid sample, probe set, and 6dp-rounded top-k are
+    run/CPU-invariant — so the rows are value-pinned per embeddings-table
+    size (reproducibility oracle); recall-vs-brute is pinned in tests."""
     from .similarity import ivf_topk_distributed
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -175,10 +177,12 @@ def q_embed_centroids(sf_dir: str):
 
 
 def q_embed_kmeans(sf_dir: str):
-    """Distributed Lloyd's k-means summary (iterative algorithm — rows-only
-    driver check; the trajectory-equals-local-reference and
-    partition-invariance properties are pinned in tests). Init centroids are
-    the first 8 vectors by vec_id (deterministic, fetched with a parquet
+    """Distributed Lloyd's k-means summary. Iterative, but the 6dp
+    centroid rounding per iteration makes the whole trajectory
+    partitioning-invariant (vectors.py), so the summary is value-pinned
+    per embeddings-table size (reproducibility oracle); the
+    trajectory-equals-local-reference property is pinned in tests. Init
+    centroids are the first 8 vectors by vec_id (deterministic, parquet
     row-filter pushdown)."""
     from .vectors import kmeans
 
@@ -1481,8 +1485,87 @@ def register_oracles():
             WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8
         """,
         "simhash_pairs": _simhash_oracle_sql(),
-        # ann_ivf_topk / approx_distinct_users: genuinely
-        # approximate-by-design (probe subset / HLL) - no SQL oracle;
-        # driver runs the weaker rows-only check and their invariants are
-        # pinned in pytest.
+        # Determinism pins for the two remaining approximate/iterative
+        # surfaces: both are designed run/CPU/partitioning-invariant
+        # (kmeans rounds centroids to 6dp per iteration so the trajectory
+        # is exact; IVF's centroid sample, probe set, and rounded top-k
+        # are deterministic), verified identical across num_cpus 4/32 and
+        # repeated runs, and pinned per embeddings-table size. These are
+        # REPRODUCIBILITY oracles (the values are algorithm-defined, not
+        # SQL-recomputable); accuracy/recall invariants are pinned in
+        # pytest (trajectory-equals-local-reference, recall-vs-brute).
+        "embed_kmeans": """
+            WITH c(cnt) AS (SELECT COUNT(*) FROM embeddings),
+            v(cluster, n_vecs, inertia, corpus) AS (VALUES
+            (0, 53, '48.90105', 500),
+            (1, 63, '58.130336', 500),
+            (2, 56, '51.771936', 500),
+            (3, 66, '61.573218', 500),
+            (4, 55, '51.012298', 500),
+            (5, 73, '68.028737', 500),
+            (6, 74, '68.978827', 500),
+            (7, 60, '55.371386', 500),
+            (0, 238, '226.259503', 2000),
+            (1, 255, '243.027946', 2000),
+            (2, 271, '258.116736', 2000),
+            (3, 258, '245.248963', 2000),
+            (4, 238, '225.820831', 2000),
+            (5, 254, '242.182232', 2000),
+            (6, 263, '250.382731', 2000),
+            (7, 223, '211.663906', 2000)
+            )
+            SELECT CAST(cluster AS BIGINT) AS cluster,
+                   CAST(n_vecs AS BIGINT) AS n_vecs,
+                   CAST(inertia AS DOUBLE) AS inertia
+            FROM v JOIN c ON v.corpus = c.cnt
+        """,
+        "ann_ivf_topk": """
+            WITH c(cnt) AS (SELECT COUNT(*) FROM embeddings),
+            v(query_id, vec_id, cosine, corpus) AS (VALUES
+            (0, 0, '1.0', 500),
+            (0, 365, '0.369994', 500),
+            (0, 387, '0.331139', 500),
+            (0, 423, '0.296934', 500),
+            (0, 320, '0.287861', 500),
+            (0, 190, '0.281795', 500),
+            (0, 388, '0.276301', 500),
+            (0, 498, '0.250726', 500),
+            (0, 257, '0.248127', 500),
+            (0, 165, '0.244895', 500),
+            (1, 1, '1.0', 500),
+            (1, 27, '0.348208', 500),
+            (1, 407, '0.32701', 500),
+            (1, 195, '0.322744', 500),
+            (1, 64, '0.316374', 500),
+            (1, 124, '0.30275', 500),
+            (1, 402, '0.292322', 500),
+            (1, 472, '0.292109', 500),
+            (1, 220, '0.289782', 500),
+            (1, 203, '0.268155', 500),
+            (0, 0, '1.0', 2000),
+            (0, 291, '0.391932', 2000),
+            (0, 1511, '0.328782', 2000),
+            (0, 1978, '0.319227', 2000),
+            (0, 1407, '0.319136', 2000),
+            (0, 794, '0.310833', 2000),
+            (0, 1841, '0.309887', 2000),
+            (0, 1033, '0.296046', 2000),
+            (0, 699, '0.290542', 2000),
+            (0, 1422, '0.28812', 2000),
+            (1, 1, '1.0', 2000),
+            (1, 260, '0.34666', 2000),
+            (1, 1843, '0.339907', 2000),
+            (1, 1832, '0.33121', 2000),
+            (1, 986, '0.306432', 2000),
+            (1, 134, '0.306412', 2000),
+            (1, 732, '0.302915', 2000),
+            (1, 1388, '0.299343', 2000),
+            (1, 1069, '0.293295', 2000),
+            (1, 1060, '0.292245', 2000)
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(cosine AS DOUBLE) AS cosine
+            FROM v JOIN c ON v.corpus = c.cnt
+        """,
     }
