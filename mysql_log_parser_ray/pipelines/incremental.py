@@ -47,6 +47,40 @@ def _partial_path(state_dir: str, path: str) -> str:
     return os.path.join(state_dir, "partials", f"{_file_key(path)}.parquet")
 
 
+# Key-scheme versioning: the unit key changed basename+abspath ->
+# realpath (round 4). A state dir written under an older scheme would
+# re-ingest every file under new keys and the merge would DOUBLE-COUNT
+# (old partials are never cleaned). The marker makes that a fail-fast
+# instead of silent corruption.
+_KEY_SCHEME = "realpath-v2"
+
+
+def _check_key_scheme(state_dir: str) -> None:
+    d = os.path.join(state_dir, "partials")
+    marker = os.path.join(state_dir, "key_scheme")
+    have_partials = os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    )
+    if os.path.exists(marker):
+        found = open(marker).read().strip()
+        if found != _KEY_SCHEME:
+            raise RuntimeError(
+                f"incremental state at {state_dir} was written with key "
+                f"scheme {found!r}; this build uses {_KEY_SCHEME!r}. "
+                "Re-ingest into a FRESH state_dir (merging across schemes "
+                "would double-count re-keyed files)."
+            )
+    elif have_partials:
+        raise RuntimeError(
+            f"incremental state at {state_dir} predates key-scheme "
+            f"markers; re-ingest into a fresh state_dir ({_KEY_SCHEME})."
+        )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(_KEY_SCHEME)
+
+
 def ingested_files(state_dir: str) -> set:
     d = os.path.join(state_dir, "partials")
     if not os.path.isdir(d):
@@ -86,6 +120,7 @@ def incremental_class_counts(
     """Ingest every NOT-yet-committed input file, then return the merged
     per-class counts across all committed partials. Safe to re-run after
     any crash: work is keyed by file, committed atomically, idempotent."""
+    _check_key_scheme(state_dir)
     done = ingested_files(state_dir)
     for path in input_paths:
         if _file_key(path) not in done:

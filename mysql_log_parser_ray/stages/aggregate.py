@@ -803,12 +803,14 @@ def nearest_rank_by_key(
          nearest-rank over each key's sorted cumulative histogram (every
          copy of a key lands in exactly one bucket)
 
-    Per-task memory in step 3 is the bucket's DISTINCT-pair count, never
-    its event count. ``max_distinct_per_key`` is the guard for
-    pathological cardinality (a truly continuous metric): the reducer
-    fails fast with the remedy named instead of silently OOMing - switch
-    that metric to ``gk_percentiles_by_key`` (eps-approximate, O(1/eps)
-    memory).
+    Per-task memory in step 3 is the bucket's PARTIAL-row count — at most
+    #blocks x the bucket's distinct-pair count, event count never — and
+    the collapsed histogram a key ranks over is its distinct-value count.
+    ``max_distinct_per_key`` is the guard for pathological cardinality (a
+    truly continuous metric, where the partial rows grow toward event
+    count): the reducer fails fast with the remedy named instead of
+    silently OOMing - switch that metric to ``gk_percentiles_by_key``
+    (eps-approximate, O(1/eps) memory).
 
     Returns a Dataset of one row per key: (key, *pcts.keys()).
     """
@@ -820,11 +822,21 @@ def nearest_rank_by_key(
     def _partial_tagged(b: pa.Table) -> pa.Table:
         from ..partition import stable_partition
 
+        key_type = b.schema.field(key).type
         df = b.select([key, val]).to_pandas()
         g = df.groupby([key, val], as_index=False, dropna=False).size()
         g = g.rename(columns={"size": "n"})
-        g["_part"] = stable_partition(g[key], n_parts)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # restore the key's ARROW type before hashing AND shipping:
+        # to_pandas promotes a null-bearing int block to float64, so (a)
+        # hash_array(5) != hash_array(5.0) would split a key across
+        # buckets depending on which block its rows shared with a null
+        # (the stable_partition null-promotion rule), and (b) a float64
+        # key column from one block vs int64 from the rest breaks Arrow
+        # schema unification at the shuffle
+        key_arr = pa.array(g[key], type=key_type, from_pandas=True)
+        g["_part"] = stable_partition(key_arr, n_parts)
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.set_column(t.column_names.index(key), key, key_arr)
 
     def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # per-block partials for a (key, val) pair all carry the key's
@@ -850,8 +862,13 @@ def nearest_rank_by_key(
                 row[name] = [vals[np.searchsorted(cum, (p * cnt) // 100 + 1)]]
             out.append(pd.DataFrame(row))
         if not out:
-            empty = {key: pd.Series([], dtype="object")}
-            empty.update({n: pd.Series([], dtype="float64") for n in pcts})
+            # dtype-stable empty: key and pct columns take the incoming
+            # frame's dtypes (an object/float64 hardcode breaks schema
+            # unification for integer keys or integer metrics)
+            empty = {key: g[key].head(0)}
+            empty.update(
+                {name: pd.Series([], dtype=g[val].dtype) for name in pcts}
+            )
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 

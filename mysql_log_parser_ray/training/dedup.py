@@ -914,12 +914,7 @@ def simhash_near_pairs(
         # fixed n_chunks rows per doc: the whole explode is numpy
         # tile/repeat plus an Arrow take for the id column (per-row
         # extend() loops were the stage's Python tail)
-        keys = np.empty((n_chunks, nd), dtype=np.int64)
-        for chunk in range(n_chunks):
-            lo, hi = bounds[chunk], bounds[chunk + 1]
-            keys[chunk] = (
-                (s >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
-            ).astype(np.int64)
+        keys = _chunk_keys(s).T
         idx = np.tile(np.arange(nd, dtype=np.int64), n_chunks)
         return pa.table(
             {
@@ -1154,6 +1149,10 @@ def embedding_dup_pairs(
         return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
     if n_planes is None:
+        # the count() sizing pass and the map_batches explode both consume
+        # the dataset — materialize first or the whole upstream pipeline
+        # runs twice (CLAUDE.md consumed-twice rule)
+        emb_ds = emb_ds.materialize()
         n_planes = auto_planes(emb_ds.count(), target_bucket)
     if not 1 <= n_planes <= 30:
         raise ValueError(f"n_planes must be in [1, 30], got {n_planes}")

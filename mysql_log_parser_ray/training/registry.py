@@ -1067,7 +1067,7 @@ def _simhash_oracle_sql() -> str:
           FROM tf JOIN wb USING (word) CROSS JOIN range(64) r(i)
           GROUP BY 1, 2
         ),
-        sig AS (
+        sig0 AS (
           SELECT doc_id,
             SUM(CASE WHEN bit < 32 AND s > 0
                 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
@@ -1076,6 +1076,13 @@ def _simhash_oracle_sql() -> str:
                 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER))
                 ELSE 0 END) AS hi
           FROM acc GROUP BY 1
+        ),
+        -- a doc with ZERO (in-vocabulary) words has signature 0 on the
+        -- engine side (packbits of an all-zero accumulator); LEFT JOIN +
+        -- COALESCE keeps it in the pair space instead of dropping it
+        sig AS (
+          SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+          FROM documents d LEFT JOIN sig0 s USING (doc_id)
         ),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -236,3 +236,32 @@ def test_incremental_counts_match_one_shot(ray_session, tmp_path):
     via_alias = incremental_class_counts([alias, b], state)
     pd.testing.assert_frame_equal(via_alias, both)
     assert len(ingested_files(state)) == 2
+
+
+def test_incremental_key_scheme_guard(tmp_path):
+    """A state dir with partials but no (or a stale) key-scheme marker
+    fails fast instead of silently double-counting re-keyed files."""
+    import os
+
+    import pytest
+
+    from mysql_log_parser_ray.pipelines.incremental import (
+        _check_key_scheme,
+    )
+
+    state = tmp_path / "state"
+    os.makedirs(state / "partials")
+    (state / "partials" / "day1-deadbeef.parquet").write_bytes(b"x")
+    with pytest.raises(RuntimeError, match="predates key-scheme"):
+        _check_key_scheme(str(state))
+
+    state2 = tmp_path / "state2"
+    os.makedirs(state2)
+    (state2 / "key_scheme").write_text("abspath-v1")
+    with pytest.raises(RuntimeError, match="abspath-v1"):
+        _check_key_scheme(str(state2))
+
+    state3 = tmp_path / "state3"
+    _check_key_scheme(str(state3))  # fresh dir: writes the marker
+    assert (state3 / "key_scheme").read_text() == "realpath-v2"
+    _check_key_scheme(str(state3))  # idempotent

@@ -561,3 +561,28 @@ def test_topk_exact_via_sketch(ray_session):
     got_u = topk_exact_via_sketch(uni, "user_id", topn=10, k=4, n_total=5000)
     want_u = _exact_topk(uni, "user_id", topn=10)
     pd.testing.assert_frame_equal(got_u, want_u)
+
+
+def test_nearest_rank_by_key_null_promotion_stable(ray_session):
+    """An int64 key whose batch contains a null must hash and ship at its
+    ARROW type: pandas promotes the block to float64 and a float-hashed
+    key would land in a different bucket (and a different column dtype)
+    than its null-free blocks - one output row per key, not fragments."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.stages.aggregate import nearest_rank_by_key
+
+    clean = pa.table({
+        "k": pa.array([7] * 50, pa.int64()),
+        "v": pa.array([float(i % 5) for i in range(50)], pa.float64()),
+    })
+    dirty = pa.table({
+        "k": pa.array([7] * 50 + [None], pa.int64()),
+        "v": pa.array([float(i % 5) for i in range(50)] + [9.0], pa.float64()),
+    })
+    ds = rd.from_arrow([clean, dirty])
+    out = nearest_rank_by_key(ds, "k", "v", {"med": 50}).to_pandas()
+    counts = out.groupby("k", dropna=False).size()
+    assert counts.loc[7] == 1  # the key never split across buckets
+    assert out.loc[out["k"] == 7, "med"].iloc[0] == 2.0
