@@ -279,7 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs", "simhash_pairs", "media_decode",
         "docs_curated",
         # new this round (no CORRECTNESS row yet either)
-        "incremental_class_counts",
+        "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})

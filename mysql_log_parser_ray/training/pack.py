@@ -105,3 +105,78 @@ def pack_sequences(
     if out.empty:
         return empty
     return out.sort_values([key_col, id_col]).reset_index(drop=True)
+
+
+def chunk_documents(
+    docs_ds,
+    chunk_tokens: int = 16,
+    overlap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = False,
+):
+    """Sliding-window chunking for training prep: whitespace tokens,
+    window ``chunk_tokens``, stride ``chunk_tokens - overlap``. A doc with
+    n <= chunk_tokens tokens is one chunk; otherwise chunks start at
+    0, stride, 2*stride, ... with ``n_chunks = 1 + ceil((n - chunk) /
+    stride)`` — every token is covered and the final chunk may be short
+    (always > 0 tokens by construction). Fully order-defined arithmetic,
+    so it is SQL-expressible and partitioning-invariant.
+
+    Scale shape: counts come from the shared vectorized
+    ``ws_token_counts``; the explode is numpy repeat/arange (no joins, no
+    shuffle — chunk rows stay in their producing block). Default output
+    is the numeric (doc_id, chunk_seq, n_chunk_tokens) map; with_text=True
+    additionally materializes each chunk's text (a per-row slice loop —
+    at real scale the loader slices the pre-tokenized int arrays instead,
+    and the numeric map here is what makes that slicing deterministic).
+
+    Returns a Dataset (chunk-cardinality; collecting is the caller's
+    choice).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    from .text import _WS_RE, ws_token_counts
+
+    def _chunks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # np.repeat crashes on 0-row blocks
+            cols = {
+                id_col: b[id_col],
+                "chunk_seq": pa.array([], pa.int64()),
+                "n_chunk_tokens": pa.array([], pa.int64()),
+            }
+            if with_text:
+                cols["chunk_text"] = pa.array([], pa.string())
+            return pa.table(cols)
+        s = pd.Series(b[text_col].to_pandas())
+        n = ws_token_counts(s).to_numpy()
+        nch = np.where(
+            n <= chunk_tokens,
+            1,
+            1 + np.ceil((n - chunk_tokens) / stride),
+        ).astype(np.int64)
+        rep = np.repeat(np.arange(len(n), dtype=np.int64), nch)
+        seq = np.arange(rep.size, dtype=np.int64) - np.repeat(
+            np.cumsum(nch) - nch, nch
+        )
+        ntok = np.minimum(chunk_tokens, n[rep] - seq * stride)
+        ids = b[id_col].combine_chunks().take(pa.array(rep))
+        cols = {
+            id_col: ids,
+            "chunk_seq": pa.array(seq, pa.int64()),
+            "n_chunk_tokens": pa.array(ntok, pa.int64()),
+        }
+        if with_text:
+            words = s.str.strip(" \t\n\r\x0b\x0c").str.split(_WS_RE)
+            texts = [
+                " ".join(words.iloc[d][q * stride: q * stride + chunk_tokens])
+                for d, q in zip(rep, seq)
+            ]
+            cols["chunk_text"] = pa.array(texts, pa.string())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(
+        _chunks, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -44,6 +44,36 @@ def q_doc_token_counts(sf_dir: str):
     return out
 
 
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window chunking (training/pack.py:chunk_documents): the
+    deterministic (doc_id, chunk_seq, n_chunk_tokens) map at window 16 /
+    overlap 4 — pure arithmetic over whitespace token counts, so the
+    oracle recomputes it in closed form."""
+    from .pack import chunk_documents
+
+    from ..util import typed_empty
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, chunk_tokens=16, overlap=4).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return typed_empty(
+            doc_id="int64", chunk_seq="int64", n_chunk_tokens="int64"
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "chunk_seq"]).reset_index(drop=True)
+
+
+def q_docs_mixture_sample(sf_dir: str):
+    """Equal-per-source mixture sampling (training/mix.py, alpha=0):
+    integer-exact per-source cutoffs on doc_id % 10000, so the oracle
+    recomputes the identical sample."""
+    from .mix import source_mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return source_mixture_sample(ds, alpha=0.0, denom=10_000)
+
+
 def q_doc_pack_stats(sf_dir: str):
     """Sequence packing (training/pack.py) rolled up per pack: the
     deterministic doc->pack map aggregated to (source, pack_id, n_docs,
@@ -962,6 +992,8 @@ def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
         "doc_pack_stats": q_doc_pack_stats,
+        "doc_chunks": q_doc_chunks,
+        "docs_mixture_sample": q_docs_mixture_sample,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1304,6 +1336,41 @@ def register_oracles():
                    COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS BIGINT) AS n_ws_tokens
             FROM documents GROUP BY 1
+        """,
+        "doc_chunks": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS n
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n,
+                     CASE WHEN n <= 16 THEN 1
+                          ELSE 1 + CAST(ceil((n - 16) / 12.0) AS BIGINT)
+                     END AS n_chunks
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(u.i AS BIGINT) AS chunk_seq,
+                   CAST(least(16, n - u.i * 12) AS BIGINT) AS n_chunk_tokens
+            FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+        """,
+        "docs_mixture_sample": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+            ), m AS (SELECT MIN(n_docs) AS mn FROM c),
+            k AS (
+              SELECT source, n_docs,
+                     LEAST(10000, 10000 * m.mn // n_docs) AS cutoff
+              FROM c, m
+            )
+            SELECT k.source,
+                   CAST(k.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN d.doc_id % 10000 < k.cutoff
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_sampled,
+                   CAST(k.cutoff AS BIGINT) AS cutoff
+            FROM k JOIN documents d USING (source)
+            GROUP BY 1, 2, k.cutoff
         """,
         "doc_pack_stats": r"""
             WITH t AS (

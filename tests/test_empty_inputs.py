@@ -87,6 +87,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_open_per_day": ["day", "n_open"],
         "doc_prefix_editsim": ["doc_a", "doc_b", "dist"],
         "incremental_class_counts": ["class_id", "fingerprint", "total_queries"],
+        "doc_chunks": ["doc_id", "chunk_seq", "n_chunk_tokens"],
+        "docs_mixture_sample": ["source", "n_docs", "n_sampled", "cutoff"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

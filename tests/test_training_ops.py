@@ -1289,3 +1289,102 @@ def test_gopher_rules_batch_edges():
     assert r["n_wc_ok"] == 1 and r["n_uniq_ok"] == 0 and r["n_pass"] == 0
     assert s["n_wc_ok"] == 0 and s["n_pass"] == 0
     assert w["n_pass"] == 0
+
+
+def test_chunk_documents_semantics(ray_session):
+    """Window/stride coverage: every token covered, final chunk short but
+    nonempty, single chunk when n <= window, text slices line up."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.pack import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            " ".join(f"w{i}" for i in range(10)),   # n=10 <= 16 -> 1 chunk
+            " ".join(f"w{i}" for i in range(16)),   # n=16 -> exactly 1
+            " ".join(f"w{i}" for i in range(30)),   # n=30 -> 1+ceil(14/12)=3
+        ]),
+    }))
+    out = chunk_documents(
+        docs, chunk_tokens=16, overlap=4, with_text=True
+    ).to_pandas().sort_values(["doc_id", "chunk_seq"]).reset_index(drop=True)
+    by = {d: g for d, g in out.groupby("doc_id")}
+    assert len(by[1]) == 1 and by[1]["n_chunk_tokens"].iloc[0] == 10
+    assert len(by[2]) == 1 and by[2]["n_chunk_tokens"].iloc[0] == 16
+    assert len(by[3]) == 3
+    assert by[3]["n_chunk_tokens"].tolist() == [16, 16, 6]
+    # chunk 2 of doc 3 starts at token 24 and has 6 tokens
+    assert by[3]["chunk_text"].iloc[2] == " ".join(f"w{i}" for i in range(24, 30))
+    # overlap: chunk 1 starts at stride 12, repeating tokens 12..15
+    assert by[3]["chunk_text"].iloc[1].split(" ")[0] == "w12"
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_source_mixture_sample_rebalances(ray_session):
+    """alpha=0: every source's expected keep is ~min_n via integer-exact
+    cutoffs; the smallest source keeps everything."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.mix import source_mixture_sample
+
+    # source A: 10000 docs, B: 1000, C: 100 (ids uniform mod 10000)
+    ids = np.arange(11100, dtype=np.int64)
+    src = np.array(["A"] * 10000 + ["B"] * 1000 + ["C"] * 100)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "source": src}))
+    out = source_mixture_sample(ds, alpha=0.0, denom=10_000).set_index("source")
+    assert out.loc["C", "cutoff"] == 10_000          # smallest keeps all
+    assert out.loc["C", "n_sampled"] == 100
+    assert out.loc["A", "cutoff"] == 100             # 10000*100//10000
+    assert out.loc["B", "cutoff"] == 1000
+    # ids 0..9999 uniform mod denom -> exactly cutoff sampled from A
+    assert out.loc["A", "n_sampled"] == 100
+    assert int(out["n_docs"].sum()) == 11100
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~1-2 min; run with MLPR_BIG_TESTS=1 for the banded-LSH scale check",
+)
+def test_hyperplane_lsh_subquadratic_at_scale(ray_session):
+    """200k vectors: the auto-scaled banded LSH must complete with planted
+    recall intact — at this size an all-pairs fallback (the old fixed
+    256-bucket failure mode: 200k/256 ~ 780-row buckets x 780^2 cosine
+    each) would blow the runtime budget, while bounded buckets keep the
+    verify work ~n * target_bucket."""
+    import time
+
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import auto_planes, embedding_dup_pairs
+
+    n, d = 200_000, 16
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((n, d)).astype(np.float64)
+    dups = base[:20] + 0.003 * rng.standard_normal((20, d))
+    x = np.vstack([base, dups])
+    ids = np.r_[np.arange(n), np.arange(1_000_000, 1_000_020)]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(32).materialize()
+
+    p = auto_planes(n, 256)
+    assert n / 2 ** p <= 2 * 256  # occupancy stays near target
+
+    t0 = time.perf_counter()
+    out = embedding_dup_pairs(ds, threshold=0.95, exhaustive=False)
+    took = time.perf_counter() - t0
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    expected = {(i, 1_000_000 + i) for i in range(20)}
+    assert len(got & expected) >= 18  # banded recall on near-identical pairs
+    assert (out["cosine"] >= 0.95).all()
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+    # generous wall-clock ceiling: all-pairs at this size cannot meet it
+    assert took < 120, f"banded LSH took {took:.0f}s - bucket bound broken?"
