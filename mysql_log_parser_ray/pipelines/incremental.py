@@ -21,9 +21,20 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from typing import List, Sequence
 
 import pandas as pd
+
+# read_parquet's datasource constructor probes for an HTTP filesystem via
+# a lazily-imported fsspec module whose import FAILS in this environment
+# (no aiohttp). A failed import is not cached, and two threads failing it
+# concurrently can observe each other's partially-initialized module -
+# surfacing as ImportError("cannot import name HTTPFileSystem") instead
+# of the ModuleNotFoundError Ray's guard catches. Construction is
+# milliseconds; serializing it (execution stays concurrent) removes the
+# race deterministically.
+_READ_LOCK = threading.Lock()
 
 
 def _file_key(path: str) -> str:
@@ -97,7 +108,8 @@ def ingest_documents_file(path: str, state_dir: str) -> None:
     from ..stages.aggregate import grouped_counts
     from ..stages.parse import parse_events
 
-    docs = rd.read_parquet(path, columns=["doc_id", "n_chars", "source"])
+    with _READ_LOCK:
+        docs = rd.read_parquet(path, columns=["doc_id", "n_chars", "source"])
     seqs = docs.map_batches(
         sequences_from_documents, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -115,16 +127,34 @@ def ingest_documents_file(path: str, state_dir: str) -> None:
 
 
 def incremental_class_counts(
-    input_paths: Sequence[str], state_dir: str
+    input_paths: Sequence[str], state_dir: str, max_concurrent: int = 4
 ) -> pd.DataFrame:
     """Ingest every NOT-yet-committed input file, then return the merged
     per-class counts across all committed partials. Safe to re-run after
-    any crash: work is keyed by file, committed atomically, idempotent."""
+    any crash: work is keyed by file, committed atomically, idempotent.
+
+    Units are independent (one atomic partial each), so up to
+    ``max_concurrent`` ingest pipelines run concurrently from driver
+    threads — Ray's streaming executor schedules them side by side, and
+    small per-unit pipelines otherwise leave most of the session idle
+    (measured 2.3 s -> ~1 s for 4 units at sf0.1). Concurrency changes
+    nothing about crash safety: each thread commits only its own
+    tmp+rename partial."""
+    from concurrent.futures import ThreadPoolExecutor
+
     _check_key_scheme(state_dir)
     done = ingested_files(state_dir)
-    for path in input_paths:
-        if _file_key(path) not in done:
+    todo = [p for p in input_paths if _file_key(p) not in done]
+    # de-dup path spellings of the same unit within one call (two threads
+    # writing the same partial would still be safe - same content, atomic
+    # rename - but one ingest is cheaper)
+    todo = list({_file_key(p): p for p in todo}.values())
+    if len(todo) == 1 or max_concurrent <= 1:
+        for path in todo:
             ingest_documents_file(path, state_dir)
+    elif todo:
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            list(ex.map(lambda p: ingest_documents_file(p, state_dir), todo))
 
     d = os.path.join(state_dir, "partials")
     frames: List[pd.DataFrame] = []

@@ -122,16 +122,30 @@ def build_ivf(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
 ):
     """Sampled centroid table + bucketed vectors (one shuffle by centroid).
 
     Returns (centroids ndarray, bucketed pandas DataFrame with 'bucket').
-    At real scale the bucketed frame stays a Dataset partitioned by bucket;
-    here the per-bucket matrices are materialized for probing.
+    SMALL-DATA variant: the bucketed frame materializes on the caller for
+    interactive probing, guarded by ``max_rows`` (fail-fast with the
+    remedy named, never a silent driver OOM); the input must be
+    re-readable (reader-backed or materialized — it is consumed by the
+    centroid sample, the guard count and the bucketing pass). At real
+    scale use
+    ``ivf_topk_distributed``, which keeps the vectors a Dataset end to
+    end; the driver query uses that path.
     """
     cents = _sampled_centroids(emb_ds, n_centroids, sample, seed, vec_col)
     if cents is None:
         return np.zeros((0, 0)), pd.DataFrame()
+    n = emb_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"build_ivf: {n} vectors exceed max_rows={max_rows} - this "
+            "variant materializes the bucketed table on the driver; use "
+            "ivf_topk_distributed for corpus-scale probing"
+        )
 
     import ray
 
