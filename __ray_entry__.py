@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated",
         # new this round (no CORRECTNESS row yet either)
         "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
+        "docs_near_dedup",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})

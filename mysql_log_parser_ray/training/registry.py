@@ -74,6 +74,77 @@ def q_docs_mixture_sample(sf_dir: str):
     return source_mixture_sample(ds, alpha=0.0, denom=10_000)
 
 
+def q_docs_near_dedup(sf_dir: str, drop_broadcast_limit: int = 5_000_000):
+    """END-TO-END near-dup curation composite: n-gram-jaccard near-dup
+    pair graph (threshold 0.5) -> connected components -> keep each
+    cluster's minimum doc_id -> per-source (n_docs, n_kept). Pairs stay a
+    Dataset into the label-propagation rounds; what collects is the
+    CLUSTERED-doc map (dup-cardinality), and the drop set broadcasts with
+    a fail-fast bound (past it, route the drop set through the
+    curate-style left_anti join instead of a broadcast)."""
+    from ..util import typed_empty
+    from .dedup import ngram_jaccard_pairs
+    from .graph import connected_components
+
+    text_ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(text_ds, threshold=0.5, as_dataset=True)
+    cc_ds = connected_components(pairs)
+    n_clustered = cc_ds.count()
+    if n_clustered > drop_broadcast_limit:
+        raise ValueError(
+            f"docs_near_dedup: {n_clustered} clustered docs exceed "
+            f"drop_broadcast_limit={drop_broadcast_limit}; route the drop "
+            "set through a left_anti join (curate.py shape) instead"
+        )
+    cc = cc_ds.to_pandas()
+    if "node" in cc.columns and len(cc):
+        drop = set(cc.loc[cc["node"] != cc["cluster_rep"], "node"].tolist())
+    else:
+        drop = set()
+
+    import ray
+
+    from ..broadcast import broadcast_get
+
+    ref = ray.put(drop)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if "source" not in b.column_names:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+            })
+        dr = broadcast_get(ref)
+        src = pd.Series(b["source"].to_pandas())
+        ids = b["doc_id"].to_pandas()
+        kept = ~ids.isin(dr)
+        g = pd.DataFrame({"source": src, "kept": kept.astype("int64")})
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_kept", alias_name="n_kept"))
+        .to_pandas()
+    )
+    if "source" not in out.columns or not len(out):
+        return typed_empty(source="object", n_docs="int64", n_kept="int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_doc_pack_stats(sf_dir: str):
     """Sequence packing (training/pack.py) rolled up per pack: the
     deterministic doc->pack map aggregated to (source, pack_id, n_docs,
@@ -994,6 +1065,7 @@ def register_queries():
         "doc_pack_stats": q_doc_pack_stats,
         "doc_chunks": q_doc_chunks,
         "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_near_dedup": q_docs_near_dedup,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1504,6 +1576,28 @@ def register_oracles():
             )
             SELECT node AS doc_id, MIN(label) AS cluster_rep
             FROM walk GROUP BY 1
+        """,
+        "docs_near_dedup": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+            und AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM und),
+            walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT und.v, walk.label FROM walk JOIN und ON und.u = walk.node
+            ),
+            cc AS (SELECT node, MIN(label) AS rep FROM walk GROUP BY 1),
+            dropped AS (SELECT node AS doc_id FROM cc WHERE node <> rep)
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN dropped dr USING (doc_id)
+            GROUP BY 1
         """,
         "docs_curated": r"""
             WITH q AS (

@@ -89,6 +89,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "incremental_class_counts": ["class_id", "fingerprint", "total_queries"],
         "doc_chunks": ["doc_id", "chunk_seq", "n_chunk_tokens"],
         "docs_mixture_sample": ["source", "n_docs", "n_sampled", "cutoff"],
+        "docs_near_dedup": ["source", "n_docs", "n_kept"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
