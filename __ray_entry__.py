@@ -280,7 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated",
         # new this round (no CORRECTNESS row yet either)
         "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
-        "docs_near_dedup",
+        "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
+        "source_word_kl",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})

@@ -1059,6 +1059,226 @@ def q_doc_prefix_editsim(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_docs_rep_bigram(sf_dir: str):
+    """Gopher-style intra-doc REPETITION rule (Rae et al. 2021 §A1.1:
+    "fraction of characters in the most frequent word 2-gram"), restated
+    integer-exact so the DuckDB oracle evaluates identical arithmetic:
+    a doc is flagged when its top adjacent-word-bigram count covers at
+    least 1/16 of its bigrams (``16 * top_cnt >= n_bigrams``; 1/16 sits
+    inside the measured corpus ratio band 0.02-0.11, so the flag
+    discriminates).
+
+    Scale shape: a document lives wholly inside one row/one block, so the
+    per-doc top-bigram count is block-local — bigram text NEVER leaves the
+    batch fn; blocks emit source-cardinality partial count rows and one
+    driver fold sums them (`_fold_partials`, bounded by sources x blocks).
+    """
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    cols = ["n_docs", "n_bigram_docs", "n_flagged", "sum_top_cnt"]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 **{c: pa.array([], pa.int64()) for c in cols}}
+            )
+        s = b["text"].to_pandas()
+        words = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE)
+        ex = words.explode()
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = ex + " " + nxt  # NaN at each doc's last word
+        valid = bg.notna()
+        cnt = (
+            pd.DataFrame({"doc": bg.index[valid], "bg": bg[valid].to_numpy()})
+            .groupby(["doc", "bg"], sort=False)
+            .size()
+        )
+        per_doc = cnt.groupby(level=0)
+        top = per_doc.max().reindex(s.index)
+        n_bg = per_doc.sum().reindex(s.index)
+        has = top.notna()
+        out = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas(),
+                "n_docs": np.ones(len(s), dtype=np.int64),
+                "n_bigram_docs": has.to_numpy().astype(np.int64),
+                "n_flagged": ((16 * top >= n_bg) & has)
+                .to_numpy()
+                .astype(np.int64),
+                "sum_top_cnt": top.fillna(0).to_numpy().astype(np.int64),
+            }
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _fold_partials(
+        ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["source"], cols,
+    )
+    if out is None:
+        return typed_empty(source=object, **{c: "int64" for c in cols})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_docs_len_trim(sf_dir: str):
+    """Global length-percentile trim: keep docs whose n_chars sits inside
+    the corpus-wide nearest-rank [P5, P95] band, report per-source kept
+    counts/chars plus the thresholds.
+
+    Scale shape: pass 1 folds per-block (n_chars -> count) HISTOGRAM
+    partials on the driver (bounded by distinct document lengths x blocks
+    — doc lengths are generator-bounded; for unbounded value domains use
+    the GK sketch in state/gk.py instead) and derives both nearest-rank
+    thresholds from one cumsum; pass 2 re-reads only (source, n_chars),
+    filters worker-side against the two broadcast scalars and folds
+    source-cardinality partials. The text column never leaves storage."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+
+    out_cols = ["n_docs", "n_kept", "kept_chars"]
+    hist = _fold_partials(
+        _read(sf_dir, "documents", columns=["n_chars"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "n_chars": np.unique(b["n_chars"].to_numpy()),
+                    "cnt": np.unique(b["n_chars"].to_numpy(),
+                                     return_counts=True)[1].astype(np.int64),
+                }
+            )
+            if b.num_rows
+            else pa.table({"n_chars": pa.array([], pa.int64()),
+                           "cnt": pa.array([], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        ["n_chars"], ["cnt"],
+    )
+    if hist is None:
+        return typed_empty(
+            source=object, **{c: "int64" for c in out_cols},
+            p05="int64", p95="int64",
+        )
+    hist = hist.sort_values("n_chars")
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    p05 = int(hist.loc[cum >= max(1, (5 * n) // 100), "n_chars"].iloc[0])
+    p95 = int(hist.loc[cum >= max(1, (95 * n) // 100), "n_chars"].iloc[0])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()
+        keep = t["n_chars"].between(p05, p95)
+        out = pd.DataFrame(
+            {
+                "source": t["source"],
+                "n_docs": np.ones(len(t), dtype=np.int64),
+                "n_kept": keep.to_numpy().astype(np.int64),
+                "kept_chars": np.where(keep, t["n_chars"], 0).astype(np.int64),
+            }
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _fold_partials(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["source"], out_cols,
+    )
+    if out is None:  # unreachable once hist was non-empty; typed anyway
+        return typed_empty(
+            source=object, **{c: "int64" for c in out_cols},
+            p05="int64", p95="int64",
+        )
+    for c in out_cols:
+        out[c] = out[c].astype("int64")
+    out["p05"] = np.int64(p05)
+    out["p95"] = np.int64(p95)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_source_word_kl(sf_dir: str, max_fold_rows: int = 2_000_000):
+    """Per-source unigram KL-divergence TERMS vs the corpus distribution:
+    for every (source, word), p_s(w) * ln(p_s(w) / p_c(w)) — the
+    summands of KL(source || corpus) — plus the exact integer counts
+    they derive from. Per-term rows keep the oracle float-exact (no
+    order-dependent double SUM on either side; each row is independent
+    divide/ln arithmetic evaluated identically by numpy and DuckDB,
+    rounded at 6dp like doc_top_terms' idf).
+
+    Scale shape: blocks emit (source, word, count) partials combined
+    per-batch (bounded by sources x block vocabulary); the output itself
+    is sources x vocabulary rows, so the driver fold is output-cardinality.
+    The partial Dataset is materialized once and count()-guarded BEFORE
+    the collect (CLAUDE.md fail-fast rule); web-scale vocabularies should
+    bucket by word hash first (word_doc_freq's shape)."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "word": pa.array([], pa.string()),
+                 "c_sw": pa.array([], pa.int64())}
+            )
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        part = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_pandas()
+                    .reindex(ex.index[mask])
+                    .to_numpy(),
+                    "word": ex[mask].to_numpy(),
+                }
+            )
+            .groupby(["source", "word"], as_index=False)
+            .size()
+            .rename(columns={"size": "c_sw"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    n_part_rows = parts.count()
+    if n_part_rows > max_fold_rows:
+        raise ValueError(
+            f"source_word_kl: {n_part_rows} partial rows exceed the driver "
+            f"fold bound {max_fold_rows}; bucket by word hash "
+            "(word_doc_freq's stable_partition shape) before folding"
+        )
+    agg = _fold_partials(parts, ["source", "word"], ["c_sw"])
+    if agg is None:
+        return typed_empty(
+            source=object, word=object, c_sw="int64", c_s="int64",
+            c_w="int64", log_ratio="float64", kl_term="float64",
+        )
+    agg["c_sw"] = agg["c_sw"].astype("int64")
+    c_s = agg.groupby("source")["c_sw"].transform("sum").to_numpy(np.float64)
+    c_w = agg.groupby("word")["c_sw"].transform("sum").to_numpy(np.float64)
+    c_tot = float(agg["c_sw"].sum())
+    p_s = agg["c_sw"].to_numpy(np.float64) / c_s
+    ratio = p_s / (c_w / c_tot)
+    agg["c_s"] = c_s.astype(np.int64)
+    agg["c_w"] = c_w.astype(np.int64)
+    agg["log_ratio"] = np.round(np.log(ratio), 6)
+    agg["kl_term"] = np.round(p_s * np.log(ratio), 6)
+    return agg.sort_values(["source", "word"]).reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -1093,6 +1313,9 @@ def register_queries():
         "doc_top_terms": q_doc_top_terms,
         "docs_model_score": q_docs_model_score,
         "doc_prefix_editsim": q_doc_prefix_editsim,
+        "docs_rep_bigram": q_docs_rep_bigram,
+        "docs_len_trim": q_docs_len_trim,
+        "source_word_kl": q_source_word_kl,
     }
 
 
@@ -1265,6 +1488,62 @@ def _pii_sql() -> str:
 
 def register_oracles():
     return {
+        "docs_rep_bigram": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+              WHERE len(w) >= 2
+            ), cnt AS (
+              SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, MAX(c) AS top_cnt,
+                     CAST(SUM(c) AS BIGINT) AS n_bg
+              FROM cnt GROUP BY 1
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN top_cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_docs,
+                   CAST(SUM(CASE WHEN 16 * top_cnt >= n_bg THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                   CAST(COALESCE(SUM(top_cnt), 0) AS BIGINT) AS sum_top_cnt
+            FROM toks LEFT JOIN top USING (doc_id)
+            GROUP BY 1
+        """,
+        "docs_len_trim": r"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            ord AS (
+              SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+              FROM documents
+            ), th AS (
+              SELECT CAST(MAX(CASE WHEN rn = GREATEST(1, (5 * n) // 100) THEN n_chars END) AS BIGINT) AS p05,
+                     CAST(MAX(CASE WHEN rn = GREATEST(1, (95 * n) // 100) THEN n_chars END) AS BIGINT) AS p95
+              FROM ord, nn
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN n_chars BETWEEN p05 AND p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN n_chars BETWEEN p05 AND p95 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+                   MAX(p05) AS p05, MAX(p95) AS p95
+            FROM documents, th GROUP BY 1
+        """,
+        "source_word_kl": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), wf AS (SELECT source, word FROM w WHERE word <> ''),
+            sw AS (SELECT source, word, COUNT(*) AS c_sw FROM wf GROUP BY 1, 2),
+            s AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS c_s FROM sw GROUP BY 1),
+            cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS c_tot FROM cw)
+            SELECT sw.source, sw.word, sw.c_sw, s.c_s, cw.c_w,
+                   round(ln((CAST(sw.c_sw AS DOUBLE) / s.c_s) / (CAST(cw.c_w AS DOUBLE) / c_tot)), 6) AS log_ratio,
+                   round((CAST(sw.c_sw AS DOUBLE) / s.c_s) * ln((CAST(sw.c_sw AS DOUBLE) / s.c_s) / (CAST(cw.c_w AS DOUBLE) / c_tot)), 6) AS kl_term
+            FROM sw JOIN s USING (source) JOIN cw USING (word), tot
+        """,
 
 
 

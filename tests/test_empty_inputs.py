@@ -90,6 +90,12 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "doc_chunks": ["doc_id", "chunk_seq", "n_chunk_tokens"],
         "docs_mixture_sample": ["source", "n_docs", "n_sampled", "cutoff"],
         "docs_near_dedup": ["source", "n_docs", "n_kept"],
+        "docs_rep_bigram": ["source", "n_docs", "n_bigram_docs",
+                            "n_flagged", "sum_top_cnt"],
+        "docs_len_trim": ["source", "n_docs", "n_kept", "kept_chars",
+                          "p05", "p95"],
+        "source_word_kl": ["source", "word", "c_sw", "c_s", "c_w",
+                           "log_ratio", "kl_term"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -1388,3 +1388,40 @@ def test_hyperplane_lsh_subquadratic_at_scale(ray_session):
     assert not out.duplicated(["vec_a", "vec_b"]).any()
     # generous wall-clock ceiling: all-pairs at this size cannot meet it
     assert took < 120, f"banded LSH took {took:.0f}s - bucket bound broken?"
+
+
+def test_rep_bigram_rule_semantics(ray_session, tmp_path):
+    """Gopher repetition rule edges: a single-word doc has no bigrams (counts
+    in n_docs only), a doc dominated by one repeated bigram is flagged at
+    the 1/16 coverage threshold, and a diverse doc is not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.training.registry import q_docs_rep_bigram
+
+    texts = [
+        "solo",                                   # 1 word: no bigrams
+        ("spam ham " * 20).strip(),               # 'spam ham' 20/39 >= 1/16
+        " ".join(f"w{i}" for i in range(40)),     # all bigrams distinct: 1/39
+        "a b a b c",                              # top 'a b' = 2 of 4 -> flag
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0", "s0", "s1", "s1"], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_docs_rep_bigram(str(tmp_path)).set_index("source")
+    assert out.loc["s0", "n_docs"] == 2
+    assert out.loc["s0", "n_bigram_docs"] == 1       # 'solo' has none
+    assert out.loc["s0", "n_flagged"] == 1           # spam-ham doc
+    # top bigram of the spam doc: 'spam ham' appears 20 times
+    assert out.loc["s0", "sum_top_cnt"] == 20
+    assert out.loc["s1", "n_flagged"] == 1           # 'a b a b c' only
+    assert out.loc["s1", "sum_top_cnt"] == 1 + 2     # distinct-doc top=1
