@@ -281,7 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (no CORRECTNESS row yet either)
         "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
         "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
-        "source_word_kl",
+        "source_word_kl", "streaming_shard_distinct",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})

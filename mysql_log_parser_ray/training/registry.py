@@ -1144,19 +1144,18 @@ def q_docs_len_trim(sf_dir: str):
     from ..util import typed_empty
 
     out_cols = ["n_docs", "n_kept", "kept_chars"]
+
+    def _hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_chars": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        v, c = np.unique(b["n_chars"].to_numpy(), return_counts=True)
+        return pa.table({"n_chars": v, "cnt": c.astype(np.int64)})
+
     hist = _fold_partials(
         _read(sf_dir, "documents", columns=["n_chars"]).map_batches(
-            lambda b: pa.table(
-                {
-                    "n_chars": np.unique(b["n_chars"].to_numpy()),
-                    "cnt": np.unique(b["n_chars"].to_numpy(),
-                                     return_counts=True)[1].astype(np.int64),
-                }
-            )
-            if b.num_rows
-            else pa.table({"n_chars": pa.array([], pa.int64()),
-                           "cnt": pa.array([], pa.int64())}),
-            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+            _hist, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
         ),
         ["n_chars"], ["cnt"],
     )
@@ -1279,6 +1278,23 @@ def q_source_word_kl(sf_dir: str, max_fold_rows: int = 2_000_000):
     return agg.sort_values(["source", "word"]).reset_index(drop=True)
 
 
+def q_streaming_shard_distinct(sf_dir: str):
+    """Shared-mutable-index driver surface: exact per-shard distinct-text
+    cardinality computed ONLINE against the sharded index actors
+    (state/shard_index.py — the repo's documented raw-actor escape hatch
+    for semantics map_batches can't express). Routing is the first md5
+    byte mod 8, so the DuckDB oracle replicates the sharding bit-for-bit
+    and the result is arrival-order / parallelism invariant by set
+    semantics."""
+    from ..state.shard_index import shard_distinct_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = shard_distinct_counts(ds, "text", n_shards=8)
+    out["shard"] = out["shard"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -1316,6 +1332,7 @@ def register_queries():
         "docs_rep_bigram": q_docs_rep_bigram,
         "docs_len_trim": q_docs_len_trim,
         "source_word_kl": q_source_word_kl,
+        "streaming_shard_distinct": q_streaming_shard_distinct,
     }
 
 
@@ -1528,6 +1545,20 @@ def register_oracles():
                    CAST(SUM(CASE WHEN n_chars BETWEEN p05 AND p95 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
                    MAX(p05) AS p05, MAX(p95) AS p95
             FROM documents, th GROUP BY 1
+        """,
+        "streaming_shard_distinct": r"""
+            WITH h AS (
+              SELECT ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)) % 8 AS shard,
+                     text
+              FROM documents
+            ), c AS (
+              SELECT shard, COUNT(DISTINCT text) AS n_distinct FROM h GROUP BY 1
+            )
+            SELECT CAST(g.s AS BIGINT) AS shard,
+                   CAST(COALESCE(c.n_distinct, 0) AS BIGINT) AS n_distinct
+            FROM (SELECT unnest(range(8)) AS s) g
+            LEFT JOIN c ON c.shard = g.s
         """,
         "source_word_kl": r"""
             WITH w AS (

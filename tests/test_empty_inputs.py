@@ -114,3 +114,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 4
     assert out["n_rows"].tolist() == [0, 0, 0, 0]
     assert out["n_violations"].tolist() == [0, 0, 0, 0]
+    # streaming_shard_distinct always reports every shard (oracle LEFT
+    # JOINs a generated 0..7 series), so empty input means 8 zero rows
+    out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))
+    assert list(out.columns) == ["shard", "n_distinct"]
+    assert len(out) == 8
+    assert out["n_distinct"].tolist() == [0] * 8

@@ -1425,3 +1425,29 @@ def test_rep_bigram_rule_semantics(ray_session, tmp_path):
     assert out.loc["s0", "sum_top_cnt"] == 20
     assert out.loc["s1", "n_flagged"] == 1           # 'a b a b c' only
     assert out.loc["s1", "sum_top_cnt"] == 1 + 2     # distinct-doc top=1
+
+
+def test_streaming_dedup_filter_exactly_one_survivor(ray_session):
+    """Shared-mutable-index stage: the online filter keeps exactly one row
+    per distinct text no matter how rows scatter across blocks (actor
+    mailboxes serialize racing check_and_add calls), and the counting
+    surface equals the exact distinct count with all shards reported."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mysql_log_parser_ray.state.shard_index import (
+        shard_distinct_counts,
+        streaming_dedup_filter,
+    )
+
+    texts = [f"text number {i % 40}" for i in range(1000)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(16)
+    out = streaming_dedup_filter(ds, "text").to_pandas()
+    assert len(out) == 40
+    assert sorted(out["text"]) == sorted(f"text number {k}" for k in range(40))
+
+    ds2 = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(16)
+    counts = shard_distinct_counts(ds2, "text")
+    assert len(counts) == 8
+    assert counts["shard"].tolist() == list(range(8))
+    assert counts["n_distinct"].sum() == 40
