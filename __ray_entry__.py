@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q.q_customers_no_urgent,
         "users_funnel_outer": q.q_users_funnel_outer,
         "user_event_paths": q.q_user_event_paths,
+        "user_transition_counts": q.q_user_transition_counts,
         "events_cum_daily": q.q_events_cum_daily,
         "events_daily_dense": q.q_events_daily_dense,
         "conversion_attribution": q.q_conversion_attribution,
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
         "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
         "source_word_kl", "streaming_shard_distinct",
+        "user_transition_counts",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})
@@ -521,6 +523,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF JOIN dim d
               ON e.user_id = d.user_id AND e.ts >= d.valid_from
             GROUP BY 1
+        """,
+        "user_transition_counts": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS next_type
+              FROM events
+            )
+            SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+            FROM o WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "user_event_paths": """
             WITH o AS (

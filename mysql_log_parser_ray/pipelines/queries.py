@@ -2069,6 +2069,60 @@ def q_user_event_paths(sf_dir: str):
     return out.sort_values("path").reset_index(drop=True)
 
 
+def q_user_transition_counts(sf_dir: str):
+    """Per-user Markov transition matrix: how often event_type A is
+    IMMEDIATELY followed by B inside one user's (ts, event_id)-ordered
+    stream, summed over all users — the behavioral n-gram feature op.
+
+    Scale shape: the sessionize pattern — hash-bucket users (64 via
+    stable_partition, whole user per bucket), ONE lexsort per bucket,
+    transitions from a vectorized shift compare (pair rows whose
+    successor is the same user), and only (prev, next, n) partials —
+    type-cardinality squared — leave each bucket; the driver folds
+    64 x |types|^2 rows, never events."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "_part": pa.array(stable_partition(b["user_id"], 64), pa.int64()),
+            }
+        )
+
+    def _trans(g: "pd.DataFrame") -> "pd.DataFrame":
+        o = np.lexsort(
+            (g["event_id"].to_numpy(), g["us"].to_numpy(), g["user_id"].to_numpy())
+        )
+        u = g["user_id"].to_numpy()[o]
+        et = g["event_type"].to_numpy()[o]
+        same = u[1:] == u[:-1]
+        return (
+            pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    out = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("_part")
+        .map_groups(_trans, batch_format="pandas"),
+        ["prev_type", "next_type"], ["n"],
+    )
+    if out is None:  # empty input
+        return _typed_empty(prev_type=object, next_type=object, n="int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def q_events_cum_daily(sf_dir: str):
     """Per-type daily counts with a RUNNING cumulative total (ordered
     prefix aggregation). The distributed part folds events to

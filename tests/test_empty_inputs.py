@@ -96,6 +96,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                           "p05", "p95"],
         "source_word_kl": ["source", "word", "c_sw", "c_s", "c_w",
                            "log_ratio", "kl_term"],
+        "user_transition_counts": ["prev_type", "next_type", "n"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
