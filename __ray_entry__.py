@@ -271,7 +271,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample", "word_doc_freq", "docs_gopher_rules",
         "gram_source_except", "docs_weighted_sample", "doc_top_terms",
         "docs_model_score", "doc_prefix_editsim",
-        # last checked in round 2
+        # new this round (no CORRECTNESS row yet either)
+        "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
+        "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
+        "source_word_kl", "streaming_shard_distinct",
+        "user_transition_counts", "embed_decontam", "word_pmi_topk",
+        "events_latest_value", "orders_big_quantity", "events_value_mad",
+        "events_minute_top_heavy", "doc_winnow_dups",
+        # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
         "part_type_stats", "doc_token_counts", "doc_bpe_tokens",
@@ -279,11 +286,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk", "ann_ivf_topk", "embed_dup_pairs", "minhash_pairs",
         "ngram_jaccard_pairs", "simhash_pairs", "media_decode",
         "docs_curated",
-        # new this round (no CORRECTNESS row yet either)
-        "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
-        "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
-        "source_word_kl", "streaming_shard_distinct",
-        "user_transition_counts",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})

@@ -408,6 +408,31 @@ def q_embed_nn_join(sf_dir: str):
     return nn_join_broadcast(ds)
 
 
+def q_embed_decontam(sf_dir: str):
+    """Embedding-space decontamination: training vectors (vec_id % 97 != 0,
+    the decontam benchmark-subset convention) whose best rounded cosine
+    against the broadcast eval subset (vec_id % 97 == 0) reaches 0.3; see
+    training/similarity.py embedding_decontam."""
+    from .similarity import embedding_decontam
+
+    def _mod_filter(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if keep_eval else (ids % 97 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = emb.map_batches(
+        _mod_filter(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ev = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _mod_filter(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return embedding_decontam(train, ev, threshold=0.3)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: the ngram-jaccard near-dup pair graph
     (threshold 0.5, the q_ngram_jaccard_pairs edge set) closed under
@@ -564,6 +589,144 @@ def q_word_doc_freq(sf_dir: str, topn: int = 30):
     out = out.reset_index(drop=True)
     out["idf"] = np.round(np.log(float(n_docs) / out["df"].to_numpy()), 6)
     return out[["word", "df", "idf"]]
+
+
+def q_word_pmi_topk(sf_dir: str, topk: int = 20, min_count: int = 5):
+    """Top-``topk`` adjacent-word pairs by pointwise mutual information —
+    the collocation / multi-word-expression mining stage of a tokenizer /
+    vocab pipeline. pmi = ln((c_xy/N_bi) / ((c_x/N_uni)*(c_y/N_uni))),
+    pairs with c_xy < ``min_count`` dropped, ties (rounded pmi, then pair)
+    ascending words.
+
+    Scale shape: unigram and bigram counts are separate bucket-collapsed
+    folds (stable_partition / stable_pair_partition % 64 — every copy of a
+    key lands in one bucket, so per-bucket sums are global); the bigram
+    payload never shuffles raw, only (w1, w2, partial_n) rows. The PMI
+    join needs global unigram counts per bigram endpoint: the unigram
+    table is vocabulary-sized, broadcast-bounded with a fail-fast guard
+    (the idf-broadcast convention) — past the bound this becomes two word
+    -keyed joins. The final head folds vocabulary²-bounded scored rows,
+    never corpus-sized data."""
+    from ..partition import stable_pair_partition, stable_partition
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n_parts = 64
+
+    def _words(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE)
+
+    def _uni_partial(b: pa.Table) -> pa.Table:
+        w = _words(b["text"].to_pandas()).explode()
+        w = w[w.notna() & (w != "")]
+        part = w.value_counts().rename_axis("word").reset_index(name="n")
+        part["_part"] = stable_partition(part["word"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _bi_partial(b: pa.Table) -> pa.Table:
+        lists = _words(b["text"].to_pandas())
+        ex = lists.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        df = ex.reset_index()
+        df.columns = ["doc", "w"]
+        nxt = df["w"].shift(-1)
+        same_doc = df["doc"].shift(-1) == df["doc"]
+        pairs = pd.DataFrame(
+            {"word_a": df["w"][same_doc], "word_b": nxt[same_doc]}
+        )
+        part = (
+            pairs.groupby(["word_a", "word_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        part["_part"] = stable_pair_partition(
+            part["word_a"], part["word_b"], n_parts
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _collapse_uni(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["n"].sum()
+
+    empty = pd.DataFrame(
+        {
+            "word_a": pd.Series([], dtype="object"),
+            "word_b": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64"),
+        }
+    )
+    uni_ds = (
+        ds.map_batches(
+            _uni_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_part")
+        .map_groups(_collapse_uni, batch_format="pandas")
+        .materialize()  # consumed three times: bound-count, sum, collect
+    )
+    max_vocab_broadcast = 20_000_000
+    n_vocab = uni_ds.count()
+    if n_vocab == 0:
+        return empty
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"word_pmi_topk: vocabulary {n_vocab} exceeds the broadcast "
+            f"bound {max_vocab_broadcast}; the PMI endpoint lookup must "
+            "become two word-keyed joins past this size"
+        )
+    uni = uni_ds.to_pandas()
+    n_uni = float(uni["n"].sum())
+    import ray
+
+    cx_ref = ray.put(uni.set_index("word")["n"])
+
+    # bigram partials materialize once (vocab^2-bounded per block), feeding
+    # both the total-bigram sum and the bucket collapse below.
+    bi_parts = ds.map_batches(
+        _bi_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    from ray.data.aggregate import Sum
+
+    tot = bi_parts.aggregate(Sum("n", alias_name="n"))
+    n_bi = float(tot["n"] or 0)
+    if n_bi == 0:
+        return empty
+
+    from ..broadcast import broadcast_get
+
+    def _bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        # every copy of a (word_a, word_b) pair lands in this one bucket,
+        # so the per-bucket sum is the global pair count and the bucket's
+        # rounded-pmi top-k provably contains its share of the global head
+        cx = broadcast_get(cx_ref)
+        tot = g.groupby(["word_a", "word_b"], as_index=False)["n"].sum()
+        tot = tot[tot["n"] >= min_count]
+        if len(tot) == 0:
+            return empty
+        ca = cx.reindex(tot["word_a"]).to_numpy(dtype=np.float64)
+        cb = cx.reindex(tot["word_b"]).to_numpy(dtype=np.float64)
+        c = tot["n"].to_numpy(dtype=np.float64)
+        # exact SQL expression order: (c/nb) / ((ca/nu) * (cb/nu))
+        tot["pmi"] = np.round(
+            np.log((c / n_bi) / ((ca / n_uni) * (cb / n_uni))), 6
+        )
+        tot["n"] = tot["n"].astype("int64")
+        return tot.sort_values(
+            ["pmi", "word_a", "word_b"], ascending=[False, True, True]
+        ).head(topk)
+
+    cand = (
+        bi_parts.groupby("_part")
+        .map_groups(_bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0 or "word_a" not in cand.columns:
+        return empty
+    out = cand.sort_values(
+        ["pmi", "word_a", "word_b"], ascending=[False, True, True]
+    ).head(topk)
+    return out[["word_a", "word_b", "n", "pmi"]].reset_index(drop=True)
 
 
 def q_media_decode(sf_dir: str):
@@ -1333,6 +1496,8 @@ def register_queries():
         "docs_len_trim": q_docs_len_trim,
         "source_word_kl": q_source_word_kl,
         "streaming_shard_distinct": q_streaming_shard_distinct,
+        "embed_decontam": q_embed_decontam,
+        "word_pmi_topk": q_word_pmi_topk,
     }
 
 
@@ -1696,6 +1861,53 @@ def register_oracles():
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "embed_decontam": r"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), ev AS (
+              SELECT * FROM e WHERE vec_id % 97 = 0
+            ), tr AS (
+              SELECT * FROM e WHERE vec_id % 97 <> 0
+            ), s AS (
+              SELECT tr.vec_id, ev.vec_id AS eval_id,
+                     round(list_cosine_similarity(tr.v, ev.v), 6) AS cos,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY tr.vec_id
+                         ORDER BY round(list_cosine_similarity(tr.v, ev.v), 6) DESC,
+                                  ev.vec_id ASC
+                     ) AS rk
+              FROM tr JOIN ev ON true
+            )
+            SELECT vec_id, eval_id, cos FROM s
+            WHERE rk = 1 AND cos >= 0.3
+            ORDER BY vec_id
+        """,
+        "word_pmi_topk": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(
+                  trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                  '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), uni AS (
+              SELECT word, COUNT(*) AS c FROM (
+                SELECT unnest(w) AS word FROM toks
+              ) WHERE word <> '' GROUP BY 1
+            ), nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+            bi AS (
+              SELECT w[i] AS word_a, w[i+1] AS word_b, COUNT(*) AS c
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+              GROUP BY 1, 2
+            ), nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bi)
+            SELECT word_a, word_b, bi.c AS n,
+                   round(ln((bi.c / nb.n) /
+                            ((ua.c / nu.n) * (ub.c / nu.n))), 6) AS pmi
+            FROM bi
+            JOIN uni ua ON ua.word = word_a
+            JOIN uni ub ON ub.word = word_b, nu, nb
+            WHERE bi.c >= 5
+            ORDER BY pmi DESC, word_a ASC, word_b ASC
+            LIMIT 20
         """,
         "word_doc_freq": r"""
             WITH w AS (

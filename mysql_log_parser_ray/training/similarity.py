@@ -377,3 +377,94 @@ def nn_join_broadcast(
     out["vec_id"] = out["vec_id"].astype("int64")
     out["nn_id"] = out["nn_id"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_decontam(
+    emb_ds,
+    eval_ds,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    max_eval_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """Embedding-space decontamination: every training vector whose best
+    cosine against the BROADCAST eval/benchmark matrix reaches
+    ``threshold``, with the offending eval id.
+
+    The semantic twin of the 13-gram text decontamination
+    (training/decontam.py) in embedding space: the eval set is the small
+    side by construction, ships once via ``ray.put``, and the training
+    corpus streams through one ``(n_batch, d) @ (d, n_eval)`` matmul per
+    batch — nothing corpus-sized ever sits on the driver or a worker.
+    Ranking and the threshold test use the ROUNDED cosine (the
+    nn_join_broadcast convention) so the result is engine-invariant;
+    eval-id ties break ascending. The eval matrix must fit a worker
+    (fail-fast guard); a larger eval side would go through the tile
+    cross-product pattern instead.
+    """
+    import ray
+
+    ev = eval_ds.select_columns([id_col, vec_col]).materialize()
+    n_eval = ev.count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"embedding_decontam: {n_eval} eval vectors exceed "
+            f"max_eval_rows={max_eval_rows} - the broadcast eval matrix "
+            "would not fit a worker; use the tile cross-product pattern "
+            "(embedding_dup_pairs_tiles shape) instead"
+        )
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "eval_id": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+    if n_eval == 0:
+        return empty
+    cand = ev.to_pandas().sort_values(id_col).reset_index(drop=True)
+    cand_ids = cand[id_col].to_numpy(dtype=np.int64)
+    X = _normalize(
+        np.ascontiguousarray(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
+    )
+    ref = ray.put((cand_ids, X))
+
+    from ..broadcast import broadcast_get
+
+    def _hits(batch: pa.Table) -> pa.Table:
+        ids_c, Xc = broadcast_get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "eval_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        x = _normalize(_to_matrix(batch[vec_col]))
+        ids_b = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = np.round(x @ Xc.T, round_dp)
+        # candidates are sorted by id: first maximum == smallest eval_id
+        best = np.argmax(sims, axis=1)
+        best_sim = sims[np.arange(len(best)), best]
+        hit = best_sim >= threshold
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": ids_b[hit].astype(np.int64),
+                    "eval_id": ids_c[best[hit]],
+                    "cos": best_sim[hit],
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out = emb_ds.map_batches(
+        _hits, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if "vec_id" not in out.columns:  # all batches empty -> schema dropped
+        return empty
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["eval_id"] = out["eval_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
