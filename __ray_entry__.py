@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_topk": q.q_token_bigram_topk,
         "events_hash_sample": q.q_events_hash_sample,
         "distinct_users_per_type": q.q_distinct_users_per_type,
+        "events_latest_value": q.q_events_latest_value,
+        "orders_big_quantity": q.q_orders_big_quantity,
+        "events_value_mad": q.q_events_value_mad,
         "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
@@ -985,6 +988,51 @@ def oracle_sql() -> dict[str, str]:
                    MAX(p_size) AS max_size,
                    CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
             FROM part GROUP BY 1
+        """,
+        "events_latest_value": """
+            WITH r AS (
+              SELECT user_id, event_type, value,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts DESC, event_id DESC
+                     ) AS rk
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS latest_value_cents
+            FROM r WHERE rk = 1 GROUP BY 1
+        """,
+        "orders_big_quantity": """
+            WITH t AS (
+              SELECT l_orderkey, SUM(l_quantity) AS s
+              FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(floor(t.s) AS BIGINT) AS total_qty,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+            ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100
+        """,
+        "events_value_mad": """
+            WITH m AS (
+              SELECT round(quantile_cont(value, 0.5), 6) AS med
+              FROM events WHERE value IS NOT NULL
+            ), d AS (
+              SELECT abs(e.value - m.med) AS dev
+              FROM events e, m WHERE e.value IS NOT NULL
+            ), s AS (
+              SELECT round(quantile_cont(dev, 0.5), 6) AS mad FROM d
+            )
+            SELECT e.event_type,
+                   CAST(COUNT(*) FILTER (
+                       WHERE abs(e.value - m.med) > 3 * s.mad
+                   ) AS BIGINT) AS n_outliers,
+                   m.med AS med, s.mad AS mad
+            FROM events e, m, s
+            GROUP BY 1, m.med, s.mad
         """,
     }
     try:

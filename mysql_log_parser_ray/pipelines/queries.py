@@ -2736,3 +2736,293 @@ def q_events_validation(sf_dir: str):
         ("r_props_json", "regex", ("props", r"\{.*\}")),
     ]
     return validate(ev, rules)
+
+
+def q_events_latest_value(sf_dir: str):
+    """CDC / log-compaction: the LATEST event per (user_id, event_type) key
+    under the (ts DESC, event_id DESC) total order, aggregated per type.
+
+    The keep-newest-per-key upsert shape: per-batch argmax partials (latest
+    is associative, so a batch reduces to at most its own key count), then
+    the stable_pair_partition bucket-collapse — every copy of a key lands
+    in one bucket, so the per-bucket argmax is the global latest; only
+    (key, ts, event_id, value) partial rows ever shuffle and the driver
+    folds 64 x n_types aggregate rows, never keys."""
+    import pandas as pd
+
+    from ..partition import stable_pair_partition
+
+    ev = _read(
+        sf_dir, "events",
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+    n_parts = 64
+    sort_cols = ["user_id", "event_type", "ts", "event_id"]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["ts"].notna()]
+        df = df.sort_values(sort_cols, ascending=[True, True, False, False])
+        latest = df.drop_duplicates(["user_id", "event_type"])
+        latest = latest.copy()
+        latest["_part"] = stable_pair_partition(
+            latest["user_id"], latest["event_type"], n_parts
+        )
+        return pa.Table.from_pandas(latest, preserve_index=False)
+
+    def _collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(sort_cols, ascending=[True, True, False, False])
+        latest = g.drop_duplicates(["user_id", "event_type"])
+        cents = np.floor(latest["value"].to_numpy() * 100 + 0.5)
+        agg = (
+            pd.DataFrame(
+                {"event_type": latest["event_type"].to_numpy(), "cents": cents}
+            )
+            .groupby("event_type", as_index=False)
+            .agg(n_keys=("cents", "size"), latest_value_cents=("cents", "sum"))
+        )
+        return agg
+
+    parts = (
+        ev.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    import pandas as pd
+
+    if len(parts) == 0 or "event_type" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "n_keys": pd.Series([], dtype="int64"),
+                "latest_value_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_keys", "latest_value_cents"]
+    ].sum()
+    out["n_keys"] = out["n_keys"].astype("int64")
+    out["latest_value_cents"] = out["latest_value_cents"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_orders_big_quantity(sf_dir: str, qty_threshold: float = 300.0,
+                          max_survivors: int = 5_000_000):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds the
+    threshold, joined back to the order header — the classic big-big join
+    collapsed to a tiny one by aggregating the fact side FIRST.
+
+    lineitem reduces to per-block (orderkey, qty_sum) partials, bucket-
+    collapses to global per-order sums, and only threshold SURVIVORS (a
+    handful by construction) leave the fold; the orders side is then
+    filtered by a broadcast survivor-key array — no all-to-all join ever
+    runs. A fail-fast bound guards the survivor collect (past it, the
+    join must stay a Dataset)."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_partition
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .groupby("l_orderkey", as_index=False)["l_quantity"]
+            .sum()
+        )
+        df["_part"] = stable_partition(df["l_orderkey"], n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        tot = g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return tot[tot["l_quantity"] > qty_threshold]
+
+    surv_ds = (
+        li.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .materialize()  # consumed twice: bound-count then collect
+    )
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="object"),
+            "total_qty": pd.Series([], dtype="int64"),
+            "price_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    n_surv = surv_ds.count()
+    if n_surv == 0:
+        return empty
+    if n_surv > max_survivors:
+        raise ValueError(
+            f"orders_big_quantity: {n_surv} qualifying orders exceed "
+            f"max_survivors={max_survivors}; keep the survivor side a "
+            "Dataset and use Dataset.join past this bound"
+        )
+    surv = surv_ds.to_pandas()
+    if "l_orderkey" not in surv.columns:
+        return empty
+    keys = np.sort(surv["l_orderkey"].unique())
+    key_ref = ray.put(keys)
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _filter_orders(b: pa.Table) -> pa.Table:
+        ks = _broadcast_get(key_ref)
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ok)
+        idx[idx >= len(ks)] = 0
+        return b.filter(pa.array(ks[idx] == ok))
+
+    hdr = orders.map_batches(
+        _filter_orders, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if len(hdr) == 0 or "o_orderkey" not in hdr.columns:
+        return empty
+    out = hdr.merge(
+        surv.rename(columns={"l_orderkey": "o_orderkey"}), on="o_orderkey"
+    )
+    out["total_qty"] = (
+        np.floor(out["l_quantity"].to_numpy()).astype("int64")
+    )
+    out["price_cents"] = np.floor(
+        out["o_totalprice"].to_numpy() * 100 + 0.5
+    ).astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out = out.sort_values(
+        ["total_qty", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["o_orderkey", "o_custkey", "o_orderdate", "total_qty", "price_cents"]
+    ].reset_index(drop=True)
+
+
+def q_events_value_mad(sf_dir: str):
+    """Robust dispersion outliers: rows with |value - median| > 3 * MAD
+    (MAD = median of absolute deviations), counted per event_type.
+
+    Both medians come from ONE bounded distinct-value histogram fold (the
+    interpolated_quantile_by_key shape: only (value, count) rows shuffle,
+    every copy of a value lands in one bucket) — the deviation median
+    re-reads the SAME driver-held histogram (deviations permute the
+    multiset, counts are unchanged), so the second quantile costs no
+    second pass. Outlier counting is then one streamed scan against the
+    two broadcast scalars."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    n_parts = 64
+
+    def _vpart(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        s = b["value"].to_pandas().value_counts()
+        df = s.rename_axis("value").reset_index(name="n")
+        df["_part"] = stable_partition(df["value"], n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _vcollapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("value", as_index=False)["n"].sum()
+
+    hist_ds = (
+        ev.map_batches(
+            _vpart, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_part")
+        .map_groups(_vcollapse, batch_format="pandas")
+        .materialize()  # consumed twice: bound-count then collect
+    )
+    max_distinct = 5_000_000
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"events_value_mad: {n_distinct} distinct values exceed "
+            f"max_distinct={max_distinct}; fold the histogram to a GK "
+            "sketch past this bound"
+        )
+    hist = hist_ds.to_pandas()
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype="object"),
+            "n_outliers": pd.Series([], dtype="int64"),
+            "med": pd.Series([], dtype="float64"),
+            "mad": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(hist) == 0 or "value" not in hist.columns:
+        return empty
+
+    def _wq50(vals: np.ndarray, counts: np.ndarray) -> float:
+        """Type-7 / quantile_cont median over a (value, count) histogram:
+        h = (N-1)*0.5, v[floor(h)] + (h-floor(h)) * (v[floor(h)+1] -
+        v[floor(h)]) — the exact interpolated_quantile_by_key formula."""
+        order = np.argsort(vals, kind="stable")
+        v = vals[order]
+        c = counts[order]
+        n = int(c.sum())
+        h = (n - 1) * 0.5
+        lo = int(np.floor(h))
+        cum = np.cumsum(c)
+        i_lo = int(np.searchsorted(cum, lo, side="right"))
+        v_lo = v[i_lo]
+        if lo + 1 <= n - 1:
+            i_hi = int(np.searchsorted(cum, lo + 1, side="right"))
+            v_hi = v[i_hi]
+        else:
+            v_hi = v_lo
+        return float(v_lo + (h - lo) * (v_hi - v_lo))
+
+    vals = hist["value"].to_numpy(dtype=np.float64)
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    med = float(np.round(_wq50(vals, counts), 6))
+    mad = float(np.round(_wq50(np.abs(vals - med), counts), 6))
+
+    def _outliers(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        df = b.to_pandas()
+        v = df["value"].to_numpy(dtype=np.float64)
+        df["is_out"] = (np.abs(v - med) > 3.0 * mad).astype(np.int64)
+        agg = df.groupby("event_type", as_index=False)["is_out"].sum()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"is_out": "n_outliers"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    # second pass is its own read (a fresh Dataset): re-scanning storage
+    # streams, materializing the whole fact table to reuse it would not
+    ev2 = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ev2.map_batches(
+            _outliers, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+        .to_pandas()
+    )
+    if len(out) == 0 or "event_type" not in out.columns:
+        return empty
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["med"] = med
+    out["mad"] = mad
+    return out.sort_values("event_type").reset_index(drop=True)

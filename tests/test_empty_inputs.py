@@ -60,12 +60,23 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         pa.table(
             {
                 "l_orderkey": pa.array([], pa.int64()),
+                "l_quantity": pa.array([], pa.float64()),
                 "l_extendedprice": pa.array([], pa.float64()),
                 "l_discount": pa.array([], pa.float64()),
                 "l_shipdate": pa.array([], pa.timestamp("us")),
             }
         ),
         str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
     )
     qs = e.queries()
     expected = {
@@ -97,6 +108,12 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "source_word_kl": ["source", "word", "c_sw", "c_s", "c_w",
                            "log_ratio", "kl_term"],
         "user_transition_counts": ["prev_type", "next_type", "n"],
+        "embed_decontam": ["vec_id", "eval_id", "cos"],
+        "word_pmi_topk": ["word_a", "word_b", "n", "pmi"],
+        "events_latest_value": ["event_type", "n_keys", "latest_value_cents"],
+        "orders_big_quantity": ["o_orderkey", "o_custkey", "o_orderdate",
+                                "total_qty", "price_cents"],
+        "events_value_mad": ["event_type", "n_outliers", "med", "mad"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
