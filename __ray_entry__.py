@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_value": q.q_events_latest_value,
         "orders_big_quantity": q.q_orders_big_quantity,
         "events_value_mad": q.q_events_value_mad,
+        "events_hourly_top_type": q.q_events_hourly_top_type,
         "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
@@ -280,7 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_word_kl", "streaming_shard_distinct",
         "user_transition_counts", "embed_decontam", "word_pmi_topk",
         "events_latest_value", "orders_big_quantity", "events_value_mad",
-        "events_minute_top_heavy", "doc_winnow_dups",
+        "events_hourly_top_type", "doc_winnow_dups",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1015,6 +1016,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
             FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
             ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100
+        """,
+        "events_hourly_top_type": """
+            WITH c AS (
+              SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+                     event_type, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT hour_start, event_type AS top_type, n,
+                     SUM(n) OVER (PARTITION BY hour_start) AS tot,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY hour_start
+                         ORDER BY n DESC, event_type ASC
+                     ) AS rk
+              FROM c
+            )
+            SELECT hour_start, top_type,
+                   CAST(n AS BIGINT) AS n_top,
+                   CAST(tot AS BIGINT) AS n_total
+            FROM t WHERE rk = 1 ORDER BY hour_start
         """,
         "events_value_mad": """
             WITH m AS (

@@ -3026,3 +3026,76 @@ def q_events_value_mad(sf_dir: str):
     out["med"] = med
     out["mad"] = mad
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_hourly_top_type(sf_dir: str):
+    """Windowed heavy-hitter / mode: each hour's dominant event_type with
+    its count and the hour's total (ties: count DESC, type ASC).
+
+    The per-window argmax shape: per-batch (hour, type) count partials,
+    then a stable_partition bucket-collapse on the HOUR key — every copy
+    of an hour lands in one bucket, so the per-bucket winner and total are
+    global; only (hour, type, n) rows ever shuffle and the result is
+    window-cardinality-sized."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) * 3600
+        df = (
+            pd.DataFrame(
+                {
+                    "hour_start": hour.astype(np.int64),
+                    "event_type": b["event_type"].to_pandas(),
+                }
+            )
+            .groupby(["hour_start", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        df["_part"] = stable_partition(df["hour_start"], n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        tot = g.groupby(["hour_start", "event_type"], as_index=False)["n"].sum()
+        totals = tot.groupby("hour_start")["n"].transform("sum")
+        tot["n_total"] = totals
+        top = tot.sort_values(
+            ["hour_start", "n", "event_type"], ascending=[True, False, True]
+        ).drop_duplicates("hour_start")
+        return pd.DataFrame(
+            {
+                "hour_start": top["hour_start"].to_numpy(),
+                "top_type": top["event_type"].to_numpy(),
+                "n_top": top["n"].to_numpy(),
+                "n_total": top["n_total"].to_numpy(),
+            }
+        )
+
+    out = (
+        ev.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 or "hour_start" not in out.columns:
+        return pd.DataFrame(
+            {
+                "hour_start": pd.Series([], dtype="int64"),
+                "top_type": pd.Series([], dtype="object"),
+                "n_top": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("hour_start", "n_top", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hour_start").reset_index(drop=True)

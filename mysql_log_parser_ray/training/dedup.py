@@ -1278,3 +1278,174 @@ def embedding_dup_pairs(
     if out.empty:
         return _typed_empty({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS-style) document fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_A = np.int64(1 << 21)  # gram-combine radix; 3 x 20-bit ids < 2^62
+
+
+def winnow_word_r20(word: str) -> int:
+    """Deterministic 20-bit word id for winnowing gram codes — small enough
+    that a 3-word gram combines into one overflow-free int64 with identical
+    arithmetic in Python and SQL (the oracle embeds these values per vocab
+    word, the lang-id/simhash shared-table pattern)."""
+    return int.from_bytes(
+        hashlib.blake2b(word.encode("utf-8"), digest_size=7).digest(), "little"
+    ) % (1 << 20)
+
+
+def winnow_fingerprint_pairs(
+    docs_ds,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+    max_df: Optional[int] = None,
+) -> pd.DataFrame:
+    """Winnowing fingerprint near-duplicate pairs (the MOSS scheme:
+    Schleimer/Wilkerson/Aiken, SIGMOD'03): per document, every length-
+    ``window`` window over the word ``k``-gram hash sequence contributes
+    its MINIMUM hash; the distinct window minima are the document's
+    fingerprints, and documents sharing >= ``min_shared`` fingerprints are
+    reported with the shared count. A document with fewer than ``window``
+    grams (but at least one) keeps the minimum of what it has, so every
+    non-trivial document carries >= 1 fingerprint (the standard winnowing
+    guarantee).
+
+    Scale shape mirrors ngram_jaccard_pairs: per-batch fingerprinting is
+    fully vectorized (one sliding-window minimum over the batch's
+    concatenated gram array, doc boundaries masked via the exploded row
+    index); what shuffles is (fp, doc_id) int64 rows, pair candidates come
+    from the hash-partitioned self-merge, and shared counts aggregate in
+    hash-partitioned pandas folds — text never moves, no all-pairs step.
+    ``max_df`` caps boilerplate fingerprints (a fp shared by f docs emits
+    f^2/2 candidates); off by default for oracle parity.
+    """
+
+    def _fps(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "fp": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch[text_col].to_pandas()
+        lists = s.str.lower().str.strip(_ASCII_WS).str.split(_ASCII_WS_RE)
+        ex = lists.explode()
+        keep = ex.notna() & (ex != "")
+        ex = ex[keep]
+        if len(ex) < k:
+            return empty
+        doc_pos = ex.index.to_numpy().astype(np.int64)
+        uniq, inv = np.unique(ex.to_numpy(), return_inverse=True)
+        rvals = np.fromiter(
+            (winnow_word_r20(w) for w in uniq), dtype=np.int64, count=len(uniq)
+        )
+        r = rvals[inv]
+        same = doc_pos[: -(k - 1)] == doc_pos[k - 1 :]
+        n_g = len(r) - k + 1
+        g = r[:n_g].copy()
+        for j in range(1, k):  # radix combine; k * 20 bits must fit int64
+            g = g * _WINNOW_A + r[j : n_g + j]
+        g = g[same]
+        gdoc = doc_pos[: -(k - 1)][same]
+        if len(g) == 0:
+            return empty
+        if len(g) >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(g, window)
+            wmin = sw.min(axis=1)
+            wvalid = gdoc[: len(g) - window + 1] == gdoc[window - 1 :]
+            sel_doc = gdoc[: len(g) - window + 1][wvalid]
+            sel_fp = wmin[wvalid]
+        else:
+            sel_doc = np.array([], dtype=np.int64)
+            sel_fp = np.array([], dtype=np.int64)
+        # docs with 1..window-1 grams keep the minimum of what they have
+        udoc, starts = np.unique(gdoc, return_index=True)  # gdoc sorted
+        counts = np.diff(np.append(starts, len(gdoc)))
+        short = counts < window
+        if short.any():
+            smin = np.minimum.reduceat(g, starts)[short]
+            sel_doc = np.concatenate([sel_doc, udoc[short]])
+            sel_fp = np.concatenate([sel_fp, smin])
+        df = pd.DataFrame(
+            {"fp": sel_fp, id_col: ids[sel_doc]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fps = docs_ds.map_batches(
+        _fps, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def _with_part(batch: pa.Table) -> pa.Table:
+        part = batch["fp"].to_numpy(zero_copy_only=False) % n_parts
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def _partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            g = g[g.groupby("fp")["fp"].transform("size") <= max_df]
+        m = g.merge(g, on="fp", suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m[f"{id_col}_l"].to_numpy(),
+                "doc_b": m[f"{id_col}_r"].to_numpy(),
+            }
+        )
+
+    cand = (
+        fps.map_batches(_with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_partition_pairs, batch_format="pandas")
+    )
+
+    def _with_pair_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "ppart": pa.array([], pa.int32()),
+                }
+            )
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(a * np.int64(1000003) + b) % n_parts
+        return batch.append_column(
+            "ppart", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def _pair_agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_a", "doc_b"], as_index=False).size()
+        s = s[s["size"] >= min_shared]
+        return s.rename(columns={"size": "n_shared"})
+
+    out = (
+        cand.map_batches(
+            _with_pair_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("ppart")
+        .map_groups(_pair_agg, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 or "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("doc_a", "doc_b", "n_shared"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

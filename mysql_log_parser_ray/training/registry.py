@@ -471,6 +471,67 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(ds, max_hamming=3, max_bucket=None)
 
 
+def q_doc_winnow_dups(sf_dir: str):
+    """Winnowing (MOSS) fingerprint near-dup pairs: distinct window-minima
+    of the word-3-gram hash sequence per doc; pairs sharing >= 2
+    fingerprints, with the shared count (training/dedup.py
+    winnow_fingerprint_pairs). Lossless (max_df=None) so the result is
+    SQL-expressible via the embedded word->r20 table."""
+    from .dedup import winnow_fingerprint_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprint_pairs(ds, k=3, window=4, min_shared=2)
+
+
+def _winnow_oracle_sql() -> str:
+    """Rebuild the winnowing pipeline in SQL: the word->20-bit-id table is
+    embedded as VALUES generated by the SAME winnow_word_r20 the engine
+    uses (the lang-id/simhash shared-table oracle pattern); gram codes,
+    window minima and the short-doc fallback are then pure SQL."""
+    from .dedup import winnow_word_r20
+
+    vals = ", ".join(
+        f"('{w}', CAST({winnow_word_r20(w)} AS BIGINT))" for w in _SIMHASH_VOCAB
+    )
+    a = 1 << 21
+    return rf"""
+            WITH wmap(word, r) AS (VALUES {vals}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(
+                  trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                  '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS word
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i] <> ''
+            ), wr AS (
+              SELECT p.doc_id, p.i, m.r FROM pos p JOIN wmap m ON m.word = p.word
+            ), g AS (
+              SELECT a.doc_id, a.i, (a.r * {a} + b.r) * {a} + c.r AS gram
+              FROM wr a
+              JOIN wr b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              JOIN wr c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ), fp AS (
+              SELECT DISTINCT doc_id,
+                     MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM g
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) >= 4
+              UNION
+              SELECT doc_id, MIN(gram) AS fp FROM g
+              GROUP BY doc_id HAVING COUNT(*) < 4
+            )
+            SELECT doc_a, doc_b, n_shared FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            ORDER BY doc_a, doc_b
+        """
+
+
 def q_docs_curated(sf_dir: str):
     """Composite curation keep-list: quality filter -> exact dedup. The
     optional near-dup stage is off here so the result is SQL-expressible."""
@@ -1498,6 +1559,7 @@ def register_queries():
         "streaming_shard_distinct": q_streaming_shard_distinct,
         "embed_decontam": q_embed_decontam,
         "word_pmi_topk": q_word_pmi_topk,
+        "doc_winnow_dups": q_doc_winnow_dups,
     }
 
 
@@ -1670,6 +1732,7 @@ def _pii_sql() -> str:
 
 def register_oracles():
     return {
+        "doc_winnow_dups": _winnow_oracle_sql(),
         "docs_rep_bigram": r"""
             WITH toks AS (
               SELECT doc_id, source,

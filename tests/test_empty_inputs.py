@@ -114,6 +114,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_big_quantity": ["o_orderkey", "o_custkey", "o_orderdate",
                                 "total_qty", "price_cents"],
         "events_value_mad": ["event_type", "n_outliers", "med", "mad"],
+        "events_hourly_top_type": ["hour_start", "top_type", "n_top",
+                                   "n_total"],
+        "doc_winnow_dups": ["doc_a", "doc_b", "n_shared"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
