@@ -1451,3 +1451,102 @@ def test_streaming_dedup_filter_exactly_one_survivor(ray_session):
     assert len(counts) == 8
     assert counts["shard"].tolist() == list(range(8))
     assert counts["n_distinct"].sum() == 40
+
+
+def test_winnow_planted_duplicates(ray_session, docs_ds):
+    """An exact duplicate shares EVERY fingerprint with its original
+    (winnowing is deterministic per text), and a one-word near-dup still
+    shares >= 2 fingerprints. Fill docs (distinct random word soup) must
+    not pair with the originals at min_shared=2."""
+    from mysql_log_parser_ray.training.dedup import winnow_fingerprint_pairs
+
+    out = winnow_fingerprint_pairs(docs_ds, k=3, window=4, min_shared=2)
+    pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    # doc 7 is the exact duplicate of doc 1; doc 5/6 near-dup 0/2
+    assert (1, 7) in pairs
+    assert (0, 5) in pairs
+    assert (2, 6) in pairs
+    # the exact duplicate's shared count equals its full fingerprint set:
+    # rerunning on just docs {1, 7} must give the same n_shared
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 7], pa.int64()),
+            "text": pa.array([BASE_DOCS[1], BASE_DOCS[1]], pa.string()),
+        }
+    )
+    solo = winnow_fingerprint_pairs(rd.from_arrow(t), min_shared=1)
+    assert len(solo) == 1
+    full = int(solo["n_shared"].iloc[0])
+    got = int(out[(out["doc_a"] == 1) & (out["doc_b"] == 7)]["n_shared"].iloc[0])
+    assert got == full and full >= 2
+
+
+def test_winnow_short_doc_guarantee(ray_session):
+    """Docs with >= 3 words (>= 1 gram) but < window grams still emit one
+    fingerprint (the winnowing guarantee); identical short docs pair at
+    min_shared=1."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import winnow_fingerprint_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["tiny doc here", "tiny doc here", "unrelated words entirely"],
+                pa.string(),
+            ),
+        }
+    )
+    out = winnow_fingerprint_pairs(rd.from_arrow(t), min_shared=1)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["n_shared"].tolist() == [1]
+
+
+def test_embedding_decontam_planted_hit(ray_session):
+    """A train vector identical to an eval vector scores cos 1.0 and is
+    reported against the SMALLEST matching eval id; orthogonal vectors
+    stay below threshold."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import embedding_decontam
+
+    d = 8
+    eye = np.eye(d, dtype=np.float32)
+    ev = pa.table(
+        {
+            "vec_id": pa.array([97, 194], pa.int64()),
+            "embedding": pa.array([eye[0].tolist(), eye[0].tolist()]),
+        }
+    )
+    tr = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([eye[0].tolist(), eye[1].tolist()]),
+        }
+    )
+    out = embedding_decontam(
+        rd.from_arrow(tr), rd.from_arrow(ev), threshold=0.9
+    )
+    assert out["vec_id"].tolist() == [1]
+    assert out["eval_id"].tolist() == [97]  # tie -> smallest eval id
+    assert out["cos"].tolist() == [1.0]
+
+
+def test_embedding_decontam_eval_bound(ray_session):
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.similarity import embedding_decontam
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 3),
+        }
+    )
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        embedding_decontam(
+            rd.from_arrow(t), rd.from_arrow(t), max_eval_rows=2
+        )

@@ -722,3 +722,37 @@ def test_validate_stage_empty_input(ray_session):
     assert out["rule"].tolist() == ["null_a"]
     assert out["n_rows"].tolist() == [0]
     assert out["n_violations"].tolist() == [0]
+
+
+def test_latest_value_update_chain(ray_session, tmp_path):
+    """Keep-newest compaction: three updates to one key keep only the last
+    (ts, then event_id tiebreak); a second key with one event survives."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_latest_value
+
+    ts = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:05:00", "2024-01-01T00:05:00",
+         "2024-01-01T00:01:00"],
+        dtype="datetime64[us]",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 20], pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["click"] * 3 + ["view"], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0, 9.5], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_latest_value(str(tmp_path))
+    # user 1 / click: ts tie between event 11 and 12 -> higher event_id (12)
+    assert out[out["event_type"] == "click"]["latest_value_cents"].tolist() == [300]
+    assert out[out["event_type"] == "click"]["n_keys"].tolist() == [1]
+    assert out[out["event_type"] == "view"]["latest_value_cents"].tolist() == [950]
