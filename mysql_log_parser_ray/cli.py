@@ -86,11 +86,16 @@ def _cmd_run(args: argparse.Namespace) -> int:
 def _cmd_report(args: argparse.Namespace) -> int:
     from .pipelines.flagship import run_flagship  # noqa: F401 (shared deps)
     from .pipelines.report import collect_partials, format_report
-    from .sources.sequences import read_sequences
+    from .sources.sequences import read_log_files, read_sequences
     from .stages.parse import parse_events
 
     t0 = time.perf_counter()
-    events = parse_events(read_sequences(args.input), fmt=args.fmt)
+    seqs = (
+        read_log_files(args.input)
+        if getattr(args, "raw_logs", False)
+        else read_sequences(args.input)
+    )
+    events = parse_events(seqs, fmt=args.fmt)
     glob, classes = collect_partials(events, exact=args.exact)
     elapsed = time.perf_counter() - t0
     print(format_report(glob, classes, elapsed, metric=args.metric))
@@ -101,11 +106,16 @@ def _cmd_dump(args: argparse.Namespace) -> int:
     """Parse -> emit events as JSONL (the reference test harness's event
     dump, test/test.go:196-199): the first tool for debugging a log."""
     from .options import Options
-    from .sources.sequences import read_sequences
+    from .sources.sequences import read_log_files, read_sequences
     from .stages.parse import parse_events
 
     opt = Options(debug=args.debug)
-    events = parse_events(read_sequences(args.input), fmt=args.fmt, opt=opt)
+    seqs = (
+        read_log_files(args.input)
+        if getattr(args, "raw_logs", False)
+        else read_sequences(args.input)
+    )
+    events = parse_events(seqs, fmt=args.fmt, opt=opt)
     if args.limit:
         events = events.limit(args.limit)
     sink = open(args.out, "w") if args.out else sys.stdout
@@ -159,6 +169,10 @@ def main(argv=None) -> int:
 
     p_rep = sub.add_parser("report", help="parser-cli-style quantile report")
     p_rep.add_argument("input", help="sequences Parquet file/dir")
+    p_rep.add_argument(
+        "--raw-logs", action="store_true",
+        help="input is raw log file(s) (.log / .log.gz), not Parquet",
+    )
     p_rep.add_argument("--exact", action="store_true")
     p_rep.add_argument("--metric", default="Query_time")
     p_rep.add_argument(
@@ -169,6 +183,10 @@ def main(argv=None) -> int:
 
     p_dmp = sub.add_parser("dump", help="parse and emit events as JSONL")
     p_dmp.add_argument("input", help="sequences Parquet file/dir")
+    p_dmp.add_argument(
+        "--raw-logs", action="store_true",
+        help="input is raw log file(s) (.log / .log.gz), not Parquet",
+    )
     p_dmp.add_argument(
         "--fmt", default="slowlog",
         help="registered log format (slowlog|genlog|jsonlog)",

@@ -82,3 +82,40 @@ def read_sequences(path, columns: Optional[List[str]] = None, **kwargs):
     import ray.data as rd
 
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_log_files(paths, **read_kwargs):
+    """Raw log FILES (plain or .gz) -> the sequences schema, one document
+    per file.
+
+    ``ray.data.read_binary_files(include_paths=True)`` streams file blobs
+    (gzip decompression is inferred from the .gz extension and happens
+    WORKER-side in the read task, verified in tests); byte-tokenization
+    happens inside the batch fn, so the driver never touches file bytes.
+    Parallelism is per-file — the reference's own unit of work (slow.go
+    parses one file serially); a deployment with few giant files should
+    pre-shard them on event boundaries and lean on the byte-offset resume
+    contract (slow.go:46-49) instead.
+
+    doc_id is the file basename (.gz stripped), source its parent
+    directory (the routing key convention of the multi-source tests).
+    """
+    import os as _os
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
+
+    def _to_seqs(b: pa.Table) -> pa.Table:
+        file_paths = b["path"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        texts, ids, srcs = [], [], []
+        for p, blob in zip(file_paths, blobs):
+            if p.endswith(".gz"):  # payload already decompressed by the read
+                p = p[: -len(".gz")]
+            ids.append(_os.path.basename(p))
+            srcs.append(_os.path.basename(_os.path.dirname(p)) or "file")
+            texts.append(blob)
+        return build_sequences_table(texts, ids, srcs)
+
+    return ds.map_batches(_to_seqs, batch_format="pyarrow")

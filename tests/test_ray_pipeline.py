@@ -329,3 +329,44 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     a = rd.read_parquet(src).to_pandas().sort_values("k").reset_index(drop=True)
     b = rd.read_parquet(dst).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_log_files_plain_and_gzip(ray_session, tmp_path):
+    """Raw log-file source: a fixture file read directly and its gzipped
+    copy must parse to IDENTICAL event streams (decompression is
+    worker-side, doc_id strips the .gz suffix)."""
+    import gzip
+    import os
+    import shutil
+
+    import pytest
+
+    from mysql_log_parser_ray.sources.sequences import read_log_files
+    from mysql_log_parser_ray.stages.parse import parse_events
+    from .conftest import REFERENCE_LOGS
+
+    src = os.path.join(REFERENCE_LOGS, "slow001.log")
+    if not os.path.exists(src):
+        pytest.skip("reference fixtures unavailable")
+    plain = tmp_path / "slow001.log"
+    shutil.copyfile(src, plain)
+    gz = tmp_path / "gz" / "slow001.log.gz"
+    gz.parent.mkdir()
+    with open(src, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+
+    def events_of(path):
+        out = parse_events(read_log_files(str(path))).to_pandas()
+        return out.sort_values(["doc_id", "event_seq"]).reset_index(drop=True)
+
+    a = events_of(plain)
+    b = events_of(gz)
+    assert len(a) > 0
+    assert a["doc_id"].unique().tolist() == ["slow001.log"]
+    assert b["doc_id"].unique().tolist() == ["slow001.log"]
+    # source is the parent directory name
+    assert set(b["source"].unique() if "source" in b.columns else []) <= {"gz"}
+    cmp_cols = [c for c in a.columns if c != "source"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[cmp_cols], b[cmp_cols])
