@@ -193,27 +193,54 @@ def gopher_rules_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def levenshtein_pairs(a_codes, b_codes, la, lb):
-    """Edit distance for P string pairs AT ONCE: full DP with the two
-    character loops in Python (bounded by the fixed prefix width, e.g.
-    24x24 = 576 iterations) and every cell update vectorized across the
-    whole pair batch — the loop count is independent of P, so the kernel
-    stays O(width^2) vector ops no matter how many candidate pairs a
-    bucket holds.
+def levenshtein_pairs(a_codes, b_codes, la, lb, max_dist=None):
+    """Edit distance for P string pairs AT ONCE: row-streamed DP with the
+    two character loops in Python (bounded by the fixed prefix width,
+    e.g. 24x24 = 576 iterations) and every cell update vectorized across
+    the whole pair batch — the loop count is independent of P, so the
+    kernel stays O(width^2) vector ops no matter how many candidate pairs
+    a bucket holds. Only two DP rows are live (O(P x W) memory, not
+    O(P x W^2)); each pair's answer is captured as its row i == la
+    streams past.
+
+    ``max_dist`` enables Ukkonen banding: cells with |i - j| > max_dist
+    are provably > max_dist, so only the 2*max_dist+1 diagonal band is
+    computed (24x24 -> 24x9 at max_dist=4). Distances <= max_dist stay
+    EXACT; anything larger is reported as some value > max_dist (callers
+    threshold on <= max_dist). Default None computes the full exact DP
+    (the DuckDB-pinned record-linkage contract).
 
     ``a_codes``/``b_codes``: (P, W) uint8 matrices (ASCII, zero-padded);
     ``la``/``lb``: true lengths. Returns int64 distances (true lengths
     honoured via the (la, lb) cell, so padding never affects results)."""
     P, W = a_codes.shape
-    dp = np.zeros((P, W + 1, W + 1), dtype=np.int16)
-    dp[:, 0, :] = np.arange(W + 1, dtype=np.int16)
-    dp[:, :, 0] = np.arange(W + 1, dtype=np.int16)
+    BIG = np.int16(W + 1)  # > any true distance; +1 per step stays < 2^15
+    out = np.empty(P, dtype=np.int16)
+    prev = np.tile(np.arange(W + 1, dtype=np.int16), (P, 1))
+    if max_dist is not None:
+        prev[:, max_dist + 1 :] = BIG
+    m0 = la == 0
+    if m0.any():
+        out[m0] = prev[m0, lb[m0]]
     for i in range(1, W + 1):
+        cur = np.full((P, W + 1), BIG, dtype=np.int16)
+        if max_dist is None:
+            jlo, jhi = 1, W
+            cur[:, 0] = i
+        else:
+            jlo = max(1, i - max_dist)
+            jhi = min(W, i + max_dist)
+            if i <= max_dist:
+                cur[:, 0] = i
         ai = a_codes[:, i - 1]
-        for j in range(1, W + 1):
+        for j in range(jlo, jhi + 1):
             cost = (ai != b_codes[:, j - 1]).astype(np.int16)
-            dp[:, i, j] = np.minimum(
-                np.minimum(dp[:, i - 1, j] + 1, dp[:, i, j - 1] + 1),
-                dp[:, i - 1, j - 1] + cost,
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
             )
-    return dp[np.arange(P), la, lb].astype(np.int64)
+        mi = la == i
+        if mi.any():
+            out[mi] = cur[mi, lb[mi]]
+        prev = cur
+    return out.astype(np.int64)

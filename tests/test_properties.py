@@ -349,3 +349,39 @@ def test_levenshtein_pairs_matches_duckdb(pairs):
         for a, b in pairs
     ]
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=24),
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=24),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_levenshtein_banded_agrees_under_threshold(pairs):
+    """Ukkonen banding contract: distances <= max_dist equal the exact
+    kernel; distances > max_dist stay classified > max_dist (the caller
+    thresholds, never reads the exact value past the band)."""
+    from mysql_log_parser_ray.training.text import levenshtein_pairs
+
+    W, K = 24, 4
+    P = len(pairs)
+    A = np.zeros((P, W), np.uint8)
+    B = np.zeros((P, W), np.uint8)
+    la = np.zeros(P, np.int64)
+    lb = np.zeros(P, np.int64)
+    for i, (a, b) in enumerate(pairs):
+        ab, bb = a.encode("ascii"), b.encode("ascii")
+        A[i, : len(ab)] = np.frombuffer(ab, np.uint8)
+        B[i, : len(bb)] = np.frombuffer(bb, np.uint8)
+        la[i], lb[i] = len(ab), len(bb)
+    exact = levenshtein_pairs(A, B, la, lb)
+    banded = levenshtein_pairs(A, B, la, lb, max_dist=K)
+    under = exact <= K
+    assert (banded[under] == exact[under]).all()
+    assert (banded[~under] > K).all()
