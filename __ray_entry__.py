@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_big_quantity": q.q_orders_big_quantity,
         "events_value_mad": q.q_events_value_mad,
         "events_hourly_top_type": q.q_events_hourly_top_type,
+        "orders_monthly_growth": q.q_orders_monthly_growth,
         "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
@@ -281,7 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_word_kl", "streaming_shard_distinct",
         "user_transition_counts", "embed_decontam", "word_pmi_topk",
         "events_latest_value", "orders_big_quantity", "events_value_mad",
-        "events_hourly_top_type", "doc_winnow_dups",
+        "events_hourly_top_type", "doc_winnow_dups", "orders_monthly_growth",
+        "label_centroid_sim",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1016,6 +1018,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
             FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
             ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100
+        """,
+        "orders_monthly_growth": """
+            WITH c AS (
+              SELECT date_trunc('month', o_orderdate) AS mth, COUNT(*) AS n
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+            ), w AS (
+              SELECT mth, n,
+                     LAG(mth) OVER (ORDER BY mth) AS pmth,
+                     LAG(n) OVER (ORDER BY mth) AS pn
+              FROM c
+            )
+            SELECT strftime(mth, '%Y-%m') AS month,
+                   CAST(n AS BIGINT) AS n_orders,
+                   CAST(n - CASE WHEN pmth = mth - INTERVAL 1 MONTH
+                                 THEN pn ELSE 0 END AS BIGINT) AS delta
+            FROM w ORDER BY month
         """,
         "events_hourly_top_type": """
             WITH c AS (

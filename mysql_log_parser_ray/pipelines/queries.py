@@ -3099,3 +3099,69 @@ def q_events_hourly_top_type(sf_dir: str):
     for c in ("hour_start", "n_top", "n_total"):
         out[c] = out[c].astype("int64")
     return out.sort_values("hour_start").reset_index(drop=True)
+
+
+def q_orders_monthly_growth(sf_dir: str):
+    """Month-over-month order-count growth (the LAG analytic over an
+    aggregated series): per-month order counts and the delta vs the
+    previous CALENDAR month (NULL-as-0 delta for the first month).
+
+    Scale shape: months are time-bounded (decades of data is still
+    hundreds of rows), so events fold to per-block (month, n) partials,
+    one tiny Sum groupby, and the LAG itself runs on the driver over the
+    month-cardinality series — never a second pass over orders. The
+    previous month is the previous CALENDAR month (gaps break the chain),
+    exactly like the oracle's LAG over a month-keyed aggregate."""
+    import pandas as pd
+
+    ords = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        us = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # month key yyyymm via numpy datetime arithmetic (vectorized)
+        d = us.astype("datetime64[us]").astype("datetime64[M]")
+        yyyymm = (d.astype(np.int64) + 1970 * 12)  # months since year 0
+        g = (
+            pd.DataFrame({"m": yyyymm})
+            .groupby("m", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ords.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("m")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(out) == 0 or "m" not in out.columns:
+        return pd.DataFrame(
+            {
+                "month": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.sort_values("m").reset_index(drop=True)
+    m = out["m"].to_numpy(dtype=np.int64)
+    n = out["n"].to_numpy(dtype=np.int64)
+    prev = np.zeros(len(m), dtype=np.int64)
+    if len(m) > 1:
+        is_adjacent = m[1:] == m[:-1] + 1
+        prev[1:] = np.where(is_adjacent, n[:-1], 0)
+    year = m // 12
+    mon = m % 12 + 1
+    return pd.DataFrame(
+        {
+            "month": [f"{y:04d}-{mm:02d}" for y, mm in zip(year, mon)],
+            "n_orders": n,
+            "delta": n - prev,
+        }
+    )

@@ -277,6 +277,45 @@ def q_embed_centroids(sf_dir: str):
     return out
 
 
+def q_label_centroid_sim(sf_dir: str):
+    """Cluster-similarity matrix: pairwise cosine between the per-label
+    mean embeddings (upper triangle, label_a < label_b).
+
+    Scale shape: the distributed part is the vector_centroids combiner
+    fold (per-block (label, n, vsum) partials; vectors never shuffle);
+    the pairwise step runs on the driver over the label-cardinality
+    centroid table — labels are a model-class dimension (tens), never
+    corpus-sized. Cosines are computed over the 6dp-ROUNDED centroids
+    (what vector_centroids emits and the oracle reconstructs), so both
+    engines dot identical inputs."""
+    from .vectors import vector_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    long = vector_centroids(emb, key_col="label", vec_col="embedding")
+    empty = pd.DataFrame(
+        {
+            "label_a": pd.Series([], dtype="int64"),
+            "label_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(long) == 0:
+        return empty
+    wide = long.pivot(index="label", columns="pos", values="centroid")
+    labels = wide.index.to_numpy(dtype=np.int64)
+    M = wide.to_numpy(dtype=np.float64)
+    if len(labels) < 2:
+        return empty
+    nrm = np.sqrt((M * M).sum(axis=1))
+    dots = M @ M.T
+    ia, ib = np.triu_indices(len(labels), k=1)
+    cos = np.round(dots[ia, ib] / (nrm[ia] * nrm[ib]), 6)
+    out = pd.DataFrame(
+        {"label_a": labels[ia], "label_b": labels[ib], "cos": cos}
+    )
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means summary. Iterative, but the 6dp
     centroid rounding per iteration makes the whole trajectory
@@ -1568,6 +1607,7 @@ def register_queries():
         "embed_decontam": q_embed_decontam,
         "word_pmi_topk": q_word_pmi_topk,
         "doc_winnow_dups": q_doc_winnow_dups,
+        "label_centroid_sim": q_label_centroid_sim,
     }
 
 
@@ -2053,6 +2093,30 @@ def register_oracles():
             SELECT source, CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
                    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
             FROM c GROUP BY 1, 2
+        """,
+        "label_centroid_sim": r"""
+            WITH u AS (
+              SELECT label,
+                     unnest(embedding) AS x,
+                     unnest(range(len(embedding))) AS pos
+              FROM embeddings
+            ), c AS (
+              SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+                     round(avg(CAST(x AS DOUBLE)), 6) AS v
+              FROM u GROUP BY 1, 2
+            ), nr AS (
+              SELECT label, sqrt(SUM(v * v)) AS nrm FROM c GROUP BY 1
+            ), d AS (
+              SELECT a.label AS label_a, b.label AS label_b, SUM(a.v * b.v) AS dot
+              FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+              GROUP BY 1, 2
+            )
+            SELECT label_a, label_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM d
+            JOIN nr na ON na.label = label_a
+            JOIN nr nb ON nb.label = label_b
+            ORDER BY label_a, label_b
         """,
         "embed_centroids": r"""
             WITH u AS (

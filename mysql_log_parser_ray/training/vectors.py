@@ -79,6 +79,14 @@ def vector_centroids(
         .map_groups(_merge, batch_format="pandas")
         .to_pandas()
     )
+    if key_col not in out.columns:  # zero rows: groupby drops the schema
+        return pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "centroid": pd.Series([], dtype="float64"),
+            }
+        )
     return out.sort_values([key_col, "pos"]).reset_index(drop=True)
 
 

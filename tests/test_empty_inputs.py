@@ -117,6 +117,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_hourly_top_type": ["hour_start", "top_type", "n_top",
                                    "n_total"],
         "doc_winnow_dups": ["doc_a", "doc_b", "n_shared"],
+        "orders_monthly_growth": ["month", "n_orders", "delta"],
+        "label_centroid_sim": ["label_a", "label_b", "cos"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
