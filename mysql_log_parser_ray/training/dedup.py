@@ -1306,7 +1306,8 @@ def winnow_fingerprint_pairs(
     id_col: str = "doc_id",
     n_parts: int = 64,
     max_df: Optional[int] = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Winnowing fingerprint near-duplicate pairs (the MOSS scheme:
     Schleimer/Wilkerson/Aiken, SIGMOD'03): per document, every length-
     ``window`` window over the word ``k``-gram hash sequence contributes
@@ -1324,7 +1325,10 @@ def winnow_fingerprint_pairs(
     from the hash-partitioned self-merge, and shared counts aggregate in
     hash-partitioned pandas folds — text never moves, no all-pairs step.
     ``max_df`` caps boilerplate fingerprints (a fp shared by f docs emits
-    f^2/2 candidates); off by default for oracle parity.
+    f^2/2 candidates); off by default for oracle parity. Output is
+    pair-cardinality: ``as_dataset=True`` keeps surviving pairs a Dataset
+    (unsorted) for downstream joins — the scale mode, same contract as
+    ngram_jaccard_pairs.
     """
 
     def _fps(batch: pa.Table) -> pa.Table:
@@ -1430,14 +1434,16 @@ def winnow_fingerprint_pairs(
         s = s[s["size"] >= min_shared]
         return s.rename(columns={"size": "n_shared"})
 
-    out = (
+    pairs = (
         cand.map_batches(
             _with_pair_part, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("ppart")
         .map_groups(_pair_agg, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return pairs
+    out = pairs.to_pandas()
     if len(out) == 0 or "doc_a" not in out.columns:
         return pd.DataFrame(
             {

@@ -387,7 +387,8 @@ def embedding_decontam(
     vec_col: str = "embedding",
     round_dp: int = 6,
     max_eval_rows: int = 2_000_000,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Embedding-space decontamination: every training vector whose best
     cosine against the BROADCAST eval/benchmark matrix reaches
     ``threshold``, with the offending eval id.
@@ -402,6 +403,12 @@ def embedding_decontam(
     eval-id ties break ascending. The eval matrix must fit a worker
     (fail-fast guard); a larger eval side would go through the tile
     cross-product pattern instead.
+
+    Output cardinality is the CONTAMINATED row count — corpus-sized at a
+    loose threshold. ``as_dataset=True`` keeps the hits a Dataset
+    (unsorted) for callers that feed them into a downstream filter/join
+    instead of collecting; the default pandas collect is the
+    driver-contract convenience.
     """
     import ray
 
@@ -460,9 +467,12 @@ def embedding_decontam(
             preserve_index=False,
         )
 
-    out = emb_ds.map_batches(
+    hits = emb_ds.map_batches(
         _hits, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    )
+    if as_dataset:
+        return hits
+    out = hits.to_pandas()
     if "vec_id" not in out.columns:  # all batches empty -> schema dropped
         return empty
     out["vec_id"] = out["vec_id"].astype("int64")

@@ -1550,3 +1550,37 @@ def test_embedding_decontam_eval_bound(ray_session):
         embedding_decontam(
             rd.from_arrow(t), rd.from_arrow(t), max_eval_rows=2
         )
+
+
+def test_winnow_and_decontam_as_dataset_equivalence(ray_session, docs_ds):
+    """as_dataset=True returns the same rows as the pandas collect (the
+    scale-mode contract shared with ngram_jaccard_pairs)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import winnow_fingerprint_pairs
+    from mysql_log_parser_ray.training.similarity import embedding_decontam
+
+    collected = winnow_fingerprint_pairs(docs_ds, min_shared=2)
+    ds_out = (
+        winnow_fingerprint_pairs(docs_ds, min_shared=2, as_dataset=True)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    for c in ds_out.columns:
+        ds_out[c] = ds_out[c].astype("int64")
+    pd.testing.assert_frame_equal(collected, ds_out[list(collected.columns)])
+
+    eye = np.eye(4, dtype=np.float32)
+    tr = rd.from_arrow(pa.table(
+        {"vec_id": pa.array([1, 2], pa.int64()),
+         "embedding": pa.array([eye[0].tolist(), eye[1].tolist()])}))
+    ev = rd.from_arrow(pa.table(
+        {"vec_id": pa.array([97], pa.int64()),
+         "embedding": pa.array([eye[0].tolist()])}))
+    a = embedding_decontam(tr, ev, threshold=0.9)
+    b = embedding_decontam(tr, ev, threshold=0.9, as_dataset=True).to_pandas()
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    for c in ("vec_id", "eval_id"):
+        b[c] = b[c].astype("int64")
+    pd.testing.assert_frame_equal(a, b[list(a.columns)])
