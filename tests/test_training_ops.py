@@ -1584,3 +1584,43 @@ def test_winnow_and_decontam_as_dataset_equivalence(ray_session, docs_ds):
     for c in ("vec_id", "eval_id"):
         b[c] = b[c].astype("int64")
     pd.testing.assert_frame_equal(a, b[list(a.columns)])
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~1-2 min at 4 CPUs; run with MLPR_BIG_TESTS=1",
+)
+def test_winnow_scale_planted_recall(ray_session):
+    """200k synthetic docs with 1k planted exact duplicates: the winnowing
+    pipeline finds every planted pair (exact dup => identical fingerprint
+    set => shared >= min_shared), pair volume stays bounded by max_df,
+    and nothing doc-sized collects (as_dataset path consumed blockwise)."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.dedup import winnow_fingerprint_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(5000)])
+    n, planted = 200_000, 1_000
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), 30)]) for _ in range(n)
+    ]
+    for i in range(planted):  # doc n+i duplicates doc i exactly
+        texts.append(texts[i])
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ).repartition(16)
+    pairs_ds = winnow_fingerprint_pairs(
+        ds, min_shared=2, max_df=200, as_dataset=True
+    )
+    found = set()
+    for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            for a_, b_ in zip(
+                b["doc_a"].to_numpy(zero_copy_only=False),
+                b["doc_b"].to_numpy(zero_copy_only=False),
+            ):
+                found.add((int(a_), int(b_)))
+    want = {(i, n + i) for i in range(planted)}
+    assert want <= found, f"missing {len(want - found)} planted pairs"
