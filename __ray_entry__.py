@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": q.q_events_value_mad,
         "events_hourly_top_type": q.q_events_hourly_top_type,
         "orders_monthly_growth": q.q_orders_monthly_growth,
+        "tpch_q5_revenue": q.q_tpch_q5_revenue,
         "approx_distinct_users": q.q_approx_distinct_users,
         "events_sessions": q.q_events_sessions,
         "top_users": q.q_top_users,
@@ -283,7 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_transition_counts", "embed_decontam", "word_pmi_topk",
         "events_latest_value", "orders_big_quantity", "events_value_mad",
         "events_hourly_top_type", "doc_winnow_dups", "orders_monthly_growth",
-        "label_centroid_sim",
+        "label_centroid_sim", "tpch_q5_revenue",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1018,6 +1019,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
             FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
             ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100
+        """,
+        "tpch_q5_revenue": """
+            WITH r AS (
+              SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+            ), n AS (
+              SELECT n_nationkey, n_name
+              FROM nation JOIN r ON n_regionkey = r_regionkey
+            ), o AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+            ), c AS (
+              SELECT c_custkey, c_nationkey
+              FROM customer JOIN n ON c_nationkey = n_nationkey
+            )
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN o ON o.o_orderkey = l.l_orderkey
+            JOIN c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
         "orders_monthly_growth": """
             WITH c AS (

@@ -3165,3 +3165,252 @@ def q_orders_monthly_growth(sf_dir: str):
             "delta": n - prev,
         }
     )
+
+
+def q_tpch_q5_revenue(sf_dir: str, region: str = "ASIA",
+                      year_start: str = "1996-01-01",
+                      max_supplier_broadcast: int = 20_000_000):
+    """TPC-H Q5 shape: revenue per nation where the ordering customer and
+    the line's supplier share a nation inside one region, for one order
+    year — the 6-table join, Ray-Data-first.
+
+    Scale shape: region/nation are true dims (driver-side, 5/25 rows);
+    supplier is broadcast as a sorted suppkey->nationkey array with a
+    fail-fast bound (past it the supplier lookup becomes a third
+    co-partitioned join); customers prune to the region BEFORE anything
+    moves. The two big joins (orders x customer on custkey, then
+    order-nation x lineitem-revenue on orderkey) are TAGGED-UNION
+    co-partitioned hash joins: both sides emit schema-aligned (key, val,
+    rev, side) rows, union is free (lazy block concat), ONE
+    stable_partition groupby co-locates each key, and a vectorized pandas
+    merge per bucket joins them — no aggregator actor pools, only
+    fixed-width int rows ever shuffle (the events_asof_tier_bigdim
+    pattern applied to a relational plan). Lineitem pre-aggregates
+    revenue per (orderkey, supplier-nation) inside the batch fn, so the
+    fact table's shuffle volume is bounded by order x nation cardinality,
+    not line count."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..partition import stable_partition
+
+    # --- driver-side dims (region, nation are 5/25 rows at any SF)
+    reg = pq_.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_name": pd.Series([], dtype="object"),
+            "n_lines": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    rkeys = reg[reg["r_name"] == region]["r_regionkey"]
+    if not len(rkeys):
+        return empty
+    nat_in = nat[nat["n_regionkey"].isin(set(rkeys))]
+    nation_keys = np.sort(nat_in["n_nationkey"].to_numpy(dtype=np.int64))
+    names = dict(zip(nat_in["n_nationkey"], nat_in["n_name"]))
+    if not len(nation_keys):
+        return empty
+
+    # --- supplier broadcast (suppkey -> nationkey, sorted for searchsorted)
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_sup = sup_ds.count()  # parquet metadata
+    if n_sup > max_supplier_broadcast:
+        raise ValueError(
+            f"tpch_q5_revenue: {n_sup} suppliers exceed the broadcast bound "
+            f"{max_supplier_broadcast}; route the supplier lookup through a "
+            "third co-partitioned join instead"
+        )
+    sup = sup_ds.to_pandas().sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(dtype=np.int64),
+            sup["s_nationkey"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    lo_us = int(pd.Timestamp(year_start).value // 1000)
+    hi_us = int((pd.Timestamp(year_start) + pd.DateOffset(years=1)).value // 1000)
+    n_parts = 64
+
+    def _aligned(key, val, rev, side):
+        return pa.table(
+            {
+                "key": pa.array(np.asarray(key, dtype=np.int64), pa.int64()),
+                "val": pa.array(np.asarray(val, dtype=np.int64), pa.int64()),
+                "rev": pa.array(np.asarray(rev, dtype=np.int64), pa.int64()),
+                "side": pa.array(
+                    np.full(len(key), side, dtype=np.int32), pa.int32()
+                ),
+                "_part": pa.array(
+                    stable_partition(np.asarray(key, dtype=np.int64), n_parts)
+                    if len(key)
+                    else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # --- join 1: orders (this year) x region customers, keyed custkey
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names:
+            return _aligned([], [], [], 0)
+        dts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us))
+        b = b.filter(keep)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return _aligned(ck, ok, np.zeros(len(ck), np.int64), 0)
+
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names:
+            return _aligned([], [], [], 1)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(nation_keys, nk)
+        idx[idx >= len(nation_keys)] = 0
+        keep = nation_keys[idx] == nk
+        return _aligned(
+            b["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+            nk[keep],
+            np.zeros(int(keep.sum()), np.int64),
+            1,
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        _o_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        _c_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def _merge1(g: "pd.DataFrame") -> "pd.DataFrame":
+        o = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if not len(o) or not len(c):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),    # o_orderkey
+                    "val": pd.Series([], dtype="int64"),    # c_nationkey
+                    "rev": pd.Series([], dtype="int64"),
+                    "side": pd.Series([], dtype="int32"),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        m = o.merge(
+            c[["key", "val"]].rename(columns={"val": "c_nat"}), on="key"
+        )
+        out = pd.DataFrame(
+            {
+                "key": m["val"].to_numpy(),     # o_orderkey becomes the key
+                "val": m["c_nat"].to_numpy(),   # customer nation rides along
+                "rev": np.zeros(len(m), np.int64),
+                "side": np.zeros(len(m), np.int32),
+            }
+        )
+        out["_part"] = stable_partition(out["key"], n_parts)
+        return out
+
+    onat = orders.union(cust).groupby("_part").map_groups(
+        _merge1, batch_format="pandas"
+    )
+
+    # --- join 2: order-nation x lineitem revenue, keyed orderkey
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names:
+            return _aligned([], [], [], 1)
+        ks, ns = _broadcast_get(sup_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, sk)
+        pos[pos >= len(ks)] = 0
+        ok_sup = ks[pos] == sk
+        snat = ns[pos]
+        idx = np.searchsorted(nation_keys, snat)
+        idx[idx >= len(nation_keys)] = 0
+        keep = ok_sup & (nation_keys[idx] == snat)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "key": b["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "val": snat[keep],
+                "rev": _cents(rev).to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+        # pre-aggregate per (orderkey, supplier nation): shuffle volume is
+        # bounded by order x nation cardinality, never line count
+        g = df.groupby(["key", "val"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        t = _aligned(g["key"], g["val"], g["rev"], 1)
+        return t.append_column("n", pa.array(g["n"].to_numpy(np.int64), pa.int64()))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _l_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def _with_n(b: pa.Table) -> pa.Table:
+        if "n" in b.column_names:
+            return b
+        return b.append_column(
+            "n", pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+        )
+
+    def _merge2(g: "pd.DataFrame") -> "pd.DataFrame":
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if not len(o) or not len(l):
+            return pd.DataFrame(
+                {
+                    "nation": pd.Series([], dtype="int64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        m = o[["key", "val"]].merge(
+            l[["key", "val", "rev", "n"]].rename(columns={"val": "s_nat"}),
+            on="key",
+        )
+        m = m[m["val"] == m["s_nat"]]  # customer nation == supplier nation
+        agg = m.groupby("val", as_index=False).agg(
+            n_lines=("n", "sum"), revenue_cents=("rev", "sum")
+        )
+        return agg.rename(columns={"val": "nation"})
+
+    parts = (
+        onat.map_batches(
+            _with_n, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .union(li)
+        .groupby("_part")
+        .map_groups(_merge2, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0 or "nation" not in parts.columns:
+        return empty
+    out = parts.groupby("nation", as_index=False)[
+        ["n_lines", "revenue_cents"]
+    ].sum()
+    out["n_name"] = out["nation"].map(names)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return (
+        out[["n_name", "n_lines", "revenue_cents"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
