@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_topk": q.q_token_bigram_topk,
         "events_hash_sample": q.q_events_hash_sample,
         "distinct_users_per_type": q.q_distinct_users_per_type,
+        "tpch_q10_returns": q.q_tpch_q10_returns,
+        "tpch_q14_promo": q.q_tpch_q14_promo,
+        "events_interarrival": q.q_events_interarrival,
+        "events_type_trend": q.q_events_type_trend,
+        "users_weekly_churn": q.q_users_weekly_churn,
         "events_latest_value": q.q_events_latest_value,
         "orders_big_quantity": q.q_orders_big_quantity,
         "events_value_mad": q.q_events_value_mad,
@@ -285,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_value", "orders_big_quantity", "events_value_mad",
         "events_hourly_top_type", "doc_winnow_dups", "orders_monthly_growth",
         "label_centroid_sim", "tpch_q5_revenue",
+        "tpch_q10_returns", "tpch_q14_promo", "events_interarrival",
+        "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1045,6 +1052,100 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
                            AND s.s_nationkey = c.c_nationkey
             JOIN n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q10_returns": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1996-04-01'
+            ), l AS (
+              SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT) AS cents
+              FROM lineitem WHERE l_returnflag = 'R'
+            ), rev AS (
+              SELECT o.o_custkey, COUNT(*) AS n_lines,
+                     SUM(cents) AS revenue_cents
+              FROM l JOIN o ON o.o_orderkey = l.l_orderkey GROUP BY 1
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(rev.n_lines AS BIGINT) AS n_lines,
+                   CAST(rev.revenue_cents AS BIGINT) AS revenue_cents
+            FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+                     JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20
+        """,
+        "tpch_q14_promo": """
+            WITH l AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT) AS cents
+              FROM lineitem WHERE l_shipdate IS NOT NULL
+            )
+            SELECT month, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN cents ELSE 0 END)
+                        AS BIGINT) AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   round(CAST(100 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                             THEN cents ELSE 0 END) AS DOUBLE)
+                         / SUM(cents), 6) AS promo_pct
+            FROM l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY month ORDER BY month
+        """,
+        "events_interarrival": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   round(CAST(SUM(gap) AS DOUBLE) / (COUNT(gap) * 1000000), 6)
+                       AS avg_gap_sec,
+                   round(CAST(MAX(gap) AS DOUBLE) / 1000000, 6) AS max_gap_sec
+            FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_trend": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000)
+                          AS BIGINT) % 24 AS hr,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), s AS (
+              SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(hr) AS HUGEINT) AS sx,
+                     CAST(SUM(cents) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(hr AS HUGEINT) * cents) AS HUGEINT) AS sxy,
+                     CAST(SUM(CAST(hr AS HUGEINT) * hr) AS HUGEINT) AS sxx
+              FROM e GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS slope_cents_per_hour,
+                   round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS intercept_cents
+            FROM s ORDER BY event_type
+        """,
+        "users_weekly_churn": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000)
+                          AS BIGINT) AS week
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT d.week, CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN nx.user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_churned,
+                   round(CAST(100 * SUM(CASE WHEN nx.user_id IS NULL
+                                             THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS churn_pct
+            FROM d LEFT JOIN d nx
+              ON nx.user_id = d.user_id AND nx.week = d.week + 1
             GROUP BY 1 ORDER BY 1
         """,
         "orders_monthly_growth": """

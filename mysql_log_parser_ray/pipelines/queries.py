@@ -3414,3 +3414,515 @@ def q_tpch_q5_revenue(sf_dir: str, region: str = "ASIA",
         .sort_values("n_name")
         .reset_index(drop=True)
     )
+
+
+def q_tpch_q10_returns(sf_dir: str, quarter_start: str = "1996-01-01",
+                       topk: int = 20):
+    """TPC-H Q10 shape: top customers by revenue lost to returned items in
+    one order quarter — lineitem(R) x orders x customer x nation.
+
+    Scale shape: the q5 tagged-union co-partitioned plan applied twice.
+    Lineitem pre-aggregates returned-revenue per orderkey INSIDE the batch
+    fn (shuffle volume is order-cardinality, not line-cardinality), joins
+    orders-in-quarter on orderkey in 64 hash buckets, re-keys the joined
+    rows by custkey, and the second tagged union joins customer rows in
+    the same bucketed shape. Nation is a driver dim (25 rows). Each final
+    bucket keeps only its local top-k candidates under the (revenue desc,
+    custkey asc) total order, so the driver folds 64 x k rows - never the
+    customer space."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from ..partition import stable_partition
+
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    lo_us = int(pd.Timestamp(quarter_start).value // 1000)
+    hi_us = int((pd.Timestamp(quarter_start) + pd.DateOffset(months=3)).value // 1000)
+    n_parts = 64
+
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype="object"),
+            "n_name": pd.Series([], dtype="object"),
+            "n_lines": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def _aligned(key, rev, nl, name, nat_, side):
+        key = np.asarray(key, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "rev": pa.array(np.asarray(rev, dtype=np.int64), pa.int64()),
+                "nl": pa.array(np.asarray(nl, dtype=np.int64), pa.int64()),
+                "name": pa.array(list(name), pa.string()),
+                "nat": pa.array(np.asarray(nat_, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.full(len(key), side, np.int32), pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names:
+            return _aligned([], [], [], [], [], 0)
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "k": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "r": _cents(rev).to_numpy(zero_copy_only=False),
+            }
+        ).groupby("k", as_index=False).agg(nl=("r", "size"), r=("r", "sum"))
+        z = np.zeros(len(df), np.int64)
+        return _aligned(df["k"], df["r"], df["nl"], [""] * len(df), z, 0)
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names:
+            return _aligned([], [], [], [], [], 1)
+        dts = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us)))
+        n = b.num_rows
+        return _aligned(
+            b["o_orderkey"].to_numpy(zero_copy_only=False),
+            b["o_custkey"].to_numpy(zero_copy_only=False),  # cust rides in rev
+            np.zeros(n, np.int64), [""] * n, np.zeros(n, np.int64), 1,
+        )
+
+    def _merge1(g: "pd.DataFrame") -> pa.Table:
+        # returns ARROW so the stage-2 union's blocks stay one block type
+        # (mixing pandas map_groups output with arrow map_batches output
+        # breaks the downstream shuffle's boundary sampler)
+        li = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return _aligned([], [], [], [], [], 0)
+        m = li.merge(
+            o[["key", "rev"]].rename(columns={"rev": "cust"}), on="key"
+        )
+        # re-key by custkey; pre-agg per custkey inside the bucket
+        per_c = m.groupby("cust", as_index=False)[["rev", "nl"]].sum()
+        return _aligned(
+            per_c["cust"], per_c["rev"], per_c["nl"],
+            [""] * len(per_c), np.zeros(len(per_c), np.int64), 0,
+        )
+
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names:
+            return _aligned([], [], [], [], [], 1)
+        n = b.num_rows
+        return _aligned(
+            b["c_custkey"].to_numpy(zero_copy_only=False),
+            np.zeros(n, np.int64), np.zeros(n, np.int64),
+            b["c_name"].to_pandas(),
+            b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            1,
+        )
+
+    def _merge2(g: "pd.DataFrame") -> "pd.DataFrame":
+        r = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        out_cols = {
+            "c_custkey": "int64", "c_name": "object", "nat": "int64",
+            "n_lines": "int64", "revenue_cents": "int64",
+        }
+        if not len(r) or not len(c):
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=t) for k, t in out_cols.items()}
+            )
+        # a custkey's rows arrive from MANY stage-1 buckets: sum first
+        per_c = r.groupby("key", as_index=False)[["rev", "nl"]].sum()
+        m = per_c.merge(c[["key", "name", "nat"]], on="key")
+        m = m.sort_values(["rev", "key"], ascending=[False, True]).head(topk)
+        return pd.DataFrame(
+            {
+                "c_custkey": m["key"].to_numpy(np.int64),
+                "c_name": m["name"].to_numpy(),
+                "nat": m["nat"].to_numpy(np.int64),
+                "n_lines": m["nl"].to_numpy(np.int64),
+                "revenue_cents": m["rev"].to_numpy(np.int64),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    rev_by_cust = (
+        li.union(orders).groupby("_part").map_groups(_merge1, batch_format="pandas")
+    )
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(_c_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    cand = (
+        rev_by_cust.union(cust).groupby("_part")
+        .map_groups(_merge2, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cand) or "c_custkey" not in cand.columns:
+        return empty
+    out = cand.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).head(topk).reset_index(drop=True)
+    out["n_name"] = out["nat"].map(names)
+    for c in ("c_custkey", "n_lines", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["c_custkey", "c_name", "n_name", "n_lines", "revenue_cents"]]
+
+
+def q_tpch_q14_promo(sf_dir: str, max_part_broadcast: int = 50_000_000):
+    """TPC-H Q14 shape: promo-type revenue share per ship month.
+
+    Scale shape: part collapses to a sorted (p_partkey -> is-promo) bit
+    array broadcast once via ray.put (fail-fast bound, like q5's supplier
+    map); lineitem then needs NO shuffle at all — each block looks up its
+    partkeys with searchsorted and emits per-month (promo_cents,
+    total_cents, n_lines) partials, and the driver folds n_blocks x
+    n_months rows. The share is a ratio of exact integer cents folded in
+    PYTHON ints (immune to int64 overflow at any scale), rounded half-up
+    like DuckDB round()."""
+    import pandas as pd
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..util import round_half_up
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    n_part = part_ds.count()  # parquet metadata only
+    if n_part > max_part_broadcast:
+        raise ValueError(
+            f"tpch_q14_promo: {n_part} parts exceed the broadcast bound "
+            f"{max_part_broadcast}; route the part lookup through a "
+            "co-partitioned tagged-union join (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    if "p_partkey" not in pdf.columns:  # empty read drops the schema
+        flag_ref = ray.put(
+            (np.array([], dtype=np.int64), np.array([], dtype=bool))
+        )
+    else:
+        pdf = pdf.sort_values("p_partkey")
+        flag_ref = ray.put(
+            (
+                pdf["p_partkey"].to_numpy(dtype=np.int64),
+                (pdf["p_type"].to_numpy() == "PROMO"),
+            )
+        )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "month": pa.array([], pa.string()),
+            "promo_cents": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["l_shipdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        keys, promo = broadcast_get(flag_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:  # empty part table: the inner join drops all
+            return pa.table(cols)
+        idx = np.searchsorted(keys, pk)
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == pk
+        if not hit.all():  # inner-join semantics: unmatched lines drop
+            b = b.filter(pa.array(hit))
+            pk = pk[hit]
+            idx = idx[hit]
+            if b.num_rows == 0:
+                return pa.table(cols)
+        is_promo = promo[idx]
+        cents = _cents(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        ).to_numpy(zero_copy_only=False)
+        month = (
+            pd.Series(b["l_shipdate"].to_pandas()).dt.strftime("%Y-%m").to_numpy()
+        )
+        g = pd.DataFrame(
+            {
+                "month": month,
+                "promo_cents": np.where(is_promo, cents, 0),
+                "total_cents": cents,
+                "n_lines": np.ones(len(cents), np.int64),
+            }
+        ).groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(parts) or "month" not in parts.columns:
+        return _typed_empty(month=object, n_lines="int64",
+                            promo_cents="int64", total_cents="int64",
+                            promo_pct="float64")
+    out = parts.groupby("month", as_index=False)[
+        ["promo_cents", "total_cents", "n_lines"]
+    ].sum()
+    # exact integer ratio in Python ints, THEN one float division per month
+    pct = [
+        float(int(100) * int(p)) / float(int(t))
+        for p, t in zip(out["promo_cents"], out["total_cents"])
+    ]
+    out["promo_pct"] = round_half_up(pct, 6)
+    for c in ("promo_cents", "total_cents", "n_lines"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["month", "n_lines", "promo_cents", "total_cents", "promo_pct"]]
+        .sort_values("month").reset_index(drop=True)
+    )
+
+
+def q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap stats (count / mean / max seconds).
+
+    Scale shape: the sessionize bucketing — users hash-bucket (64) via
+    stable_partition so each user's full timeline lands in ONE task, the
+    per-bucket kernel is one vectorized sort + diff (gap multiset per user
+    is tie-order invariant: equal timestamps yield zero gaps wherever they
+    land, and event_id breaks the sort deterministically anyway), and only
+    per-user (n, sum_us, max_us) rows leave the bucket. Mean is a ratio of
+    exact integers rounded half-up like the oracle's round()."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+        df = t.to_pandas()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _gaps(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        same = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
+        gap = g["ts_us"].to_numpy() - np.roll(g["ts_us"].to_numpy(), 1)
+        if len(g):
+            same[0] = False
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy()[same],
+                          "gap": gap[same]})
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "sum_us": pd.Series([], dtype="int64"),
+                    "max_us": pd.Series([], dtype="int64"),
+                }
+            )
+        return d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_us=("gap", "sum"), max_us=("gap", "max")
+        )
+
+    out = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out) or "user_id" not in out.columns:
+        return _typed_empty(user_id="int64", n_gaps="int64",
+                            avg_gap_sec="float64", max_gap_sec="float64")
+    out["avg_gap_sec"] = round_half_up(
+        out["sum_us"].to_numpy(np.float64)
+        / (out["n_gaps"].to_numpy(np.int64) * 1_000_000).astype(np.float64),
+        6,
+    )
+    out["max_gap_sec"] = round_half_up(
+        out["max_us"].to_numpy(np.float64) / 1_000_000.0, 6
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return (
+        out[["user_id", "n_gaps", "avg_gap_sec", "max_gap_sec"]]
+        .sort_values("user_id").reset_index(drop=True)
+    )
+
+
+def q_events_type_trend(sf_dir: str):
+    """Per-type OLS regression of value (cents) on hour-of-day — slope and
+    intercept from EXACT integer moment sums.
+
+    Scale shape: each block reduces to one (type, n, sx, sy, sxy, sxx)
+    partial row (int64 is safe per block), the driver folds n_blocks x
+    n_types rows in PYTHON ints (unbounded — the n*sxy cross products
+    overflow int64 at petabyte scale, so the closed-form slope
+    numerator/denominator are computed exactly and only the final
+    quotient touches floats, exactly like the oracle's HUGEINT math),
+    and rounding is half-away-from-zero because slopes go negative."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sy": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64()),
+            "sxx": pa.array([], pa.int64()),
+        }
+        if "ts" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]), pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64())
+        hr = (
+            pc.cast(
+                pc.floor(pc.divide(pc.cast(us, pa.float64()), 3.6e9)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            % 24
+        )
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas().to_numpy(),
+                "n": np.ones(len(hr), np.int64),
+                "sx": hr,
+                "sy": cents,
+                "sxy": hr * cents,
+                "sxx": hr * hr,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        ev.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .to_pandas()
+    )
+    if not len(parts) or "event_type" not in parts.columns:
+        return _typed_empty(event_type=object, n="int64",
+                            slope_cents_per_hour="float64",
+                            intercept_cents="float64")
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        n = int(g["n"].sum()); sx = int(g["sx"].sum()); sy = int(g["sy"].sum())
+        sxy = int(g["sxy"].sum()); sxx = int(g["sxx"].sum())
+        den = n * sxx - sx * sx
+        s_num = n * sxy - sx * sy
+        i_num = sy * sxx - sx * sxy
+        # float(num)/float(den): two correctly-rounded int->double casts +
+        # one IEEE divide == the oracle's CAST(... AS DOUBLE)/CAST(...)
+        slope = np.float64(s_num) / np.float64(den)
+        icept = np.float64(i_num) / np.float64(den)
+        rows.append((et, n, slope, icept))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "slope_cents_per_hour",
+                       "intercept_cents"]
+    )
+    out["slope_cents_per_hour"] = round_half_away(
+        out["slope_cents_per_hour"], 6
+    )
+    out["intercept_cents"] = round_half_away(out["intercept_cents"], 6)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_users_weekly_churn(sf_dir: str):
+    """Weekly churn: per epoch-week, active users and how many of them do
+    NOT appear in the following week (the complement of user_retention's
+    cohort view).
+
+    Scale shape: batches pre-reduce to distinct (user, week) pairs, users
+    hash-bucket (64) so each user's week set lands in one task, the
+    per-bucket kernel is one sorted-diff membership test, and only
+    (week, n_active, n_churned) partial rows reach the driver fold. The
+    trailing week churns everyone by definition — same as the oracle's
+    LEFT JOIN, kept symmetric."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    WEEK_US = 604_800_000_000.0
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _weeks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        wk = pc.cast(
+            pc.floor(pc.divide(pc.cast(pc.cast(b["ts"], pa.int64()),
+                                       pa.float64()), WEEK_US)),
+            pa.int64(),
+        )
+        df = pa.table({"user_id": b["user_id"], "week": wk}).to_pandas()
+        df = df.drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _churn(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[["user_id", "week"]].drop_duplicates().sort_values(
+            ["user_id", "week"]
+        )
+        u = g["user_id"].to_numpy()
+        w = g["week"].to_numpy()
+        nxt_same = np.roll(u, -1) == u
+        nxt_wk = np.roll(w, -1)
+        if len(g):
+            nxt_same[-1] = False
+        retained = nxt_same & (nxt_wk == w + 1)
+        out = pd.DataFrame({"week": w, "churned": (~retained).astype(np.int64)})
+        return out.groupby("week", as_index=False).agg(
+            n_active=("churned", "size"), n_churned=("churned", "sum")
+        )
+
+    parts = (
+        ev.map_batches(_weeks, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_churn, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "week" not in parts.columns:
+        return _typed_empty(week="int64", n_active="int64",
+                            n_churned="int64", churn_pct="float64")
+    out = parts.groupby("week", as_index=False)[["n_active", "n_churned"]].sum()
+    pct = [
+        float(100 * int(c)) / float(int(a))
+        for c, a in zip(out["n_churned"], out["n_active"])
+    ]
+    out["churn_pct"] = round_half_up(pct, 6)
+    for c in ("week", "n_active", "n_churned"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("week").reset_index(drop=True)

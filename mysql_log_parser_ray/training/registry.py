@@ -1566,6 +1566,103 @@ def q_streaming_shard_distinct(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources: for every source pair
+    (a < b), |vocab_a ∩ vocab_b| / |vocab_a ∪ vocab_b| over distinct
+    lowercased ASCII-whitespace words.
+
+    Scale shape: batches pre-reduce to distinct (source, word) pairs, words
+    hash-bucket (64) via stable_partition so ALL copies of a word land in
+    one task, and the per-bucket kernel is one self-merge on word (rows per
+    word <= n_sources**2 — sources are a handful by construction). Only
+    (src_a, src_b, n) partial rows leave the buckets — including the
+    (s, s) diagonal carrying per-source vocabulary sizes — so the driver
+    folds 64 x pairs rows and the Jaccard is a ratio of exact integers
+    rounded half-up like the oracle's round()."""
+    from ..partition import stable_partition
+    from ..util import round_half_up, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        d = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas().reindex(ex.index[mask]).to_numpy(),
+                "word": ex[mask].to_numpy(),
+            }
+        ).drop_duplicates()
+        d["_part"] = stable_partition(
+            pa.array(d["word"], type=pa.string()), 64
+        )
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def _inter(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[["source", "word"]].drop_duplicates()
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "src_a": pd.Series([], dtype="object"),
+                    "src_b": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.merge(g, on="word", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]  # keep (s, s) diagonal = size
+        out = (
+            m.groupby(["source_a", "source_b"], as_index=False)
+            .size()
+            .rename(columns={"source_a": "src_a", "source_b": "src_b",
+                             "size": "n"})
+        )
+        return out
+
+    parts = (
+        ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_inter, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "src_a" not in parts.columns:
+        return typed_empty(src_a=object, src_b=object, n_a="int64",
+                           n_b="int64", n_inter="int64", jaccard="float64")
+    folded = parts.groupby(["src_a", "src_b"], as_index=False)["n"].sum()
+    sizes = dict(
+        zip(
+            folded.loc[folded["src_a"] == folded["src_b"], "src_a"],
+            folded.loc[folded["src_a"] == folded["src_b"], "n"],
+        )
+    )
+    out = folded[folded["src_a"] < folded["src_b"]].copy()
+    if not len(out):
+        return typed_empty(src_a=object, src_b=object, n_a="int64",
+                           n_b="int64", n_inter="int64", jaccard="float64")
+    out["n_a"] = out["src_a"].map(sizes).astype("int64")
+    out["n_b"] = out["src_b"].map(sizes).astype("int64")
+    out = out.rename(columns={"n": "n_inter"})
+    out["n_inter"] = out["n_inter"].astype("int64")
+    union = (out["n_a"] + out["n_b"] - out["n_inter"]).to_numpy(np.float64)
+    out["jaccard"] = round_half_up(
+        out["n_inter"].to_numpy(np.float64) / union, 6
+    )
+    return (
+        out[["src_a", "src_b", "n_a", "n_b", "n_inter", "jaccard"]]
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -1608,6 +1705,7 @@ def register_queries():
         "word_pmi_topk": q_word_pmi_topk,
         "doc_winnow_dups": q_doc_winnow_dups,
         "label_centroid_sim": q_label_centroid_sim,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
     }
 
 
@@ -1821,6 +1919,22 @@ def register_oracles():
                    CAST(SUM(CASE WHEN n_chars BETWEEN p05 AND p95 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
                    MAX(p05) AS p05, MAX(p95) AS p95
             FROM documents, th GROUP BY 1
+        """,
+        "source_vocab_jaccard": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), wf AS (SELECT DISTINCT source, word FROM w WHERE word <> ''),
+            sz AS (SELECT source, COUNT(*) AS n FROM wf GROUP BY 1),
+            ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ni
+                   FROM wf a JOIN wf b ON a.word = b.word AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(za.n AS BIGINT) AS n_a,
+                   CAST(zb.n AS BIGINT) AS n_b, CAST(ni AS BIGINT) AS n_inter,
+                   round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 6) AS jaccard
+            FROM ix JOIN sz za ON za.source = src_a
+                    JOIN sz zb ON zb.source = src_b
         """,
         "streaming_shard_distinct": r"""
             WITH h AS (

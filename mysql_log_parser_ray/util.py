@@ -21,3 +21,15 @@ def round_half_up(arr, decimals: int):
 
     scale = 10.0 ** decimals
     return np.floor(np.asarray(arr, dtype=np.float64) * scale + 0.5) / scale
+
+
+def round_half_away(arr, decimals: int):
+    """Sign-aware HALF-AWAY-FROM-ZERO rounding, matching DuckDB round()
+    on values that may be negative (round_half_up's floor(x+0.5) rounds a
+    negative .5 tie toward +inf instead of away from zero). Use for
+    signed ratio-of-integer columns (e.g. regression slopes)."""
+    import numpy as np
+
+    x = np.asarray(arr, dtype=np.float64)
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale

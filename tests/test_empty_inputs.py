@@ -60,13 +60,43 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         pa.table(
             {
                 "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
                 "l_quantity": pa.array([], pa.float64()),
                 "l_extendedprice": pa.array([], pa.float64()),
                 "l_discount": pa.array([], pa.float64()),
+                "l_returnflag": pa.array([], pa.string()),
                 "l_shipdate": pa.array([], pa.timestamp("us")),
             }
         ),
         str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_type": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([], pa.int32()),
+                "n_name": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
     )
     pq.write_table(
         pa.table(
@@ -119,6 +149,17 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "doc_winnow_dups": ["doc_a", "doc_b", "n_shared"],
         "orders_monthly_growth": ["month", "n_orders", "delta"],
         "label_centroid_sim": ["label_a", "label_b", "cos"],
+        "tpch_q10_returns": ["c_custkey", "c_name", "n_name", "n_lines",
+                             "revenue_cents"],
+        "tpch_q14_promo": ["month", "n_lines", "promo_cents", "total_cents",
+                           "promo_pct"],
+        "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
+                                "max_gap_sec"],
+        "events_type_trend": ["event_type", "n", "slope_cents_per_hour",
+                              "intercept_cents"],
+        "users_weekly_churn": ["week", "n_active", "n_churned", "churn_pct"],
+        "source_vocab_jaccard": ["src_a", "src_b", "n_a", "n_b", "n_inter",
+                                 "jaccard"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
