@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
+        "customers_dormant_rich": q.q_customers_dormant_rich,
+        "events_value_pctrank": q.q_events_value_pctrank,
+        "events_rolling_wau": q.q_events_rolling_wau,
         "events_latest_value": q.q_events_latest_value,
         "orders_big_quantity": q.q_orders_big_quantity,
         "events_value_mad": q.q_events_value_mad,
@@ -292,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sim", "tpch_q5_revenue",
         "tpch_q10_returns", "tpch_q14_promo", "events_interarrival",
         "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
+        "customers_dormant_rich", "events_value_pctrank",
+        "events_rolling_wau",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1053,6 +1058,63 @@ def oracle_sql() -> dict[str, str]:
                            AND s.s_nationkey = c.c_nationkey
             JOIN n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "customers_dormant_rich": """
+            WITH cb AS (
+              SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                     c_custkey, c_nationkey
+              FROM customer
+            ), t AS (
+              SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM cb WHERE cents > 0
+            ), rich AS (
+              SELECT c_custkey, c_nationkey, cents
+              FROM cb, t WHERE cents * n > tot
+            ), active AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+            )
+            SELECT nn.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(r.cents) AS BIGINT) AS acctbal_cents
+            FROM rich r JOIN nation nn ON nn.n_nationkey = r.c_nationkey
+            WHERE r.c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_pctrank": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+              FROM events WHERE value IS NOT NULL
+            ), h AS (
+              SELECT event_type, value_cents, COUNT(*) AS n
+              FROM e GROUP BY 1, 2
+            ), r AS (
+              SELECT event_type, value_cents, n,
+                     SUM(n) OVER (PARTITION BY event_type
+                                  ORDER BY value_cents) - n AS below,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM h
+            )
+            SELECT event_type, value_cents, CAST(n AS BIGINT) AS n,
+                   round(CAST(below AS DOUBLE)
+                         / CASE WHEN tot = 1 THEN 1 ELSE tot - 1 END, 6)
+                       AS pct_rank
+            FROM r ORDER BY event_type, value_cents
+        """,
+        "events_rolling_wau": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000)
+                          AS BIGINT) AS day
+              FROM events WHERE ts IS NOT NULL
+            ), cov AS (
+              SELECT DISTINCT user_id, day + o.o AS day
+              FROM d CROSS JOIN (SELECT unnest(range(7)) AS o) o
+            ), mx AS (SELECT MAX(day) AS m FROM d)
+            SELECT c.day, CAST(COUNT(*) AS BIGINT) AS n_active_7d
+            FROM cov c, mx WHERE c.day <= mx.m GROUP BY 1 ORDER BY 1
         """,
         "tpch_q10_returns": """
             WITH o AS (

@@ -3926,3 +3926,301 @@ def q_users_weekly_churn(sf_dir: str):
     for c in ("week", "n_active", "n_churned"):
         out[c] = out[c].astype("int64")
     return out.sort_values("week").reset_index(drop=True)
+
+
+def q_customers_dormant_rich(sf_dir: str, year_start: str = "1996-01-01"):
+    """TPC-H Q22 shape: per nation, customers whose balance beats the
+    positive-balance average but who placed NO order in one year — a
+    global scalar subquery + anti-join.
+
+    Scale shape: the average is folded as (sum_cents, n) integer partials
+    (one row per block) and the threshold test is the exact integer
+    cross-multiply cents * n > sum_cents — no float average is ever
+    formed, so the filter is order- and parallelism-invariant. The
+    anti-join co-partitions customer rows against per-block pre-reduced
+    distinct 1996-customer keys in 64 hash buckets (tagged union, q5
+    shape); only per-nation (n_cust, sum_cents) partials leave the
+    buckets."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from ..partition import stable_partition
+
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    empty = pd.DataFrame(
+        {
+            "n_name": pd.Series([], dtype="object"),
+            "n_cust": pd.Series([], dtype="int64"),
+            "acctbal_cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    # --- global scalar: positive-balance average, exact integer partials
+    cust_bal = _read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def _bal_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"])
+        pos = pc.greater(cents, 0)
+        cents = pc.filter(cents, pos)
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+                "n": pa.array([len(cents)], pa.int64()),
+            }
+        )
+
+    bal = cust_bal.map_batches(
+        _bal_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(bal) or "s" not in bal.columns:
+        return empty
+    tot_cents = int(bal["s"].sum())
+    n_pos = int(bal["n"].sum())
+    if n_pos == 0:
+        return empty
+
+    lo_us = int(pd.Timestamp(year_start).value // 1000)
+    hi_us = int((pd.Timestamp(year_start) + pd.DateOffset(years=1)).value // 1000)
+    n_parts = 64
+
+    def _aligned(key, cents, natk, side):
+        key = np.asarray(key, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "cents": pa.array(np.asarray(cents, dtype=np.int64), pa.int64()),
+                "nat": pa.array(np.asarray(natk, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.full(len(key), side, np.int32), pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names:
+            return _aligned([], [], [], 0)
+        cents = _cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)
+        # exact rational threshold: cents > tot/n  <=>  cents * n > tot
+        # (vectorized int64; the fail-fast guard keeps the cross-multiply
+        # exact — past it, scale the comparison to HUGEINT-style object
+        # math or quantize the average)
+        if len(cents) and int(np.abs(cents).max()) * n_pos >= 2**62:
+            raise ValueError(
+                "customers_dormant_rich: balance-cents x population "
+                "cross-multiply would overflow int64"
+            )
+        keep = cents * np.int64(n_pos) > np.int64(tot_cents)
+        return _aligned(
+            b["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+            cents[keep],
+            b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+            0,
+        )
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_custkey" not in b.column_names:
+            return _aligned([], [], [], 1)
+        dts = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us)))
+        ck = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        z = np.zeros(len(ck), np.int64)
+        return _aligned(ck, z, z, 1)
+
+    def _anti(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        out_cols = {"nat": "int64", "n_cust": "int64", "cents": "int64"}
+        if not len(c):
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=t) for k, t in out_cols.items()}
+            )
+        keep = c[~c["key"].isin(set(o["key"]))]
+        if not len(keep):
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=t) for k, t in out_cols.items()}
+            )
+        out = keep.groupby("nat", as_index=False).agg(
+            n_cust=("key", "size"), cents=("cents", "sum")
+        )
+        return out[["nat", "n_cust", "cents"]]
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_nationkey"]
+    ).map_batches(_c_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    parts = (
+        cust.union(orders).groupby("_part")
+        .map_groups(_anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "nat" not in parts.columns:
+        return empty
+    out = parts.groupby("nat", as_index=False)[["n_cust", "cents"]].sum()
+    out["n_name"] = out["nat"].map(names)
+    out = out.rename(columns={"cents": "acctbal_cents"})
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
+    return (
+        out[["n_name", "n_cust", "acctbal_cents"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_value_pctrank(sf_dir: str, max_fold_rows: int = 5_000_000):
+    """Exact distributed percent-rank of every distinct value within its
+    event type: (rows strictly below) / (n_type - 1).
+
+    Scale shape: the events_value_mad histogram fold — blocks pre-reduce
+    to (type, value_cents, n) partials so only distinct-value-cardinality
+    rows move, the Dataset is materialized and count()-guarded BEFORE the
+    driver collect (fail-fast rule), and the rank arithmetic is one
+    cumsum per type over the folded histogram. The rank is a ratio of
+    exact integers rounded half-up like the oracle's round()."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _hist(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "value_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if "event_type" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["value"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas().to_numpy(),
+                "value_cents": _cents(b["value"]).to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["event_type", "value_cents"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ev.map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    n_rows = parts.count()
+    if n_rows > max_fold_rows:
+        raise ValueError(
+            f"events_value_pctrank: {n_rows} histogram partials exceed the "
+            f"driver fold bound {max_fold_rows}; bucket by type hash and "
+            "fold per bucket (events_value_mad shape) instead"
+        )
+    h = _fold_partials(parts, ["event_type", "value_cents"], ["n"])
+    if h is None:
+        return _typed_empty(event_type=object, value_cents="int64",
+                            n="int64", pct_rank="float64")
+    h = h.sort_values(["event_type", "value_cents"]).reset_index(drop=True)
+    h["n"] = h["n"].astype("int64")
+    cum = h.groupby("event_type")["n"].cumsum() - h["n"]
+    tot = h.groupby("event_type")["n"].transform("sum")
+    denom = (tot - 1).to_numpy(np.float64)
+    denom[denom == 0] = 1.0  # single-row type: percent_rank defines 0
+    h["pct_rank"] = round_half_up(cum.to_numpy(np.float64) / denom, 6)
+    h["value_cents"] = h["value_cents"].astype("int64")
+    return h[["event_type", "value_cents", "n", "pct_rank"]]
+
+
+def q_events_rolling_wau(sf_dir: str, window_days: int = 7):
+    """Rolling 7-day active users: for every day, how many distinct users
+    were active at least once in the trailing window [day-6, day].
+
+    Scale shape: batches pre-reduce to distinct (user, day) pairs, each
+    pair arithmetic-explodes to its <=7 covered days (np.repeat — no
+    joins), users hash-bucket (64) so every copy of a (user, cover-day)
+    pair lands in one task, the per-bucket kernel dedupes and counts per
+    cover day, and only (day, n) partials reach the driver fold. Days
+    past the corpus maximum are clipped so the output matches the
+    oracle's observed-day domain."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _cover(b: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            "active_day": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "ts" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        df = pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
+            }
+        ).to_pandas().drop_duplicates()
+        u = np.repeat(df["user_id"].to_numpy(np.int64), window_days)
+        d0 = np.repeat(df["day"].to_numpy(np.int64), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), len(df))
+        out = pd.DataFrame(
+            {"user_id": u, "day": d0 + off, "active_day": d0}
+        ).drop_duplicates(subset=["user_id", "day"])
+        out["_part"] = stable_partition(out["user_id"], 64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _count(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[["user_id", "day", "active_day"]].drop_duplicates(
+            subset=["user_id", "day"]
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "max_active": pd.Series([], dtype="int64"),
+                }
+            )
+        out = g.groupby("day", as_index=False).agg(
+            n=("user_id", "size"), max_active=("active_day", "max")
+        )
+        return out
+
+    parts = (
+        ev.map_batches(_cover, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part")
+        .map_groups(_count, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "day" not in parts.columns:
+        return _typed_empty(day="int64", n_active_7d="int64")
+    out = parts.groupby("day", as_index=False).agg(
+        n_active_7d=("n", "sum"), max_active=("max_active", "max")
+    )
+    # clip the synthetic tail: a cover day with no REAL activity anywhere
+    # on/after it (max observed active day < day) is outside the oracle's
+    # observed-day domain
+    max_day = int(parts["max_active"].max())
+    out = out[out["day"] <= max_day]
+    out["day"] = out["day"].astype("int64")
+    out["n_active_7d"] = out["n_active_7d"].astype("int64")
+    return (
+        out[["day", "n_active_7d"]].sort_values("day").reset_index(drop=True)
+    )

@@ -85,6 +85,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                 "c_custkey": pa.array([], pa.int64()),
                 "c_name": pa.array([], pa.string()),
                 "c_nationkey": pa.array([], pa.int32()),
+                "c_acctbal": pa.array([], pa.float64()),
             }
         ),
         str(tmp_path / "customer.parquet"),
@@ -160,6 +161,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "users_weekly_churn": ["week", "n_active", "n_churned", "churn_pct"],
         "source_vocab_jaccard": ["src_a", "src_b", "n_a", "n_b", "n_inter",
                                  "jaccard"],
+        "customers_dormant_rich": ["n_name", "n_cust", "acctbal_cents"],
+        "events_value_pctrank": ["event_type", "value_cents", "n",
+                                 "pct_rank"],
+        "events_rolling_wau": ["day", "n_active_7d"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

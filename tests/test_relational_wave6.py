@@ -113,3 +113,54 @@ def test_source_vocab_jaccard_bounds_and_symmetric_sizes(ray_session):
     for _, r in out.iterrows():
         for s, n in ((r["src_a"], r["n_a"]), (r["src_b"], r["n_b"])):
             assert sizes.setdefault(s, n) == n
+
+
+def test_dormant_rich_threshold_and_antijoin(ray_session):
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_customers_dormant_rich
+
+    out = q_customers_dormant_rich(SF)
+    cust = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+    cents = np.floor(cust["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pos = cents[cents > 0]
+    n_rich = int((cents * len(pos) > pos.sum()).sum())
+    # the anti-join can only shrink the above-average population
+    assert 0 < out["n_cust"].sum() <= n_rich
+    assert (out["acctbal_cents"] > 0).all()
+
+
+def test_pctrank_exactness_per_type(ray_session):
+    from mysql_log_parser_ray.pipelines.queries import q_events_value_pctrank
+
+    out = q_events_value_pctrank(SF)
+    assert ((out["pct_rank"] >= 0) & (out["pct_rank"] <= 1)).all()
+    for _, g in out.groupby("event_type"):
+        # strictly increasing value -> non-decreasing rank; first is 0,
+        # max is (n_type - n_last)/(n_type - 1) <= 1
+        assert g["value_cents"].is_monotonic_increasing
+        assert g["pct_rank"].iloc[0] == 0.0
+        assert g["pct_rank"].is_monotonic_increasing
+
+
+def test_rolling_wau_dominates_daily_distinct(ray_session):
+    import pyarrow.parquet as pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_rolling_wau
+
+    out = q_events_rolling_wau(SF)
+    ev = pq.read_table(
+        os.path.join(SF, "events.parquet"), columns=["ts", "user_id"]
+    ).to_pandas().dropna()
+    day = np.floor(
+        ev["ts"].astype("int64").to_numpy(np.float64) / 86400e6
+    ).astype(np.int64)
+    got = dict(zip(out["day"], out["n_active_7d"]))
+    # a trailing-window count can never be below that single day's
+    # distinct users, and never above the global distinct-user count
+    n_users = ev["user_id"].nunique()
+    import pandas as pd
+    dd = pd.DataFrame({"u": ev["user_id"].to_numpy(), "d": day}).drop_duplicates()
+    for d, n in dd.groupby("d").size().items():
+        assert got[d] >= n
+        assert got[d] <= n_users
