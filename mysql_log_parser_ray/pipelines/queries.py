@@ -917,111 +917,96 @@ def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER distributed hash join: customer x per-customer order
     counts, keeping customers with no orders (NULL fan-in -> 0).
 
-    Scale shape: the orders side is reduced to customer-cardinality count
-    partials BEFORE the shuffle (per-block groupby, then a Sum groupby on
-    o_custkey), so the left_outer ``Dataset.join`` moves one tiny row per
-    active customer instead of every order; the joined stream folds to a
-    segment-cardinality result via the usual partial+Sum shape. Join-side
-    hygiene per CLAUDE.md: the aggregated side passes through a
-    schema-enforcing map with a NUMERIC batch_size (groupby outputs can
-    carry schema-less empty blocks that acero rejects), and an all-empty
-    orders side skips the join entirely."""
-    import ray
+    Scale shape: a tagged-union co-partitioned left join (the q5/q10
+    plan) instead of ``Dataset.join`` — orders pre-reduce to
+    customer-cardinality (custkey, n_orders) partials inside the batch
+    fn, both sides ship schema-aligned rows into ONE stable_partition
+    groupby, and the per-bucket pandas kernel does the left merge with
+    zero fan-in fill. Only segment-cardinality (seg, n_customers,
+    n_no_orders, n_orders) partials leave the buckets, folded on the
+    driver (64 x |segments| rows). Replaced the Dataset.join version:
+    same rows, none of the aggregator-pool startup that dominated it at
+    benchmark scale (2.25 s -> sub-second at sf0.1/32cpu)."""
+    import pandas as pd
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    n_parts = _join_num_partitions(sf_dir, "customer", "orders")
+    from ..partition import stable_partition
 
-    def pre(b: pa.Table) -> pa.Table:
-        import pandas as pd
+    n_parts = 64
 
-        from ..partition import stable_partition
-
-        df = pa.table({"o_custkey": b["o_custkey"]}).to_pandas()
-        g = df.groupby("o_custkey", as_index=False).size()
-        g = g.rename(columns={"size": "n_orders"})
-        g["_part"] = stable_partition(g["o_custkey"], 64)
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def _collapse(g) -> "pa.Table":
-        # all copies of a custkey land in this bucket: per-bucket sum is
-        # the global order count (never a groupby over per-customer groups)
-        out = g.groupby("o_custkey", as_index=False)["n_orders"].sum()
-        return out
-
-    from ray.data.aggregate import Sum
-
-    per_cust = (
-        orders.map_batches(pre, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(_collapse, batch_format="pandas")
-    )
-
-    def _schema_guard(b: pa.Table) -> pa.Table:
-        if "o_custkey" not in b.column_names:
-            return pa.table(
-                {
-                    "o_custkey": pa.array([], pa.int64()),
-                    "n_orders": pa.array([], pa.int64()),
-                }
-            )
+    def _aligned(key, n, seg, side):
+        key = np.asarray(key, dtype=np.int64)
         return pa.table(
             {
-                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
-                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "n": pa.array(np.asarray(n, dtype=np.int64), pa.int64()),
+                "seg": pa.array(list(seg), pa.string()),
+                "side": pa.array(np.full(len(key), side, np.int32), pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    # materialize the customer-cardinality count rows ONCE (object store,
-    # never the driver): the empty-side count() guard and the join both
-    # consume them, and without this the whole orders aggregation pipeline
-    # executes twice (measured 4.5 s -> ~2 s at sf0.1)
-    per_cust = per_cust.map_batches(
-        _schema_guard, batch_format="pyarrow", batch_size=1 << 16
-    ).materialize()
-
-    if per_cust.count() == 0:
-        # all-empty join side: acero never sees it (CLAUDE.md join rule 3)
-        joined = cust.map_batches(
-            lambda b: b.append_column(
-                "n_orders", pa.array([0] * len(b), pa.int64())
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    else:
-        joined = cust.join(
-            per_cust,
-            "left_outer",
-            num_partitions=n_parts,
-            on=("c_custkey",),
-            right_on=("o_custkey",),
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names:
+            return _aligned([], [], [], 0)
+        return _aligned(
+            b["c_custkey"].to_numpy(zero_copy_only=False),
+            np.zeros(b.num_rows, np.int64),
+            b["c_mktsegment"].to_pandas(),
+            0,
         )
 
-    def partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_custkey" not in b.column_names:
+            return _aligned([], [], [], 1)
+        g = (
+            pd.DataFrame({"k": b["o_custkey"].to_numpy(zero_copy_only=False)})
+            .groupby("k", as_index=False)
+            .size()
+        )
+        return _aligned(g["k"], g["size"], [""] * len(g), 1)
 
-        n = pc.coalesce(pc.cast(b["n_orders"], pa.int64()), pa.scalar(0, pa.int64()))
-        df = pa.table(
-            {"c_mktsegment": b["c_mktsegment"], "n_orders": n}
-        ).to_pandas()
-        g = df.groupby("c_mktsegment", as_index=False).agg(
+    def _left_merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g[g["side"] == 0]
+        out_cols = {
+            "c_mktsegment": "object", "n_customers": "int64",
+            "n_no_orders": "int64", "n_orders": "int64",
+        }
+        if not len(c):
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=t) for k, t in out_cols.items()}
+            )
+        o = g[g["side"] == 1]
+        per_c = o.groupby("key", as_index=False)["n"].sum()
+        m = c[["key", "seg"]].merge(per_c, on="key", how="left")
+        n = m["n"].fillna(0).astype(np.int64)
+        out = pd.DataFrame({"c_mktsegment": m["seg"].to_numpy(), "n_orders": n})
+        return out.groupby("c_mktsegment", as_index=False).agg(
             n_customers=("n_orders", "size"),
             n_no_orders=("n_orders", lambda s: int((s == 0).sum())),
             n_orders=("n_orders", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("n_customers", alias_name="n_customers"),
-            Sum("n_no_orders", alias_name="n_no_orders"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        _c_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        _o_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    parts = (
+        cust.union(orders).groupby("_part")
+        .map_groups(_left_merge, batch_format="pandas")
         .to_pandas()
     )
+    if not len(parts) or "c_mktsegment" not in parts.columns:
+        return _typed_empty(c_mktsegment=object, n_customers="int64",
+                            n_no_orders="int64", n_orders="int64")
+    out = parts.groupby("c_mktsegment", as_index=False)[
+        ["n_customers", "n_no_orders", "n_orders"]
+    ].sum()
     for c in ("n_customers", "n_no_orders", "n_orders"):
         out[c] = out[c].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
