@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q.q_distinct_users_per_type,
         "tpch_q10_returns": q.q_tpch_q10_returns,
         "tpch_q14_promo": q.q_tpch_q14_promo,
+        "tpch_q6_revenue": q.q_tpch_q6_revenue,
+        "tpch_q15_top_supplier": q.q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty": q.q_tpch_q17_small_qty,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -296,7 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_returns", "tpch_q14_promo", "events_interarrival",
         "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
         "customers_dormant_rich", "events_value_pctrank",
-        "events_rolling_wau",
+        "events_rolling_wau", "tpch_q6_revenue", "tpch_q15_top_supplier",
+        "tpch_q17_small_qty",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1154,6 +1158,50 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(cents), 6) AS promo_pct
             FROM l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY month ORDER BY month
+        """,
+        "tpch_q6_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CAST(floor(l_extendedprice * l_discount
+                                                * 100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                    + 0.5) AS BIGINT)) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.rev AS BIGINT) AS total_revenue_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev = (SELECT MAX(rev) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q17_small_qty": """
+            WITH lp AS (
+              SELECT l.l_partkey, l.l_quantity,
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_brand = 'Brand#23'
+            ), a AS (
+              SELECT l_partkey, AVG(l_quantity) AS aq FROM lp GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(lp.cents), 0) AS BIGINT) AS total_cents,
+                   round(CAST(COALESCE(SUM(lp.cents), 0) AS DOUBLE) / 700.0, 6)
+                       AS avg_yearly
+            FROM lp JOIN a ON a.l_partkey = lp.l_partkey
+            WHERE lp.l_quantity < 0.2 * a.aq
         """,
         "events_interarrival": """
             WITH g AS (

@@ -4209,3 +4209,306 @@ def q_events_rolling_wau(sf_dir: str, window_days: int = 7):
     return (
         out[["day", "n_active_7d"]].sort_values("day").reset_index(drop=True)
     )
+
+
+def q_tpch_q6_revenue(sf_dir: str, year_start: str = "1995-01-01"):
+    """TPC-H Q6 shape: forecast-revenue scan-aggregate over one ship year.
+
+    Scale shape: the ideal streaming query — a pruned 4-column read, one
+    vectorized filter + integer-cents reduction per block, and a driver
+    fold over n_blocks single-row partials (Python ints, overflow-proof).
+    No shuffle, no state, linear in input."""
+    import pandas as pd
+
+    lo_us = int(pd.Timestamp(year_start).value // 1000)
+    hi_us = int((pd.Timestamp(year_start) + pd.DateOffset(years=1)).value // 1000)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "n_lines": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+        if "l_shipdate" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        mask = pc.is_valid(b["l_shipdate"])
+        for c in ("l_discount", "l_quantity", "l_extendedprice"):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return pa.table(cols)
+        dts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_discount"], 0.05),
+                    pc.less_equal(b["l_discount"], 0.07),
+                ),
+                pc.less(b["l_quantity"], 24.0),
+            ),
+        )
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(cols)
+        cents = _cents(pc.multiply(b["l_extendedprice"], b["l_discount"]))
+        return pa.table(
+            {
+                "n_lines": pa.array([b.num_rows], pa.int64()),
+                "revenue_cents": pa.array(
+                    [int(pc.sum(cents).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    n = int(parts["n_lines"].sum()) if "n_lines" in parts.columns else 0
+    rev = sum(int(v) for v in parts["revenue_cents"]) if len(parts) else 0
+    return pd.DataFrame({"n_lines": pd.Series([n], dtype="int64"),
+                         "revenue_cents": pd.Series([rev], dtype="int64")})
+
+
+def q_tpch_q15_top_supplier(sf_dir: str, quarter_start: str = "1996-01-01"):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one ship
+    quarter (ties all returned, like the spec's view-max semantics).
+
+    Scale shape: lineitem pre-aggregates (suppkey -> cents) INSIDE each
+    batch fn, so only supplier-cardinality partials shuffle; suppliers
+    hash-bucket via stable_partition (a suppkey lives in exactly one
+    bucket, so per-bucket sums are complete totals) and each bucket emits
+    only its bucket-max tie set — the driver folds <= 64 x ties rows,
+    never the supplier space. Winner names come from a second pruned
+    supplier scan filtered against the (tiny) broadcast winner set — the
+    supplier table itself never collects to the driver."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_partition
+
+    lo_us = int(pd.Timestamp(quarter_start).value // 1000)
+    hi_us = int(
+        (pd.Timestamp(quarter_start) + pd.DateOffset(months=3)).value // 1000
+    )
+    n_parts = 64
+    empty = _typed_empty(s_suppkey="int64", s_name=object,
+                         total_revenue_cents="int64")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_suppkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        mask = pc.and_(pc.is_valid(b["l_shipdate"]),
+                       pc.is_valid(b["l_extendedprice"]))
+        b = b.filter(mask)
+        if b.num_rows:
+            dts = pc.cast(b["l_shipdate"], pa.int64())
+            b = b.filter(
+                pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us))
+            )
+        if b.num_rows == 0:
+            return pa.table(cols)
+        cents = _cents(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "k": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "rev": cents.to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("k", as_index=False)["rev"].sum()
+        )
+        k = g["k"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+                "_part": pa.array(stable_partition(k, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket_max(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"k": "int64", "rev": "int64"}
+        if not len(g) or "k" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        tot = g.groupby("k", as_index=False)["rev"].sum()
+        m = tot["rev"].max()
+        w = tot[tot["rev"] == m]
+        return pd.DataFrame({"k": w["k"].to_numpy(np.int64),
+                             "rev": w["rev"].to_numpy(np.int64)})
+
+    cand = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket_max, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cand) or "k" not in cand.columns:
+        return empty
+    mx = int(cand["rev"].max())
+    winners = cand[cand["rev"] == mx]
+    win_ref = ray.put(np.sort(winners["k"].to_numpy(np.int64)))
+
+    def _names(b: pa.Table) -> pa.Table:
+        cols = {"s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string())}
+        if "s_suppkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        keys = _broadcast_get(win_ref)
+        sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, sk)
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == sk if len(keys) else np.zeros(len(sk), bool)
+        b = b.filter(pa.array(hit))
+        return pa.table({"s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+                         "s_name": pc.cast(b["s_name"], pa.string())})
+
+    names = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(_names, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(names) or "s_suppkey" not in names.columns:
+        return empty
+    out = names.merge(
+        winners.rename(columns={"k": "s_suppkey",
+                                "rev": "total_revenue_cents"}),
+        on="s_suppkey",
+    ).sort_values("s_suppkey").reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_cents"] = out["total_revenue_cents"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]]
+
+
+def q_tpch_q17_small_qty(sf_dir: str, brand: str = "Brand#23",
+                         max_part_broadcast: int = 50_000_000):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lines of
+    one brand's parts whose quantity is below 20% of that part's average
+    order quantity.
+
+    Scale shape: the brand predicate collapses part to a sorted partkey
+    array broadcast once (fail-fast bound, q14's shape); lineitem filters
+    to brand parts worker-side and ships only (partkey, qty, cents)
+    triples for ~1/brand_count of lines, hash-bucketed by partkey so each
+    part's complete quantity distribution lands in ONE bucket; the
+    per-bucket kernel computes avg-per-part and the sub-20% sum
+    vectorized, emitting one partial row per bucket. The driver folds 64
+    rows. Quantities are integral in TPC-H, so the int64 qty sum divided
+    by count is bit-identical to the oracle's double AVG."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if part_ds.count() > max_part_broadcast:
+        raise ValueError(
+            f"tpch_q17_small_qty: part table exceeds the broadcast bound "
+            f"{max_part_broadcast}; route the brand filter through a "
+            "co-partitioned tagged-union join (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    if "p_partkey" in pdf.columns:
+        keys = np.sort(
+            pdf.loc[pdf["p_brand"] == brand, "p_partkey"].to_numpy(np.int64)
+        )
+    else:
+        keys = np.array([], dtype=np.int64)
+    keys_ref = ray.put(keys)
+    n_parts = 64
+
+    def _lp(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "qty": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        mask = pc.and_(pc.is_valid(b["l_quantity"]),
+                       pc.is_valid(b["l_extendedprice"]))
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return pa.table(cols)
+        bkeys = _broadcast_get(keys_ref)
+        if len(bkeys) == 0:
+            return pa.table(cols)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bkeys, pk)
+        idx[idx >= len(bkeys)] = 0
+        hit = bkeys[idx] == pk
+        if not hit.any():
+            return pa.table(cols)
+        b = b.filter(pa.array(hit))
+        pk = pk[hit].astype(np.int64)
+        qty = np.asarray(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(pk, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "_part": pa.array(stable_partition(pk, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"n_lines": "int64", "total_cents": "int64"}
+        if not len(g) or "k" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        st = g.groupby("k")["qty"].agg(["sum", "count"])
+        avg = (st["sum"].astype("float64") / st["count"]).rename("avg")
+        m = g.merge(avg, left_on="k", right_index=True)
+        small = m[m["qty"] < 0.2 * m["avg"]]
+        return pd.DataFrame(
+            {
+                "n_lines": pd.Series([len(small)], dtype="int64"),
+                "total_cents": pd.Series([int(small["cents"].sum())],
+                                         dtype="int64"),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(_lp, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n_lines"].sum()) if "n_lines" in parts.columns else 0
+    tot = (
+        sum(int(v) for v in parts["total_cents"])
+        if len(parts) and "total_cents" in parts.columns else 0
+    )
+    avg_yearly = round_half_up(
+        [float(int(tot)) / 700.0], 6
+    )
+    return pd.DataFrame(
+        {
+            "n_lines": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([tot], dtype="int64"),
+            "avg_yearly": pd.Series(avg_yearly, dtype="float64"),
+        }
+    )

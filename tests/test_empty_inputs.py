@@ -61,6 +61,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
             {
                 "l_orderkey": pa.array([], pa.int64()),
                 "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
                 "l_quantity": pa.array([], pa.float64()),
                 "l_extendedprice": pa.array([], pa.float64()),
                 "l_discount": pa.array([], pa.float64()),
@@ -75,6 +76,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
             {
                 "p_partkey": pa.array([], pa.int64()),
                 "p_type": pa.array([], pa.string()),
+                "p_brand": pa.array([], pa.string()),
             }
         ),
         str(tmp_path / "part.parquet"),
@@ -154,6 +156,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                              "revenue_cents"],
         "tpch_q14_promo": ["month", "n_lines", "promo_cents", "total_cents",
                            "promo_pct"],
+        "tpch_q15_top_supplier": ["s_suppkey", "s_name",
+                                  "total_revenue_cents"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",
@@ -183,6 +187,14 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 4
     assert out["n_rows"].tolist() == [0, 0, 0, 0]
     assert out["n_violations"].tolist() == [0, 0, 0, 0]
+    # tpch_q6/q17 oracles are global aggregates (COUNT + COALESCEd SUM, no
+    # GROUP BY): they ALWAYS emit one row of zeros over empty input
+    out = _to_pandas(qs["tpch_q6_revenue"](str(tmp_path)))
+    assert list(out.columns) == ["n_lines", "revenue_cents"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0]
+    out = _to_pandas(qs["tpch_q17_small_qty"](str(tmp_path)))
+    assert list(out.columns) == ["n_lines", "total_cents", "avg_yearly"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0.0]
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))
