@@ -1,0 +1,154 @@
+"""Invariant unit tests for the seventh relational wave: TPC-H Q6/Q15/Q17
+shapes. Exact-value parity vs DuckDB is covered by
+tests/test_oracle_parity.py; these pin the structural invariants (and the
+crafted-fixture semantics) that parity alone would not explain on a
+regression."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _write_lineitem(path, rows):
+    """rows: list of (suppkey, partkey, qty, price, discount, shipdate)."""
+    import pandas as pd
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_quantity": pa.array([float(r[2]) for r in rows],
+                                       pa.float64()),
+                "l_extendedprice": pa.array([float(r[3]) for r in rows],
+                                            pa.float64()),
+                "l_discount": pa.array([float(r[4]) for r in rows],
+                                       pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp(r[5]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        os.path.join(path, "lineitem.parquet"),
+    )
+
+
+def test_q6_matches_pandas_recompute(ray_session):
+    import pandas as pd
+
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q6_revenue
+
+    out = q_tpch_q6_revenue(SF)
+    assert list(out.columns) == ["n_lines", "revenue_cents"]
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    m = (
+        (li["l_shipdate"] >= pd.Timestamp("1995-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1996-01-01"))
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    sel = li[m]
+    cents = np.floor(
+        sel["l_extendedprice"].to_numpy() * sel["l_discount"].to_numpy()
+        * 100.0 + 0.5
+    ).astype(np.int64)
+    assert out["n_lines"].iloc[0] == len(sel)
+    assert out["revenue_cents"].iloc[0] == int(cents.sum())
+
+
+def test_q15_returns_all_ties(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q15_top_supplier
+
+    # suppliers 1 and 2 tie at 2000.00 revenue in-quarter; 3 trails;
+    # supplier 4's revenue is out of quarter and must not count
+    _write_lineitem(
+        str(tmp_path),
+        [
+            (1, 1, 1, 2000.0, 0.0, "1996-02-01"),
+            (2, 1, 1, 1000.0, 0.0, "1996-02-01"),
+            (2, 1, 1, 1000.0, 0.0, "1996-03-30"),
+            (3, 1, 1, 500.0, 0.0, "1996-01-01"),
+            (4, 1, 1, 9999.0, 0.0, "1996-04-01"),
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "s_name": pa.array(["s1", "s2", "s3", "s4"], pa.string()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q_tpch_q15_top_supplier(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["s1", "s2"]
+    assert out["total_revenue_cents"].tolist() == [200000, 200000]
+
+
+def test_q17_threshold_and_brand_filter(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q17_small_qty
+
+    # part 1 is Brand#23 with avg qty = (4+5+66)/3 = 25 -> threshold 5:
+    # the qty-4 line qualifies, qty-5 does NOT (strict <), qty-66 raises
+    # the avg; part 2 is another brand and must be excluded entirely
+    _write_lineitem(
+        str(tmp_path),
+        [
+            (1, 1, 4, 100.0, 0.0, "1996-01-01"),
+            (1, 1, 5, 100.0, 0.0, "1996-01-01"),
+            (1, 1, 66, 100.0, 0.0, "1996-01-01"),
+            (1, 2, 1, 777.0, 0.0, "1996-01-01"),
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["Brand#23", "Brand#11"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = q_tpch_q17_small_qty(str(tmp_path))
+    assert out["n_lines"].iloc[0] == 1
+    assert out["total_cents"].iloc[0] == 10000
+    assert abs(out["avg_yearly"].iloc[0] - round(10000 / 700.0, 6)) < 1e-9
+
+
+def test_q15_quarter_boundaries_inclusive_exclusive(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q15_top_supplier
+
+    # first instant of the quarter counts; first instant of the next
+    # quarter does not
+    _write_lineitem(
+        str(tmp_path),
+        [
+            (1, 1, 1, 100.0, 0.0, "1996-01-01 00:00:00"),
+            (2, 1, 1, 5000.0, 0.0, "1996-04-01 00:00:00"),
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["s1", "s2"], pa.string()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q_tpch_q15_top_supplier(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["total_revenue_cents"].tolist() == [10000]
