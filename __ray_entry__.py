@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_revenue": q.q_tpch_q6_revenue,
         "tpch_q15_top_supplier": q.q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q.q_tpch_q17_small_qty,
+        "tpch_q4_priority_returns": q.q_tpch_q4_priority_returns,
+        "tpch_q16_brand_suppliers": q.q_tpch_q16_brand_suppliers,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -300,7 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
         "customers_dormant_rich", "events_value_pctrank",
         "events_rolling_wau", "tpch_q6_revenue", "tpch_q15_top_supplier",
-        "tpch_q17_small_qty",
+        "tpch_q17_small_qty", "tpch_q4_priority_returns",
+        "tpch_q16_brand_suppliers", "docs_dsir_weights",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1202,6 +1205,28 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "tpch_q4_priority_returns": """
+            WITH r AS (
+              SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_returnflag = 'R'
+            )
+            SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN r ON r.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q16_brand_suppliers": """
+            WITH ls AS (
+              SELECT DISTINCT p.p_brand, l.l_suppkey
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            )
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM ls GROUP BY 1 ORDER BY 1
         """,
         "events_interarrival": """
             WITH g AS (

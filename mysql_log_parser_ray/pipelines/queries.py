@@ -4512,3 +4512,237 @@ def q_tpch_q17_small_qty(sf_dir: str, brand: str = "Brand#23",
             "avg_yearly": pd.Series(avg_yearly, dtype="float64"),
         }
     )
+
+
+def q_tpch_q4_priority_returns(sf_dir: str, quarter_start: str = "1996-01-01"):
+    """TPC-H Q4 shape: order-priority counts for quarter orders that have
+    at least one returned line (EXISTS semi-join, vs customers_no_urgent's
+    NOT-EXISTS anti-join).
+
+    Scale shape: the lineitem side ships only per-block DISTINCT returned
+    orderkeys (pre-reduced), the orders side only quarter rows; both
+    hash-bucket on orderkey via the tagged-union co-partitioned plan, each
+    bucket semi-joins locally and emits priority-cardinality count
+    partials — the driver folds 64 x 5 rows, never order-scale data."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    lo_us = int(pd.Timestamp(quarter_start).value // 1000)
+    hi_us = int(
+        (pd.Timestamp(quarter_start) + pd.DateOffset(months=3)).value // 1000
+    )
+    n_parts = 64
+
+    def _tagged(keys, pri, side):
+        keys = np.asarray(keys, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "pri": pa.array(list(pri), pa.string()),
+                "side": pa.array(np.full(len(keys), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(keys, n_parts)
+                    if len(keys) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], 0)
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        keys = np.unique(b["l_orderkey"].to_numpy(zero_copy_only=False))
+        return _tagged(keys, [""] * len(keys), 0)
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], 1)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows:
+            dts = pc.cast(b["o_orderdate"], pa.int64())
+            b = b.filter(
+                pc.and_(pc.greater_equal(dts, lo_us), pc.less(dts, hi_us))
+            )
+        return _tagged(
+            b["o_orderkey"].to_numpy(zero_copy_only=False),
+            b["o_orderpriority"].to_pandas(),
+            1,
+        )
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"o_orderpriority": "object", "n_orders": "int64"}
+        li = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        ret = np.unique(li["k"].to_numpy(np.int64))
+        hit = o[np.isin(o["k"].to_numpy(np.int64), ret)]
+        part = (
+            hit.groupby("pri", as_index=False).size()
+            .rename(columns={"pri": "o_orderpriority", "size": "n_orders"})
+        )
+        return part.astype({"n_orders": "int64"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    parts = (
+        li.union(orders).groupby("_part")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "o_orderpriority" not in parts.columns:
+        return _typed_empty(o_orderpriority=object, n_orders="int64")
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderpriority", "n_orders"]]
+
+
+def q_tpch_q16_brand_suppliers(sf_dir: str,
+                               max_part_broadcast: int = 50_000_000,
+                               max_excl_broadcast: int = 10_000_000):
+    """TPC-H Q16 shape: distinct suppliers that shipped each brand,
+    excluding a supplier blocklist (negative account balance).
+
+    Scale shape: part collapses to a broadcast sorted (partkey -> brand
+    code) array and the blocklist to a broadcast sorted key array (both
+    fail-fast bounded, counts checked BEFORE any collect); lineitem ships
+    only per-block DISTINCT (partkey, suppkey) pairs hash-bucketed by the
+    pair key, so each (brand, suppkey) combination lands in exactly one
+    bucket and per-bucket distinct counts sum to the global distinct —
+    the driver folds 64 x brand-cardinality count partials."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_pair_partition
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if part_ds.count() > max_part_broadcast:
+        raise ValueError(
+            "tpch_q16_brand_suppliers: part table exceeds the broadcast "
+            f"bound {max_part_broadcast}; route the brand lookup through a "
+            "co-partitioned tagged-union join (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    if "p_partkey" in pdf.columns and len(pdf):
+        pdf = pdf.sort_values("p_partkey")
+        brands = pd.Index(sorted(pdf["p_brand"].unique()))
+        bmap_ref = ray.put(
+            (
+                pdf["p_partkey"].to_numpy(np.int64),
+                brands.get_indexer(pdf["p_brand"]).astype(np.int32),
+                brands.to_numpy(object),
+            )
+        )
+    else:
+        bmap_ref = ray.put(
+            (np.array([], np.int64), np.array([], np.int32),
+             np.array([], object))
+        )
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def _neg(b: pa.Table) -> pa.Table:
+        if "s_suppkey" not in b.column_names or b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        b = b.filter(pc.less(b["s_acctbal"], 0.0))
+        return pa.table({"k": pc.cast(b["s_suppkey"], pa.int64())})
+
+    excl_ds = sup.map_batches(_neg, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=None).materialize()
+    if excl_ds.count() > max_excl_broadcast:
+        raise ValueError(
+            "tpch_q16_brand_suppliers: supplier blocklist exceeds the "
+            f"broadcast bound {max_excl_broadcast}; switch the exclusion "
+            "to a co-partitioned anti-join on suppkey"
+        )
+    edf = excl_ds.to_pandas()
+    excl = (
+        np.sort(edf["k"].to_numpy(np.int64))
+        if len(edf) and "k" in edf.columns else np.array([], np.int64)
+    )
+    excl_ref = ray.put(excl)
+    n_parts = 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "bcode": pa.array([], pa.int32()),
+            "sk": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        keys, codes, _ = _broadcast_get(bmap_ref)
+        if len(keys) == 0:
+            return pa.table(cols)
+        df = pd.DataFrame(
+            {
+                "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+                "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        pk = df["pk"].to_numpy(np.int64)
+        idx = np.searchsorted(keys, pk)
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == pk
+        df = df[hit]
+        bcode = codes[idx[hit]]
+        sk = df["sk"].to_numpy(np.int64)
+        bl = _broadcast_get(excl_ref)
+        if len(bl):
+            j = np.searchsorted(bl, sk)
+            j[j >= len(bl)] = 0
+            keep = bl[j] != sk
+            bcode, sk = bcode[keep], sk[keep]
+        pairs = pd.DataFrame({"bcode": bcode, "sk": sk}).drop_duplicates()
+        return pa.table(
+            {
+                "bcode": pa.array(pairs["bcode"].to_numpy(np.int32),
+                                  pa.int32()),
+                "sk": pa.array(pairs["sk"].to_numpy(np.int64), pa.int64()),
+                "_part": pa.array(
+                    stable_pair_partition(pairs["bcode"], pairs["sk"],
+                                          n_parts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"bcode": "int32", "n": "int64"}
+        if not len(g) or "bcode" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        d = g[["bcode", "sk"]].drop_duplicates()
+        part = d.groupby("bcode", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return part.astype({"bcode": "int32", "n": "int64"})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "bcode" not in parts.columns:
+        return _typed_empty(p_brand=object, n_suppliers="int64")
+    _, _, brand_names = _broadcast_get(bmap_ref)
+    out = parts.groupby("bcode", as_index=False)["n"].sum()
+    out["p_brand"] = brand_names[out["bcode"].to_numpy(np.int64)]
+    out = out.sort_values("p_brand").reset_index(drop=True)
+    out["n_suppliers"] = out["n"].astype("int64")
+    return out[["p_brand", "n_suppliers"]]

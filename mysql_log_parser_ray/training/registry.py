@@ -1663,6 +1663,155 @@ def q_source_vocab_jaccard(sf_dir: str):
     )
 
 
+def q_docs_dsir_weights(sf_dir: str, target_source: str = "src0",
+                        max_fold_rows: int = 2_000_000):
+    """DSIR-style data selection (importance resampling with unigram
+    bag-of-words features, Xie et al. 2023): per-document importance
+    weight log p_target(doc)/p_raw(doc) under add-1-smoothed unigram LMs,
+    where target = the ``target_source`` docs and raw = everything else;
+    reported as per-source selection aggregates.
+
+    Float parity strategy: the per-word log-ratio is quantized ONCE into
+    integer micro-nats (floor(1e6 * lr + 0.5)) — the only float op in the
+    whole query, evaluated by numpy here and by DuckDB ln() in the oracle
+    on the same exact integer counts — and every downstream sum
+    (per-doc, per-source) is exact int64 arithmetic on both sides.
+
+    Scale shape: one bucket-collapsed word-count fold (word-hash % 64, so
+    per-bucket sums are global; vocabulary-sized output, count()-guarded
+    BEFORE the collect), the (word -> units) table broadcast once via
+    ray.put, then a single scoring pass in which documents never shuffle:
+    each block emits source-cardinality (n_docs, n_selected, sum_units)
+    partials and the driver folds blocks x sources rows."""
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..partition import stable_partition
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    n_parts = 64
+
+    def _count_partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "word": pa.array([], pa.string()),
+            "c_tgt": pa.array([], pa.int64()),
+            "c_raw": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        if not mask.any():
+            return pa.table(cols)
+        is_tgt = (
+            b["source"].to_pandas().reindex(ex.index[mask]).to_numpy()
+            == target_source
+        )
+        part = (
+            pd.DataFrame({"word": ex[mask].to_numpy(),
+                          "t": is_tgt.astype(np.int64)})
+            .groupby("word", as_index=False)
+            .agg(c_tgt=("t", "sum"), c_raw=("t", lambda v: len(v) - v.sum()))
+        )
+        part["_part"] = stable_partition(part["word"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _collapse(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "word" not in g.columns:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype="object"),
+                 "c_tgt": pd.Series([], dtype="int64"),
+                 "c_raw": pd.Series([], dtype="int64")}
+            )
+        return g.groupby("word", as_index=False)[["c_tgt", "c_raw"]].sum()
+
+    counts_ds = (
+        ds.map_batches(_count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part")
+        .map_groups(_collapse, batch_format="pandas")
+        .materialize()
+    )
+    n_vocab = counts_ds.count()
+    if n_vocab > max_fold_rows:
+        raise ValueError(
+            f"docs_dsir_weights: vocabulary {n_vocab} exceeds the broadcast "
+            f"bound {max_fold_rows}; switch the units lookup to a "
+            "co-partitioned word join (word_doc_freq's shape)"
+        )
+    vocab = counts_ds.to_pandas()
+    if len(vocab) and "word" in vocab.columns:
+        vocab = vocab.sort_values("word").reset_index(drop=True)
+        v = len(vocab)
+        t_tgt = int(vocab["c_tgt"].sum())
+        t_raw = int(vocab["c_raw"].sum())
+        lr = np.log(
+            (vocab["c_tgt"].to_numpy(np.float64) + 1.0) / float(t_tgt + v)
+        ) - np.log(
+            (vocab["c_raw"].to_numpy(np.float64) + 1.0) / float(t_raw + v)
+        )
+        units = np.floor(1e6 * lr + 0.5).astype(np.int64)
+        units_ref = ray.put((vocab["word"].to_numpy(object), units))
+    else:
+        units_ref = ray.put(
+            (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+
+    def _score_partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_selected": pa.array([], pa.int64()),
+            "sum_units": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        words, u = broadcast_get(units_ref)
+        logw = np.zeros(b.num_rows, np.int64)
+        if mask.any() and len(words):
+            wv = ex[mask].to_numpy(object)
+            idx = np.searchsorted(words, wv)
+            idx[idx >= len(words)] = 0
+            uu = np.where(words[idx] == wv, u[idx], 0)
+            per_doc = (
+                pd.Series(uu, index=ex.index[mask]).groupby(level=0).sum()
+            )
+            logw[per_doc.index.to_numpy()] = per_doc.to_numpy(np.int64)
+        part = (
+            pd.DataFrame({"source": b["source"].to_pandas(), "logw": logw})
+            .groupby("source", as_index=False)
+            .agg(
+                n_docs=("logw", "size"),
+                n_selected=("logw", lambda x: int((x > 0).sum())),
+                sum_units=("logw", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = ds.map_batches(
+        _score_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "source" not in parts.columns:
+        return typed_empty(source=object, n_docs="int64",
+                           n_selected="int64", sum_units="int64")
+    out = (
+        parts.groupby("source", as_index=False)[
+            ["n_docs", "n_selected", "sum_units"]
+        ].sum().sort_values("source").reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_selected", "sum_units"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "n_selected", "sum_units"]]
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -1706,6 +1855,7 @@ def register_queries():
         "doc_winnow_dups": q_doc_winnow_dups,
         "label_centroid_sim": q_label_centroid_sim,
         "source_vocab_jaccard": q_source_vocab_jaccard,
+        "docs_dsir_weights": q_docs_dsir_weights,
     }
 
 
@@ -1879,6 +2029,41 @@ def _pii_sql() -> str:
 def register_oracles():
     return {
         "doc_winnow_dups": _winnow_oracle_sql(),
+        "docs_dsir_weights": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), tf AS (SELECT doc_id, source, word FROM tok WHERE word <> ''),
+            cnt AS (
+              SELECT word,
+                     SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt,
+                     SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c_raw
+              FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT COUNT(*) AS v, SUM(c_tgt) AS t_tgt, SUM(c_raw) AS t_raw
+              FROM cnt
+            ), wu AS (
+              SELECT word,
+                     CAST(floor(1000000.0 * (
+                         ln((c_tgt + 1.0) / (t_tgt + v))
+                       - ln((c_raw + 1.0) / (t_raw + v))) + 0.5) AS BIGINT)
+                         AS units
+              FROM cnt, tot
+            ), docw AS (
+              SELECT tf.doc_id,
+                     CAST(SUM(COALESCE(wu.units, 0)) AS BIGINT) AS logw
+              FROM tf LEFT JOIN wu USING (word) GROUP BY 1
+            )
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN COALESCE(w.logw, 0) > 0
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_selected,
+                   CAST(COALESCE(SUM(COALESCE(w.logw, 0)), 0) AS BIGINT)
+                       AS sum_units
+            FROM documents d LEFT JOIN docw w ON w.doc_id = d.doc_id
+            GROUP BY 1 ORDER BY 1
+        """,
         "docs_rep_bigram": r"""
             WITH toks AS (
               SELECT doc_id, source,

@@ -104,6 +104,17 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     pq.write_table(
         pa.table(
             {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "s_nationkey": pa.array([], pa.int32()),
+                "s_acctbal": pa.array([], pa.float64()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
                 "vec_id": pa.array([], pa.int64()),
                 "embedding": pa.array([], pa.list_(pa.float32())),
                 "label": pa.array([], pa.int32()),
@@ -158,6 +169,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                            "promo_pct"],
         "tpch_q15_top_supplier": ["s_suppkey", "s_name",
                                   "total_revenue_cents"],
+        "tpch_q4_priority_returns": ["o_orderpriority", "n_orders"],
+        "tpch_q16_brand_suppliers": ["p_brand", "n_suppliers"],
+        "docs_dsir_weights": ["source", "n_docs", "n_selected", "sum_units"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",

@@ -152,3 +152,111 @@ def test_q15_quarter_boundaries_inclusive_exclusive(ray_session, tmp_path):
     out = q_tpch_q15_top_supplier(str(tmp_path))
     assert out["s_suppkey"].tolist() == [1]
     assert out["total_revenue_cents"].tolist() == [10000]
+
+
+def test_q4_counts_orders_once_and_respects_quarter(ray_session, tmp_path):
+    import pandas as pd
+
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_tpch_q4_priority_returns,
+    )
+
+    # order 1: two returned lines -> must count ONCE; order 2: no returned
+    # line -> excluded; order 3: returned but out of quarter -> excluded
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_returnflag": pa.array(["R", "R", "N", "R"], pa.string()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1996-02-01"), pd.Timestamp("1996-02-01"),
+                     pd.Timestamp("1996-05-01")],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT", "1-URGENT"], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q_tpch_q4_priority_returns(str(tmp_path))
+    assert out["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert out["n_orders"].tolist() == [1]
+
+
+def test_q16_distinct_and_exclusion(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_tpch_q16_brand_suppliers,
+    )
+
+    # brand A shipped by suppliers 1 (twice -> distinct once) and 2
+    # (excluded: negative balance); brand B by supplier 1 only
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([10, 10, 10, 11], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 2, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 11], pa.int64()),
+                "p_brand": pa.array(["Brand#A", "Brand#B"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_acctbal": pa.array([100.0, -5.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q_tpch_q16_brand_suppliers(str(tmp_path))
+    assert out["p_brand"].tolist() == ["Brand#A", "Brand#B"]
+    assert out["n_suppliers"].tolist() == [1, 1]
+
+
+def test_dsir_separates_target_like_docs(ray_session, tmp_path):
+    from mysql_log_parser_ray.training.registry import q_docs_dsir_weights
+
+    # target docs are all "alpha", raw docs all "beta"; one raw doc
+    # written in the target's vocabulary must be selected, pure-raw must
+    # not, and every target doc scores positive
+    docs = (
+        [("alpha alpha alpha", "tgt")] * 5
+        + [("beta beta beta", "raw")] * 5
+        + [("alpha alpha", "raw")]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array([d[0] for d in docs], pa.string()),
+                "source": pa.array([d[1] for d in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_docs_dsir_weights(str(tmp_path), target_source="tgt")
+    r = out.set_index("source")
+    assert r.loc["tgt", "n_selected"] == 5  # every target doc positive
+    assert r.loc["tgt", "n_docs"] == 5
+    assert r.loc["raw", "n_docs"] == 6
+    assert r.loc["raw", "n_selected"] == 1  # only the alpha-written doc
+    assert r.loc["tgt", "sum_units"] > 0 > r.loc["raw", "sum_units"]
