@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty": q.q_tpch_q17_small_qty,
         "tpch_q4_priority_returns": q.q_tpch_q4_priority_returns,
         "tpch_q16_brand_suppliers": q.q_tpch_q16_brand_suppliers,
+        "orders_increasing_pairs": q.q_orders_increasing_pairs,
+        "part_min_cost_supplier": q.q_part_min_cost_supplier,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -304,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_wau", "tpch_q6_revenue", "tpch_q15_top_supplier",
         "tpch_q17_small_qty", "tpch_q4_priority_returns",
         "tpch_q16_brand_suppliers", "docs_dsir_weights",
+        "orders_increasing_pairs", "part_min_cost_supplier",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1205,6 +1208,45 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "orders_increasing_pairs": """
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                     LAG(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            )
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN cents > prev
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_increasing
+            FROM s
+        """,
+        "part_min_cost_supplier": """
+            WITH u AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+                              AS BIGINT)) AS unit_cents
+              FROM lineitem
+              WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+              GROUP BY 1, 2
+            ), w AS (
+              SELECT l_partkey, l_suppkey, unit_cents,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                        ORDER BY unit_cents, l_suppkey) AS rn
+              FROM u
+            )
+            SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(w.unit_cents) AS BIGINT) AS sum_min_unit_cents,
+                   CAST(SUM(w.l_suppkey) AS BIGINT) AS sum_winner_suppkey
+            FROM w JOIN part p ON p.p_partkey = w.l_partkey
+            WHERE w.rn = 1 GROUP BY 1 ORDER BY 1
         """,
         "tpch_q4_priority_returns": """
             WITH r AS (

@@ -4746,3 +4746,232 @@ def q_tpch_q16_brand_suppliers(sf_dir: str,
     out = out.sort_values("p_brand").reset_index(drop=True)
     out["n_suppliers"] = out["n"].astype("int64")
     return out[["p_brand", "n_suppliers"]]
+
+
+def q_orders_increasing_pairs(sf_dir: str):
+    """Per-customer consecutive-order momentum: of each customer's orders
+    sorted by (date, orderkey), how many adjacent pairs strictly increased
+    in total price — the LAG-shape sequence operator on the orders table
+    (events already cover user paths / transitions).
+
+    Scale shape: the sessionize bucketing — customers hash-bucket (64) via
+    stable_partition so a customer's full order history lands in ONE
+    task; the per-bucket kernel is one vectorized sort + shift compare;
+    only (custkey-bucket) count partials reach the driver (64 rows)."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "ck": pa.array([], pa.int64()),
+            "dt": pa.array([], pa.int64()),
+            "ok": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "o_custkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["o_orderdate"]),
+                             pc.is_valid(b["o_totalprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(ck, pa.int64()),
+                "dt": pc.cast(b["o_orderdate"], pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "cents": _cents(b["o_totalprice"]),
+                "_part": pa.array(stable_partition(ck, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"n_customers": "int64", "n_pairs": "int64",
+                    "n_increasing": "int64"}
+        if not len(g) or "ck" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        g = g.sort_values(["ck", "dt", "ok"], kind="mergesort")
+        same = g["ck"].to_numpy()[1:] == g["ck"].to_numpy()[:-1]
+        cents = g["cents"].to_numpy(np.int64)
+        inc = cents[1:] > cents[:-1]
+        return pd.DataFrame(
+            {
+                "n_customers": pd.Series([g["ck"].nunique()], dtype="int64"),
+                "n_pairs": pd.Series([int(same.sum())], dtype="int64"),
+                "n_increasing": pd.Series([int((same & inc).sum())],
+                                          dtype="int64"),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "n_pairs" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "n_customers": pd.Series([0], dtype="int64"),
+                "n_pairs": pd.Series([0], dtype="int64"),
+                "n_increasing": pd.Series([0], dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([int(parts["n_customers"].sum())],
+                                     dtype="int64"),
+            "n_pairs": pd.Series([int(parts["n_pairs"].sum())],
+                                 dtype="int64"),
+            "n_increasing": pd.Series([int(parts["n_increasing"].sum())],
+                                      dtype="int64"),
+        }
+    )
+
+
+def q_part_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (adapted to this schema): for every part, the
+    supplier offering the minimum effective unit price over its shipped
+    lines — a distributed argmin-per-key with a deterministic tie-break
+    (min unit-price cents, then min suppkey), reported per brand.
+
+    Scale shape: unit price collapses to integer cents per line inside
+    the batch fn; lines pre-reduce per (partkey, suppkey) to the local
+    min BEFORE the shuffle, then partkey-hash buckets co-locate each
+    part's candidates so the per-bucket argmin is global. Only the
+    (brand, winner) count partials reach the driver. Brand lookup rides
+    the q14/q17 broadcast sorted-array convention."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_partition
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if part_ds.count() > 50_000_000:
+        raise ValueError(
+            "part_min_cost_supplier: part table exceeds the broadcast "
+            "bound; route the brand lookup through a co-partitioned "
+            "tagged-union join (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    if "p_partkey" in pdf.columns and len(pdf):
+        pdf = pdf.sort_values("p_partkey")
+        brands = pd.Index(sorted(pdf["p_brand"].unique()))
+        bmap_ref = ray.put(
+            (
+                pdf["p_partkey"].to_numpy(np.int64),
+                brands.get_indexer(pdf["p_brand"]).astype(np.int32),
+                brands.to_numpy(object),
+            )
+        )
+    else:
+        bmap_ref = ray.put(
+            (np.array([], np.int64), np.array([], np.int32),
+             np.array([], object))
+        )
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "pk": pa.array([], pa.int64()),
+            "sk": pa.array([], pa.int64()),
+            "unit_cents": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["l_extendedprice"]),
+                             pc.greater(b["l_quantity"], 0.0)))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        unit = _cents(pc.divide(b["l_extendedprice"], b["l_quantity"]))
+        g = (
+            pd.DataFrame(
+                {
+                    "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "unit_cents": unit.to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["pk", "sk"], as_index=False)["unit_cents"].min()
+        )
+        pk = g["pk"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pa.array(g["sk"].to_numpy(np.int64), pa.int64()),
+                "unit_cents": pa.array(g["unit_cents"].to_numpy(np.int64),
+                                       pa.int64()),
+                "_part": pa.array(stable_partition(pk, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"bcode": "int32", "n_parts": "int64",
+                    "sum_min_unit_cents": "int64",
+                    "sum_winner_suppkey": "int64"}
+        if not len(g) or "pk" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        # candidates from many blocks: global per-(pk, sk) min first, then
+        # the per-pk argmin with the (cents, sk) tie-break
+        g = g.groupby(["pk", "sk"], as_index=False)["unit_cents"].min()
+        w = g.sort_values(["pk", "unit_cents", "sk"],
+                          kind="mergesort").drop_duplicates("pk")
+        keys, codes, _ = _broadcast_get(bmap_ref)
+        pk = w["pk"].to_numpy(np.int64)
+        if len(keys) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        idx = np.searchsorted(keys, pk)
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == pk
+        w = w[hit]
+        part = (
+            pd.DataFrame(
+                {
+                    "bcode": codes[idx[hit]],
+                    "sum_min_unit_cents": w["unit_cents"].to_numpy(np.int64),
+                    "sum_winner_suppkey": w["sk"].to_numpy(np.int64),
+                }
+            )
+            .groupby("bcode", as_index=False)
+            .agg(
+                n_parts=("sum_min_unit_cents", "size"),
+                sum_min_unit_cents=("sum_min_unit_cents", "sum"),
+                sum_winner_suppkey=("sum_winner_suppkey", "sum"),
+            )
+        )
+        return part.astype(out_cols)
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_quantity"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "bcode" not in parts.columns:
+        return _typed_empty(p_brand=object, n_parts="int64",
+                            sum_min_unit_cents="int64",
+                            sum_winner_suppkey="int64")
+    _, _, brand_names = _broadcast_get(bmap_ref)
+    out = parts.groupby("bcode", as_index=False)[
+        ["n_parts", "sum_min_unit_cents", "sum_winner_suppkey"]
+    ].sum()
+    out["p_brand"] = brand_names[out["bcode"].to_numpy(np.int64)]
+    out = out.sort_values("p_brand").reset_index(drop=True)
+    for c in ("n_parts", "sum_min_unit_cents", "sum_winner_suppkey"):
+        out[c] = out[c].astype("int64")
+    return out[["p_brand", "n_parts", "sum_min_unit_cents",
+                "sum_winner_suppkey"]]

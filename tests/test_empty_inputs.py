@@ -172,6 +172,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "tpch_q4_priority_returns": ["o_orderpriority", "n_orders"],
         "tpch_q16_brand_suppliers": ["p_brand", "n_suppliers"],
         "docs_dsir_weights": ["source", "n_docs", "n_selected", "sum_units"],
+        "part_min_cost_supplier": ["p_brand", "n_parts",
+                                   "sum_min_unit_cents",
+                                   "sum_winner_suppkey"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",
@@ -209,6 +212,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     out = _to_pandas(qs["tpch_q17_small_qty"](str(tmp_path)))
     assert list(out.columns) == ["n_lines", "total_cents", "avg_yearly"]
     assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0.0]
+    out = _to_pandas(qs["orders_increasing_pairs"](str(tmp_path)))
+    assert list(out.columns) == ["n_customers", "n_pairs", "n_increasing"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0]
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))

@@ -260,3 +260,64 @@ def test_dsir_separates_target_like_docs(ray_session, tmp_path):
     assert r.loc["raw", "n_docs"] == 6
     assert r.loc["raw", "n_selected"] == 1  # only the alpha-written doc
     assert r.loc["tgt", "sum_units"] > 0 > r.loc["raw", "sum_units"]
+
+
+def test_increasing_pairs_order_and_tiebreak(ray_session, tmp_path):
+    import pandas as pd
+
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_orders_increasing_pairs,
+    )
+
+    # customer 1: prices 100 -> 200 (up), 200 -> 150 (down) = 1 of 2;
+    # same-date orders tie-break on orderkey: 2 then 3
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 3, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1996-01-01"), pd.Timestamp("1996-02-01"),
+                     pd.Timestamp("1996-02-01")],
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array([100.0, 150.0, 200.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q_orders_increasing_pairs(str(tmp_path))
+    # sequence by (date, orderkey): 100 (k1), 200 (k2), 150 (k3)
+    assert out.iloc[0].tolist() == [1, 2, 1]
+
+
+def test_min_cost_supplier_argmin_tiebreak(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_part_min_cost_supplier,
+    )
+
+    # part 10: supplier 2 at unit 5.00 beats supplier 1 at 10.00; part 11:
+    # suppliers 1 and 2 tie at 1.00 -> lower suppkey (1) wins
+    _write_lineitem(
+        str(tmp_path),
+        [
+            (1, 10, 2, 20.0, 0.0, "1996-01-01"),   # unit 10.00
+            (2, 10, 4, 20.0, 0.0, "1996-01-01"),   # unit 5.00  <- winner
+            (1, 11, 3, 3.0, 0.0, "1996-01-01"),    # unit 1.00  <- tie
+            (2, 11, 5, 5.0, 0.0, "1996-01-01"),    # unit 1.00
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 11], pa.int64()),
+                "p_brand": pa.array(["Brand#A", "Brand#A"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = q_part_min_cost_supplier(str(tmp_path))
+    assert out["p_brand"].tolist() == ["Brand#A"]
+    assert out["n_parts"].tolist() == [2]
+    assert out["sum_min_unit_cents"].tolist() == [500 + 100]
+    assert out["sum_winner_suppkey"].tolist() == [2 + 1]
