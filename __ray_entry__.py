@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_brand_suppliers": q.q_tpch_q16_brand_suppliers,
         "orders_increasing_pairs": q.q_orders_increasing_pairs,
         "part_min_cost_supplier": q.q_part_min_cost_supplier,
+        "events_gap_fill": q.q_events_gap_fill,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -307,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty", "tpch_q4_priority_returns",
         "tpch_q16_brand_suppliers", "docs_dsir_weights",
         "orders_increasing_pairs", "part_min_cost_supplier",
+        "events_gap_fill",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1208,6 +1210,51 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "events_gap_fill": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000)
+                          AS BIGINT) AS hr,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), hsum AS (
+              SELECT event_type, hr, CAST(SUM(cents) AS BIGINT) AS cents
+              FROM e GROUP BY 1, 2
+            ), rng AS (
+              SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+              FROM hsum GROUP BY 1
+            ), dense AS (
+              SELECT r.event_type, CAST(g.h AS BIGINT) AS hr
+              FROM rng r, LATERAL (SELECT unnest(range(r.lo, r.hi + 1)) AS h) g
+            ), j AS (
+              SELECT d.event_type, d.hr, s.cents
+              FROM dense d LEFT JOIN hsum s USING (event_type, hr)
+            ), f AS (
+              SELECT event_type, hr, cents,
+                     last_value(cents IGNORE NULLS) OVER w_prev AS pc,
+                     max(CASE WHEN cents IS NOT NULL THEN hr END)
+                         OVER w_prev AS ph,
+                     first_value(cents IGNORE NULLS) OVER w_next AS nc,
+                     min(CASE WHEN cents IS NOT NULL THEN hr END)
+                         OVER w_next AS nh
+              FROM j
+              WINDOW w_prev AS (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                     w_next AS (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, hr,
+                   CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_filled,
+                   round(CASE WHEN cents IS NOT NULL
+                              THEN CAST(cents AS DOUBLE)
+                              ELSE CAST(pc AS DOUBLE)
+                                 + CAST((nc - pc) * (hr - ph) AS DOUBLE)
+                                   / (nh - ph) END, 6) AS filled_cents
+            FROM f ORDER BY 1, 2
         """,
         "orders_increasing_pairs": """
             WITH s AS (

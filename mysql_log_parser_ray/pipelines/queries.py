@@ -4975,3 +4975,124 @@ def q_part_min_cost_supplier(sf_dir: str):
         out[c] = out[c].astype("int64")
     return out[["p_brand", "n_parts", "sum_min_unit_cents",
                 "sum_winner_suppkey"]]
+
+
+def q_events_gap_fill(sf_dir: str, as_dataset: bool = False):
+    """Dense hourly value series per event type with LINEAR INTERPOLATION
+    over missing hours — the time-series gap-fill / imputation operator
+    (events_daily_dense densifies with zeros; this reconstructs).
+
+    Float parity: per-(type, hour) sums are exact integer cents; an
+    interpolated hour is pc + (nc-pc)*(h-ph)/(nh-ph) where every term but
+    the final divide/add is exact int64, so both sides execute the SAME
+    two IEEE ops; the result rounds half-away-from-zero at 6dp
+    (ratio-of-ints rule).
+
+    Scale shape: blocks pre-aggregate (type, hour, cents) so only
+    hour-cardinality partials shuffle; type-hash buckets co-locate a
+    type's full series and the per-bucket kernel is one vectorized
+    forward/backward position fill (np.maximum.accumulate) per type —
+    never a Python loop over hours. Output is types x hours rows; pass
+    ``as_dataset=True`` to keep it distributed."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "hr": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "ts" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]), pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hr = np.floor(us.astype(np.float64) / 3_600_000_000).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_pandas(),
+                    "hr": hr,
+                    "cents": _cents(b["value"]).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["event_type", "hr"], as_index=False)["cents"].sum()
+        )
+        g["_part"] = stable_partition(g["event_type"], n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fill(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {
+            "event_type": "object", "hr": "int64", "is_filled": "int64",
+            "filled_cents": "float64",
+        }
+        if not len(g) or "event_type" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        tot = g.groupby(["event_type", "hr"], as_index=False)["cents"].sum()
+        frames = []
+        for et, grp in tot.groupby("event_type"):
+            grp = grp.sort_values("hr")
+            lo, hi = int(grp["hr"].iloc[0]), int(grp["hr"].iloc[-1])
+            n = hi - lo + 1
+            dense = np.arange(lo, hi + 1, dtype=np.int64)
+            cents = np.zeros(n, np.int64)
+            present = np.zeros(n, bool)
+            pos = grp["hr"].to_numpy(np.int64) - lo
+            present[pos] = True
+            cents[pos] = grp["cents"].to_numpy(np.int64)
+            idx = np.arange(n)
+            ppos = np.maximum.accumulate(np.where(present, idx, -1))
+            npos = n - 1 - np.maximum.accumulate(
+                np.where(present[::-1], idx, -1)
+            )[::-1]
+            pc_, ph = cents[ppos], dense[ppos]
+            nc, nh = cents[npos], dense[npos]
+            filled = np.where(
+                present,
+                cents.astype(np.float64),
+                pc_.astype(np.float64)
+                + np.where(
+                    nh > ph, (nc - pc_) * (dense - ph), 0
+                ).astype(np.float64)
+                / np.maximum(nh - ph, 1).astype(np.float64),
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "hr": dense,
+                        "is_filled": (~present).astype(np.int64),
+                        "filled_cents": round_half_up(filled, 6),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({c: pd.Series([], dtype=t)
+                          for c, t in out_cols.items()})
+
+    ds = (
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_fill, batch_format="pandas")
+    )
+    if as_dataset:
+        return ds
+    out = ds.to_pandas()
+    if not len(out) or "event_type" not in out.columns:
+        return _typed_empty(event_type=object, hr="int64",
+                            is_filled="int64", filled_cents="float64")
+    out = out.sort_values(["event_type", "hr"]).reset_index(drop=True)
+    out["hr"] = out["hr"].astype("int64")
+    out["is_filled"] = out["is_filled"].astype("int64")
+    return out[["event_type", "hr", "is_filled", "filled_cents"]]

@@ -175,6 +175,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "part_min_cost_supplier": ["p_brand", "n_parts",
                                    "sum_min_unit_cents",
                                    "sum_winner_suppkey"],
+        "events_gap_fill": ["event_type", "hr", "is_filled", "filled_cents"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",

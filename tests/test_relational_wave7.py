@@ -321,3 +321,45 @@ def test_min_cost_supplier_argmin_tiebreak(ray_session, tmp_path):
     assert out["n_parts"].tolist() == [2]
     assert out["sum_min_unit_cents"].tolist() == [500 + 100]
     assert out["sum_winner_suppkey"].tolist() == [2 + 1]
+
+
+def test_gap_fill_linear_interpolation(ray_session, tmp_path):
+    import pandas as pd
+
+    from mysql_log_parser_ray.pipelines.queries import q_events_gap_fill
+
+    # type "a": hours 0 and 3 present (values 1.00 and 4.00) -> hours 1, 2
+    # interpolated at 2.00 and 3.00; fractional case: type "b" hours
+    # 0 (1.00) and 2 (2.00) -> hour 1 = 1.50 (150 cents)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + pd.Timedelta(hours=3), 4.0),
+        ("b", base, 1.0),
+        ("b", base + pd.Timedelta(hours=2), 2.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_gap_fill(str(tmp_path))
+    a = out[out["event_type"] == "a"]
+    assert a["filled_cents"].tolist() == [100.0, 200.0, 300.0, 400.0]
+    assert a["is_filled"].tolist() == [0, 1, 1, 0]
+    b = out[out["event_type"] == "b"]
+    assert b["filled_cents"].tolist() == [100.0, 150.0, 200.0]
+    assert b["is_filled"].tolist() == [0, 1, 0]
+    # as_dataset escape returns a Dataset with identical rows
+    ds = q_events_gap_fill(str(tmp_path), as_dataset=True)
+    assert sorted(ds.to_pandas()["filled_cents"].tolist()) == sorted(
+        out["filled_cents"].tolist()
+    )
