@@ -308,7 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_qty", "tpch_q4_priority_returns",
         "tpch_q16_brand_suppliers", "docs_dsir_weights",
         "orders_increasing_pairs", "part_min_cost_supplier",
-        "events_gap_fill",
+        "events_gap_fill", "ngram_containment_pairs", "docs_score_deciles",
+        "docs_temperature_alloc",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",

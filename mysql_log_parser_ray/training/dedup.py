@@ -668,6 +668,7 @@ def ngram_jaccard_pairs(
     max_df: Optional[int] = None,
     n_parts: int = 64,
     as_dataset: bool = False,
+    metric: str = "jaccard",
 ):
     """Exact word-n-gram Jaccard near-duplicate pairs, fully distributed.
 
@@ -773,13 +774,19 @@ def ngram_jaccard_pairs(
         s = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
             inter=("na", "size"), na=("na", "max"), nb=("nb", "max")
         )
-        jac = s["inter"] / (s["na"] + s["nb"] - s["inter"])
-        keep = jac >= threshold
+        if metric == "containment":
+            # max-direction containment |A∩B| / min(|A|,|B|): catches a
+            # short doc wholly embedded in a long one, which jaccard's
+            # union denominator dilutes below any usable threshold
+            val = s["inter"] / np.minimum(s["na"], s["nb"])
+        else:
+            val = s["inter"] / (s["na"] + s["nb"] - s["inter"])
+        keep = val >= threshold
         return pd.DataFrame(
             {
                 "doc_a": s["doc_a"].to_numpy()[keep],
                 "doc_b": s["doc_b"].to_numpy()[keep],
-                "jaccard": jac.to_numpy()[keep],
+                metric: val.to_numpy()[keep],
             }
         )
 
@@ -795,7 +802,7 @@ def ngram_jaccard_pairs(
         return pairs_ds
     df = pairs_ds.to_pandas()
     if df.empty:
-        return _typed_empty({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+        return _typed_empty({"doc_a": "int64", "doc_b": "int64", metric: "float64"})
     df["doc_a"] = df["doc_a"].astype("int64")
     df["doc_b"] = df["doc_b"].astype("int64")
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

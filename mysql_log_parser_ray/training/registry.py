@@ -1663,6 +1663,167 @@ def q_source_vocab_jaccard(sf_dir: str):
     )
 
 
+def q_ngram_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup detection: word-3-gram CONTAINMENT pairs
+    (|A∩B| / min(|A|,|B|) >= 0.8) — catches a short doc wholly embedded in
+    a long one, which jaccard's union denominator dilutes below any usable
+    threshold. Same joinless two-stage hash-partition shape as
+    ngram_jaccard_pairs (text never shuffles; only int rows move)."""
+    from .dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.8, metric="containment")
+    out["containment"] = out["containment"].round(6)
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_docs_score_deciles(sf_dir: str, shift: int = 20,
+                         max_fold_rows: int = 2_000_000):
+    """Quality-score calibration: global decile thresholds of the
+    (deterministic) model score, then per-(source, decile) doc counts —
+    the diagnostic behind perplexity-filter threshold picking.
+
+    Exactness contract: scores quantize to 4096 coarse bins (score >>
+    ``shift``), so the fold is (source x 4096)-bounded at ANY corpus size
+    and every threshold / bucket assignment is pure integer arithmetic on
+    both sides (rank r_k = max(1, k*n//10), threshold = r_k-th smallest
+    bin, decile = #thresholds <= bin, duplicates kept)."""
+    from ..partition import stable_pair_partition
+    from ..util import typed_empty
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    n_parts = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "q": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        import hashlib
+
+        texts = b["text"].to_pylist()
+        v = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        part = (
+            pd.DataFrame({"source": b["source"].to_pandas(),
+                          "q": v >> shift})
+            .groupby(["source", "q"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        part["_part"] = stable_pair_partition(part["source"], part["q"],
+                                              n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _collapse(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "source" not in g.columns:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "q": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return g.groupby(["source", "q"], as_index=False)["n"].sum()
+
+    hist_ds = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_collapse, batch_format="pandas")
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_fold_rows:
+        raise ValueError(
+            f"docs_score_deciles: {n_rows} histogram rows exceed the fold "
+            f"bound {max_fold_rows}; raise `shift` to coarsen the bins"
+        )
+    hist = hist_ds.to_pandas()
+    if not len(hist) or "source" not in hist.columns:
+        return typed_empty(source=object, decile="int64", n_docs="int64")
+    hist["n"] = hist["n"].astype("int64")
+    # global thresholds from the (q -> count) histogram cumsum
+    gq = hist.groupby("q", as_index=False)["n"].sum().sort_values("q")
+    cum = gq["n"].cumsum().to_numpy(np.int64)
+    qv = gq["q"].to_numpy(np.int64)
+    n_total = int(cum[-1])
+    ranks = np.maximum(1, (np.arange(1, 10) * n_total) // 10)
+    th = qv[np.searchsorted(cum, ranks, side="left")]  # r-th smallest bin
+    dec = np.searchsorted(np.sort(th), hist["q"].to_numpy(np.int64),
+                          side="right")  # = #thresholds <= q
+    out = (
+        hist.assign(decile=dec.astype(np.int64))
+        .groupby(["source", "decile"], as_index=False)["n"].sum()
+        .rename(columns={"n": "n_docs"})
+        .sort_values(["source", "decile"]).reset_index(drop=True)
+    )
+    out["decile"] = out["decile"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["source", "decile", "n_docs"]]
+
+
+def q_docs_temperature_alloc(sf_dir: str, alpha: float = 0.5,
+                             budget: int = 10_000):
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule p_s ∝ n_s^alpha): allocate a fixed sampling budget across
+    sources with largest-remainder rounding.
+
+    Exactness contract: each source's weight n^alpha is quantized ONCE
+    to integer micro-units (the DSIR pattern); base = budget*wu // sum_wu
+    and the leftover goes to the largest integer remainders (ties by
+    source name) — every comparison after the single pow() is exact
+    int64 on both sides.
+
+    Scale shape: one count fold (source-cardinality partials per block,
+    driver folds blocks x sources rows); the allocation itself is
+    output-sized driver math."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if "source" not in b.column_names or b.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        part = (
+            pd.DataFrame({"source": b["source"].to_pandas()})
+            .groupby("source", as_index=False)
+            .size().rename(columns={"size": "n_docs"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = _fold_partials(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["source"], ["n_docs"],
+    )
+    if out is None:
+        return typed_empty(source=object, n_docs="int64", alloc="int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    n = out["n_docs"].to_numpy(np.int64)
+    wu = np.floor(1e6 * np.power(n.astype(np.float64), alpha) + 0.5) \
+        .astype(np.int64)
+    den = int(wu.sum())
+    num = budget * wu
+    base = num // den
+    rem = num % den
+    leftover = budget - int(base.sum())
+    # largest remainder, ties by source name ascending (out is name-sorted)
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    bonus = np.zeros(len(rem), np.int64)
+    bonus[order[:leftover]] = 1
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["alloc"] = (base + bonus).astype("int64")
+    return out[["source", "n_docs", "alloc"]]
+
+
 def q_docs_dsir_weights(sf_dir: str, target_source: str = "src0",
                         max_fold_rows: int = 2_000_000):
     """DSIR-style data selection (importance resampling with unigram
@@ -1856,6 +2017,9 @@ def register_queries():
         "label_centroid_sim": q_label_centroid_sim,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "docs_dsir_weights": q_docs_dsir_weights,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "docs_score_deciles": q_docs_score_deciles,
+        "docs_temperature_alloc": q_docs_temperature_alloc,
     }
 
 
@@ -2026,9 +2190,90 @@ def _pii_sql() -> str:
         """
 
 
+_SCORE_UNITS_SQL = (
+    "CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456"
+    " + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216"
+    " + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 1 AS BIGINT)"
+)
+
+
 def register_oracles():
     return {
         "doc_winnow_dups": _winnow_oracle_sql(),
+        "ngram_containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+            ), counts AS (
+              SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / LEAST(ca.n, cb.n), 6)
+                       AS containment
+            FROM inter
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+        """,
+        "docs_score_deciles": f"""
+            WITH m AS (SELECT source, md5(text) AS h FROM documents),
+            v AS (SELECT source, {_SCORE_UNITS_SQL} AS units FROM m),
+            qs AS (SELECT source, units // 1048576 AS q FROM v),
+            nn AS (SELECT COUNT(*) AS n FROM qs),
+            ord AS (SELECT q, ROW_NUMBER() OVER (ORDER BY q) AS rn FROM qs),
+            th AS (
+              SELECT t.k,
+                     MAX(CASE WHEN o.rn = GREATEST(1, (t.k * nn.n) // 10)
+                              THEN o.q END) AS thr
+              FROM (SELECT unnest(range(1, 10)) AS k) t, nn, ord o
+              GROUP BY t.k
+            ), b AS (
+              SELECT qs.source,
+                     (SELECT COUNT(*) FROM th WHERE th.thr <= qs.q) AS decile
+              FROM qs
+            )
+            SELECT source, CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_temperature_alloc": """
+            WITH c AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT source, n_docs,
+                     CAST(floor(1000000.0 * pow(n_docs, 0.5) + 0.5)
+                          AS BIGINT) AS wu
+              FROM c
+            ), t AS (SELECT SUM(wu) AS den FROM w),
+            b AS (
+              SELECT source, n_docs, (10000 * wu) // den AS base,
+                     (10000 * wu) % den AS rem
+              FROM w, t
+            ), l AS (SELECT 10000 - SUM(base) AS leftover FROM b),
+            r AS (
+              SELECT source, n_docs, base,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+              FROM b
+            )
+            SELECT source, n_docs,
+                   CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r ORDER BY source
+        """,
         "docs_dsir_weights": r"""
             WITH tok AS (
               SELECT doc_id, source,

@@ -176,6 +176,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                    "sum_min_unit_cents",
                                    "sum_winner_suppkey"],
         "events_gap_fill": ["event_type", "hr", "is_filled", "filled_cents"],
+        "ngram_containment_pairs": ["doc_a", "doc_b", "containment"],
+        "docs_score_deciles": ["source", "decile", "n_docs"],
+        "docs_temperature_alloc": ["source", "n_docs", "alloc"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",

@@ -363,3 +363,80 @@ def test_gap_fill_linear_interpolation(ray_session, tmp_path):
     assert sorted(ds.to_pandas()["filled_cents"].tolist()) == sorted(
         out["filled_cents"].tolist()
     )
+
+
+def _write_docs(path, texts, sources=None):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(sources or ["s"] * len(texts),
+                                   pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(ray_session,
+                                                         tmp_path):
+    from mysql_log_parser_ray.training.dedup import ngram_jaccard_pairs
+    from mysql_log_parser_ray.training.registry import (
+        q_ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    _write_docs(str(tmp_path), [short, long, "zeta eta theta iota"])
+    out = q_ngram_containment_pairs(str(tmp_path))
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+    assert out["containment"].iloc[0] == 1.0  # short fully inside long
+    # jaccard at the same 0.5 bar misses it (union-diluted)
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+
+    docs = rd.from_arrow(_pq.read_table(str(tmp_path / "documents.parquet")))
+    jac = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert len(jac) == 0
+
+
+def test_score_deciles_partition_all_docs(ray_session):
+    import pyarrow.parquet as _pq
+
+    from mysql_log_parser_ray.training.registry import q_docs_score_deciles
+
+    out = q_docs_score_deciles(SF)
+    n_docs = _pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
+    assert out["n_docs"].sum() == n_docs
+    assert out["decile"].between(0, 9).all()
+    # global decile sizes are near-uniform (coarse bins allow slack)
+    per_dec = out.groupby("decile")["n_docs"].sum()
+    assert per_dec.max() <= 2 * max(1, n_docs // 10) + 64
+
+
+def test_temperature_alloc_sums_to_budget_and_flattens(ray_session,
+                                                       tmp_path):
+    from mysql_log_parser_ray.training.registry import (
+        q_docs_temperature_alloc,
+    )
+
+    _write_docs(
+        str(tmp_path),
+        ["a"] * 90 + ["b"] * 9 + ["c"],
+        sources=["big"] * 90 + ["mid"] * 9 + ["tiny"],
+    )
+    out = q_docs_temperature_alloc(str(tmp_path), alpha=0.5, budget=100)
+    assert out["alloc"].sum() == 100
+    r = out.set_index("source")
+    # sqrt temperature flattens: tiny gets MORE than its 1% head count,
+    # big gets LESS than its 90%
+    assert r.loc["tiny", "alloc"] > 1
+    assert r.loc["big", "alloc"] < 90
+    # alpha=1 is proportional allocation (largest remainder of 90/9/1)
+    out1 = q_docs_temperature_alloc(str(tmp_path), alpha=1.0, budget=100)
+    assert out1.set_index("source")["alloc"].to_dict() == {
+        "big": 90, "mid": 9, "tiny": 1,
+    }
