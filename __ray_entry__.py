@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_increasing_pairs": q.q_orders_increasing_pairs,
         "part_min_cost_supplier": q.q_part_min_cost_supplier,
         "events_gap_fill": q.q_events_gap_fill,
+        "cohort_week_matrix": q.q_cohort_week_matrix,
+        "conversion_delay_p50": q.q_conversion_delay_p50,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -309,7 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_brand_suppliers", "docs_dsir_weights",
         "orders_increasing_pairs", "part_min_cost_supplier",
         "events_gap_fill", "ngram_containment_pairs", "docs_score_deciles",
-        "docs_temperature_alloc",
+        "docs_temperature_alloc", "cohort_week_matrix",
+        "conversion_delay_p50",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1211,6 +1214,42 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "cohort_week_matrix": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000)
+                          AS BIGINT) AS week
+              FROM events WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, MIN(week) AS cohort FROM d GROUP BY 1
+            )
+            SELECT f.cohort, CAST(d.week - f.cohort AS BIGINT) AS wk_offset,
+                   CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+            FROM d JOIN f USING (user_id)
+            WHERE d.week - f.cohort <= 4
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "conversion_delay_p50": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t0 FROM events
+              WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, MIN(e.ts) AS t1
+              FROM events e JOIN v ON e.user_id = v.user_id
+                                  AND e.ts >= v.t0
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            ), d AS (
+              SELECT CAST(floor(CAST(epoch_us(p.t1) - epoch_us(v.t0)
+                                     AS DOUBLE) / 60000000) AS BIGINT) AS m
+              FROM p JOIN v USING (user_id)
+            ), o AS (
+              SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM d
+            ), nn AS (SELECT COUNT(*) AS n FROM d)
+            SELECT CAST(nn.n AS BIGINT) AS n_conversions,
+                   CAST(MAX(CASE WHEN rn = GREATEST(1, (50 * n) // 100)
+                                 THEN m END) AS BIGINT) AS p50_delay_min
+            FROM o, nn GROUP BY nn.n
         """,
         "events_gap_fill": """
             WITH e AS (

@@ -5096,3 +5096,175 @@ def q_events_gap_fill(sf_dir: str, as_dataset: bool = False):
     out["hr"] = out["hr"].astype("int64")
     out["is_filled"] = out["is_filled"].astype("int64")
     return out[["event_type", "hr", "is_filled", "filled_cents"]]
+
+
+def q_cohort_week_matrix(sf_dir: str, max_offset: int = 4):
+    """Full cohort retention MATRIX: users grouped by first active week,
+    distinct actives per (cohort week, week offset 0..max_offset) — the
+    triangle chart behind user_retention's two fixed points.
+
+    Scale shape: identical to user_retention — distinct (user, week)
+    pre-reduce, user-hash buckets hold each user's whole activity, one
+    vectorized min-transform per bucket, only (cohort, offset, n) count
+    partials reach the driver (a user counts once per (cohort, offset) by
+    the distinct pre-reduce, and lives in one bucket, so partial sums are
+    exact)."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _weeks(b: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "week": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "ts" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        wk = np.floor(us.astype(np.float64) / 604_800_000_000) \
+            .astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False),
+             "week": wk}
+        ).drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _matrix(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"cohort": "int64", "wk_offset": "int64",
+                    "n_users": "int64"}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        g = g[["user_id", "week"]].drop_duplicates()
+        first = g.groupby("user_id")["week"].transform("min")
+        off = g["week"] - first
+        keep = off <= max_offset
+        part = (
+            pd.DataFrame({"cohort": first[keep], "wk_offset": off[keep]})
+            .groupby(["cohort", "wk_offset"], as_index=False)
+            .size().rename(columns={"size": "n_users"})
+        )
+        return part.astype(out_cols)
+
+    parts = (
+        ev.map_batches(_weeks, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_matrix, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "cohort" not in parts.columns:
+        return _typed_empty(cohort="int64", wk_offset="int64",
+                            n_users="int64")
+    out = parts.groupby(["cohort", "wk_offset"], as_index=False)[
+        "n_users"
+    ].sum().sort_values(["cohort", "wk_offset"]).reset_index(drop=True)
+    for c in ("cohort", "wk_offset", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out[["cohort", "wk_offset", "n_users"]]
+
+
+def q_conversion_delay_p50(sf_dir: str, max_fold_rows: int = 2_000_000):
+    """Median time-to-convert: minutes between a user's FIRST view and
+    their first purchase at-or-after it, nearest-rank p50 over all
+    converting users (the latency companion to conversion_attribution).
+
+    Scale shape: user-hash buckets compute each user's (first view, first
+    subsequent purchase) with two vectorized groupby-mins; delays collapse
+    to a (minute -> count) histogram INSIDE the bucket, so the driver
+    folds histogram rows bounded by the time range (not the user count),
+    count()-guarded before the collect; p50 is one cumsum walk."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "is_view": pa.array([], pa.int8()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "ts" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(
+            pc.and_(
+                pc.is_valid(b["ts"]),
+                pc.or_(pc.equal(b["event_type"], "view"),
+                       pc.equal(b["event_type"], "purchase")),
+            )
+        )
+        if b.num_rows == 0:
+            return pa.table(cols)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "is_view": pc.cast(
+                    pc.equal(b["event_type"], "view"), pa.int8()
+                ),
+                "_part": pa.array(stable_partition(uid, 64), pa.int64()),
+            }
+        )
+
+    def _hist(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"delay_min": "int64", "n": "int64"}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        v = g[g["is_view"] == 1].groupby("user_id")["ts_us"].min()
+        p = g[g["is_view"] == 0]
+        p = p.merge(v.rename("t0"), left_on="user_id", right_index=True)
+        p = p[p["ts_us"] >= p["t0"]]
+        if not len(p):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        t1 = p.groupby("user_id", as_index=False).agg(
+            t1=("ts_us", "min"), t0=("t0", "first")
+        )
+        m = np.floor(
+            (t1["t1"] - t1["t0"]).to_numpy(np.int64).astype(np.float64)
+            / 60_000_000
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame({"delay_min": m}).groupby("delay_min",
+                                                   as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return part.astype(out_cols)
+
+    hist_ds = (
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_hist, batch_format="pandas")
+        .materialize()
+    )
+    if hist_ds.count() > max_fold_rows:
+        raise ValueError(
+            "conversion_delay_p50: histogram exceeds the driver fold "
+            f"bound {max_fold_rows}; coarsen the delay unit"
+        )
+    hist = hist_ds.to_pandas()
+    if not len(hist) or "delay_min" not in hist.columns:
+        return _typed_empty(n_conversions="int64", p50_delay_min="int64")
+    hist = hist.groupby("delay_min", as_index=False)["n"].sum() \
+        .sort_values("delay_min")
+    cum = hist["n"].cumsum().to_numpy(np.int64)
+    n = int(cum[-1])
+    rank = max(1, (50 * n) // 100)
+    p50 = int(hist["delay_min"].to_numpy(np.int64)[
+        np.searchsorted(cum, rank, side="left")
+    ])
+    return pd.DataFrame(
+        {"n_conversions": pd.Series([n], dtype="int64"),
+         "p50_delay_min": pd.Series([p50], dtype="int64")}
+    )

@@ -179,6 +179,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "ngram_containment_pairs": ["doc_a", "doc_b", "containment"],
         "docs_score_deciles": ["source", "decile", "n_docs"],
         "docs_temperature_alloc": ["source", "n_docs", "alloc"],
+        "cohort_week_matrix": ["cohort", "wk_offset", "n_users"],
+        "conversion_delay_p50": ["n_conversions", "p50_delay_min"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",

@@ -440,3 +440,64 @@ def test_temperature_alloc_sums_to_budget_and_flattens(ray_session,
     assert out1.set_index("source")["alloc"].to_dict() == {
         "big": 90, "mid": 9, "tiny": 1,
     }
+
+
+def _write_events(path, rows):
+    """rows: list of (user_id, event_type, ts)."""
+    import pandas as pd
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[2]) for r in rows],
+                               pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(path, "events.parquet"),
+    )
+
+
+def test_cohort_matrix_offsets_and_distinctness(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_cohort_week_matrix
+
+    # user 1 active weeks 0,1 (two events in week 1 count once); user 2
+    # active weeks 0 and 6 (offset 6 > max_offset=4 -> dropped)
+    _write_events(
+        str(tmp_path),
+        [
+            (1, "view", "1970-01-01"),
+            (1, "view", "1970-01-08"),
+            (1, "click", "1970-01-09"),
+            (2, "view", "1970-01-02"),
+            (2, "view", "1970-02-14"),
+        ],
+    )
+    out = q_cohort_week_matrix(str(tmp_path))
+    assert out.values.tolist() == [[0, 0, 2], [0, 1, 1]]
+
+
+def test_conversion_delay_median(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_conversion_delay_p50
+
+    # user 1: view 10:00, purchase 10:30 -> 30 min; user 2: purchase
+    # BEFORE first view (no conversion), then purchase 11:10 after view
+    # 11:00 -> 10 min; user 3: view only. p50 of {10, 30} = rank 1 -> 10
+    _write_events(
+        str(tmp_path),
+        [
+            (1, "view", "2024-01-01 10:00"),
+            (1, "purchase", "2024-01-01 10:30"),
+            (2, "purchase", "2024-01-01 09:00"),
+            (2, "view", "2024-01-01 11:00"),
+            (2, "purchase", "2024-01-01 11:10"),
+            (3, "view", "2024-01-01 12:00"),
+        ],
+    )
+    out = q_conversion_delay_p50(str(tmp_path))
+    assert out["n_conversions"].tolist() == [2]
+    assert out["p50_delay_min"].tolist() == [10]
