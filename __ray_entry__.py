@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": q.q_events_gap_fill,
         "cohort_week_matrix": q.q_cohort_week_matrix,
         "conversion_delay_p50": q.q_conversion_delay_p50,
+        "users_all_types": q.q_users_all_types,
+        "slowlog_apdex": q.q_slowlog_apdex,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -312,7 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_increasing_pairs", "part_min_cost_supplier",
         "events_gap_fill", "ngram_containment_pairs", "docs_score_deciles",
         "docs_temperature_alloc", "cohort_week_matrix",
-        "conversion_delay_p50",
+        "conversion_delay_p50", "users_all_types", "slowlog_apdex",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -420,6 +422,21 @@ def oracle_sql() -> dict[str, str]:
                    {_FP_EXPR} AS fingerprint,
                    COUNT(*) AS total_queries
             FROM documents GROUP BY 1, 2
+        """,
+        "slowlog_apdex": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   COUNT(*) AS n_queries,
+                   CAST(SUM(CASE WHEN {_QT} <= 4.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_satisfied,
+                   CAST(SUM(CASE WHEN {_QT} > 4.0 AND {_QT} <= 16.0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tolerating,
+                   round(CAST(2 * SUM(CASE WHEN {_QT} <= 4.0
+                                           THEN 1 ELSE 0 END)
+                              + SUM(CASE WHEN {_QT} > 4.0 AND {_QT} <= 16.0
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                         / (2 * COUNT(*)), 6) AS apdex
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "slowlog_class_qt_stats": f"""
             SELECT {_CLASS_EXPR} AS class_id,
@@ -1214,6 +1231,18 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "users_all_types": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), n AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+            full_u AS (
+              SELECT user_id FROM ut GROUP BY 1
+              HAVING COUNT(*) = (SELECT k FROM n)
+            )
+            SELECT CAST((SELECT COUNT(*) FROM full_u) AS BIGINT)
+                       AS n_users_all_types,
+                   CAST((SELECT k FROM n) AS BIGINT) AS n_types
         """,
         "cohort_week_matrix": """
             WITH d AS (

@@ -5268,3 +5268,143 @@ def q_conversion_delay_p50(sf_dir: str, max_fold_rows: int = 2_000_000):
         {"n_conversions": pd.Series([n], dtype="int64"),
          "p50_delay_min": pd.Series([p50], dtype="int64")}
     )
+
+
+def q_users_all_types(sf_dir: str):
+    """Set-intersection analytics: how many users were active in EVERY
+    event type (the all-segments overlap; funnel_steps counts ordered
+    progressions, this counts unordered full coverage).
+
+    Scale shape: distinct (user, type) pairs pre-reduce per block, user-
+    hash buckets hold each user's full type set, and each bucket emits a
+    (types-per-user -> n_users) histogram partial (rows bounded by the
+    type cardinality, not the user count). The global type count comes
+    from the same materialized pair Dataset (one extra distinct-types
+    scan over pre-reduced pairs), so the driver folds two tiny tables."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "user_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": b["event_type"].to_pandas(),
+            }
+        ).drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ev.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).materialize()
+
+    def _types(b: pa.Table) -> pa.Table:
+        if "event_type" not in b.column_names or b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string())})
+        return pa.table(
+            {"event_type": pa.array(
+                pd.unique(b["event_type"].to_pandas()), pa.string())}
+        )
+
+    tdf = pairs.map_batches(_types, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=None).to_pandas()
+    k = int(tdf["event_type"].nunique()) if len(tdf) and \
+        "event_type" in tdf.columns else 0
+
+    def _hist(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"n_types": "int64", "n_users": "int64"}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        per_user = g[["user_id", "event_type"]].drop_duplicates() \
+            .groupby("user_id").size()
+        part = per_user.value_counts().rename_axis("n_types") \
+            .reset_index(name="n_users")
+        return part.astype(out_cols)
+
+    hist = (
+        pairs.groupby("_part").map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+    )
+    n_all = (
+        int(hist.loc[hist["n_types"] == k, "n_users"].sum())
+        if len(hist) and "n_types" in hist.columns and k > 0 else 0
+    )
+    return pd.DataFrame(
+        {"n_users_all_types": pd.Series([n_all], dtype="int64"),
+         "n_types": pd.Series([k], dtype="int64")}
+    )
+
+
+def q_slowlog_apdex(sf_dir: str, threshold: float = 4.0):
+    """Per-class Apdex score over the REAL slow-log pipeline (parse ->
+    fingerprint -> class): satisfied = query_time <= T, tolerating =
+    T < query_time <= 4T, apdex = (satisfied + tolerating/2) / n — the
+    SRE satisfaction metric the reference's report tables feed.
+
+    Exactness: per-class (n, sat, tol) are integer partials folded on the
+    driver; apdex is the ratio (2*sat + tol) / (2*n) rounded half-up at
+    6dp (ratio-of-integers rule)."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    events = _flat_events(sf_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "class_id": pa.array([], pa.string()),
+            "n_queries": pa.array([], pa.int64()),
+            "n_satisfied": pa.array([], pa.int64()),
+            "n_tolerating": pa.array([], pa.int64()),
+        }
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "class_id": b["class_id"].to_pandas(),
+                "sat": (qt <= threshold).astype(np.int64),
+                "tol": ((qt > threshold)
+                        & (qt <= 4 * threshold)).astype(np.int64),
+            }
+        )
+        g = df.groupby("class_id", as_index=False).agg(
+            n_queries=("sat", "size"), n_satisfied=("sat", "sum"),
+            n_tolerating=("tol", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "class_id" not in parts.columns:
+        return _typed_empty(class_id=object, n_queries="int64",
+                            n_satisfied="int64", n_tolerating="int64",
+                            apdex="float64")
+    out = parts.groupby("class_id", as_index=False)[
+        ["n_queries", "n_satisfied", "n_tolerating"]
+    ].sum()
+    apdex = [
+        float(2 * int(s) + int(t)) / float(2 * int(n))
+        for s, t, n in zip(out["n_satisfied"], out["n_tolerating"],
+                           out["n_queries"])
+    ]
+    out["apdex"] = round_half_up(apdex, 6)
+    for c in ("n_queries", "n_satisfied", "n_tolerating"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("class_id").reset_index(drop=True)[
+        ["class_id", "n_queries", "n_satisfied", "n_tolerating", "apdex"]
+    ]

@@ -181,6 +181,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "docs_temperature_alloc": ["source", "n_docs", "alloc"],
         "cohort_week_matrix": ["cohort", "wk_offset", "n_users"],
         "conversion_delay_p50": ["n_conversions", "p50_delay_min"],
+        "slowlog_apdex": ["class_id", "n_queries", "n_satisfied",
+                          "n_tolerating", "apdex"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",
@@ -221,6 +223,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     out = _to_pandas(qs["orders_increasing_pairs"](str(tmp_path)))
     assert list(out.columns) == ["n_customers", "n_pairs", "n_increasing"]
     assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0]
+    out = _to_pandas(qs["users_all_types"](str(tmp_path)))
+    assert list(out.columns) == ["n_users_all_types", "n_types"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0]
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))

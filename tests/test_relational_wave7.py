@@ -501,3 +501,36 @@ def test_conversion_delay_median(ray_session, tmp_path):
     out = q_conversion_delay_p50(str(tmp_path))
     assert out["n_conversions"].tolist() == [2]
     assert out["p50_delay_min"].tolist() == [10]
+
+
+def test_users_all_types_counts_full_coverage_only(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_users_all_types
+
+    # 3 types exist; user 1 hits all three (one twice), user 2 two, user
+    # 3 one
+    _write_events(
+        str(tmp_path),
+        [
+            (1, "view", "2024-01-01"), (1, "click", "2024-01-02"),
+            (1, "purchase", "2024-01-03"), (1, "view", "2024-01-04"),
+            (2, "view", "2024-01-01"), (2, "click", "2024-01-02"),
+            (3, "purchase", "2024-01-01"),
+        ],
+    )
+    out = q_users_all_types(str(tmp_path))
+    assert out["n_users_all_types"].tolist() == [1]
+    assert out["n_types"].tolist() == [3]
+
+
+def test_apdex_bounds_and_consistency(ray_session):
+    from mysql_log_parser_ray.pipelines.queries import q_slowlog_apdex
+
+    out = q_slowlog_apdex(SF)
+    assert len(out) > 0
+    assert ((out["apdex"] >= 0) & (out["apdex"] <= 1)).all()
+    assert (out["n_satisfied"] + out["n_tolerating"]
+            <= out["n_queries"]).all()
+    # T large enough that everything satisfies -> apdex exactly 1
+    hi = q_slowlog_apdex(SF, threshold=1000.0)
+    assert (hi["apdex"] == 1.0).all()
+    assert (hi["n_satisfied"] == hi["n_queries"]).all()
