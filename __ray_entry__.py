@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_delay_p50": q.q_conversion_delay_p50,
         "users_all_types": q.q_users_all_types,
         "slowlog_apdex": q.q_slowlog_apdex,
+        "embed_dim_moments": q.q_embed_dim_moments,
+        "events_csv_source": q.q_events_csv_source,
+        "events_partitioned_sink": q.q_events_partitioned_sink,
         "events_interarrival": q.q_events_interarrival,
         "events_type_trend": q.q_events_type_trend,
         "users_weekly_churn": q.q_users_weekly_churn,
@@ -315,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill", "ngram_containment_pairs", "docs_score_deciles",
         "docs_temperature_alloc", "cohort_week_matrix",
         "conversion_delay_p50", "users_all_types", "slowlog_apdex",
+        "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1231,6 +1235,31 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_yearly
             FROM lp JOIN a ON a.l_partkey = lp.l_partkey
             WHERE lp.l_quantity < 0.2 * a.aq
+        """,
+        "embed_dim_moments": """
+            WITH x AS (
+              SELECT t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sum_units,
+                   CAST(SUM(xq * xq) AS BIGINT) AS sumsq_units
+            FROM x GROUP BY 1 ORDER BY 1
+        """,
+        "events_csv_source": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_partitioned_sink": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "users_all_types": """
             WITH ut AS (

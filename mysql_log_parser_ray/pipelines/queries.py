@@ -5408,3 +5408,201 @@ def q_slowlog_apdex(sf_dir: str, threshold: float = 4.0):
     return out.sort_values("class_id").reset_index(drop=True)[
         ["class_id", "n_queries", "n_satisfied", "n_tolerating", "apdex"]
     ]
+
+
+def q_embed_dim_moments(sf_dir: str):
+    """Feature standardization stats: per embedding dimension, exact
+    integer first/second moments (the mean/variance inputs of a vector
+    normalization stage).
+
+    Exactness: each float32 component quantizes ONCE to 1e-6 units (a
+    widening f32->f64 cast is exact on both sides, so the quantization is
+    bit-identical), after which every sum is int64 — no float summation
+    order anywhere. Scale shape: each block folds its vectors to one
+    64-row (dim, n, sum, sumsq) partial (vectors never shuffle, never
+    collect); the driver folds blocks x 64 rows."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_units": pa.array([], pa.int64()),
+            "sumsq_units": pa.array([], pa.int64()),
+        }
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64),
+                                pa.int64()),
+                "n": pa.array(np.full(d, b.num_rows, np.int64), pa.int64()),
+                "sum_units": pa.array(xq.sum(axis=0), pa.int64()),
+                "sumsq_units": pa.array((xq * xq).sum(axis=0), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "dim" not in parts.columns:
+        return _typed_empty(dim="int64", n="int64", sum_units="int64",
+                            sumsq_units="int64")
+    out = parts.groupby("dim", as_index=False)[
+        ["n", "sum_units", "sumsq_units"]
+    ].sum().sort_values("dim").reset_index(drop=True)
+    for c in ("dim", "n", "sum_units", "sumsq_units"):
+        out[c] = out[c].astype("int64")
+    return out[["dim", "n", "sum_units", "sumsq_units"]]
+
+
+def _staged_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, tag) staging dir under /tmp."""
+    import hashlib
+
+    key = hashlib.md5(
+        (os.path.realpath(sf_dir) + ":" + tag).encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", f"mlpr_stage_{tag}_{key}")
+
+
+def q_events_csv_source(sf_dir: str):
+    """CSV source/sink round-trip surface: events export to CSV shards
+    (Dataset.write_csv — the CSV SINK), read back with ray.data.read_csv
+    (the CSV SOURCE), and integrity-fold per type. Columns restricted to
+    ints + strings so the text round-trip is lossless by construction.
+
+    Staging is write-once-then-rename (the incremental-ingest atomicity
+    convention) keyed on the input's realpath, so reruns reuse the
+    shards; the fold is the standard per-block partial -> driver sum."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    src = _read(sf_dir, "events",
+                columns=["event_id", "user_id", "event_type"])
+    if src.count() == 0:  # an empty write leaves no shards to read back
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_event_id="int64")
+    dest = _staged_dir(sf_dir, "csv")
+    if not os.path.isdir(dest):
+        tmp = dest + ".part"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src.write_csv(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost the race to a concurrent writer: reuse
+            shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_csv(dest)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "sum_event_id": pa.array([], pa.int64()),
+        }
+        if "event_type" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_pandas(),
+                    "sum_event_id": b["event_id"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .agg(n_rows=("sum_event_id", "size"),
+                 sum_event_id=("sum_event_id", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "event_type" not in parts.columns:
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_event_id="int64")
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_rows", "sum_event_id"]
+    ].sum().sort_values("event_type").reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_event_id"] = out["sum_event_id"].astype("int64")
+    return out[["event_type", "n_rows", "sum_event_id"]]
+
+
+def q_events_partitioned_sink(sf_dir: str):
+    """Hive-partitioned parquet SINK round-trip: events written with
+    write_parquet(partition_cols=["event_type"]) — the resumable layout
+    the 100-TB pipelines shard output by — then read back (partition
+    column reconstructed from the directory keys) and integrity-folded.
+
+    Staging is write-once-then-rename keyed on the input realpath."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    src = _read(sf_dir, "events",
+                columns=["event_id", "user_id", "event_type"])
+    if src.count() == 0:  # an empty write leaves no shards to read back
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_user_id="int64")
+    dest = _staged_dir(sf_dir, "hive")
+    if not os.path.isdir(dest):
+        tmp = dest + ".part"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src.write_parquet(tmp, partition_cols=["event_type"])
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(dest)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "sum_user_id": pa.array([], pa.int64()),
+        }
+        if "event_type" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame(
+                {
+                    # hive partition values read back as dictionary/
+                    # categorical: normalize to plain strings
+                    "event_type": b["event_type"].to_pandas().astype(str),
+                    "sum_user_id": b["user_id"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .agg(n_rows=("sum_user_id", "size"),
+                 sum_user_id=("sum_user_id", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "event_type" not in parts.columns:
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_user_id="int64")
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_rows", "sum_user_id"]
+    ].sum().sort_values("event_type").reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_user_id"] = out["sum_user_id"].astype("int64")
+    return out[["event_type", "n_rows", "sum_user_id"]]

@@ -183,6 +183,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "conversion_delay_p50": ["n_conversions", "p50_delay_min"],
         "slowlog_apdex": ["class_id", "n_queries", "n_satisfied",
                           "n_tolerating", "apdex"],
+        "embed_dim_moments": ["dim", "n", "sum_units", "sumsq_units"],
+        "events_csv_source": ["event_type", "n_rows", "sum_event_id"],
+        "events_partitioned_sink": ["event_type", "n_rows", "sum_user_id"],
         "events_interarrival": ["user_id", "n_gaps", "avg_gap_sec",
                                 "max_gap_sec"],
         "events_type_trend": ["event_type", "n", "slope_cents_per_hour",

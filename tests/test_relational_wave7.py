@@ -534,3 +534,44 @@ def test_apdex_bounds_and_consistency(ray_session):
     hi = q_slowlog_apdex(SF, threshold=1000.0)
     assert (hi["apdex"] == 1.0).all()
     assert (hi["n_satisfied"] == hi["n_queries"]).all()
+
+
+def test_embed_dim_moments_exact_vs_numpy(ray_session):
+    import pyarrow.parquet as _pq
+
+    from mysql_log_parser_ray.pipelines.queries import q_embed_dim_moments
+
+    out = q_embed_dim_moments(SF)
+    t = _pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                       columns=["embedding"])
+    x = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    assert out["dim"].tolist() == list(range(1, x.shape[1] + 1))
+    assert (out["n"] == len(x)).all()
+    assert out["sum_units"].tolist() == xq.sum(axis=0).tolist()
+    assert out["sumsq_units"].tolist() == (xq * xq).sum(axis=0).tolist()
+
+
+def test_csv_and_hive_roundtrips_are_idempotent(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_events_csv_source,
+        q_events_partitioned_sink,
+    )
+
+    _write_events(
+        str(tmp_path),
+        [(1, "view", "2024-01-01"), (2, "click", "2024-01-02"),
+         (1, "view", "2024-01-03")],
+    )
+    a1 = q_events_csv_source(str(tmp_path))
+    a2 = q_events_csv_source(str(tmp_path))  # second run reuses the stage
+    assert a1.equals(a2)
+    assert a1.set_index("event_type")["n_rows"].to_dict() == {
+        "view": 2, "click": 1,
+    }
+    b1 = q_events_partitioned_sink(str(tmp_path))
+    b2 = q_events_partitioned_sink(str(tmp_path))
+    assert b1.equals(b2)
+    assert b1.set_index("event_type")["sum_user_id"].to_dict() == {
+        "view": 2, "click": 2,
+    }
