@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_brand_suppliers": q.q_tpch_q16_brand_suppliers,
         "orders_increasing_pairs": q.q_orders_increasing_pairs,
         "part_min_cost_supplier": q.q_part_min_cost_supplier,
+        "tpch_q13_custdist": q.q_tpch_q13_custdist,
+        "tpch_q19_discount": q.q_tpch_q19_discount,
+        "tpch_q21_waiting": q.q_tpch_q21_waiting,
         "events_gap_fill": q.q_events_gap_fill,
         "cohort_week_matrix": q.q_cohort_week_matrix,
         "conversion_delay_p50": q.q_conversion_delay_p50,
@@ -319,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_alloc", "cohort_week_matrix",
         "conversion_delay_p50", "users_all_types", "slowlog_apdex",
         "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
+        "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1392,6 +1396,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w.l_suppkey) AS BIGINT) AS sum_winner_suppkey
             FROM w JOIN part p ON p.p_partkey = w.l_partkey
             WHERE w.rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13_custdist": """
+            WITH c_orders AS (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY 1
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM c_orders GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q19_discount": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CAST(floor(
+                       l_extendedprice * (1 - l_discount) * 100 + 0.5
+                   ) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity IS NOT NULL
+              AND l.l_extendedprice IS NOT NULL
+              AND l.l_discount IS NOT NULL
+              AND (
+                (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                 AND l.l_quantity BETWEEN 1 AND 11)
+                OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                    AND l.l_quantity BETWEEN 10 AND 20)
+                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                    AND l.l_quantity BETWEEN 20 AND 30)
+              )
+        """,
+        "tpch_q21_waiting": """
+            WITH per AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     MAX(CASE WHEN l.l_shipdate >
+                              o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS is_late
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY 1, 2
+            ), per_o AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+              FROM per GROUP BY 1
+            ), waiters AS (
+              SELECT p.l_suppkey
+              FROM per p JOIN per_o po ON p.l_orderkey = po.l_orderkey
+              WHERE po.n_supp >= 2 AND po.n_late = 1 AND p.is_late = 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "tpch_q4_priority_returns": """
             WITH r AS (

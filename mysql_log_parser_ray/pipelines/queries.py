@@ -5606,3 +5606,333 @@ def q_events_partitioned_sink(sf_dir: str):
     out["n_rows"] = out["n_rows"].astype("int64")
     out["sum_user_id"] = out["sum_user_id"].astype("int64")
     return out[["event_type", "n_rows", "sum_user_id"]]
+
+
+def q_tpch_q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including customers with zero orders (custdist histogram).
+
+    Scale shape: orders pre-reduce to (custkey, n) partials inside each
+    batch fn, hash-bucket by custkey (a customer lives in exactly ONE
+    bucket so per-bucket sums are complete), and each bucket emits its
+    count-of-counts histogram plus its distinct-customer tally — only
+    |buckets| x |distinct counts| tiny rows reach the driver.  The zero
+    bucket is arithmetic: customer.count() minus customers seen in
+    orders.  No join, no customer-table shuffle.  Mirrors TPC-H Q13
+    (left join + count + count-of-counts) without the o_comment filter
+    (testdata orders carry no comment column)."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+
+    def _o(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "o_custkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame({"k": b["o_custkey"].to_numpy(zero_copy_only=False)})
+            .groupby("k", as_index=False).size()
+        )
+        k = g["k"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "_part": pa.array(stable_partition(k, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"c_count": "int64", "custdist": "int64"}
+        if not len(g) or "k" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        tot = g.groupby("k")["n"].sum()
+        h = tot.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": h.index.to_numpy(np.int64),
+                "custdist": h.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(_o, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    if not len(parts) or "c_count" not in parts.columns:
+        out = pd.DataFrame({"c_count": pd.Series([0], dtype="int64"),
+                            "custdist": pd.Series([n_customers],
+                                                  dtype="int64")})
+        return out if n_customers else _typed_empty(c_count="int64",
+                                                    custdist="int64")
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_with_orders = int(out["custdist"].sum())
+    n_zero = int(n_customers) - n_with_orders
+    if n_zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def q_tpch_q19_discount(sf_dir: str, max_part_broadcast: int = 50_000_000):
+    """TPC-H Q19 shape: revenue from lines matching any of three
+    brand/size/quantity disjuncts (adapted: testdata part has no
+    p_container, so the container predicate is dropped).
+
+    Scale shape: part collapses to three sorted per-disjunct partkey
+    arrays broadcast once (fail-fast bound, q17's shape); lineitem
+    evaluates the OR of three (membership AND quantity-band) predicates
+    vectorized per block and emits ONE (n_lines, revenue_cents) partial
+    row per block — integer cents, overflow-proof driver fold.  No
+    shuffle at all."""
+    import pandas as pd
+    import ray
+
+    disjuncts = [
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#34", 1, 15, 20.0, 30.0),
+    ]
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    if part_ds.count() > max_part_broadcast:
+        raise ValueError(
+            "tpch_q19_discount: part table exceeds the broadcast bound "
+            f"{max_part_broadcast}; route the brand/size filter through a "
+            "co-partitioned tagged-union join (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    key_sets = []
+    for brand, lo_sz, hi_sz, _, _ in disjuncts:
+        if "p_partkey" in pdf.columns:
+            sel = (
+                (pdf["p_brand"] == brand)
+                & (pdf["p_size"] >= lo_sz)
+                & (pdf["p_size"] <= hi_sz)
+            )
+            key_sets.append(np.sort(pdf.loc[sel, "p_partkey"].to_numpy(np.int64)))
+        else:
+            key_sets.append(np.array([], dtype=np.int64))
+    keys_ref = ray.put(key_sets)
+
+    def _member(keys: np.ndarray, pk: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(pk), bool)
+        idx = np.searchsorted(keys, pk)
+        idx[idx >= len(keys)] = 0
+        return keys[idx] == pk
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "n_lines": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        mask = pc.and_(pc.is_valid(b["l_quantity"]),
+                       pc.is_valid(b["l_extendedprice"]))
+        b = b.filter(pc.and_(mask, pc.is_valid(b["l_discount"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        sets = _broadcast_get(keys_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(pk), bool)
+        for keys, (_, _, _, lo_q, hi_q) in zip(sets, disjuncts):
+            keep |= _member(keys, pk) & (qty >= lo_q) & (qty <= hi_q)
+        if not keep.any():
+            return pa.table(cols)
+        b = b.filter(pa.array(keep))
+        cents = _cents(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        )
+        return pa.table(
+            {
+                "n_lines": pa.array([b.num_rows], pa.int64()),
+                "revenue_cents": pa.array([int(pc.sum(cents).as_py())],
+                                          pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    n = int(parts["n_lines"].sum()) if "n_lines" in parts.columns else 0
+    rev = (
+        sum(int(v) for v in parts["revenue_cents"])
+        if len(parts) and "revenue_cents" in parts.columns else 0
+    )
+    return pd.DataFrame({"n_lines": pd.Series([n], dtype="int64"),
+                         "revenue_cents": pd.Series([rev], dtype="int64")})
+
+
+def q_tpch_q21_waiting(sf_dir: str, late_days: int = 60):
+    """TPC-H Q21 shape: suppliers who kept finished multi-supplier orders
+    waiting — the supplier is the ONLY one in the order whose lines
+    shipped late (adapted: testdata lineitem has no receipt/commit
+    dates, so "late" is l_shipdate > o_orderdate + late_days).
+
+    Scale shape: a co-partitioned tagged-union join on orderkey (the
+    q5/q10 plan) — lineitem pre-reduces to (orderkey, suppkey,
+    max_ship_us) partials inside the batch fn, orders ship only 'F'
+    (orderkey, orderdate_us) rows, both sides land in ONE
+    stable_partition groupby, and the per-bucket pandas kernel finds
+    orders with >=2 suppliers and exactly one late one, emitting
+    supplier-cardinality (suppkey, numwait) partials.  The driver folds
+    <=64 x |suppliers| rows; winner names come from a pruned supplier
+    scan against the broadcast winner set (q15's shape) — the supplier
+    table never collects."""
+    import pandas as pd
+    import ray
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+    late_us = late_days * 86_400_000_000
+    empty = _typed_empty(s_suppkey="int64", s_name=object, numwait="int64")
+
+    def _aligned(key, sk, ship_us, odate_us, side):
+        key = np.asarray(key, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "sk": pa.array(np.asarray(sk, dtype=np.int64), pa.int64()),
+                "ship_us": pa.array(np.asarray(ship_us, dtype=np.int64),
+                                    pa.int64()),
+                "odate_us": pa.array(np.asarray(odate_us, dtype=np.int64),
+                                     pa.int64()),
+                "side": pa.array(np.full(len(key), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], 0)
+        b = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        if b.num_rows == 0:
+            return _aligned([], [], [], [], 0)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        z = np.zeros(len(ok), np.int64)
+        return _aligned(ok, z, z, od, 0)
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], 1)
+        g = (
+            pd.DataFrame(
+                {
+                    "key": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "ship": pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["key", "sk"], as_index=False)["ship"].max()
+        )
+        z = np.zeros(len(g), np.int64)
+        return _aligned(g["key"], g["sk"], g["ship"], z, 1)
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"sk": "int64", "numwait": "int64"}
+        if not len(g) or "side" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        if not len(o) or not len(li):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        per = li.groupby(["key", "sk"], as_index=False)["ship_us"].max()
+        m = per.merge(o[["key", "odate_us"]], on="key", how="inner")
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m["late"] = m["ship_us"] > (m["odate_us"] + late_us)
+        per_o = m.groupby("key").agg(
+            n_supp=("sk", "size"), n_late=("late", "sum")
+        )
+        qual = per_o[(per_o["n_supp"] >= 2) & (per_o["n_late"] == 1)].index
+        w = m[m["key"].isin(qual) & m["late"]]
+        cnt = w.groupby("sk", as_index=False).size()
+        return pd.DataFrame(
+            {"sk": cnt["sk"].to_numpy(np.int64),
+             "numwait": cnt["size"].to_numpy(np.int64)}
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    parts = (
+        orders.union(li).groupby("_part")
+        .map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "sk" not in parts.columns:
+        return empty
+    wait = parts.groupby("sk", as_index=False)["numwait"].sum()
+    win_ref = ray.put(np.sort(wait["sk"].to_numpy(np.int64)))
+
+    def _names(b: pa.Table) -> pa.Table:
+        cols = {"s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string())}
+        if "s_suppkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        keys = _broadcast_get(win_ref)
+        skv = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(cols)
+        idx = np.searchsorted(keys, skv)
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == skv
+        b = b.filter(pa.array(hit))
+        return pa.table({"s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+                         "s_name": pc.cast(b["s_name"], pa.string())})
+
+    names = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(_names, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(names) or "s_suppkey" not in names.columns:
+        return empty
+    out = names.merge(
+        wait.rename(columns={"sk": "s_suppkey"}), on="s_suppkey"
+    ).sort_values("s_suppkey").reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_suppkey", "s_name", "numwait"]]

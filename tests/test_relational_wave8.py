@@ -1,0 +1,158 @@
+"""Invariant unit tests for the eighth relational wave: TPC-H Q13/Q19/Q21
+shapes. Exact-value parity vs DuckDB is covered by
+tests/test_oracle_parity.py; these pin the crafted-fixture semantics
+(zero-order customers, OR-disjunct bands, single-late-supplier rule) that
+parity alone would not explain on a regression."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _write_orders(path, rows):
+    """rows: list of (orderkey, custkey, status, orderdate)."""
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp(r[3]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        os.path.join(path, "orders.parquet"),
+    )
+
+
+def _write_lineitem(path, rows):
+    """rows: list of (orderkey, suppkey, partkey, qty, price, disc, ship)."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_quantity": pa.array([float(r[3]) for r in rows],
+                                       pa.float64()),
+                "l_extendedprice": pa.array([float(r[4]) for r in rows],
+                                            pa.float64()),
+                "l_discount": pa.array([float(r[5]) for r in rows],
+                                       pa.float64()),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp(r[6]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        os.path.join(path, "lineitem.parquet"),
+    )
+
+
+def test_q13_includes_zero_order_customers(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q13_custdist
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    # cust 1 -> 2 orders, cust 2 -> 1 order, custs 3/4 -> none
+    _write_orders(
+        str(tmp_path),
+        [(10, 1, "O", "1996-01-01"), (11, 1, "O", "1996-01-02"),
+         (12, 2, "O", "1996-01-03")],
+    )
+    out = q_tpch_q13_custdist(str(tmp_path))
+    assert out["c_count"].tolist() == [0, 1, 2]
+    assert out["custdist"].tolist() == [2, 1, 1]
+
+
+def test_q19_or_disjunct_bands(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q19_discount
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "p_brand": pa.array(
+                    ["Brand#12", "Brand#23", "Brand#34", "Brand#99"],
+                    pa.string(),
+                ),
+                "p_size": pa.array([3, 10, 20, 5], pa.int32()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    _write_lineitem(
+        str(tmp_path),
+        [
+            # part 1 (Brand#12 size 3): qty 5 in [1,11] -> qualifies
+            (1, 1, 1, 5, 100.0, 0.10, "1996-01-01"),
+            # part 1: qty 20 out of [1,11] -> no
+            (2, 1, 1, 20, 999.0, 0.0, "1996-01-01"),
+            # part 2 (Brand#23 size 10): qty 15 in [10,20] -> qualifies
+            (3, 1, 2, 15, 200.0, 0.0, "1996-01-01"),
+            # part 3 (Brand#34 size 20): size out of [1,15] -> no
+            (4, 1, 3, 25, 999.0, 0.0, "1996-01-01"),
+            # part 4 (other brand) -> no
+            (5, 1, 4, 5, 999.0, 0.0, "1996-01-01"),
+        ],
+    )
+    out = q_tpch_q19_discount(str(tmp_path))
+    assert out["n_lines"].iloc[0] == 2
+    # 100*(1-0.10)=90.00 -> 9000 cents; 200*(1-0)=200.00 -> 20000 cents
+    assert out["revenue_cents"].iloc[0] == 29000
+
+
+def test_q21_single_late_supplier_rule(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q21_waiting
+
+    _write_orders(
+        str(tmp_path),
+        [
+            (101, 1, "F", "1996-01-01"),  # supp 1 late, supp 2 ok -> counts
+            (102, 1, "F", "1996-01-01"),  # both late -> nobody counts
+            (103, 1, "F", "1996-01-01"),  # single supplier -> no
+            (104, 1, "O", "1996-01-01"),  # status O -> excluded
+        ],
+    )
+    _write_lineitem(
+        str(tmp_path),
+        [
+            # order 101: supp 1 has an early AND a late line (max-ship wins)
+            (101, 1, 1, 1, 1.0, 0.0, "1996-01-10"),
+            (101, 1, 1, 1, 1.0, 0.0, "1996-05-01"),
+            (101, 2, 1, 1, 1.0, 0.0, "1996-01-15"),
+            # order 102: two late suppliers
+            (102, 1, 1, 1, 1.0, 0.0, "1996-06-01"),
+            (102, 3, 1, 1, 1.0, 0.0, "1996-06-01"),
+            # order 103: one supplier, late
+            (103, 3, 1, 1, 1.0, 0.0, "1996-06-01"),
+            # order 104: late but order not 'F'
+            (104, 4, 1, 1, 1.0, 0.0, "1996-06-01"),
+            (104, 5, 1, 1, 1.0, 0.0, "1996-01-05"),
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "s_name": pa.array([f"s{i}" for i in range(1, 6)],
+                                   pa.string()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q_tpch_q21_waiting(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["s_name"].tolist() == ["s1"]
+    assert out["numwait"].tolist() == [1]
