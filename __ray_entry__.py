@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": q.q_tpch_q13_custdist,
         "tpch_q19_discount": q.q_tpch_q19_discount,
         "tpch_q21_waiting": q.q_tpch_q21_waiting,
+        "events_json_source": q.q_events_json_source,
+        "user_longest_streak": q.q_user_longest_streak,
         "events_gap_fill": q.q_events_gap_fill,
         "cohort_week_matrix": q.q_cohort_week_matrix,
         "conversion_delay_p50": q.q_conversion_delay_p50,
@@ -323,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_delay_p50", "users_all_types", "slowlog_apdex",
         "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
         "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
+        "events_json_source", "user_longest_streak", "docs_stopword_trim",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1448,6 +1451,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS numwait
             FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        "events_json_source": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "user_longest_streak": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), r AS (
+              SELECT user_id, d,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                         AS rn
+              FROM ud
+            ), runs AS (
+              SELECT user_id, d - rn AS anchor, COUNT(*) AS len
+              FROM r GROUP BY 1, 2
+            ), mx AS (
+              SELECT user_id, MAX(len) AS streak FROM runs GROUP BY 1
+            )
+            SELECT CAST(streak AS BIGINT) AS streak_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM mx GROUP BY 1 ORDER BY 1
         """,
         "tpch_q4_priority_returns": """
             WITH r AS (

@@ -5936,3 +5936,161 @@ def q_tpch_q21_waiting(sf_dir: str, late_days: int = 60):
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     out["numwait"] = out["numwait"].astype("int64")
     return out[["s_suppkey", "s_name", "numwait"]]
+
+
+def q_events_json_source(sf_dir: str):
+    """JSONL source/sink round-trip surface: events export to JSON-lines
+    shards (Dataset.write_json — the JSON SINK), read back with
+    ray.data.read_json (the JSON SOURCE), and integrity-fold per type.
+    Columns restricted to ints + strings so the text round-trip is
+    lossless by construction.
+
+    Staging is write-once-then-rename (the incremental-ingest atomicity
+    convention) keyed on the input's realpath, so reruns reuse the
+    shards; the fold is the standard per-block partial -> driver sum."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    src = _read(sf_dir, "events",
+                columns=["event_id", "user_id", "event_type"])
+    if src.count() == 0:  # an empty write leaves no shards to read back
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_event_id="int64", sum_user_id="int64")
+    dest = _staged_dir(sf_dir, "jsonl")
+    if not os.path.isdir(dest):
+        tmp = dest + ".part"
+        shutil.rmtree(tmp, ignore_errors=True)
+        src.write_json(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost the race to a concurrent writer: reuse
+            shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_json(dest)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "sum_event_id": pa.array([], pa.int64()),
+            "sum_user_id": pa.array([], pa.int64()),
+        }
+        if "event_type" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_pandas(),
+                    "sum_event_id": b["event_id"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "sum_user_id": b["user_id"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .agg(n_rows=("sum_event_id", "size"),
+                 sum_event_id=("sum_event_id", "sum"),
+                 sum_user_id=("sum_user_id", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "event_type" not in parts.columns:
+        return _typed_empty(event_type=object, n_rows="int64",
+                            sum_event_id="int64", sum_user_id="int64")
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_rows", "sum_event_id", "sum_user_id"]
+    ].sum().sort_values("event_type").reset_index(drop=True)
+    for c in ("n_rows", "sum_event_id", "sum_user_id"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "n_rows", "sum_event_id", "sum_user_id"]]
+
+
+def q_user_longest_streak(sf_dir: str):
+    """Distribution of each user's longest run of consecutive ACTIVE days
+    (gaps-and-islands): streak_days -> n_users.
+
+    Scale shape: blocks pre-reduce to distinct (user, day) pairs tagged
+    by user hash; a user's complete day set lands in ONE bucket
+    (stable_partition), so the per-bucket kernel computes exact runs —
+    one vectorized sort + shift-compare island scan across ALL users in
+    the bucket, no per-user loop. Buckets emit their streak histogram
+    (<= |distinct streak lengths| rows each) and the driver folds
+    64 x that. Day numbers are integer microsecond-epoch divisions, so
+    the run test (day == prev_day + 1) is exact arithmetic."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+    day_us = 86_400_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "u": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "user_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        dd = pd.DataFrame({"u": u, "d": d}).drop_duplicates()
+        k = dd["u"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(k, pa.int64()),
+                "d": pa.array(dd["d"].to_numpy(np.int64), pa.int64()),
+                "_part": pa.array(stable_partition(k, n_parts), pa.int64()),
+            }
+        )
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"streak_days": "int64", "n_users": "int64"}
+        if not len(g) or "u" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        dd = g[["u", "d"]].drop_duplicates().sort_values(["u", "d"])
+        uu = dd["u"].to_numpy(np.int64)
+        dv = dd["d"].to_numpy(np.int64)
+        new_run = np.ones(len(dd), bool)
+        if len(dd) > 1:
+            new_run[1:] = (uu[1:] != uu[:-1]) | (dv[1:] != dv[:-1] + 1)
+        run_id = np.cumsum(new_run)
+        runs = (
+            pd.DataFrame({"u": uu, "r": run_id})
+            .groupby(["u", "r"]).size().rename("len").reset_index()
+        )
+        mx = runs.groupby("u")["len"].max()
+        h = mx.value_counts()
+        return pd.DataFrame(
+            {
+                "streak_days": h.index.to_numpy(np.int64),
+                "n_users": h.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "streak_days" not in parts.columns:
+        return _typed_empty(streak_days="int64", n_users="int64")
+    out = parts.groupby("streak_days", as_index=False)["n_users"].sum()
+    out["streak_days"] = out["streak_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("streak_days").reset_index(drop=True)

@@ -1973,6 +1973,137 @@ def q_docs_dsir_weights(sf_dir: str, target_source: str = "src0",
     return out[["source", "n_docs", "n_selected", "sum_units"]]
 
 
+def q_docs_stopword_trim(sf_dir: str, stop_broadcast_limit: int = 1_000_000):
+    """Corpus-adaptive stopword removal (the C4-style "too common to
+    carry signal" trim): words appearing in MORE THAN HALF the documents
+    (2*df > n_docs, integer-exact) form the stoplist; report per-source
+    post-trim token counts.
+
+    Scale shape: pass 1 is the word_doc_freq bucket-collapsed df fold
+    (only (word, df_partial) rows shuffle, every copy of a word in one
+    bucket); the bucket kernel ALSO applies the threshold worker-side, so
+    only actual stopwords leave the buckets — the stoplist Dataset is
+    count()-guarded (fail-fast BEFORE the collect) then broadcast once
+    via ray.put. Pass 2 re-reads (source, text) and splits kept/removed
+    per token against the broadcast set, folding source-cardinality
+    partials. The vocabulary never lands on the driver."""
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    out_cols = ["n_docs", "kept_tokens", "removed_tokens"]
+    empty = typed_empty(source=object, **{c: "int64" for c in out_cols},
+                        n_stopwords="int64")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    n_docs_total = docs.count()  # parquet metadata, no scan
+    if n_docs_total == 0:
+        return empty
+    n_parts = 64
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        cols = {"word": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        words = (
+            s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        )
+        df = words[words.notna() & (words != "")].reset_index()
+        df.columns = ["doc", "word"]
+        part = (
+            df.drop_duplicates()
+            .groupby("word", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        part["_part"] = stable_partition(part["word"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _bucket_stop(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"word": pd.Series([], dtype="object")}
+        if not len(g) or "word" not in g.columns:
+            return pd.DataFrame(out)
+        tot = g.groupby("word", as_index=False)["df"].sum()
+        stop = tot[2 * tot["df"] > n_docs_total]
+        return pd.DataFrame({"word": stop["word"].to_numpy()})
+
+    stop_ds = (
+        docs.map_batches(_df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket_stop, batch_format="pandas")
+        .materialize()  # consumed twice: bound-count then collect
+    )
+    n_stop = stop_ds.count()
+    if n_stop > stop_broadcast_limit:
+        raise ValueError(
+            f"docs_stopword_trim: {n_stop} stopwords exceed the broadcast "
+            f"bound {stop_broadcast_limit}; route the trim through a "
+            "co-partitioned word join (word_doc_freq's shape) instead"
+        )
+    sp = stop_ds.to_pandas()
+    stop_set = (
+        frozenset(sp["word"].tolist()) if "word" in sp.columns
+        else frozenset()
+    )
+    stop_ref = ray.put(stop_set)
+
+    def _trim_partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "kept_tokens": pa.array([], pa.int64()),
+            "removed_tokens": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        stop = broadcast_get(stop_ref)
+        s = b["text"].to_pandas()
+        src = b["source"].to_pandas()
+        words = (
+            s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        )
+        words = words[words.notna() & (words != "")]
+        wsrc = src.reindex(words.index)
+        removed = words.isin(stop)
+        tok = (
+            pd.DataFrame(
+                {
+                    "source": wsrc.to_numpy(),
+                    "kept_tokens": (~removed).to_numpy().astype(np.int64),
+                    "removed_tokens": removed.to_numpy().astype(np.int64),
+                }
+            )
+            .groupby("source", as_index=False).sum()
+        )
+        nd = (
+            pd.DataFrame({"source": src.to_numpy()})
+            .groupby("source", as_index=False).size()
+            .rename(columns={"size": "n_docs"})
+        )
+        out = nd.merge(tok, on="source", how="left").fillna(0)
+        for c in ("n_docs", "kept_tokens", "removed_tokens"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _fold_partials(
+        docs.map_batches(_trim_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source"], out_cols,
+    )
+    if out is None:
+        return empty
+    for c in out_cols:
+        out[c] = out[c].astype("int64")
+    out["n_stopwords"] = np.int64(len(stop_set))
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -2020,6 +2151,7 @@ def register_queries():
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "docs_score_deciles": q_docs_score_deciles,
         "docs_temperature_alloc": q_docs_temperature_alloc,
+        "docs_stopword_trim": q_docs_stopword_trim,
     }
 
 
@@ -2204,6 +2336,41 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "docs_stopword_trim": r"""
+            WITH w AS (
+              SELECT doc_id, source, word FROM (
+                SELECT doc_id, source,
+                       unnest(regexp_split_to_array(
+                           trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                           '[ \t\n\r\v\f]+')) AS word
+                FROM documents
+              ) WHERE word <> ''
+            ), n AS (SELECT COUNT(*) AS n_total FROM documents),
+            stop AS (
+              SELECT word
+              FROM (SELECT word, COUNT(DISTINCT doc_id) AS df
+                    FROM w GROUP BY 1), n
+              WHERE 2 * df > n_total
+            ), tok AS (
+              SELECT source,
+                     SUM(CASE WHEN word IN (SELECT word FROM stop)
+                         THEN 0 ELSE 1 END) AS kept_tokens,
+                     SUM(CASE WHEN word IN (SELECT word FROM stop)
+                         THEN 1 ELSE 0 END) AS removed_tokens
+              FROM w GROUP BY 1
+            ), d AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+            )
+            SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(tok.kept_tokens, 0) AS BIGINT)
+                       AS kept_tokens,
+                   CAST(COALESCE(tok.removed_tokens, 0) AS BIGINT)
+                       AS removed_tokens,
+                   CAST((SELECT COUNT(*) FROM stop) AS BIGINT)
+                       AS n_stopwords
+            FROM d LEFT JOIN tok ON d.source = tok.source
+            ORDER BY 1
+        """,
         "doc_winnow_dups": _winnow_oracle_sql(),
         "ngram_containment_pairs": r"""
             WITH toks AS (

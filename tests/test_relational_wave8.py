@@ -156,3 +156,90 @@ def test_q21_single_late_supplier_rule(ray_session, tmp_path):
     assert out["s_suppkey"].tolist() == [1]
     assert out["s_name"].tolist() == ["s1"]
     assert out["numwait"].tolist() == [1]
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, user_id, event_type, ts)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([pd.Timestamp(r[3]) for r in rows],
+                               pa.timestamp("us")),
+            }
+        ),
+        os.path.join(path, "events.parquet"),
+    )
+
+
+def test_longest_streak_gaps_and_daydup(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_user_longest_streak
+
+    _write_events(
+        str(tmp_path),
+        [
+            # user 1: days 1,2,3 then gap then 5 -> longest 3
+            (1, 1, "a", "2024-01-01"), (2, 1, "a", "2024-01-02"),
+            (3, 1, "a", "2024-01-03"), (4, 1, "a", "2024-01-05"),
+            # two events same day must dedup (no fake streak boost)
+            (5, 1, "a", "2024-01-05 23:59:59"),
+            # user 2: single day -> streak 1
+            (6, 2, "a", "2024-01-10"),
+            # user 3: days 7,8 -> streak 2
+            (7, 3, "a", "2024-01-07"), (8, 3, "a", "2024-01-08"),
+        ],
+    )
+    out = q_user_longest_streak(str(tmp_path))
+    assert out["streak_days"].tolist() == [1, 2, 3]
+    assert out["n_users"].tolist() == [1, 1, 1]
+
+
+def test_json_roundtrip_idempotent(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_events_json_source
+
+    _write_events(
+        str(tmp_path),
+        [(1, 10, "view", "2024-01-01"), (2, 20, "click", "2024-01-02"),
+         (3, 30, "view", "2024-01-03")],
+    )
+    a1 = q_events_json_source(str(tmp_path))
+    a2 = q_events_json_source(str(tmp_path))  # second run reuses shards
+    assert a1.equals(a2)
+    assert a1.set_index("event_type")["n_rows"].to_dict() == {
+        "view": 2, "click": 1,
+    }
+    assert a1.set_index("event_type")["sum_user_id"].to_dict() == {
+        "view": 40, "click": 20,
+    }
+
+
+def test_stopword_trim_majority_threshold(ray_session, tmp_path):
+    from mysql_log_parser_ray.training.registry import q_docs_stopword_trim
+
+    # "the" in 3/4 docs (2*3 > 4 -> stop); "data" in exactly 2/4
+    # (2*2 = 4, NOT > 4 -> kept); others rare
+    docs = [
+        (1, "the data pipeline", "a"),
+        (2, "the data engine", "a"),
+        (3, "the ray cluster", "b"),
+        (4, "arrow blocks stream", "b"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "source": pa.array([d[2] for d in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_docs_stopword_trim(str(tmp_path))
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_stopwords"].tolist() == [1, 1]  # just "the"
+    # source a: 6 tokens, 2 "the" removed; source b: 6 tokens, 1 removed
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["removed_tokens"].tolist() == [2, 1]
+    assert out["kept_tokens"].tolist() == [4, 5]
