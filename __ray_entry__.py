@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21_waiting": q.q_tpch_q21_waiting,
         "events_json_source": q.q_events_json_source,
         "user_longest_streak": q.q_user_longest_streak,
+        "embed_cov_matrix": q.q_embed_cov_matrix,
+        "tpch_q7_volume": q.q_tpch_q7_volume,
         "events_gap_fill": q.q_events_gap_fill,
         "cohort_week_matrix": q.q_cohort_week_matrix,
         "conversion_delay_p50": q.q_conversion_delay_p50,
@@ -326,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
         "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
         "events_json_source", "user_longest_streak", "docs_stopword_trim",
+        "embed_cov_matrix", "tpch_q7_volume",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1458,6 +1461,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
                    CAST(SUM(user_id) AS BIGINT) AS sum_user_id
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "embed_cov_matrix": """
+            WITH dims AS (
+              SELECT CAST(i AS BIGINT) AS i FROM UNNEST(range(1, 65)) t(i)
+            ), q AS (
+              SELECT vec_id, d.i AS dim,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS u
+              FROM embeddings, dims d
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a.u * b.u) AS BIGINT) AS sum_prod_units
+            FROM q a JOIN q b
+              ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q7_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_nationkey <> cn.n_nationkey
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "user_longest_streak": """
             WITH ud AS (

@@ -6094,3 +6094,285 @@ def q_user_longest_streak(sf_dir: str):
     out["streak_days"] = out["streak_days"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("streak_days").reset_index(drop=True)
+
+
+def q_embed_cov_matrix(sf_dir: str):
+    """Exact upper-triangle second-moment (Gram) matrix over quantized
+    embedding units — the covariance input of a PCA / whitening stage
+    (pair with embed_dim_moments' per-dim sums for the mean subtraction).
+
+    Exactness: each float32 component quantizes ONCE to 1e-6 units (a
+    widening f32->f64 cast is exact, so the quantization is bit-identical
+    on both sides), after which every product/sum is integer — no float
+    summation order anywhere. Scale shape: each block folds its vectors
+    to ONE d*(d+1)/2-row partial via a single int64 matmul (vectors never
+    shuffle, never collect); the driver folds blocks x 2080 rows with
+    Python-int sums (overflow-proof past the int64 partial bound, which
+    a single block cannot hit: |unit| <= ~1e6 -> products <= ~1e12, and
+    blocks are target_max_block_size-bounded)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "dim_i": pa.array([], pa.int64()),
+            "dim_j": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_prod_units": pa.array([], pa.int64()),
+        }
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        gram = xq.T @ xq
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+                "dim_j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+                "n": pa.array(np.full(len(iu), b.num_rows, np.int64),
+                              pa.int64()),
+                "sum_prod_units": pa.array(gram[iu, ju], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "dim_i" not in parts.columns:
+        return _typed_empty(dim_i="int64", dim_j="int64", n="int64",
+                            sum_prod_units="int64")
+    # Python-int fold: immune to int64 overflow across many blocks
+    grouped = parts.groupby(["dim_i", "dim_j"], sort=True)
+    rows = [
+        (int(i), int(j), int(sum(int(v) for v in g["n"])),
+         int(sum(int(v) for v in g["sum_prod_units"])))
+        for (i, j), g in grouped
+    ]
+    out = pd.DataFrame(rows, columns=["dim_i", "dim_j", "n",
+                                      "sum_prod_units"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_tpch_q7_volume(sf_dir: str, year_start: str = "1996-01-01",
+                     n_years: int = 2,
+                     max_supplier_broadcast: int = 20_000_000):
+    """TPC-H Q7 shape, generalized to the full nation-pair trade matrix:
+    revenue per (supplier nation, customer nation, ship year) for
+    cross-nation lines in a two-year ship window.
+
+    Scale shape: the q5 plan — nation is a driver-side dim, supplier
+    broadcasts as a sorted suppkey->nationkey array (fail-fast bound),
+    and the two big joins (orders x customer on custkey, then x lineitem
+    on orderkey) are tagged-union co-partitioned hash joins: one
+    stable_partition groupby per stage, vectorized pandas merges per
+    bucket, merge stages return pa.Table (never mix pandas/arrow block
+    streams into a downstream groupby). Lineitem pre-aggregates cents
+    per (orderkey, supp_nation, year) inside the batch fn, so shuffle
+    volume is bounded by order x nation x year cardinality, not line
+    count; buckets emit (supp_nat, cust_nat, year) partials and the
+    driver folds 64 x |nations|^2 x years tiny rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..partition import stable_partition
+
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    empty = _typed_empty(supp_nation=object, cust_nation=object,
+                         l_year="int64", n_lines="int64",
+                         revenue_cents="int64")
+
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_sup = sup_ds.count()  # parquet metadata
+    if n_sup > max_supplier_broadcast:
+        raise ValueError(
+            f"tpch_q7_volume: {n_sup} suppliers exceed the broadcast bound "
+            f"{max_supplier_broadcast}; route the supplier lookup through a "
+            "third co-partitioned join instead"
+        )
+    sup = sup_ds.to_pandas()
+    if "s_suppkey" not in sup.columns or not len(sup):
+        return empty
+    sup = sup.sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(dtype=np.int64),
+            sup["s_nationkey"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    lo_us = int(pd.Timestamp(year_start).value // 1000)
+    hi_us = int(
+        (pd.Timestamp(year_start) + pd.DateOffset(years=n_years)).value
+        // 1000
+    )
+    n_parts = 64
+
+    def _aligned(key, a, yr, n, cents, side):
+        key = np.asarray(key, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(np.asarray(a, dtype=np.int64), pa.int64()),
+                "yr": pa.array(np.asarray(yr, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.asarray(n, dtype=np.int64), pa.int64()),
+                "cents": pa.array(np.asarray(cents, dtype=np.int64),
+                                  pa.int64()),
+                "side": pa.array(np.full(len(key), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # --- stage A: orders x customer, keyed custkey -> (orderkey, cust_nat)
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], [], 0)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ck), np.int64)
+        return _aligned(ck, ok, z, z, z, 0)
+
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], [], 1)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ck), np.int64)
+        return _aligned(ck, nk, z, z, z, 1)
+
+    def _merge_a(g: "pd.DataFrame") -> pa.Table:
+        o = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if not len(o) or not len(c):
+            return _aligned([], [], [], [], [], 0)
+        m = o.merge(c[["key", "a"]].rename(columns={"a": "c_nat"}), on="key")
+        # re-key on orderkey; customer nation rides along in `a`
+        return _aligned(
+            m["a"].to_numpy(np.int64), m["c_nat"].to_numpy(np.int64),
+            np.zeros(len(m), np.int64), np.zeros(len(m), np.int64),
+            np.zeros(len(m), np.int64), 0,
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_c_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    order_nat = (
+        orders.union(cust).groupby("_part")
+        .map_groups(_merge_a, batch_format="pandas")
+    )
+
+    # --- stage B: x lineitem pre-aggregated per (orderkey, supp_nat, year)
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], [], 1)
+        mask = pc.and_(pc.is_valid(b["l_shipdate"]),
+                       pc.is_valid(b["l_extendedprice"]))
+        b = b.filter(mask)
+        if b.num_rows:
+            dts = pc.cast(b["l_shipdate"], pa.int64())
+            b = b.filter(pc.and_(pc.greater_equal(dts, lo_us),
+                                 pc.less(dts, hi_us)))
+        if b.num_rows == 0:
+            return _aligned([], [], [], [], [], 1)
+        sk_keys, sk_nat = _broadcast_get(sup_ref)
+        lk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk_keys, lk)
+        idx[idx >= len(sk_keys)] = 0
+        hit = (sk_keys[idx] == lk) if len(sk_keys) else np.zeros(len(lk),
+                                                                 bool)
+        if not hit.any():
+            return _aligned([], [], [], [], [], 1)
+        b = b.filter(pa.array(hit))
+        snat = sk_nat[idx[hit]]
+        cents = _cents(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        ).to_numpy(zero_copy_only=False)
+        yr = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "key": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "a": snat,
+                    "yr": yr.astype(np.int64),
+                    "cents": cents,
+                }
+            )
+            .groupby(["key", "a", "yr"], as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+        return _aligned(g["key"], g["a"], g["yr"], g["n"], g["cents"], 1)
+
+    def _merge_b(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"supp_nat": "int64", "cust_nat": "int64",
+                    "l_year": "int64", "n_lines": "int64",
+                    "revenue_cents": "int64"}
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        if not len(o) or not len(li):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m = li.merge(o[["key", "a"]].rename(columns={"a": "cust_nat"}),
+                     on="key")
+        m = m[m["a"] != m["cust_nat"]]
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        out = (
+            m.groupby(["a", "cust_nat", "yr"], as_index=False)
+            .agg(n_lines=("n", "sum"), revenue_cents=("cents", "sum"))
+            .rename(columns={"a": "supp_nat", "yr": "l_year"})
+        )
+        for c, t in out_cols.items():
+            out[c] = out[c].astype(t)
+        return out[list(out_cols)]
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    parts = (
+        order_nat.union(li).groupby("_part")
+        .map_groups(_merge_b, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "supp_nat" not in parts.columns:
+        return empty
+    out = parts.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)[
+        ["n_lines", "revenue_cents"]
+    ].sum()
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["cust_nat"].map(names)
+    for c in ("l_year", "n_lines", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "n_lines",
+             "revenue_cents"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )

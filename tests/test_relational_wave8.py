@@ -243,3 +243,76 @@ def test_stopword_trim_majority_threshold(ray_session, tmp_path):
     assert out["n_docs"].tolist() == [2, 2]
     assert out["removed_tokens"].tolist() == [2, 1]
     assert out["kept_tokens"].tolist() == [4, 5]
+
+
+def test_embed_cov_diag_matches_moments(ray_session):
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_embed_cov_matrix,
+        q_embed_dim_moments,
+    )
+
+    cov = q_embed_cov_matrix(SF)
+    mom = q_embed_dim_moments(SF)
+    diag = cov[cov["dim_i"] == cov["dim_j"]].set_index("dim_i")
+    assert (
+        diag["sum_prod_units"].to_dict()
+        == mom.set_index("dim")["sumsq_units"].to_dict()
+    )
+    # symmetry of the construction: only upper triangle emitted
+    assert (cov["dim_j"] >= cov["dim_i"]).all()
+    assert len(cov) == 64 * 65 // 2
+
+
+def test_q7_cross_nation_and_year_window(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q7_volume
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["N_A", "N_B"], pa.string()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    _write_orders(
+        str(tmp_path),
+        [(100, 10, "O", "1996-01-01"), (200, 20, "O", "1996-01-01")],
+    )
+    _write_lineitem(
+        str(tmp_path),
+        [
+            # supp 1 (N_A) -> order 200 (cust N_B): cross, 1996
+            (200, 1, 1, 1, 100.0, 0.0, "1996-03-01"),
+            # supp 2 (N_B) -> order 100 (cust N_A): cross, 1997
+            (100, 2, 1, 1, 50.0, 0.0, "1997-03-01"),
+            # supp 1 -> order 100 (cust N_A): SAME nation -> excluded
+            (100, 1, 1, 1, 999.0, 0.0, "1996-03-01"),
+            # cross but outside the [1996, 1998) ship window -> excluded
+            (200, 1, 1, 1, 999.0, 0.0, "1998-01-01"),
+        ],
+    )
+    out = q_tpch_q7_volume(str(tmp_path))
+    assert out[["supp_nation", "cust_nation", "l_year"]].values.tolist() == [
+        ["N_A", "N_B", 1996], ["N_B", "N_A", 1997],
+    ]
+    assert out["revenue_cents"].tolist() == [10000, 5000]
+    assert out["n_lines"].tolist() == [1, 1]
