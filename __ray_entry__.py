@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_streak": q.q_user_longest_streak,
         "embed_cov_matrix": q.q_embed_cov_matrix,
         "tpch_q7_volume": q.q_tpch_q7_volume,
+        "tpch_q8_market_share": q.q_tpch_q8_market_share,
         "events_gap_fill": q.q_events_gap_fill,
         "cohort_week_matrix": q.q_cohort_week_matrix,
         "conversion_delay_p50": q.q_conversion_delay_p50,
@@ -328,7 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
         "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
         "events_json_source", "user_longest_streak", "docs_stopword_trim",
-        "embed_cov_matrix", "tpch_q7_volume",
+        "embed_cov_matrix", "tpch_q7_volume", "tpch_q8_market_share",
+        "docs_unigram_surprisal",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1495,6 +1497,43 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= DATE '1996-01-01'
               AND l.l_shipdate < DATE '1998-01-01'
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            WITH rc AS (
+              SELECT c.c_custkey
+              FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'
+            ), o AS (
+              SELECT o_orderkey, year(o_orderdate) AS o_year
+              FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM rc)
+                AND o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+            ), l AS (
+              SELECT li.l_orderkey,
+                     CASE WHEN sn.n_name = 'NATION_2' THEN 1 ELSE 0 END
+                         AS is_t,
+                     CAST(floor(li.l_extendedprice * (1 - li.l_discount)
+                                * 100 + 0.5) AS BIGINT) AS cents
+              FROM lineitem li
+              JOIN part p ON li.l_partkey = p.p_partkey
+                         AND p.p_type = 'PROMO'
+              JOIN supplier s ON li.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE li.l_extendedprice IS NOT NULL
+                AND li.l_discount IS NOT NULL
+            )
+            SELECT o.o_year AS o_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN is_t = 1 THEN cents ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   ROUND(CAST(SUM(CASE WHEN is_t = 1 THEN cents ELSE 0 END)
+                              AS DOUBLE) / SUM(cents), 6) AS mkt_share
+            FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "user_longest_streak": """
             WITH ud AS (

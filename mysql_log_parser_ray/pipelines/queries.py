@@ -6376,3 +6376,239 @@ def q_tpch_q7_volume(sf_dir: str, year_start: str = "1996-01-01",
         .sort_values(["supp_nation", "cust_nation", "l_year"])
         .reset_index(drop=True)
     )
+
+
+def q_tpch_q8_market_share(sf_dir: str, region: str = "ASIA",
+                           nation: str = "NATION_2",
+                           part_type: str = "PROMO",
+                           year_start: str = "1995-01-01",
+                           n_years: int = 2,
+                           max_broadcast: int = 50_000_000):
+    """TPC-H Q8 shape: one nation's market share of a part type among a
+    region's customers, per order year — share = nation_cents /
+    total_cents (a ratio of integers, rounded half-up like the oracle).
+
+    Scale shape: q7's plan with two broadcast prefilters — part collapses
+    to a sorted partkey array for the type (fail-fast bound) and supplier
+    to suppkey->nationkey; orders filter to the year window and carry
+    the year; stage A co-partitions orders x region-customers on custkey,
+    stage B co-partitions that x type-filtered lineitem pre-aggregated
+    per (orderkey, is_target_nation) — both tagged-union stable_partition
+    joins, no aggregator pools. Buckets emit (year, n, total, nation)
+    partials; the driver folds 64 x years rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq_.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    empty = _typed_empty(o_year="int64", n_lines="int64",
+                         total_cents="int64", nation_cents="int64",
+                         mkt_share="float64")
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
+    cust_nations = np.sort(
+        nat[nat["n_regionkey"].isin(rkeys)]["n_nationkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    tgt = nat[nat["n_name"] == nation]["n_nationkey"]
+    if not len(cust_nations) or not len(tgt):
+        return empty
+    tgt_key = int(tgt.iloc[0])
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    if part_ds.count() > max_broadcast or sup_ds.count() > max_broadcast:
+        raise ValueError(
+            "tpch_q8_market_share: part/supplier exceed the broadcast "
+            f"bound {max_broadcast}; route the lookups through "
+            "co-partitioned joins (q5/q10 shape) instead"
+        )
+    pdf = part_ds.to_pandas()
+    pkeys = (
+        np.sort(pdf.loc[pdf["p_type"] == part_type, "p_partkey"]
+                .to_numpy(np.int64))
+        if "p_partkey" in pdf.columns else np.array([], dtype=np.int64)
+    )
+    sup = sup_ds.to_pandas()
+    if "s_suppkey" not in sup.columns or not len(sup) or not len(pkeys):
+        return empty
+    sup = sup.sort_values("s_suppkey")
+    bc_ref = ray.put(
+        (
+            pkeys,
+            sup["s_suppkey"].to_numpy(dtype=np.int64),
+            sup["s_nationkey"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    lo_us = int(pd.Timestamp(year_start).value // 1000)
+    hi_us = int(
+        (pd.Timestamp(year_start) + pd.DateOffset(years=n_years)).value
+        // 1000
+    )
+    n_parts = 64
+
+    def _aligned(key, a, n, cents, side):
+        key = np.asarray(key, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(np.asarray(a, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.asarray(n, dtype=np.int64), pa.int64()),
+                "cents": pa.array(np.asarray(cents, dtype=np.int64),
+                                  pa.int64()),
+                "side": pa.array(np.full(len(key), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(key, n_parts)
+                    if len(key) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], 0)
+        dts = pc.cast(b["o_orderdate"], pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(dts, lo_us),
+                             pc.less(dts, hi_us)))
+        if b.num_rows == 0:
+            return _aligned([], [], [], [], 0)
+        yr = pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ck), np.int64)
+        # key=custkey, a packs (orderkey, year) via two columns: orderkey
+        # rides in `n`, year in `a` (no cents yet)
+        return _aligned(
+            ck, yr.astype(np.int64),
+            b["o_orderkey"].to_numpy(zero_copy_only=False), z, 0,
+        )
+
+    def _c_side(b: pa.Table) -> pa.Table:
+        if "c_custkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], 1)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cust_nations, nk)
+        idx[idx >= len(cust_nations)] = 0
+        keep = cust_nations[idx] == nk
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+        z = np.zeros(len(ck), np.int64)
+        return _aligned(ck, z, z, z, 1)
+
+    def _merge_a(g: "pd.DataFrame") -> pa.Table:
+        o = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if not len(o) or not len(c):
+            return _aligned([], [], [], [], 0)
+        m = o.merge(c[["key"]].drop_duplicates(), on="key")
+        # re-key on orderkey (rode in `n`); year stays in `a`
+        return _aligned(
+            m["n"].to_numpy(np.int64), m["a"].to_numpy(np.int64),
+            np.zeros(len(m), np.int64), np.zeros(len(m), np.int64), 0,
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_c_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    order_year = (
+        orders.union(cust).groupby("_part")
+        .map_groups(_merge_a, batch_format="pandas")
+    )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _aligned([], [], [], [], 1)
+        b = b.filter(pc.and_(pc.is_valid(b["l_extendedprice"]),
+                             pc.is_valid(b["l_discount"])))
+        if b.num_rows == 0:
+            return _aligned([], [], [], [], 1)
+        pk_keys, sk_keys, sk_nat = _broadcast_get(bc_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pk_keys, pk)
+        idx[idx >= len(pk_keys)] = 0
+        hit = pk_keys[idx] == pk
+        if not hit.any():
+            return _aligned([], [], [], [], 1)
+        b = b.filter(pa.array(hit))
+        lk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = np.searchsorted(sk_keys, lk)
+        sidx[sidx >= len(sk_keys)] = 0
+        is_t = (sk_keys[sidx] == lk) & (sk_nat[sidx] == tgt_key)
+        cents = _cents(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        ).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {
+                    "key": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "a": is_t.astype(np.int64),
+                    "cents": cents,
+                }
+            )
+            .groupby(["key", "a"], as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+        return _aligned(g["key"], g["a"], g["n"], g["cents"], 1)
+
+    def _merge_b(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"o_year": "int64", "n_lines": "int64",
+                    "total_cents": "int64", "nation_cents": "int64"}
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        if not len(o) or not len(li):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m = li.merge(o[["key", "a"]].rename(columns={"a": "o_year"}),
+                     on="key")
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m["nation_cents"] = np.where(m["a"] == 1, m["cents"], 0)
+        out = (
+            m.groupby("o_year", as_index=False)
+            .agg(n_lines=("n", "sum"), total_cents=("cents", "sum"),
+                 nation_cents=("nation_cents", "sum"))
+        )
+        for c, t in out_cols.items():
+            out[c] = out[c].astype(t)
+        return out[list(out_cols)]
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    parts = (
+        order_year.union(li).groupby("_part")
+        .map_groups(_merge_b, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "o_year" not in parts.columns:
+        return empty
+    out = parts.groupby("o_year", as_index=False)[
+        ["n_lines", "total_cents", "nation_cents"]
+    ].sum()
+    for c in ("o_year", "n_lines", "total_cents", "nation_cents"):
+        out[c] = out[c].astype("int64")
+    out = out[out["total_cents"] > 0]
+    out["mkt_share"] = round_half_up(
+        out["nation_cents"].to_numpy(np.float64)
+        / out["total_cents"].to_numpy(np.float64), 6
+    )
+    return out.sort_values("o_year").reset_index(drop=True)

@@ -2104,6 +2104,121 @@ def q_docs_stopword_trim(sf_dir: str, stop_broadcast_limit: int = 1_000_000):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_docs_unigram_surprisal(sf_dir: str,
+                             vocab_broadcast_limit: int = 5_000_000):
+    """Unigram language-model surprisal screen: score each document by
+    the mean negative log corpus-probability of its tokens (the classic
+    cheap LM-quality proxy), then report how many docs of each source
+    land in each 0.1-nat surprisal bin.
+
+    Scale shape: pass 1 is a bucket-collapsed corpus unigram fold (the
+    word_pmi shape — only (word, n_partial) rows shuffle); the
+    vocabulary-sized count table broadcasts once behind a fail-fast
+    bound (the idf convention). Pass 2 re-reads (source, text), maps
+    tokens to -ln(p) via one vectorized merge per block, means per doc
+    (a doc lives wholly in one row), and folds (source, bin) partials —
+    bounded by sources x bins, never corpus-sized. Scores round to 6dp
+    before binning (ln-derived: both sides' float paths agree to ~1 ulp,
+    so the 6dp round makes them bit-identical; exact bin-edge ties are
+    measure-zero)."""
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, bin="int64", n_docs="int64")
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    n_parts = 64
+
+    def _words(s: pd.Series) -> pd.Series:
+        w = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        return w[w.notna() & (w != "")]
+
+    def _uni_partial(b: pa.Table) -> pa.Table:
+        cols = {"word": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        w = _words(b["text"].to_pandas())
+        part = w.value_counts().rename_axis("word").reset_index(name="n")
+        part["_part"] = stable_partition(part["word"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _collapse(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "word" not in g.columns:
+            return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return g.groupby("word", as_index=False)["n"].sum()
+
+    uni_ds = (
+        docs.map_batches(_uni_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_collapse, batch_format="pandas")
+        .materialize()  # consumed twice: bound-count then collect
+    )
+    n_vocab = uni_ds.count()
+    if n_vocab == 0:
+        return empty
+    if n_vocab > vocab_broadcast_limit:
+        raise ValueError(
+            f"docs_unigram_surprisal: {n_vocab} vocabulary rows exceed the "
+            f"broadcast bound {vocab_broadcast_limit}; route the score "
+            "through a co-partitioned word join (word_doc_freq's shape)"
+        )
+    uni = uni_ds.to_pandas()
+    total = int(uni["n"].sum())
+    lp = pd.Series(
+        -np.log(uni["n"].to_numpy(np.float64) / float(total)),
+        index=uni["word"].to_numpy(),
+    )
+    lp_ref = ray.put(lp)
+
+    def _score_partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "bin": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        lpw = broadcast_get(lp_ref)
+        src = b["source"].to_pandas()
+        w = _words(b["text"].to_pandas())
+        if not len(w):
+            return pa.table(cols)
+        sc = (
+            pd.DataFrame({"doc": w.index, "lp": lpw.reindex(w).to_numpy()})
+            .groupby("doc")["lp"].mean()
+        )
+        bins = np.floor(np.round(sc.to_numpy(np.float64), 6) * 10.0)
+        out = (
+            pd.DataFrame(
+                {
+                    "source": src.reindex(sc.index).to_numpy(),
+                    "bin": bins.astype(np.int64),
+                }
+            )
+            .groupby(["source", "bin"], as_index=False).size()
+            .rename(columns={"size": "n_docs"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _fold_partials(
+        docs.map_batches(_score_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source", "bin"], ["n_docs"],
+    )
+    if out is None:
+        return empty
+    out["bin"] = out["bin"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["source", "bin"]).reset_index(drop=True)
+
+
 def register_queries():
     return {
         "doc_token_counts": q_doc_token_counts,
@@ -2152,6 +2267,7 @@ def register_queries():
         "docs_score_deciles": q_docs_score_deciles,
         "docs_temperature_alloc": q_docs_temperature_alloc,
         "docs_stopword_trim": q_docs_stopword_trim,
+        "docs_unigram_surprisal": q_docs_unigram_surprisal,
     }
 
 
@@ -2336,6 +2452,29 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "docs_unigram_surprisal": r"""
+            WITH w AS (
+              SELECT doc_id, source, word FROM (
+                SELECT doc_id, source,
+                       unnest(regexp_split_to_array(
+                           trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                           '[ \t\n\r\v\f]+')) AS word
+                FROM documents
+              ) WHERE word <> ''
+            ), cnt AS (
+              SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+            ), tot AS (SELECT COUNT(*) AS t FROM w),
+            sc AS (
+              SELECT w.doc_id, any_value(w.source) AS source,
+                     AVG(-ln(CAST(cnt.c AS DOUBLE) / tot.t)) AS score
+              FROM w JOIN cnt USING (word), tot
+              GROUP BY w.doc_id
+            )
+            SELECT source,
+                   CAST(floor(round(score, 6) * 10) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM sc GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "docs_stopword_trim": r"""
             WITH w AS (
               SELECT doc_id, source, word FROM (

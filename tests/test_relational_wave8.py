@@ -316,3 +316,111 @@ def test_q7_cross_nation_and_year_window(ray_session, tmp_path):
     ]
     assert out["revenue_cents"].tolist() == [10000, 5000]
     assert out["n_lines"].tolist() == [1, 1]
+
+
+def test_q8_share_type_filter_and_year_window(ray_session, tmp_path):
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q8_market_share
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([2, 3], pa.int32()),
+                "n_name": pa.array(["NATION_2", "NATION_3"], pa.string()),
+                "n_regionkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20], pa.int64()),
+                # cust 10 in ASIA, cust 20 in EUROPE (excluded)
+                "c_nationkey": pa.array([2, 3], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                # supp 1 is the target nation, supp 2 is not
+                "s_nationkey": pa.array([2, 3], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_type": pa.array(["PROMO", "LARGE"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    _write_orders(
+        str(tmp_path),
+        [
+            (100, 10, "O", "1995-06-01"),   # in window, ASIA customer
+            (200, 20, "O", "1995-06-01"),   # EUROPE customer -> excluded
+            (300, 10, "O", "1997-06-01"),   # outside [1995,1997) window
+        ],
+    )
+    _write_lineitem(
+        str(tmp_path),
+        [
+            # order 100: target-nation PROMO 100.00 + other-nation PROMO
+            # 300.00 -> share 0.25
+            (100, 1, 1, 1, 100.0, 0.0, "1995-07-01"),
+            (100, 2, 1, 1, 300.0, 0.0, "1995-07-01"),
+            # non-PROMO part -> excluded from both sums
+            (100, 1, 2, 1, 999.0, 0.0, "1995-07-01"),
+            # excluded orders
+            (200, 1, 1, 1, 999.0, 0.0, "1995-07-01"),
+            (300, 1, 1, 1, 999.0, 0.0, "1997-07-01"),
+        ],
+    )
+    out = q_tpch_q8_market_share(str(tmp_path))
+    assert out["o_year"].tolist() == [1995]
+    assert out["n_lines"].tolist() == [2]
+    assert out["total_cents"].tolist() == [40000]
+    assert out["nation_cents"].tolist() == [10000]
+    assert out["mkt_share"].tolist() == [0.25]
+
+
+def test_unigram_surprisal_bins(ray_session, tmp_path):
+    import numpy as np
+
+    from mysql_log_parser_ray.training.registry import (
+        q_docs_unigram_surprisal,
+    )
+
+    # corpus: a appears 3x, b 1x -> p(a)=0.75, p(b)=0.25
+    docs = [(1, "a a a", "s1"), (2, "b", "s2")]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "source": pa.array([d[2] for d in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_docs_unigram_surprisal(str(tmp_path))
+    # -ln(0.75)=0.2877 -> bin 2; -ln(0.25)=1.3863 -> bin 13
+    assert out[["source", "bin"]].values.tolist() == [["s1", 2], ["s2", 13]]
+    assert out["n_docs"].tolist() == [1, 1]
+    exp = int(np.floor(np.round(-np.log(0.25), 6) * 10))
+    assert exp == 13
