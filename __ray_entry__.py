@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": q.q_customer_order_counts,
         "supplier_by_nation": q.q_supplier_by_nation,
         "part_type_stats": q.q_part_type_stats,
+        "pareto_customers": q.q_pareto_customers,
+        "event_type_pairs": q.q_event_type_pairs,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -330,7 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
         "events_json_source", "user_longest_streak", "docs_stopword_trim",
         "embed_cov_matrix", "tpch_q7_volume", "tpch_q8_market_share",
-        "docs_unigram_surprisal",
+        "docs_unigram_surprisal", "pareto_customers", "event_type_pairs",
+        "hashed_vocab_counts", "doc_word_entropy",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1684,6 +1687,36 @@ def oracle_sql() -> dict[str, str]:
                    m.med AS med, s.mad AS mad
             FROM events e, m, s
             GROUP BY 1, m.med, s.mad
+        """,
+        "pareto_customers": r"""
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+            r AS (
+              SELECT o_custkey, cents,
+                     SUM(cents) OVER (
+                       ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
+              FROM rev
+            )
+            SELECT r.o_custkey AS c_custkey,
+                   CAST(r.cents AS DOUBLE) / 100.0 AS revenue,
+                   CAST(r.rn AS BIGINT) AS rnk,
+                   round(CAST(r.cum AS DOUBLE) / t.total, 6) AS cum_share
+            FROM r, t
+            WHERE (r.cum - r.cents) * 5 < t.total * 4
+        """,
+        "event_type_pairs": r"""
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
     }
     try:

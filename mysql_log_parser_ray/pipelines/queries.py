@@ -6612,3 +6612,120 @@ def q_tpch_q8_market_share(sf_dir: str, region: str = "ASIA",
         / out["total_cents"].to_numpy(np.float64), 6
     )
     return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_pareto_customers(sf_dir: str):
+    """Revenue concentration (Pareto front): the smallest prefix of
+    customers, ordered by total order revenue descending, whose running
+    revenue reaches 80% of the corpus total - each with its rank and
+    cumulative share.
+
+    Scale shape: per-batch partials reduce orders to (custkey, revenue)
+    before anything shuffles; the driver fold is customer-cardinality
+    (bounded by grouped_counts' max_driver_keys with a shuffle fallback).
+    Ranking/cumsum run on that customer-sized frame only. Determinism:
+    per-customer revenue lands on the 0.01 grid (sums of 2-decimal
+    prices, fp error far below the 0.005 tie distance), and to stay
+    independent of the oracle's window-sum ACCUMULATION TREE (DuckDB may
+    segment-tree a running SUM, changing fp rounding vs a sequential
+    cumsum) revenue is carried as exact integer CENTS: the cumulative
+    sum, the 80% cutoff ((cum-rev)*5 < total*4) and the share ratio are
+    integer arithmetic, bit-equal to the oracle by construction."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(c_custkey="int64", revenue="float64",
+                         rnk="int64", cum_share="float64")
+    rev = grouped_counts(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        keys=["o_custkey"], sum_col="o_totalprice",
+    )
+    if "o_custkey" not in rev.columns or not len(rev):
+        return empty
+    cents = np.floor(
+        rev["n_tokens"].to_numpy(np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    rev = (
+        pd.DataFrame({"o_custkey": rev["o_custkey"].astype("int64"),
+                      "cents": cents})
+        .sort_values(["cents", "o_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    cum = rev["cents"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    keep = (cum - rev["cents"].to_numpy(np.int64)) * 5 < total * 4
+    out = pd.DataFrame(
+        {
+            "c_custkey": rev.loc[keep, "o_custkey"],
+            "revenue": rev.loc[keep, "cents"].to_numpy(np.float64) / 100.0,
+            "rnk": np.arange(1, int(keep.sum()) + 1, dtype=np.int64),
+            "cum_share": round_half_up(
+                cum[keep].astype(np.float64) / float(total), 6
+            ),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users performed BOTH (frequent-itemset support
+    counts at itemset size 2).
+
+    Scale shape: batches pre-reduce to distinct (user, type) pairs and
+    hash-bucket by user (partition.stable_partition — null-stable), so
+    each user's full type set lands in one task; the per-bucket kernel
+    is one self-merge on a deduped frame; only (type_a, type_b, n)
+    partials (≤ types² per bucket) leave the buckets for the driver
+    fold. Users and events never reach the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(type_a=object, type_b=object, n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        df = b.select(["user_id", "event_type"]).to_pandas().drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"type_a": pd.Series([], dtype=object),
+                    "type_b": pd.Series([], dtype=object),
+                    "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        if not len(m):
+            return pd.DataFrame(out_cols)
+        out = (
+            m.groupby(["event_type_a", "event_type_b"], as_index=False)
+            .size()
+            .rename(columns={"event_type_a": "type_a",
+                             "event_type_b": "type_b", "size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = (
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["type_a", "type_b"], ["n_users"])
+    if out is None:
+        return empty
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

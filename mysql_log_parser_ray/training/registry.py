@@ -2268,6 +2268,8 @@ def register_queries():
         "docs_temperature_alloc": q_docs_temperature_alloc,
         "docs_stopword_trim": q_docs_stopword_trim,
         "docs_unigram_surprisal": q_docs_unigram_surprisal,
+        "hashed_vocab_counts": q_hashed_vocab_counts,
+        "doc_word_entropy": q_doc_word_entropy,
     }
 
 
@@ -2452,6 +2454,48 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "hashed_vocab_counts": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), wf AS (SELECT source, word FROM w WHERE word <> ''),
+            h AS (SELECT source, md5(word) AS hx FROM wf),
+            b AS (
+              SELECT source,
+                     CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(hx, 8, 1)) - 1) * 1) % 32 AS BIGINT) AS bucket
+              FROM h
+            )
+            SELECT source, bucket, COUNT(*) AS n_tokens
+            FROM b GROUP BY 1, 2
+        """,
+        "doc_word_entropy": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, COUNT(*) AS c FROM w
+              WHERE word <> '' GROUP BY 1, 2
+            ), t AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nw,
+                     CAST(COUNT(*) AS BIGINT) AS nt
+              FROM tf GROUP BY 1
+            ), ent AS (
+              SELECT tf.doc_id,
+                     round(SUM(-(CAST(tf.c AS DOUBLE) / t.nw)
+                               * ln(CAST(tf.c AS DOUBLE) / t.nw)), 6) AS entropy
+              FROM tf JOIN t USING (doc_id) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(t.nw, 0) AS n_words,
+                   COALESCE(t.nt, 0) AS n_types,
+                   CASE WHEN t.nw IS NULL THEN 0.0
+                        ELSE round(CAST(t.nt AS DOUBLE) / t.nw, 6) END AS ttr,
+                   COALESCE(ent.entropy, 0.0) AS entropy
+            FROM documents d
+            LEFT JOIN t USING (doc_id) LEFT JOIN ent USING (doc_id)
+        """,
         "docs_unigram_surprisal": r"""
             WITH w AS (
               SELECT doc_id, source, word FROM (
@@ -3244,3 +3288,144 @@ def register_oracles():
             FROM v JOIN c ON v.corpus = c.cnt
         """,
     }
+
+
+def q_hashed_vocab_counts(sf_dir: str, n_buckets: int = 32):
+    """Feature-hashing (hashing-trick) vocabulary projection: every token
+    maps to md5(word)[:8] as int mod n_buckets, and the output is the
+    per-(source, bucket) token count — the sufficient statistics for a
+    hashed bag-of-words featurizer, computed without materializing the
+    vocabulary anywhere.
+
+    Scale shape: the md5 runs once per DISTINCT word per block (value
+    counts first, hash the index), so per-block hashing cost is
+    vocabulary-bounded, not token-bounded; only (source, bucket, n)
+    partials (<= sources x n_buckets per block) leave the map tasks for
+    the driver fold. The oracle reconstructs the identical bucket id in
+    SQL via the md5-hex -> integer expansion (docs_model_score's shared
+    kernel pattern)."""
+    import hashlib
+
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, bucket="int64", n_tokens="int64")
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        if not mask.any():
+            return pa.table(cols)
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas()
+                .reindex(ex.index[mask]).to_numpy(),
+                "word": ex[mask].to_numpy(),
+            }
+        )
+        uniq = pd.unique(df["word"])
+        bucket_of = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+            for w in uniq
+        }
+        df["bucket"] = df["word"].map(bucket_of).astype(np.int64)
+        out = (
+            df.groupby(["source", "bucket"], as_index=False)
+            .size().rename(columns={"size": "n_tokens"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _fold_partials(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source", "bucket"], ["n_tokens"],
+    )
+    if out is None:
+        return empty
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+def q_doc_word_entropy(sf_dir: str):
+    """Per-document lexical diversity: whitespace-token count, distinct
+    type count, type-token ratio, and the Shannon entropy (nats) of the
+    document's word distribution — the classic cheap diversity/quality
+    screen for training-corpus filtering.
+
+    Scale shape: each document is one row, so the whole computation is
+    block-local (explode -> per-(row, word) counts -> vectorized per-row
+    entropy inside one map_batches); the result streams back as a
+    Dataset, never materializing more than doc-cardinality rows. The
+    type-token RATIO (small-int ratio) rounds HALF-UP (round_half_up,
+    the CLAUDE.md tie rule); entropy is ln-derived so np.round's ties
+    are measure-zero (the surprisal precedent)."""
+    from ..util import round_half_up, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _entropy(b: pa.Table) -> pa.Table:
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "ttr": pa.array([], pa.float64()),
+            "entropy": pa.array([], pa.float64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        doc_ids = b["doc_id"].to_pandas()
+        wc = (
+            pd.DataFrame({"row": ex.index[mask], "word": ex[mask].to_numpy()})
+            .groupby(["row", "word"]).size()
+        )
+        n_words = wc.groupby(level=0).sum()
+        n_types = wc.groupby(level=0).size()
+        p = wc / n_words.reindex(wc.index.get_level_values(0)).to_numpy()
+        ent = (-p * np.log(p)).groupby(level=0).sum()
+        # docs whose text is all-whitespace have zero words: emit 0 rows
+        # of stats for them is wrong - they ARE documents; report zeros.
+        all_rows = pd.RangeIndex(len(s))
+        n_words = n_words.reindex(all_rows, fill_value=0)
+        n_types = n_types.reindex(all_rows, fill_value=0)
+        ent = ent.reindex(all_rows, fill_value=0.0)
+        nw = n_words.to_numpy(np.int64)
+        nt = n_types.to_numpy(np.int64)
+        ttr = np.where(
+            nw > 0, round_half_up(nt / np.maximum(nw, 1), 6), 0.0
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.to_numpy(np.int64), pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_types": pa.array(nt, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+                "entropy": pa.array(
+                    np.round(ent.to_numpy(np.float64), 6), pa.float64()
+                ),
+            }
+        )
+
+    out = docs.map_batches(
+        _entropy, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    df = out.to_pandas()
+    if "doc_id" not in df.columns or not len(df):
+        return typed_empty(doc_id="int64", n_words="int64", n_types="int64",
+                           ttr="float64", entropy="float64")
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -197,6 +197,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_value_pctrank": ["event_type", "value_cents", "n",
                                  "pct_rank"],
         "events_rolling_wau": ["day", "n_active_7d"],
+        "pareto_customers": ["c_custkey", "revenue", "rnk", "cum_share"],
+        "event_type_pairs": ["type_a", "type_b", "n_users"],
+        "hashed_vocab_counts": ["source", "bucket", "n_tokens"],
+        "doc_word_entropy": ["doc_id", "n_words", "n_types", "ttr",
+                             "entropy"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
