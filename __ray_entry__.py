@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": q.q_part_type_stats,
         "pareto_customers": q.q_pareto_customers,
         "event_type_pairs": q.q_event_type_pairs,
+        "customers_rfm_cells": q.q_customers_rfm_cells,
+        "events_hour_anomaly": q.q_events_hour_anomaly,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -333,7 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_source", "user_longest_streak", "docs_stopword_trim",
         "embed_cov_matrix", "tpch_q7_volume", "tpch_q8_market_share",
         "docs_unigram_surprisal", "pareto_customers", "event_type_pairs",
-        "hashed_vocab_counts", "doc_word_entropy",
+        "hashed_vocab_counts", "doc_word_entropy", "customers_rfm_cells",
+        "events_hour_anomaly", "source_top_p_vocab",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1717,6 +1720,50 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2
+        """,
+        "customers_rfm_cells": r"""
+            WITH cust AS (
+              SELECT o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT)
+                       AS cents,
+                     CAST(MAX(floor(epoch_us(o_orderdate) / 86400000000.0))
+                       AS BIGINT) AS last_day
+              FROM orders GROUP BY 1
+            ), tiles AS (
+              SELECT o_custkey,
+                     NTILE(5) OVER (ORDER BY last_day DESC, o_custkey)
+                       AS r_tile,
+                     NTILE(5) OVER (ORDER BY n DESC, o_custkey) AS f_tile,
+                     NTILE(5) OVER (ORDER BY cents DESC, o_custkey)
+                       AS m_tile
+              FROM cust
+            )
+            SELECT CAST(r_tile AS BIGINT) AS r_tile,
+                   CAST(f_tile AS BIGINT) AS f_tile,
+                   CAST(m_tile AS BIGINT) AS m_tile,
+                   COUNT(*) AS n_customers
+            FROM tiles GROUP BY 1, 2, 3
+        """,
+        "events_hour_anomaly": r"""
+            WITH cells AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2, 3
+            ), d AS (
+              SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+              FROM cells
+            ), t AS (
+              SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS hr_total
+              FROM cells GROUP BY 1, 2
+            )
+            SELECT c.event_type, c.day, c.hod, CAST(c.n AS BIGINT) AS n,
+                   t.hr_total, d.n_days
+            FROM cells c JOIN t USING (event_type, hod), d
+            WHERE c.n * d.n_days > 2 * t.hr_total
         """,
     }
     try:

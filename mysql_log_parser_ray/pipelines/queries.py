@@ -6729,3 +6729,157 @@ def q_event_type_pairs(sf_dir: str):
         return empty
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_customers_rfm_cells(sf_dir: str, k: int = 5):
+    """RFM segmentation: each customer scored by Recency (latest order
+    day), Frequency (order count) and Monetary (revenue cents), each
+    assigned an exact NTILE(k) quintile, then counted per (r,f,m) cell —
+    the classic marketing segmentation cube (<= k^3 output rows).
+
+    Scale shape: per-batch partials reduce orders to per-customer
+    (count, cents, last_day) triples; the driver fold is
+    customer-cardinality. The NTILE kernel replicates SQL semantics
+    exactly (first n%k buckets take one extra row) over the
+    deterministic (metric, custkey) order, so every tile id is
+    integer-exact vs the oracle."""
+    import pandas as pd
+
+    empty = _typed_empty(r_tile="int64", f_tile="int64", m_tile="int64",
+                         n_customers="int64")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "o_custkey": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "last_day": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_pandas(),
+                "cents": np.floor(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ).astype(np.int64),
+                "day": _day_from_us(
+                    pc.cast(b["o_orderdate"], pa.int64())
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"),
+            last_day=("day", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "o_custkey" not in parts.columns:
+        return empty
+    cust = parts.groupby("o_custkey", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"), last_day=("last_day", "max")
+    )
+
+    def _ntile(metric: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        # exact SQL NTILE(k) over ORDER BY metric, custkey: the first
+        # n % k buckets take floor(n/k)+1 rows, the rest floor(n/k)
+        order = np.lexsort((keys, metric))
+        n = len(metric)
+        q, rem = divmod(n, k)
+        sizes = np.full(k, q, dtype=np.int64)
+        sizes[:rem] += 1
+        tile_of_pos = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)
+        tiles = np.empty(n, dtype=np.int64)
+        tiles[order] = tile_of_pos
+        return tiles
+
+    keys = cust["o_custkey"].to_numpy(np.int64)
+    # recency: HIGHER last_day = more recent = tile 1 -> order by -last_day
+    r = _ntile(-cust["last_day"].to_numpy(np.int64), keys)
+    f = _ntile(-cust["n"].to_numpy(np.int64), keys)
+    m = _ntile(-cust["cents"].to_numpy(np.int64), keys)
+    out = (
+        pd.DataFrame({"r_tile": r, "f_tile": f, "m_tile": m})
+        .groupby(["r_tile", "f_tile", "m_tile"], as_index=False)
+        .size().rename(columns={"size": "n_customers"})
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["r_tile", "f_tile", "m_tile"]).reset_index(
+        drop=True
+    )
+
+
+def q_events_hour_anomaly(sf_dir: str):
+    """Seasonal-baseline anomaly detection: an (event_type, day, hour)
+    cell is anomalous when its count exceeds 2x that type's average for
+    the SAME hour-of-day across all observed days. The comparison is
+    pure integer arithmetic (cell*D > 2*T where D = distinct days in
+    the corpus and T = the type-hour total), so no float baseline ever
+    materializes and the oracle matches bit-for-bit.
+
+    Scale shape: one partial fold over (type, day, hod) cell counts
+    (types x days x 24 cardinality); baseline totals and the distinct-
+    day count derive from the folded cells, never from a second event
+    pass."""
+    import pandas as pd
+
+    empty = _typed_empty(event_type=object, day="int64", hod="int64",
+                         n="int64", hr_total="int64", n_days="int64")
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "hod": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day": _day_from_us(
+                    pc.cast(b["ts"], pa.int64())
+                ).to_numpy(zero_copy_only=False),
+                "hod": ((us % 86_400_000_000) // 3_600_000_000).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "day", "hod"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["event_type", "day", "hod"], ["n"],
+    )
+    if cells is None:
+        return empty
+    cells["n"] = cells["n"].astype("int64")
+    n_days = int(cells["day"].nunique())
+    hr_total = cells.groupby(["event_type", "hod"])["n"].transform("sum")
+    flag = cells["n"].to_numpy(np.int64) * n_days > 2 * hr_total.to_numpy(
+        np.int64
+    )
+    out = cells.loc[flag, ["event_type", "day", "hod", "n"]].copy()
+    out["hr_total"] = hr_total[flag].astype("int64").to_numpy()
+    out["n_days"] = np.int64(n_days)
+    for c in ("day", "hod", "n", "hr_total", "n_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "day", "hod"]).reset_index(
+        drop=True
+    )

@@ -2270,6 +2270,7 @@ def register_queries():
         "docs_unigram_surprisal": q_docs_unigram_surprisal,
         "hashed_vocab_counts": q_hashed_vocab_counts,
         "doc_word_entropy": q_doc_word_entropy,
+        "source_top_p_vocab": q_source_top_p_vocab,
     }
 
 
@@ -2454,6 +2455,33 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "source_top_p_vocab": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), sw AS (
+              SELECT source, word, COUNT(*) AS n FROM w
+              WHERE word <> '' GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM sw
+              GROUP BY 1
+            ), r AS (
+              SELECT source, word, n,
+                     SUM(n) OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                     ) AS rn
+              FROM sw
+            )
+            SELECT r.source, r.word, CAST(r.n AS BIGINT) AS n,
+                   CAST(r.rn AS BIGINT) AS rnk
+            FROM r JOIN tot USING (source)
+            WHERE (r.cum - r.n) * 10 < tot.total * 9
+        """,
         "hashed_vocab_counts": r"""
             WITH w AS (
               SELECT source,
@@ -3429,3 +3457,75 @@ def q_doc_word_entropy(sf_dir: str):
         return typed_empty(doc_id="int64", n_words="int64", n_types="int64",
                            ttr="float64", entropy="float64")
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_top_p_vocab(sf_dir: str, p_num: int = 9, p_den: int = 10,
+                         max_fold_rows: int = 2_000_000):
+    """Nucleus (top-p) vocabulary truncation per source: the smallest
+    prefix of words, ordered by frequency descending, covering p (=90%)
+    of the source's token mass — the vocabulary-pruning step of a
+    tokenizer/featurizer build. The cutoff is pure integer arithmetic
+    ((cum - n) * p_den < total * p_num), so engine and oracle agree
+    bit-for-bit with no float threshold anywhere.
+
+    Scale shape: the same (source, word, count) partial fold as
+    source_word_kl (bounded by sources x vocabulary, count()-guarded
+    before the collect); ranking/cumsum run per source on that
+    vocabulary-sized frame only."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, word=object, n="int64", rnk="int64")
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        if not mask.any():
+            return pa.table(cols)
+        part = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_pandas()
+                    .reindex(ex.index[mask]).to_numpy(),
+                    "word": ex[mask].to_numpy(),
+                }
+            )
+            .groupby(["source", "word"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    if parts.count() > max_fold_rows:
+        raise ValueError(
+            f"source_top_p_vocab: partial rows exceed {max_fold_rows}; "
+            "bucket by word hash (word_doc_freq's shape) before folding"
+        )
+    agg = _fold_partials(parts, ["source", "word"], ["n"])
+    if agg is None:
+        return empty
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(
+        ["source", "n", "word"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    g = agg.groupby("source")
+    cum = g["n"].cumsum().to_numpy(np.int64)
+    total = g["n"].transform("sum").to_numpy(np.int64)
+    keep = (cum - agg["n"].to_numpy(np.int64)) * p_den < total * p_num
+    agg["rnk"] = g.cumcount().to_numpy(np.int64) + 1
+    out = agg.loc[keep, ["source", "word", "n", "rnk"]]
+    out["rnk"] = out["rnk"].astype("int64")
+    return out.reset_index(drop=True)

@@ -202,6 +202,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "hashed_vocab_counts": ["source", "bucket", "n_tokens"],
         "doc_word_entropy": ["doc_id", "n_words", "n_types", "ttr",
                              "entropy"],
+        "customers_rfm_cells": ["r_tile", "f_tile", "m_tile",
+                                "n_customers"],
+        "events_hour_anomaly": ["event_type", "day", "hod", "n",
+                                "hr_total", "n_days"],
+        "source_top_p_vocab": ["source", "word", "n", "rnk"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -1,0 +1,120 @@
+"""Unit tests for the wave-10 operators: RFM NTILE segmentation,
+seasonal-baseline hour anomalies, and per-source nucleus (top-p)
+vocabulary truncation. Hand-computed fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+US_PER_H = 3_600_000_000
+US_PER_D = 86_400_000_000
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def test_rfm_ntile_matches_sql_semantics(ray_session, tmp_path):
+    # 7 customers -> NTILE(5): bucket sizes 2,2,1,1,1 (first n%k=2 take 2)
+    n_cust = 7
+    custkeys, prices, dates = [], [], []
+    for c in range(1, n_cust + 1):
+        # customer c has c orders of 100.0 each, last order on day c
+        for i in range(c):
+            custkeys.append(c)
+            prices.append(100.0)
+            dates.append((c * US_PER_D) + i)
+    _write(
+        tmp_path, "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(custkeys)), pa.int64()),
+                "o_custkey": pa.array(custkeys, pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderstatus": pa.array(["O"] * len(custkeys)),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(custkeys)),
+            }
+        ),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_customers_rfm_cells
+
+    out = q_customers_rfm_cells(str(tmp_path))
+    # recency DESC = c7 first; frequency DESC = c7 first; monetary DESC =
+    # c7 first -> all three orders identical, so r=f=m per customer.
+    # NTILE(5) over 7 rows: positions 0-1 -> 1, 2-3 -> 2, 4 -> 3, 5 -> 4,
+    # 6 -> 5; customer 7 is position 0 ... customer 1 is position 6.
+    want = {(1, 1, 1): 2, (2, 2, 2): 2, (3, 3, 3): 1, (4, 4, 4): 1,
+            (5, 5, 5): 1}
+    got = {(r.r_tile, r.f_tile, r.m_tile): r.n_customers
+           for r in out.itertuples()}
+    assert got == want
+    assert int(out["n_customers"].sum()) == n_cust
+
+
+def test_hour_anomaly_integer_threshold(ray_session, tmp_path):
+    # type "a", hour 3: day0=10 events, day1=2, day2=0 (days observed in
+    # corpus: 0,1,2 via type "b" rows) -> T(a,3)=12, D=3.
+    # day0: 10*3=30 > 24 -> anomalous; day1: 2*3=6 < 24 -> not.
+    ts, types = [], []
+    for _ in range(10):
+        ts.append(0 * US_PER_D + 3 * US_PER_H)
+        types.append("a")
+    for _ in range(2):
+        ts.append(1 * US_PER_D + 3 * US_PER_H)
+        types.append("a")
+    for d in range(3):  # type b pins the distinct-day count at 3
+        ts.append(d * US_PER_D + 5 * US_PER_H)
+        types.append("b")
+    n = len(ts)
+    _write(
+        tmp_path, "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_hour_anomaly
+
+    out = q_events_hour_anomaly(str(tmp_path))
+    flagged = {(r.event_type, r.day, r.hod): (r.n, r.hr_total, r.n_days)
+               for r in out.itertuples()}
+    assert ("a", 0, 3) in flagged
+    assert flagged[("a", 0, 3)] == (10, 12, 3)
+    assert ("a", 1, 3) not in flagged
+    # type b is perfectly uniform (1*3 == 3 = hr_total, not > 2*3)
+    assert not any(t == "b" for (t, _, _) in flagged)
+
+
+def test_top_p_vocab_cutoff_and_ranks(ray_session, tmp_path):
+    # source s0 counts: w1=6, w2=3, w3=1 (total 10; 90% mass = 9)
+    # order w1(cum-before 0<9), w2(6<9), w3(9 NOT <9) -> keep w1,w2
+    text0 = " ".join(["w1"] * 6 + ["w2"] * 3 + ["w3"])
+    # source s1: uniform wa=wb=1 -> keep wa (0<1.8), wb (1<1.8): both
+    _write(
+        tmp_path, "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([text0, "wa wb"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s0", "s1"]),
+                "n_chars": pa.array([len(text0), 5], pa.int64()),
+            }
+        ),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_top_p_vocab
+
+    out = q_source_top_p_vocab(str(tmp_path))
+    got = {(r.source, r.word): (r.n, r.rnk) for r in out.itertuples()}
+    assert got == {
+        ("s0", "w1"): (6, 1), ("s0", "w2"): (3, 2),
+        ("s1", "wa"): (1, 1), ("s1", "wb"): (1, 2),
+    }
