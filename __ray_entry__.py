@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pairs": q.q_event_type_pairs,
         "customers_rfm_cells": q.q_customers_rfm_cells,
         "events_hour_anomaly": q.q_events_hour_anomaly,
+        "embed_dim_clip": q.q_embed_dim_clip,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -336,7 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cov_matrix", "tpch_q7_volume", "tpch_q8_market_share",
         "docs_unigram_surprisal", "pareto_customers", "event_type_pairs",
         "hashed_vocab_counts", "doc_word_entropy", "customers_rfm_cells",
-        "events_hour_anomaly", "source_top_p_vocab",
+        "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
+        "source_zipf_slope",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1764,6 +1766,41 @@ def oracle_sql() -> dict[str, str]:
                    t.hr_total, d.n_days
             FROM cells c JOIN t USING (event_type, hod), d
             WHERE c.n * d.n_days > 2 * t.hr_total
+        """,
+        "embed_dim_clip": r"""
+            WITH x AS (
+              SELECT t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), c AS (
+              SELECT dim, xq, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM x GROUP BY 1, 2
+            ), r AS (
+              SELECT dim, xq, cnt,
+                     SUM(cnt) OVER (
+                       PARTITION BY dim ORDER BY xq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     SUM(cnt) OVER (PARTITION BY dim) AS n
+              FROM c
+            ), b AS (
+              SELECT dim, CAST(MAX(n) AS BIGINT) AS n,
+                     CAST(MIN(CASE WHEN cum >= (n + 99) // 100
+                              THEN xq END) AS BIGINT) AS lo_units,
+                     CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                              THEN xq END) AS BIGINT) AS hi_units
+              FROM r GROUP BY 1
+            )
+            SELECT b.dim, b.n, b.lo_units, b.hi_units,
+                   CAST(COALESCE(SUM(CASE WHEN c.xq < b.lo_units
+                                          OR c.xq > b.hi_units
+                                     THEN c.cnt END), 0) AS BIGINT)
+                     AS n_clipped
+            FROM b JOIN c USING (dim)
+            GROUP BY 1, 2, 3, 4
         """,
     }
     try:

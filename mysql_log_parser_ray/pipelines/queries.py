@@ -6883,3 +6883,86 @@ def q_events_hour_anomaly(sf_dir: str):
     return out.sort_values(["event_type", "day", "hod"]).reset_index(
         drop=True
     )
+
+
+def q_embed_dim_clip(sf_dir: str, max_fold_rows: int = 4_000_000):
+    """Robust-scaling prep: per embedding dimension, the exact
+    nearest-rank P1/P99 bounds (in 1e-6 quantized units, the
+    embed_dim_moments convention) plus how many components fall outside
+    them — the inputs of an outlier-clipping normalizer.
+
+    Exactness: components quantize once to int64 units (f32->f64 widen
+    is exact), ranks are ceil(p*n/100) in integer arithmetic, and the
+    bound lookup walks an integer histogram — no float path at all.
+    Scale shape: blocks fold to per-(dim, unit) count partials (bounded
+    by dim x distinct units, count()-guarded before the collect); the
+    driver never sees a vector."""
+    import pandas as pd
+
+    empty = _typed_empty(dim="int64", n="int64", lo_units="int64",
+                         hi_units="int64", n_clipped="int64")
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "dim": pa.array([], pa.int64()),
+            "xq": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        xq = np.floor(flat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                               b.num_rows),
+                "xq": xq,
+            }
+        )
+        g = df.groupby(["dim", "xq"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    if parts.count() > max_fold_rows:
+        raise ValueError(
+            f"embed_dim_clip: histogram partials exceed {max_fold_rows}; "
+            "bucket the (dim, unit) key space before folding"
+        )
+    hist = _fold_partials(parts, ["dim", "xq"], ["cnt"])
+    if hist is None:
+        return empty
+    hist = hist.sort_values(["dim", "xq"]).reset_index(drop=True)
+    hist["cnt"] = hist["cnt"].astype("int64")
+    g = hist.groupby("dim")
+    cum = g["cnt"].cumsum().to_numpy(np.int64)
+    n = g["cnt"].transform("sum").to_numpy(np.int64)
+    k1 = (n + 99) // 100          # ceil(0.01 * n)
+    k99 = (99 * n + 99) // 100    # ceil(0.99 * n)
+    xq = hist["xq"].to_numpy(np.int64)
+    rows = []
+    for dim, gd in hist.groupby("dim"):
+        idx = gd.index.to_numpy()
+        c = cum[idx]
+        nn = int(n[idx[0]])
+        lo = int(xq[idx[np.searchsorted(c, int(k1[idx[0]]))]])
+        hi = int(xq[idx[np.searchsorted(c, int(k99[idx[0]]))]])
+        clip = int(
+            gd.loc[(gd["xq"] < lo) | (gd["xq"] > hi), "cnt"].sum()
+        )
+        rows.append((int(dim), nn, lo, hi, clip))
+    out = pd.DataFrame(
+        rows, columns=["dim", "n", "lo_units", "hi_units", "n_clipped"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)

@@ -2271,6 +2271,7 @@ def register_queries():
         "hashed_vocab_counts": q_hashed_vocab_counts,
         "doc_word_entropy": q_doc_word_entropy,
         "source_top_p_vocab": q_source_top_p_vocab,
+        "source_zipf_slope": q_source_zipf_slope,
     }
 
 
@@ -2455,6 +2456,45 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "source_zipf_slope": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), sw AS (
+              SELECT source, word, COUNT(*) AS n FROM w
+              WHERE word <> '' GROUP BY 1, 2
+            ), r AS (
+              SELECT source, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                     ) AS rnk
+              FROM sw
+            ), u AS (
+              SELECT source,
+                     CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000, 0)
+                          AS BIGINT) AS xu,
+                     CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0)
+                          AS BIGINT) AS yu
+              FROM r
+            ), s AS (
+              SELECT source, CAST(COUNT(*) AS HUGEINT) AS v,
+                     CAST(SUM(xu) AS HUGEINT) AS sx,
+                     CAST(SUM(yu) AS HUGEINT) AS sy,
+                     CAST(SUM(xu * xu) AS HUGEINT) AS sxx,
+                     CAST(SUM(xu * yu) AS HUGEINT) AS sxy
+              FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+            )
+            SELECT source, CAST(v AS BIGINT) AS n_vocab,
+                   CAST(sx AS BIGINT) AS sx_units,
+                   CAST(sy AS BIGINT) AS sy_units,
+                   CAST(sxx AS BIGINT) AS sxx_units,
+                   CAST(sxy AS BIGINT) AS sxy_units,
+                   round(CAST(v * sxy - sx * sy AS DOUBLE)
+                         / CAST(v * sxx - sx * sx AS DOUBLE), 6)
+                     AS zipf_slope
+            FROM s
+        """,
         "source_top_p_vocab": r"""
             WITH w AS (
               SELECT source,
@@ -3529,3 +3569,115 @@ def q_source_top_p_vocab(sf_dir: str, p_num: int = 9, p_den: int = 10,
     out = agg.loc[keep, ["source", "word", "n", "rnk"]]
     out["rnk"] = out["rnk"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_source_zipf_slope(sf_dir: str, max_vocab_per_source: int = 100_000,
+                        max_fold_rows: int = 2_000_000):
+    """Zipf-law fit per source: OLS slope of ln(word frequency) against
+    ln(frequency rank) — the classic corpus-health diagnostic (natural
+    text sits near -1; templated/spammy text drifts shallow).
+
+    Exactness: ln(rank) and ln(count) quantize to 1e-6-unit int64s
+    (both engines' ln agree to ~1 ulp, so the half-up unit round is
+    bit-stable), every OLS sum then runs in EXACT integer arithmetic
+    (Python ints here, HUGEINT in the oracle), and the final slope is
+    the identical correctly-rounded double division float(num)/float(den)
+    on both sides. Sources with fewer than 2 distinct words are dropped
+    (degenerate fit, zero denominator).
+
+    Scale shape: the source_word_kl partial fold (sources x vocabulary,
+    count()-guarded); the OLS runs per source on that vocabulary-sized
+    frame with a fail-fast vocab bound."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_away, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(
+        source=object, n_vocab="int64", sx_units="int64", sy_units="int64",
+        sxx_units="int64", sxy_units="int64", zipf_slope="float64",
+    )
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        if not mask.any():
+            return pa.table(cols)
+        part = (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_pandas()
+                    .reindex(ex.index[mask]).to_numpy(),
+                    "word": ex[mask].to_numpy(),
+                }
+            )
+            .groupby(["source", "word"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    if parts.count() > max_fold_rows:
+        raise ValueError(
+            f"source_zipf_slope: partial rows exceed {max_fold_rows}; "
+            "bucket by word hash (word_doc_freq's shape) before folding"
+        )
+    agg = _fold_partials(parts, ["source", "word"], ["n"])
+    if agg is None:
+        return empty
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(
+        ["source", "n", "word"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    agg["rnk"] = agg.groupby("source").cumcount().to_numpy(np.int64) + 1
+    # unit-quantized logs: half-up round (values are non-negative)
+    agg["xu"] = np.floor(
+        np.log(agg["rnk"].to_numpy(np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+    agg["yu"] = np.floor(
+        np.log(agg["n"].to_numpy(np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+    rows = []
+    for src, g in agg.groupby("source"):
+        v = len(g)
+        if v < 2:
+            continue
+        if v > max_vocab_per_source:
+            raise ValueError(
+                f"source_zipf_slope: {v} words in {src!r} exceed "
+                f"{max_vocab_per_source}; fit on a rank-capped prefix"
+            )
+        # exact integer OLS sums (Python ints: no int64 overflow at any
+        # vocab the guard admits; the oracle uses HUGEINT)
+        xs = [int(x) for x in g["xu"]]
+        ys = [int(y) for y in g["yu"]]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = v * sxy - sx * sy
+        den = v * sxx - sx * sx
+        slope = float(round_half_away(
+            np.array([float(num) / float(den)]), 6
+        )[0])
+        rows.append((src, v, sx, sy, sxx, sxy, slope))
+    if not rows:
+        return empty
+    out = pd.DataFrame(
+        rows,
+        columns=["source", "n_vocab", "sx_units", "sy_units", "sxx_units",
+                 "sxy_units", "zipf_slope"],
+    )
+    for c in ("n_vocab", "sx_units", "sy_units", "sxx_units", "sxy_units"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

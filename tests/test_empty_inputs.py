@@ -207,6 +207,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_hour_anomaly": ["event_type", "day", "hod", "n",
                                 "hr_total", "n_days"],
         "source_top_p_vocab": ["source", "word", "n", "rnk"],
+        "embed_dim_clip": ["dim", "n", "lo_units", "hi_units",
+                           "n_clipped"],
+        "source_zipf_slope": ["source", "n_vocab", "sx_units", "sy_units",
+                              "sxx_units", "sxy_units", "zipf_slope"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
