@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_rfm_cells": q.q_customers_rfm_cells,
         "events_hour_anomaly": q.q_events_hour_anomaly,
         "embed_dim_clip": q.q_embed_dim_clip,
+        "events_type_hour_chi2": q.q_events_type_hour_chi2,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -338,7 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_surprisal", "pareto_customers", "event_type_pairs",
         "hashed_vocab_counts", "doc_word_entropy", "customers_rfm_cells",
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
-        "source_zipf_slope",
+        "source_zipf_slope", "events_type_hour_chi2",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1801,6 +1802,36 @@ def oracle_sql() -> dict[str, str]:
                      AS n_clipped
             FROM b JOIN c USING (dim)
             GROUP BY 1, 2, 3, 4
+        """,
+        "events_type_hour_chi2": r"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hod
+              FROM events
+            ), cells AS (
+              SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS o
+              FROM e GROUP BY 1, 2
+            ), ty AS (
+              SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells
+              GROUP BY 1
+            ), h AS (
+              SELECT hod, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells),
+            grid AS (
+              SELECT ty.event_type, h.hod, ty.r, h.c,
+                     COALESCE(cells.o, 0) AS o
+              FROM ty CROSS JOIN h
+              LEFT JOIN cells USING (event_type, hod)
+            )
+            SELECT g.event_type, g.hod, g.o,
+                   g.r AS row_total, g.c AS col_total,
+                   tot.t AS grand_total,
+                   round(CAST((CAST(g.o AS HUGEINT) * tot.t - g.r * g.c)
+                              * (CAST(g.o AS HUGEINT) * tot.t - g.r * g.c)
+                              AS DOUBLE)
+                         / CAST(CAST(g.r AS HUGEINT) * g.c * tot.t
+                                AS DOUBLE), 6) AS chi_term
+            FROM grid g, tot
         """,
     }
     try:

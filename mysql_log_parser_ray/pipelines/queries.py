@@ -6966,3 +6966,82 @@ def q_embed_dim_clip(sf_dir: str, max_fold_rows: int = 4_000_000):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_events_type_hour_chi2(sf_dir: str):
+    """Chi-square independence screen for event_type x hour-of-day: the
+    full contingency grid (zero cells included) with each cell's exact
+    observed count, marginals, and its chi-square term
+    (o*T - r*c)^2 / (r*c*T) — the standard drift/seasonality test
+    statistic, emitted per cell so no float ever sums.
+
+    Exactness: every input to the term is an int64 count; the squared
+    numerator runs in Python ints (HUGEINT in the oracle — it exceeds
+    int64 at corpus scale) and the single rounded division is the
+    identical correctly-rounded double op on both sides. Scale shape:
+    one (type, hod) cell-count fold (types x 24), marginals and the
+    grid derive from the folded cells on the driver."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(event_type=object, hod="int64", o="int64",
+                         row_total="int64", col_total="int64",
+                         grand_total="int64", chi_term="float64")
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "hod": pa.array([], pa.int64()),
+            "o": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "hod": ((us % 86_400_000_000) // 3_600_000_000).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby(["event_type", "hod"], as_index=False).size().rename(
+            columns={"size": "o"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["event_type", "hod"], ["o"],
+    )
+    if cells is None:
+        return empty
+    cells["o"] = cells["o"].astype("int64")
+    grid = (
+        pd.MultiIndex.from_product(
+            [sorted(cells["event_type"].unique()),
+             sorted(cells["hod"].unique())],
+            names=["event_type", "hod"],
+        )
+        .to_frame(index=False)
+        .merge(cells, on=["event_type", "hod"], how="left")
+        .fillna({"o": 0})
+    )
+    grid["o"] = grid["o"].astype("int64")
+    r = grid.groupby("event_type")["o"].transform("sum").astype("int64")
+    c = grid.groupby("hod")["o"].transform("sum").astype("int64")
+    t = int(grid["o"].sum())
+    terms = []
+    for o_i, r_i, c_i in zip(grid["o"].tolist(), r.tolist(), c.tolist()):
+        d = o_i * t - r_i * c_i      # Python ints: d*d exceeds int64
+        terms.append(float(d * d) / float(r_i * c_i * t))
+    grid["row_total"] = r
+    grid["col_total"] = c
+    grid["grand_total"] = np.int64(t)
+    grid["chi_term"] = round_half_up(np.array(terms, dtype=np.float64), 6)
+    out = grid[["event_type", "hod", "o", "row_total", "col_total",
+                "grand_total", "chi_term"]]
+    return out.sort_values(["event_type", "hod"]).reset_index(drop=True)

@@ -211,6 +211,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                            "n_clipped"],
         "source_zipf_slope": ["source", "n_vocab", "sx_units", "sy_units",
                               "sxx_units", "sxy_units", "zipf_slope"],
+        "events_type_hour_chi2": ["event_type", "hod", "o", "row_total",
+                                  "col_total", "grand_total", "chi_term"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

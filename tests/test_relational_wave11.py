@@ -107,3 +107,69 @@ def test_zipf_slope_drops_single_word_sources(ray_session, tmp_path):
     assert out["source"].tolist() == ["duo"]
     # two ties at count 1: xu=(0, ln2*1e6), yu=(0,0) -> slope 0
     assert out.iloc[0]["zipf_slope"] == 0.0
+
+
+def test_chi2_uniform_grid_is_zero(ray_session, tmp_path):
+    """A perfectly independent 2x2 grid has chi_term 0 everywhere; a
+    skewed one reproduces the hand-computed (o*T - r*c)^2/(r*c*T)."""
+    US_PER_H = 3_600_000_000
+    # independent: type a/b each 2 events at hours 0 and 1 -> all terms 0
+    ts, types = [], []
+    for t in ("a", "b"):
+        for h in (0, 1):
+            ts.append(h * US_PER_H)
+            types.append(t)
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_type_hour_chi2
+
+    out = q_events_type_hour_chi2(str(tmp_path))
+    assert len(out) == 4
+    assert out["chi_term"].tolist() == [0.0] * 4
+    assert out["o"].tolist() == [1] * 4
+    assert out["grand_total"].tolist() == [4] * 4
+
+
+def test_chi2_skewed_cell_hand_computed(ray_session, tmp_path):
+    US_PER_H = 3_600_000_000
+    # type a: 3 at hour 0; type b: 1 at hour 0, 2 at hour 1
+    ts = [0, 0, 0, 0, US_PER_H, US_PER_H]
+    types = ["a", "a", "a", "b", "b", "b"]
+    n = len(ts)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_type_hour_chi2
+
+    out = q_events_type_hour_chi2(str(tmp_path))
+    # grid includes the zero cell (a, hour 1)
+    assert len(out) == 4
+    cell = out[(out["event_type"] == "a") & (out["hod"] == 1)].iloc[0]
+    assert cell["o"] == 0
+    # (0*6 - 3*2)^2 / (3*2*6) = 36/36 = 1.0
+    assert cell["chi_term"] == 1.0
+    cell = out[(out["event_type"] == "a") & (out["hod"] == 0)].iloc[0]
+    # (3*6 - 3*4)^2 / (3*4*6) = 36/72 = 0.5
+    assert (cell["o"], cell["chi_term"]) == (3, 0.5)
