@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_anomaly": q.q_events_hour_anomaly,
         "embed_dim_clip": q.q_embed_dim_clip,
         "events_type_hour_chi2": q.q_events_type_hour_chi2,
+        "parts_price_skyline": q.q_parts_price_skyline,
+        "orders_seasonal_index": q.q_orders_seasonal_index,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -340,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_vocab_counts", "doc_word_entropy", "customers_rfm_cells",
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
         "source_zipf_slope", "events_type_hour_chi2",
+        "parts_price_skyline", "orders_seasonal_index",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1832,6 +1835,31 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(CAST(g.r AS HUGEINT) * g.c * tot.t
                                 AS DOUBLE), 6) AS chi_term
             FROM grid g, tot
+        """,
+        "parts_price_skyline": r"""
+            WITH p AS (
+              SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                     CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+              FROM part
+            )
+            SELECT a.p_partkey, a.p_size, a.cents
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE (b.p_size > a.p_size AND b.cents <= a.cents)
+                 OR (b.p_size >= a.p_size AND b.cents < a.cents)
+            )
+        """,
+        "orders_seasonal_index": r"""
+            WITH m AS (
+              SELECT CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            ), t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM m)
+            SELECT m.month_of_year, m.n_orders,
+                   round(CAST(m.n_orders * 12 AS DOUBLE) / t.total, 6)
+                     AS seasonal_index
+            FROM m, t
         """,
     }
     try:

@@ -7045,3 +7045,104 @@ def q_events_type_hour_chi2(sf_dir: str):
     out = grid[["event_type", "hod", "o", "row_total", "col_total",
                 "grand_total", "chi_term"]]
     return out.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+def _skyline_2d(df):
+    """Exact 2-D skyline (maximize p_size, minimize cents): keep rows no
+    other row dominates ((s2>s1 and p2<=p1) or (s2>=s1 and p2<p1)).
+    Vectorized: per size group (descending), a row survives iff its price
+    equals the group minimum AND that minimum strictly beats the best
+    price of every strictly larger size."""
+    import pandas as pd
+
+    g = df.groupby("p_size")["cents"]
+    gmin = g.transform("min")
+    # best price among STRICTLY larger sizes: cummin over per-size mins
+    # ordered size desc, shifted by one group
+    mins = g.min().sort_index(ascending=False)
+    larger_best = mins.cummin().shift(1)  # NaN for the largest size
+    lb = df["p_size"].map(larger_best)
+    keep = (df["cents"] == gmin) & (lb.isna() | (gmin < lb))
+    return df[keep]
+
+
+def q_parts_price_skyline(sf_dir: str):
+    """Skyline (Pareto-optimal) query: parts where no other part is both
+    at-least-as-large and at-most-as-cheap (with one strict) — the
+    classic dominance query, distributed the textbook way: each block
+    computes its LOCAL skyline (a superset of the global one, since a
+    global skyline point can't be dominated inside any subset), only
+    those survivors reach the driver, and the identical kernel runs once
+    more on the union. Prices compare in exact integer cents."""
+    import pandas as pd
+
+    empty = _typed_empty(p_partkey="int64", p_size="int64", cents="int64")
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def _local(b: pa.Table) -> pa.Table:
+        cols = {
+            "p_partkey": pa.array([], pa.int64()),
+            "p_size": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "p_partkey" not in b.column_names:
+            return pa.table(cols)
+        df = pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_pandas().astype("int64"),
+                "p_size": b["p_size"].to_pandas().astype("int64"),
+                "cents": np.floor(
+                    b["p_retailprice"].to_numpy(zero_copy_only=False)
+                    * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(_skyline_2d(df), preserve_index=False)
+
+    survivors = ds.map_batches(
+        _local, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(survivors) or "p_partkey" not in survivors.columns:
+        return empty
+    out = _skyline_2d(survivors)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_orders_seasonal_index(sf_dir: str):
+    """Month-of-year seasonal index: each calendar month's order count
+    scaled by 12x against the grand total (index 1.0 = perfectly level
+    demand) — the classic seasonality diagnostic, exact by construction:
+    counts fold as integers and the single n*12/total ratio-of-ints
+    rounds half-up on both sides."""
+    from ..util import round_half_up
+
+    empty = _typed_empty(month_of_year="int64", n_orders="int64",
+                         seasonal_index="float64")
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def _m(b: pa.Table) -> pa.Table:
+        cols = {"month_of_year": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderdate" not in b.column_names:
+            return pa.table(cols)
+        m = pc.month(b["o_orderdate"])
+        return pa.table({"month_of_year": pc.cast(m, pa.int64())})
+
+    counts = grouped_counts(
+        ds.map_batches(_m, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        keys=["month_of_year"], sum_col=None,
+    )
+    if "month_of_year" not in counts.columns or not len(counts):
+        return empty
+    counts["n_orders"] = counts["n_rows"].astype("int64")
+    total = int(counts["n_orders"].sum())
+    counts["seasonal_index"] = round_half_up(
+        counts["n_orders"].to_numpy(np.float64) * 12.0 / float(total), 6
+    )
+    out = counts[["month_of_year", "n_orders", "seasonal_index"]].copy()
+    out["month_of_year"] = out["month_of_year"].astype("int64")
+    return out.sort_values("month_of_year").reset_index(drop=True)

@@ -75,8 +75,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         pa.table(
             {
                 "p_partkey": pa.array([], pa.int64()),
+                "p_name": pa.array([], pa.string()),
                 "p_type": pa.array([], pa.string()),
                 "p_brand": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "p_retailprice": pa.array([], pa.float64()),
             }
         ),
         str(tmp_path / "part.parquet"),
@@ -213,6 +216,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                               "sxx_units", "sxy_units", "zipf_slope"],
         "events_type_hour_chi2": ["event_type", "hod", "o", "row_total",
                                   "col_total", "grand_total", "chi_term"],
+        "parts_price_skyline": ["p_partkey", "p_size", "cents"],
+        "orders_seasonal_index": ["month_of_year", "n_orders",
+                                  "seasonal_index"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

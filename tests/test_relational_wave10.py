@@ -118,3 +118,56 @@ def test_top_p_vocab_cutoff_and_ranks(ray_session, tmp_path):
         ("s0", "w1"): (6, 1), ("s0", "w2"): (3, 2),
         ("s1", "wa"): (1, 1), ("s1", "wb"): (1, 2),
     }
+
+
+def test_parts_skyline_hand_computed(ray_session, tmp_path):
+    # (size, price): A(10, 5.00) B(10, 4.00) C(8, 3.00) D(8, 3.00)
+    # E(12, 6.00) F(6, 7.00)
+    # skyline: E (largest size), B (10 cheaper than E), C and D (tied,
+    # neither dominates the other; cheaper than B). A dominated by B;
+    # F dominated by C (size 8>6, 3.00<7.00).
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "p_name": pa.array(["a", "b", "c", "d", "e", "f"]),
+                "p_brand": pa.array(["B"] * 6),
+                "p_type": pa.array(["T"] * 6),
+                "p_size": pa.array([10, 10, 8, 8, 12, 6], pa.int64()),
+                "p_retailprice": pa.array(
+                    [5.0, 4.0, 3.0, 3.0, 6.0, 7.0], pa.float64()
+                ),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_parts_price_skyline
+
+    out = q_parts_price_skyline(str(tmp_path))
+    assert out["p_partkey"].tolist() == [2, 3, 4, 5]
+
+
+def test_seasonal_index_level_demand(ray_session, tmp_path):
+    # 2 orders in each of months 1 and 2 -> index = n*12/total = 2*12/4=6
+    US_PER_D = 86_400_000_000
+    dates = [0, 1 * US_PER_D, 32 * US_PER_D, 33 * US_PER_D]  # Jan, Jan, Feb, Feb 1970
+    n = len(dates)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_totalprice": pa.array([10.0] * n, pa.float64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_orders_seasonal_index
+
+    out = q_orders_seasonal_index(str(tmp_path))
+    assert out["month_of_year"].tolist() == [1, 2]
+    assert out["n_orders"].tolist() == [2, 2]
+    assert out["seasonal_index"].tolist() == [6.0, 6.0]
