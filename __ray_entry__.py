@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_chi2": q.q_events_type_hour_chi2,
         "parts_price_skyline": q.q_parts_price_skyline,
         "orders_seasonal_index": q.q_orders_seasonal_index,
+        "user_activity_gini": q.q_user_activity_gini,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -343,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
         "source_zipf_slope", "events_type_hour_chi2",
         "parts_price_skyline", "orders_seasonal_index",
+        "user_activity_gini",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1860,6 +1862,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(m.n_orders * 12 AS DOUBLE) / t.total, 6)
                      AS seasonal_index
             FROM m, t
+        """,
+        "user_activity_gini": r"""
+            WITH c AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events
+              GROUP BY 1
+            ), r AS (
+              SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rn
+              FROM c
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(rn * x) AS HUGEINT) AS srx
+              FROM r HAVING COUNT(*) > 0
+            )
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(sx AS BIGINT) AS total_events,
+                   round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                         / CAST(n * sx AS DOUBLE), 6) AS gini
+            FROM s
         """,
     }
     try:

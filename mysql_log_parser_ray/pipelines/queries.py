@@ -7146,3 +7146,42 @@ def q_orders_seasonal_index(sf_dir: str):
     out = counts[["month_of_year", "n_orders", "seasonal_index"]].copy()
     out["month_of_year"] = out["month_of_year"].astype("int64")
     return out.sort_values("month_of_year").reset_index(drop=True)
+
+
+def q_user_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — the standard
+    engagement-inequality diagnostic (0 = every user equally active,
+    ->1 = one user generates everything).
+
+    Exactness: counts fold as integers; with users ranked ascending by
+    (count, user_id), G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) is
+    exact Python-int arithmetic (HUGEINT in the oracle) with one
+    identically-rounded division. Tie order can't matter: equal counts
+    contribute x*sum(ranks) whatever their permutation. Scale shape: the
+    per-user count fold is user-cardinality (grouped_counts' bounded
+    driver fold with shuffle fallback); the rank sums run on that frame."""
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_users="int64", total_events="int64",
+                         gini="float64")
+    counts = grouped_counts(
+        _read(sf_dir, "events", columns=["user_id"]),
+        keys=["user_id"], sum_col=None,
+    )
+    if "user_id" not in counts.columns or not len(counts):
+        return empty
+    counts = counts.sort_values(["n_rows", "user_id"]).reset_index(drop=True)
+    xs = [int(v) for v in counts["n_rows"]]
+    n = len(xs)
+    sx = sum(xs)
+    srx = sum(i * x for i, x in enumerate(xs, start=1))
+    gini = float(round_half_up(
+        np.array([float(2 * srx - (n + 1) * sx) / float(n * sx)]), 6
+    )[0])
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n_users": np.array([n], np.int64),
+         "total_events": np.array([sx], np.int64),
+         "gini": np.array([gini], np.float64)}
+    )

@@ -219,6 +219,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "parts_price_skyline": ["p_partkey", "p_size", "cents"],
         "orders_seasonal_index": ["month_of_year", "n_orders",
                                   "seasonal_index"],
+        "user_activity_gini": ["n_users", "total_events", "gini"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

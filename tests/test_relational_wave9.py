@@ -178,3 +178,48 @@ def test_doc_word_entropy_ttr_half_up_tie(ray_session, tmp_path, sf_dir):
     from mysql_log_parser_ray.util import round_half_up
 
     assert float(round_half_up(np.array([1 / 128]), 6)[0]) == 0.007813
+
+
+def test_gini_extremes(ray_session, tmp_path, sf_dir):
+    # perfectly equal: 3 users x 2 events -> G = 0
+    ids = [1, 1, 2, 2, 3, 3]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array([0] * 6, pa.timestamp("us")),
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["a"] * 6),
+                "value": pa.array([1.0] * 6, pa.float64()),
+                "props": pa.array(["{}"] * 6),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_user_activity_gini
+
+    out = q_user_activity_gini(sf_dir)
+    assert out.iloc[0].tolist() == [3, 6, 0.0]
+    # skewed: counts 1, 1, 8 -> ranks 1,2,3 (ties by user);
+    # G = (2*(1+2+24) - 4*10) / (3*10) = (54-40)/30 = 14/30
+    ids = [1] + [2] + [3] * 8
+    n = len(ids)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["a"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_user_activity_gini(sf_dir)
+    import math
+    assert out.iloc[0]["n_users"] == 3
+    assert out.iloc[0]["total_events"] == 10
+    assert math.isclose(out.iloc[0]["gini"], round(14 / 30, 6),
+                        abs_tol=1e-9)
