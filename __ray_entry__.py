@@ -344,7 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
         "source_zipf_slope", "events_type_hour_chi2",
         "parts_price_skyline", "orders_seasonal_index",
-        "user_activity_gini",
+        "user_activity_gini", "source_len_lognormal",
         # last checked in round 2 (have a row, but a stale one)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",

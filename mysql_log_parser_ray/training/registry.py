@@ -2272,6 +2272,7 @@ def register_queries():
         "doc_word_entropy": q_doc_word_entropy,
         "source_top_p_vocab": q_source_top_p_vocab,
         "source_zipf_slope": q_source_zipf_slope,
+        "source_len_lognormal": q_source_len_lognormal,
     }
 
 
@@ -2456,6 +2457,18 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "source_len_lognormal": r"""
+            WITH u AS (
+              SELECT source,
+                     CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000, 0)
+                          AS BIGINT) AS u
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(u) AS BIGINT) AS sum_ln_units,
+                   CAST(SUM(u * u) AS BIGINT) AS sumsq_ln_units
+            FROM u GROUP BY 1
+        """,
         "source_zipf_slope": r"""
             WITH w AS (
               SELECT source,
@@ -3679,5 +3692,59 @@ def q_source_zipf_slope(sf_dir: str, max_vocab_per_source: int = 100_000,
                  "sxy_units", "zipf_slope"],
     )
     for c in ("n_vocab", "sx_units", "sy_units", "sxx_units", "sxy_units"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_source_len_lognormal(sf_dir: str):
+    """Log-normal document-length fit per source: exact integer first and
+    second moments of ln(n_chars) quantized to 1e-6-unit int64s (the
+    embed_dim_moments convention) — the sufficient statistics for the
+    mu/sigma of the classic log-normal length model used in length-prior
+    quality filtering. Docs with n_chars <= 0 are excluded on both sides
+    (ln undefined).
+
+    Scale shape: each block folds to one row per source (sources x
+    blocks partials, driver fold); no float ever sums."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+
+    empty = typed_empty(source=object, n_docs="int64", sum_ln_units="int64",
+                        sumsq_ln_units="int64")
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_ln_units": pa.array([], pa.int64()),
+            "sumsq_ln_units": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "n_chars" not in b.column_names:
+            return pa.table(cols)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b["source"].to_pandas()
+        ok = nc > 0
+        if not ok.any():
+            return pa.table(cols)
+        u = np.floor(
+            np.log(nc[ok].astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame({"source": src[ok].to_numpy(), "u": u, "uu": u * u})
+            .groupby("source", as_index=False)
+            .agg(n_docs=("u", "size"), sum_ln_units=("u", "sum"),
+                 sumsq_ln_units=("uu", "sum"))
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = _fold_partials(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source"], ["n_docs", "sum_ln_units", "sumsq_ln_units"],
+    )
+    if out is None:
+        return empty
+    for c in ("n_docs", "sum_ln_units", "sumsq_ln_units"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)

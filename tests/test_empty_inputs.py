@@ -220,6 +220,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_seasonal_index": ["month_of_year", "n_orders",
                                   "seasonal_index"],
         "user_activity_gini": ["n_users", "total_events", "gini"],
+        "source_len_lognormal": ["source", "n_docs", "sum_ln_units",
+                                 "sumsq_ln_units"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -173,3 +173,32 @@ def test_chi2_skewed_cell_hand_computed(ray_session, tmp_path):
     cell = out[(out["event_type"] == "a") & (out["hod"] == 0)].iloc[0]
     # (3*6 - 3*4)^2 / (3*4*6) = 36/72 = 0.5
     assert (cell["o"], cell["chi_term"]) == (3, 0.5)
+
+
+def test_len_lognormal_hand_computed(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    # n_chars: e (2.71828...) ~ use 3 and 9: ln(3)=1.0986..., ln(9)=2ln3
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["abc", "x" * 9, "zero"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s0", "s0", "s1"]),
+                "n_chars": pa.array([3, 9, 0], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_len_lognormal
+
+    out = q_source_len_lognormal(str(tmp_path))
+    # s1's only doc has n_chars=0 -> excluded entirely
+    assert out["source"].tolist() == ["s0"]
+    u3 = int(math.floor(math.log(3) * 1e6 + 0.5))
+    u9 = int(math.floor(math.log(9) * 1e6 + 0.5))
+    row = out.iloc[0]
+    assert row["n_docs"] == 2
+    assert row["sum_ln_units"] == u3 + u9
+    assert row["sumsq_ln_units"] == u3 * u3 + u9 * u9
