@@ -381,22 +381,35 @@ def _emit(result: dict) -> None:
 
     Ray is shut down FIRST (no worker/raylet can write another byte to our
     fds afterwards), stderr+stdout are flushed, then the single JSON line
-    goes out. Also mirrored to $BENCH_OUT (default /tmp/bench_last.json)
-    so the record survives even a mangled pipe."""
+    goes out. The FULL record (all 160 per-query timings) goes to
+    $BENCH_OUT (default /tmp/bench_last.json); the stdout line is kept
+    under ~2 KB — the driver captures a bounded stdout tail, and round 3/4
+    records were truncated mid-JSON by the full per-query map — so stdout
+    carries the headline metrics, the 10 slowest queries, suite summary
+    stats, and the path to the full map."""
     import ray
 
     if ray.is_initialized():
         ray.shutdown()
-    line = json.dumps(result)
     out_path = os.environ.get("BENCH_OUT", "/tmp/bench_last.json")
     try:
         with open(out_path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(result) + "\n")
     except OSError:
         pass
+    slim = dict(result)
+    qtimes = slim.get("queries")
+    if qtimes and len(qtimes) > 10:
+        times = sorted(qtimes.values())
+        slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:10]
+        slim["queries"] = dict(slowest)
+        slim["queries_n"] = len(qtimes)
+        slim["queries_total_sec"] = round(sum(times), 3)
+        slim["queries_median_sec"] = round(times[len(times) // 2], 3)
+        slim["queries_full_map"] = out_path
     sys.stderr.flush()
     sys.stdout.flush()
-    print(line, flush=True)
+    print(json.dumps(slim), flush=True)
 
 
 if __name__ == "__main__":

@@ -6687,14 +6687,19 @@ def q_event_type_pairs(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def _pairs(b: pa.Table) -> pa.Table:
-        cols = {
-            "type_a": pa.array([], pa.string()),
-            "type_b": pa.array([], pa.string()),
-            "n_users": pa.array([], pa.int64()),
-            "_part": pa.array([], pa.int64()),
-        }
-        if b.num_rows == 0 or "user_id" not in b.column_names:
-            return pa.table(cols)
+        # Empty guard emits the INTERMEDIATE schema (user_id/event_type/
+        # _part) that the non-empty path produces, so a mix of empty and
+        # non-empty blocks concats under one Arrow schema downstream.
+        if "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64()),
+            })
+        if b.num_rows == 0:
+            return b.select(["user_id", "event_type"]).append_column(
+                "_part", pa.array([], pa.int64())
+            )
         df = b.select(["user_id", "event_type"]).to_pandas().drop_duplicates()
         df["_part"] = stable_partition(df["user_id"], 64)
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -6731,7 +6736,8 @@ def q_event_type_pairs(sf_dir: str):
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
-def q_customers_rfm_cells(sf_dir: str, k: int = 5):
+def q_customers_rfm_cells(sf_dir: str, k: int = 5,
+                          max_fold_rows: int = 4_000_000):
     """RFM segmentation: each customer scored by Recency (latest order
     day), Frequency (order count) and Monetary (revenue cents), each
     assigned an exact NTILE(k) quintile, then counted per (r,f,m) cell —
@@ -6777,10 +6783,23 @@ def q_customers_rfm_cells(sf_dir: str, k: int = 5):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(
+    parts_ds = ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-    ).to_pandas()
+    ).materialize()
+    # fail-fast BEFORE the collect (blocks x customers partial rows): the
+    # NTILE kernel is inherently a global sort over customers, so the
+    # driver frame is customer-cardinality by design - the guard turns a
+    # silent OOM into a named remedy.
+    n_parts = parts_ds.count()
+    if n_parts > max_fold_rows:
+        raise ValueError(
+            f"customers_rfm_cells: {n_parts} per-block customer partials "
+            f"exceed the driver fold bound {max_fold_rows}; bucket-collapse "
+            "per customer (stable_partition + map_groups) before the tile "
+            "sort, or raise max_fold_rows"
+        )
+    parts = parts_ds.to_pandas()
     if not len(parts) or "o_custkey" not in parts.columns:
         return empty
     cust = parts.groupby("o_custkey", as_index=False).agg(
@@ -7063,17 +7082,26 @@ def _skyline_2d(df):
     larger_best = mins.cummin().shift(1)  # NaN for the largest size
     lb = df["p_size"].map(larger_best)
     keep = (df["cents"] == gmin) & (lb.isna() | (gmin < lb))
-    return df[keep]
+    # .copy(): callers mutate the result (astype loops); a masked view
+    # would warn and depends on copy-on-write semantics
+    return df[keep].copy()
 
 
-def q_parts_price_skyline(sf_dir: str):
+def q_parts_price_skyline(sf_dir: str, max_driver_rows: int = 1_000_000):
     """Skyline (Pareto-optimal) query: parts where no other part is both
     at-least-as-large and at-most-as-cheap (with one strict) — the
     classic dominance query, distributed the textbook way: each block
     computes its LOCAL skyline (a superset of the global one, since a
     global skyline point can't be dominated inside any subset), only
     those survivors reach the driver, and the identical kernel runs once
-    more on the union. Prices compare in exact integer cents."""
+    more on the union. Prices compare in exact integer cents.
+
+    Anti-correlated guard: on adversarial data the skyline itself is
+    O(n), so survivors are count()ed BEFORE any collect; past the budget
+    an extra distributed round repartitions survivors into fewer, larger
+    blocks (more cross-row dominance pruning per task) and re-runs the
+    local kernel; if survivors still exceed ``max_driver_rows`` the query
+    fail-fasts naming the remedy instead of materializing."""
     import pandas as pd
 
     empty = _typed_empty(p_partkey="int64", p_size="int64", cents="int64")
@@ -7100,11 +7128,35 @@ def q_parts_price_skyline(sf_dir: str):
         )
         return pa.Table.from_pandas(_skyline_2d(df), preserve_index=False)
 
-    survivors = ds.map_batches(
+    surv_ds = ds.map_batches(
         _local, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-    ).to_pandas()
-    if not len(survivors) or "p_partkey" not in survivors.columns:
+    ).materialize()
+    n_surv = surv_ds.count()
+    if n_surv > max_driver_rows:
+        # second distributed round: fewer, larger blocks -> each task sees
+        # more rows, so block-local dominance prunes much harder. The
+        # local skyline is a superset of the global one in ANY partition,
+        # so correctness is unaffected by the repartition.
+        surv_ds = surv_ds.repartition(
+            max(2, n_surv // (max_driver_rows // 4))
+        ).map_batches(
+            _local, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
+        n_surv = surv_ds.count()
+        if n_surv > max_driver_rows:
+            raise ValueError(
+                f"parts_price_skyline: {n_surv} block-local skyline "
+                f"survivors exceed the driver budget {max_driver_rows} "
+                "after a second distributed round - the skyline itself is "
+                "output-sized on this (anti-correlated) corpus; consume "
+                "survivors as a Dataset or raise max_driver_rows"
+            )
+    if n_surv == 0:
+        return empty
+    survivors = surv_ds.to_pandas()
+    if "p_partkey" not in survivors.columns:
         return empty
     out = _skyline_2d(survivors)
     for c in out.columns:
@@ -7153,33 +7205,74 @@ def q_user_activity_gini(sf_dir: str):
     engagement-inequality diagnostic (0 = every user equally active,
     ->1 = one user generates everything).
 
-    Exactness: counts fold as integers; with users ranked ascending by
-    (count, user_id), G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) is
-    exact Python-int arithmetic (HUGEINT in the oracle) with one
-    identically-rounded division. Tie order can't matter: equal counts
-    contribute x*sum(ranks) whatever their permutation. Scale shape: the
-    per-user count fold is user-cardinality (grouped_counts' bounded
-    driver fold with shuffle fallback); the rank sums run on that frame."""
+    Exactness: with users ranked ascending by count, G = (2*sum(rank*x)
+    - (n+1)*sum(x)) / (n*sum(x)); equal counts contribute x*sum(ranks)
+    whatever their permutation, so G is a pure function of the DISTINCT
+    COUNT-VALUE HISTOGRAM {count c -> users m_c}: users at value c span
+    ranks (R_c, R_c+m_c], sum m_c*R_c + m_c*(m_c+1)/2. All sums run in
+    Python ints (HUGEINT oracle-side) with one identically-rounded
+    division. Scale shape: per-block (user, n) partials hash-bucket by
+    user (64 buckets); each bucket collapses its users to value_counts
+    of the per-user totals; the driver folds 64 x distinct-count-value
+    rows — bounded by distinct activity levels, never user cardinality,
+    and the rank sums are a vectorless closed form over the histogram."""
+    import pandas as pd
+
+    from ..partition import stable_partition
     from ..util import round_half_up
 
     empty = _typed_empty(n_users="int64", total_events="int64",
                          gini="float64")
-    counts = grouped_counts(
-        _read(sf_dir, "events", columns=["user_id"]),
-        keys=["user_id"], sum_col=None,
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if "user_id" not in b.column_names or b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        df = (
+            b.select(["user_id"]).to_pandas()
+            .groupby("user_id", as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        df["n"] = df["n"].astype("int64")
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"count_value": pd.Series([], dtype="int64"),
+                    "m_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        totals = g.groupby("user_id")["n"].sum()
+        hist = totals.value_counts().sort_index()
+        return pd.DataFrame({
+            "count_value": hist.index.to_numpy(np.int64),
+            "m_users": hist.to_numpy(np.int64),
+        })
+
+    parts = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket_hist, batch_format="pandas")
     )
-    if "user_id" not in counts.columns or not len(counts):
+    hist = _fold_partials(parts, ["count_value"], ["m_users"])
+    if hist is None:
         return empty
-    counts = counts.sort_values(["n_rows", "user_id"]).reset_index(drop=True)
-    xs = [int(v) for v in counts["n_rows"]]
-    n = len(xs)
-    sx = sum(xs)
-    srx = sum(i * x for i, x in enumerate(xs, start=1))
+    hist = hist.sort_values("count_value").reset_index(drop=True)
+    cs = [int(v) for v in hist["count_value"]]
+    ms = [int(v) for v in hist["m_users"]]
+    n = sum(ms)
+    sx = sum(c * m for c, m in zip(cs, ms))
+    srx, run = 0, 0
+    for c, m in zip(cs, ms):
+        srx += c * (m * run + m * (m + 1) // 2)
+        run += m
     gini = float(round_half_up(
         np.array([float(2 * srx - (n + 1) * sx) / float(n * sx)]), 6
     )[0])
-    import pandas as pd
-
     return pd.DataFrame(
         {"n_users": np.array([n], np.int64),
          "total_events": np.array([sx], np.int64),

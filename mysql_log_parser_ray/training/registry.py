@@ -3705,20 +3705,29 @@ def q_source_len_lognormal(sf_dir: str):
     (ln undefined).
 
     Scale shape: each block folds to one row per source (sources x
-    blocks partials, driver fold); no float ever sums."""
-    from ..pipelines.queries import _fold_partials
+    blocks partials, driver fold); no float ever sums. Overflow
+    hygiene: u*u is ~1.3e14 per doc (u = ln(n_chars)*1e6), so a plain
+    int64 SUM silently wraps past ~7e4 qualifying docs while the
+    oracle's HUGEINT SUM keeps going — partials therefore carry the
+    square sum as two int64 LIMBS (hi = uu>>30, lo = uu&(2^30-1);
+    per-block limb sums can't wrap below ~1e8 rows/block) and the
+    driver recombines them in Python ints. The final int64 cast
+    fail-fasts exactly when the oracle's CAST(... AS BIGINT) would
+    raise, so the two engines never silently diverge."""
     from ..util import typed_empty
 
     empty = typed_empty(source=object, n_docs="int64", sum_ln_units="int64",
                         sumsq_ln_units="int64")
     docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    _LO_BITS, _LO_MASK = 30, (1 << 30) - 1
 
     def _partial(b: pa.Table) -> pa.Table:
         cols = {
             "source": pa.array([], pa.string()),
             "n_docs": pa.array([], pa.int64()),
             "sum_ln_units": pa.array([], pa.int64()),
-            "sumsq_ln_units": pa.array([], pa.int64()),
+            "sumsq_hi": pa.array([], pa.int64()),
+            "sumsq_lo": pa.array([], pa.int64()),
         }
         if b.num_rows == 0 or "n_chars" not in b.column_names:
             return pa.table(cols)
@@ -3730,21 +3739,47 @@ def q_source_len_lognormal(sf_dir: str):
         u = np.floor(
             np.log(nc[ok].astype(np.float64)) * 1e6 + 0.5
         ).astype(np.int64)
+        uu = u * u  # per-element exact: u <= ~4.4e7 even at n_chars=2^63
         part = (
-            pd.DataFrame({"source": src[ok].to_numpy(), "u": u, "uu": u * u})
+            pd.DataFrame({"source": src[ok].to_numpy(), "u": u,
+                          "uu_hi": uu >> _LO_BITS, "uu_lo": uu & _LO_MASK})
             .groupby("source", as_index=False)
             .agg(n_docs=("u", "size"), sum_ln_units=("u", "sum"),
-                 sumsq_ln_units=("uu", "sum"))
+                 sumsq_hi=("uu_hi", "sum"), sumsq_lo=("uu_lo", "sum"))
         )
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    out = _fold_partials(
-        docs.map_batches(_partial, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None),
-        ["source"], ["n_docs", "sum_ln_units", "sumsq_ln_units"],
-    )
-    if out is None:
+    parts = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    if not len(parts) or "source" not in parts.columns:
         return empty
-    for c in ("n_docs", "sum_ln_units", "sumsq_ln_units"):
-        out[c] = out[c].astype("int64")
+    # driver fold in Python ints (object dtype): the corpus-total limb
+    # and first-moment sums exceed int64 long before the per-block ones
+    for c in ("sum_ln_units", "sumsq_hi", "sumsq_lo"):
+        parts[c] = parts[c].map(int)
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_ln_units=("sum_ln_units", "sum"),
+        sumsq_hi=("sumsq_hi", "sum"), sumsq_lo=("sumsq_lo", "sum"),
+    )
+    sumsq = [
+        (int(h) << _LO_BITS) + int(lo)
+        for h, lo in zip(g["sumsq_hi"], g["sumsq_lo"])
+    ]
+    i64max = (1 << 63) - 1
+    if any(v > i64max for v in sumsq) or any(
+        int(v) > i64max for v in g["sum_ln_units"]
+    ):
+        raise ValueError(
+            "source_len_lognormal: a per-source moment exceeds BIGINT - "
+            "the oracle's CAST(SUM(...) AS BIGINT) raises on the same "
+            "corpus; widen the output to a hi/lo limb pair"
+        )
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["n_docs"].astype("int64"),
+        "sum_ln_units": g["sum_ln_units"].map(int).astype("int64"),
+        "sumsq_ln_units": np.array(sumsq, dtype=np.int64),
+    })
     return out.sort_values("source").reset_index(drop=True)

@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -175,6 +176,7 @@ def ivf_topk_distributed(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_limit: int = 200_000,
 ) -> pd.DataFrame:
     """IVF top-k that never materializes the vector table.
 
@@ -182,9 +184,13 @@ def ivf_topk_distributed(
     probe set per query is computed on the driver (tiny); then ONE
     distributed pass over the embeddings scores each batch's rows only
     against the queries probing that row's bucket and emits local top-k
-    rows. The driver merges nq x k x n_blocks candidate rows - never
-    vectors. This is the 10^12-row path; ivf_topk keeps the materialized
-    variant for small data.
+    rows. Small candidate sets (<= ``collect_limit`` rows, counted before
+    any collect) merge directly on the driver; past that a bucket-collapse
+    keyed on query_id (each query's candidates land in one bucket, which
+    keeps only that query's global top-k) bounds the driver frame at
+    nq x k rows regardless of block count. Vectors never materialize.
+    This is the 10^12-row path; ivf_topk keeps the materialized variant
+    for small data.
     """
     import ray
 
@@ -241,19 +247,60 @@ def ivf_topk_distributed(
             )
         return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
 
-    parts = emb_ds.map_batches(
+    cand_ds = emb_ds.map_batches(
         _local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    if parts.empty:
-        return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-    return (
-        parts.sort_values(
-            ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    ).materialize()
+    n_cand = cand_ds.count()
+    if n_cand == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .groupby("query_id", as_index=False)
-        .head(k)
-        .reset_index(drop=True)
-    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket global top-k per query (top-k is associative over
+        # block-local top-k candidates); identical ordering to the
+        # direct driver merge, so both paths are value-equal
+        if not len(g) or "query_id" not in g.columns:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return (
+            g.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+            .groupby("query_id", as_index=False)
+            .head(k)[["query_id", "vec_id", "cosine"]]
+        )
+
+    if n_cand > collect_limit:
+        # bucket-collapse: tag by query_id (dense small ints) so each
+        # query's candidate rows co-locate; the driver then sees at most
+        # nq x k rows however many blocks produced candidates
+        def _tag(b: pa.Table) -> pa.Table:
+            part = pc.cast(
+                pc.bit_wise_and(b["query_id"], pa.scalar(63, pa.int64())),
+                pa.int64(),
+            ) if b.num_rows else pa.array([], pa.int64())
+            return b.append_column("_part", part)
+
+        cand_ds = (
+            cand_ds.map_batches(_tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_part").map_groups(_fold, batch_format="pandas")
+        )
+    parts = cand_ds.to_pandas()
+    if parts.empty or "query_id" not in parts.columns:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    return _fold(parts).reset_index(drop=True)
 
 
 def ivf_topk(
