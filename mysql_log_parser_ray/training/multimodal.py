@@ -1,13 +1,21 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``payload: binary`` columns with metadata
-(``media_type``, declared dims). The REAL parts here are the Ray-side
-plumbing - schema, actor-pool stage signature, batch sizing for large
-binary rows, output layout; the codec itself is STUBBED: the image/audio
-libraries are not in this container, so ``decode_real`` raises
-NotImplementedError behind an import-try, and the deterministic fake
-decoder (seeded from the payload bytes) stands in so the distributed
-plumbing is testable end-to-end.
+(``media_type``, declared dims). The Ray-side plumbing — schema,
+actor-pool stage signature, batch sizing for large binary rows, output
+layout — is real and tested, and ``decode_real`` now parses two REAL
+dependency-free byte formats in numpy/struct:
+
+- **PPM P6** (binary NetPBM): ASCII header (magic, dims, maxval, with
+  ``#`` comments) + packed RGB bytes.
+- **WAV PCM** (RIFF little-endian): chunk walk to ``fmt `` / ``data``,
+  8/16-bit integer PCM, any channel count.
+
+Compressed codecs (JPEG/PNG/MP3/...) still require libraries this
+container doesn't ship; those raise NotImplementedError behind an
+import-try, and the deterministic fake decoder (seeded from the payload
+bytes) stands in for them so the distributed plumbing stays testable
+end-to-end on every media_type.
 """
 
 from __future__ import annotations
@@ -31,15 +39,29 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (header: magic + w + h, then bytes)."""
+    """Deterministic media rows mixing REAL byte formats (P6 PPM images,
+    PCM16 WAV audio — parsed by decode_real) with the fake format
+    (header: magic + w + h, then bytes). Declared width/height always
+    equal what the decoder recovers (WAV: frames x channels)."""
     rng = np.random.default_rng(seed)
     ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        body = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-        payloads.append(b"FAKE" + struct.pack("<II", w, h) + body)
+        if i % 4 == 0:  # real WAV: w frames, h -> mono/stereo
+            ch = 1 + (h & 1)
+            samples = rng.integers(-32768, 32768, size=w * ch).astype("<i2")
+            payloads.append(encode_wav_pcm16(samples, channels=ch))
+            types.append("audio/wav")
+            h = ch
+        elif i % 4 == 1:  # real PPM image
+            rgb = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
+            payloads.append(encode_ppm(w, h, rgb))
+            types.append("image/ppm")
+        else:
+            body = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            payloads.append(b"FAKE" + struct.pack("<II", w, h) + body)
+            types.append("image/fake" if i % 3 else "audio/fake")
         ids.append(f"media-{i:06d}")
-        types.append("image/fake" if i % 3 else "audio/fake")
         ws.append(w)
         hs.append(h)
     return pa.table(
@@ -53,14 +75,95 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def encode_ppm(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """Pack an RGB uint8 array (len = 3*w*h) as a binary P6 PPM."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.size != 3 * width * height:
+        raise ValueError(f"need {3 * width * height} bytes, got {rgb.size}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb.tobytes()
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000,
+                     channels: int = 1) -> bytes:
+    """Pack int16 samples (interleaved if multi-channel) as RIFF WAV."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block = 2 * channels
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, channels, rate, rate * block, block, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _decode_ppm(payload: bytes):
+    """P6 header parse (whitespace/#-comment tokenizer) + RGB body."""
+    pos, toks = 2, []
+    while len(toks) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            toks.append(payload[pos:end])
+            pos = end
+    if len(toks) < 3:
+        raise ValueError("PPM: truncated header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise NotImplementedError(f"PPM: only maxval 255 (got {maxval})")
+    pos += 1  # exactly ONE whitespace byte separates maxval from the body
+    body = np.frombuffer(payload, dtype=np.uint8, offset=pos,
+                         count=3 * w * h)
+    return w, h, body
+
+
+def _decode_wav(payload: bytes):
+    """RIFF chunk walk -> (samples_per_channel, channels, data as uint8)."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("WAV: RIFF without WAVE form")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos:pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8:pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_fmt, channels, _rate, _bps, block, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV: only integer PCM 8/16-bit (fmt={audio_fmt}, bits={bits})"
+        )
+    n_frames = len(data) // block if block else 0
+    return n_frames, channels, np.frombuffer(data, dtype=np.uint8)
+
+
 def decode_real(payload: bytes):
-    """Real decode path - requires an image library not in this container."""
+    """Real byte-format decode: P6 PPM and PCM WAV parse here in
+    numpy/struct (no external library); compressed codecs raise behind
+    the import-try. Returns (width, height, flat uint8 body) — for WAV,
+    width = samples per channel and height = channel count, with the
+    body the raw PCM bytes (deterministic feature input either way)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode requires Pillow; this container ships none - "
-            "use the deterministic fake decoder (DecodeFeatures stage)"
+            "compressed-codec decode requires Pillow; this container ships "
+            "none - PPM/WAV parse natively, other types use the "
+            "deterministic fake decoder (DecodeFeatures stage)"
         ) from e
     raise NotImplementedError("wire PIL decode here when the library exists")
 
@@ -78,7 +181,7 @@ class DecodeFeatures:
 
     def _decode(self, payload: bytes):
         if payload[:4] != b"FAKE":
-            return decode_real(payload)  # pragma: no cover
+            return decode_real(payload)  # native PPM/WAV parse
         w, h = struct.unpack("<II", payload[4:12])
         body = np.frombuffer(payload, dtype=np.uint8, offset=12)
         return w, h, body
@@ -155,7 +258,12 @@ def sample_frames_batch(batch: pa.Table, every: int = 4) -> pa.Table:
         batch["media_id"].to_pylist(), batch["payload"].to_pylist()
     ):
         if payload[:4] != b"FAKV":
-            decode_real(payload)  # pragma: no cover (raises NotImplementedError)
+            # real container demuxing (mp4/mkv) needs codecs this
+            # container doesn't ship - explicit stub, unlike the
+            # PPM/WAV image/audio paths which parse natively
+            raise NotImplementedError(
+                "frame sampling supports only the FAKV fixture format"
+            )
         nf, w, h = struct.unpack("<III", payload[4:16])
         fsize = w * h
         for k in range(0, nf, every):

@@ -830,11 +830,15 @@ def q_word_pmi_topk(sf_dir: str, topk: int = 20, min_count: int = 5):
 
 
 def q_media_decode(sf_dir: str):
-    """Derive fake media payloads from documents, run the actor-pool decode
-    stage (the multimodal plumbing), return the decoded metadata."""
+    """Derive media payloads from documents — REAL bytes for two of the
+    three types (PCM16 WAV and P6 PPM, built from the text bytes and
+    parsed back by decode_real's native numpy/struct codecs) plus the
+    deterministic fake format — and run the actor-pool decode stage.
+    Every payload decodes to width = byte length of the text (WAV: one
+    sample per byte; PPM: w x 1 RGB; fake: declared), height = 1."""
     import struct
 
-    from .multimodal import decode_features
+    from .multimodal import decode_features, encode_ppm, encode_wav_pcm16
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -844,9 +848,21 @@ def q_media_decode(sf_dir: str):
         payloads, mids, mtypes = [], [], []
         for did, t in zip(ids, texts):
             body = t.encode("utf-8")
-            payloads.append(b"FAKE" + struct.pack("<II", len(body), 1) + body)
+            arr = np.frombuffer(body, dtype=np.uint8)
+            if did % 3 == 0:  # real WAV: one int16 sample per text byte
+                payloads.append(
+                    encode_wav_pcm16(arr.astype("<i2"), channels=1)
+                )
+                mtypes.append("audio/wav")
+            elif did % 3 == 1:  # real PPM: len(body) x 1, grey RGB
+                payloads.append(encode_ppm(len(body), 1, np.repeat(arr, 3)))
+                mtypes.append("image/ppm")
+            else:
+                payloads.append(
+                    b"FAKE" + struct.pack("<II", len(body), 1) + body
+                )
+                mtypes.append("image/fake")
             mids.append(f"m{did}")
-            mtypes.append("audio/fake" if did % 3 == 0 else "image/fake")
         return pa.table(
             {
                 "media_id": pa.array(mids, pa.string()),
@@ -3245,7 +3261,8 @@ def register_oracles():
         """,
         "media_decode": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'audio/fake'
+                   CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+                        WHEN doc_id % 3 = 1 THEN 'image/ppm'
                         ELSE 'image/fake' END AS media_type,
                    CAST(strlen(text) AS INTEGER) AS decoded_width,
                    1 AS decoded_height

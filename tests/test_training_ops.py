@@ -3,6 +3,7 @@ embedding), similarity search (brute force + IVF), text analysis,
 multimodal plumbing - with planted duplicates and recall checks."""
 
 import os
+import struct
 
 import numpy as np
 import pandas as pd
@@ -272,9 +273,49 @@ def test_multimodal_decode_plumbing(ray_session):
     a = out.sort_values("media_id")["features"].tolist()
     b = out2.sort_values("media_id")["features"].tolist()
     assert all(np.allclose(x, y) for x, y in zip(a, b))
-    # the real decode path is an explicit stub
+    # the fixture mixes REAL byte formats in: both must be present
+    types = set(t["media_type"].to_pylist())
+    assert {"audio/wav", "image/ppm"} <= types
+    # compressed-codec decode stays an explicit stub
     with pytest.raises(NotImplementedError):
         decode_real(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+def test_real_codec_roundtrip():
+    """decode_real parses actual P6 PPM and RIFF WAV bytes exactly."""
+    from mysql_log_parser_ray.training.multimodal import (
+        decode_real,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=3 * 5 * 7, dtype=np.uint8)
+    w, h, body = decode_real(encode_ppm(5, 7, rgb))
+    assert (w, h) == (5, 7)
+    assert np.array_equal(body, rgb)
+    # PPM header with a comment line parses too
+    commented = b"P6\n# fixture comment\n5 7\n255\n" + rgb.tobytes()
+    w2, h2, body2 = decode_real(commented)
+    assert (w2, h2) == (5, 7) and np.array_equal(body2, rgb)
+
+    samples = rng.integers(-32768, 32768, size=24).astype("<i2")
+    frames, channels, data = decode_real(encode_wav_pcm16(samples, channels=2))
+    assert (frames, channels) == (12, 2)
+    assert np.array_equal(np.frombuffer(data.tobytes(), dtype="<i2"), samples)
+    # 8-bit mono PCM also parses
+    frames8, ch8, _ = decode_real(
+        b"RIFF" + struct.pack("<I", 36 + 10) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 10) + bytes(range(10))
+    )
+    assert (frames8, ch8) == (10, 1)
+    with pytest.raises(NotImplementedError):  # float PCM unsupported
+        decode_real(
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 0)
+        )
 
 
 def test_lang_id_heuristic():
