@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": q.q_tpch_q13_custdist,
         "tpch_q19_discount": q.q_tpch_q19_discount,
         "tpch_q21_waiting": q.q_tpch_q21_waiting,
+        "tpch_q9_profit": q.q_tpch_q9_profit,
+        "tpch_q11_top_value_parts": q.q_tpch_q11_top_value_parts,
+        "tpch_q12_priority_lines": q.q_tpch_q12_priority_lines,
+        "tpch_q18_big_orders": q.q_tpch_q18_big_orders,
+        "tpch_q20_major_suppliers": q.q_tpch_q20_major_suppliers,
         "events_json_source": q.q_events_json_source,
         "user_longest_streak": q.q_user_longest_streak,
         "embed_cov_matrix": q.q_embed_cov_matrix,
@@ -324,6 +329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_anomaly", "source_top_p_vocab", "embed_dim_clip",
         "source_zipf_slope", "events_type_hour_chi2", "parts_price_skyline",
         "orders_seasonal_index", "user_activity_gini", "source_len_lognormal",
+        # new this round (no CORRECTNESS row yet)
+        "tpch_q9_profit", "tpch_q11_top_value_parts",
+        "tpch_q12_priority_lines", "tpch_q18_big_orders",
+        "tpch_q20_major_suppliers",
         # last checked in round 2 (stalest rows)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",
@@ -1232,6 +1241,73 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(cents), 6) AS promo_pct
             FROM l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY month ORDER BY month
+        """,
+        "tpch_q9_profit": """
+            WITH l AS (
+              SELECT n.n_name AS nation,
+                     CAST(year(li.l_shipdate) AS BIGINT) AS o_year,
+                     CAST(floor(li.l_extendedprice * (1 - li.l_discount)
+                                * 100 + 0.5) AS BIGINT)
+                     - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                       * CAST(li.l_quantity AS BIGINT) AS profit
+              FROM lineitem li
+              JOIN part p ON p.p_partkey = li.l_partkey
+              JOIN supplier s ON s.s_suppkey = li.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE li.l_shipdate IS NOT NULL
+            )
+            SELECT nation, o_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(profit) AS BIGINT) AS profit_cents
+            FROM l GROUP BY nation, o_year ORDER BY nation, o_year
+        """,
+        "tpch_q11_top_value_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) AS val
+              FROM lineitem GROUP BY l_partkey
+            ), t AS (SELECT SUM(val) AS tot, COUNT(*) AS np FROM v)
+            SELECT v.l_partkey, CAST(v.val AS BIGINT) AS value_cents
+            FROM v, t WHERE v.val * 2 * t.np > t.tot * 3
+            ORDER BY value_cents DESC, v.l_partkey
+        """,
+        "tpch_q12_priority_lines": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_lines,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_lines
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "tpch_q18_big_orders": """
+            WITH q AS (
+              SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                   CAST(q.sum_qty AS BIGINT) AS sum_qty,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_cents
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_cents DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q20_major_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS q
+              FROM lineitem GROUP BY 1, 2
+            ), pt AS (SELECT l_partkey, SUM(q) AS tq FROM ps GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM ps JOIN pt USING (l_partkey)
+                    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            WHERE ps.q * 5 > pt.tq
+            GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey
         """,
         "tpch_q6_revenue": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -7128,6 +7128,18 @@ def q_parts_price_skyline(sf_dir: str, max_driver_rows: int = 1_000_000):
         )
         return pa.Table.from_pandas(_skyline_2d(df), preserve_index=False)
 
+    def _local2(b: pa.Table) -> pa.Table:
+        # second-round kernel: survivors already carry the converted
+        # (p_partkey, p_size, cents) schema
+        if b.num_rows == 0 or "p_partkey" not in b.column_names:
+            return pa.table({
+                "p_partkey": pa.array([], pa.int64()),
+                "p_size": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            })
+        return pa.Table.from_pandas(_skyline_2d(b.to_pandas()),
+                                    preserve_index=False)
+
     surv_ds = ds.map_batches(
         _local, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
@@ -7139,9 +7151,9 @@ def q_parts_price_skyline(sf_dir: str, max_driver_rows: int = 1_000_000):
         # local skyline is a superset of the global one in ANY partition,
         # so correctness is unaffected by the repartition.
         surv_ds = surv_ds.repartition(
-            max(2, n_surv // (max_driver_rows // 4))
+            max(2, n_surv // max(1, max_driver_rows // 4))
         ).map_batches(
-            _local, batch_format="pyarrow", zero_copy_batch=True,
+            _local2, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         ).materialize()
         n_surv = surv_ds.count()
@@ -7277,4 +7289,620 @@ def q_user_activity_gini(sf_dir: str):
         {"n_users": np.array([n], np.int64),
          "total_events": np.array([sx], np.int64),
          "gini": np.array([gini], np.float64)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave (Q9/Q11/Q12/Q18/Q20 shapes, adapted: the testdata
+# schema has no partsupp table, l_shipmode, or l_commitdate)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9_profit(sf_dir: str, max_part_broadcast: int = 50_000_000,
+                     max_supplier_broadcast: int = 20_000_000):
+    """TPC-H Q9 shape: profit per supplier nation per ship year (adapted:
+    no partsupp, so unit cost is the part's retail price — profit =
+    revenue cents minus retail-cents x quantity, both exact integers).
+
+    Scale shape: part collapses to a broadcast sorted (partkey ->
+    retail cents) array and supplier to (suppkey -> nationkey), both
+    fail-fast bounded with counts checked BEFORE any collect (q14/q5
+    pattern); lineitem then needs NO shuffle — each block looks up both
+    sides with searchsorted and emits per-(nation, year) integer profit
+    partials; the driver folds n_blocks x nations x years tiny rows.
+    Per-line |profit| is ~1e7 cents, so even 1e10-line (nation, year)
+    cells stay 100x under int64."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..broadcast import broadcast_get
+
+    empty = _typed_empty(nation=object, o_year="int64", n_lines="int64",
+                         profit_cents="int64")
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_part, n_sup = part_ds.count(), sup_ds.count()  # parquet metadata
+    if n_part > max_part_broadcast:
+        raise ValueError(
+            f"tpch_q9_profit: {n_part} parts exceed the broadcast bound "
+            f"{max_part_broadcast}; route the part lookup through a "
+            "co-partitioned tagged-union join (q5/q10 shape) instead"
+        )
+    if n_sup > max_supplier_broadcast:
+        raise ValueError(
+            f"tpch_q9_profit: {n_sup} suppliers exceed the broadcast "
+            f"bound {max_supplier_broadcast}; co-partition on suppkey"
+        )
+    pdf = part_ds.to_pandas()
+    if "p_partkey" not in pdf.columns:
+        pkeys = np.array([], dtype=np.int64)
+        pcents = np.array([], dtype=np.int64)
+    else:
+        pdf = pdf.sort_values("p_partkey")
+        pkeys = pdf["p_partkey"].to_numpy(dtype=np.int64)
+        pcents = np.floor(
+            pdf["p_retailprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+    sdf = sup_ds.to_pandas()
+    if "s_suppkey" not in sdf.columns:
+        skeys = np.array([], dtype=np.int64)
+        snat = np.array([], dtype=np.int64)
+    else:
+        sdf = sdf.sort_values("s_suppkey")
+        skeys = sdf["s_suppkey"].to_numpy(dtype=np.int64)
+        snat = sdf["s_nationkey"].to_numpy(dtype=np.int64)
+    lut_ref = ray.put((pkeys, pcents, skeys, snat))
+
+    def _lookup(keys, sorted_keys):
+        idx = np.searchsorted(sorted_keys, keys)
+        idx[idx >= len(sorted_keys)] = 0
+        hit = (sorted_keys[idx] == keys) if len(sorted_keys) else \
+            np.zeros(len(keys), dtype=bool)
+        return idx, hit
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "nationkey": pa.array([], pa.int64()),
+            "o_year": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "profit_cents": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["l_shipdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        pk_, pc_, sk_, sn_ = broadcast_get(lut_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pidx, phit = _lookup(lpk, pk_)
+        sidx, shit = _lookup(lsk, sk_)
+        hit = phit & shit  # inner-join semantics on both dims
+        if not hit.all():
+            b = b.filter(pa.array(hit))
+            if b.num_rows == 0:
+                return pa.table(cols)
+            pidx, sidx = pidx[hit], sidx[hit]
+        rev = _cents(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(1.0, b["l_discount"]))
+        ).to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        profit = rev - pc_[pidx] * qty
+        year = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = (
+            pd.DataFrame({"nationkey": sn_[sidx], "o_year": year,
+                          "profit_cents": profit})
+            .groupby(["nationkey", "o_year"], as_index=False)
+            .agg(n_lines=("profit_cents", "size"),
+                 profit_cents=("profit_cents", "sum"))
+        )
+        return pa.Table.from_pandas(
+            g[["nationkey", "o_year", "n_lines", "profit_cents"]],
+            preserve_index=False,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    out = _fold_partials(
+        li.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["nationkey", "o_year"], ["n_lines", "profit_cents"],
+    )
+    if out is None:
+        return empty
+    out["nation"] = out["nationkey"].map(nation_names)
+    out = out[out["nation"].notna()]  # inner join to nation
+    if not len(out):
+        return empty
+    for c in ("o_year", "n_lines", "profit_cents"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["nation", "o_year", "n_lines", "profit_cents"]]
+        .sort_values(["nation", "o_year"]).reset_index(drop=True)
+    )
+
+
+def q_tpch_q11_top_value_parts(sf_dir: str, num: int = 3, den: int = 2,
+                               max_driver_rows: int = 2_000_000):
+    """TPC-H Q11 shape: parts whose shipped value exceeds num/den x the
+    MEAN per-part value (adapted: no partsupp, so 'stock value' is the
+    lineitem extended-price cents per part; Q11's fraction is
+    scale-dependent — 0.0001/SF — which a mean-relative cutoff
+    reproduces without knowing SF).
+
+    Scale shape: per-block (partkey, cents) partials hash-bucket by
+    partkey (complete per-part sums inside one bucket); the grand total
+    and part count fold from per-bucket single-row summaries in PYTHON
+    ints (immune to int64 overflow at any scale); the cutoff
+    val*den*n_parts > tot*num is integer cross-multiplication evaluated
+    per bucket, and only qualifying rows (count()-guarded) reach the
+    driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(l_partkey="int64", value_cents="int64")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "l_partkey": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "value_cents": _cents(b["l_extendedprice"])
+                    .to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("l_partkey", as_index=False)["value_cents"].sum()
+        )
+        k = g["l_partkey"].to_numpy(np.int64)
+        g["_part"] = stable_partition(k, 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"l_partkey": "int64", "value_cents": "int64"}
+        if not len(g) or "l_partkey" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        t = g.groupby("l_partkey", as_index=False)["value_cents"].sum()
+        return t.astype({"l_partkey": "int64", "value_cents": "int64"})
+
+    per_part = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_per_part, batch_format="pandas")
+        .materialize()  # consumed twice: totals fold + threshold filter
+    )
+
+    def _totals(b: pa.Table) -> pa.Table:
+        if "value_cents" not in b.column_names or b.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        # block-local sum as a decimal STRING so the driver fold is pure
+        # Python-int (a single block's int64 sum cannot wrap below ~1e11
+        # rows/block; the corpus total can and does only on the driver)
+        return pa.table({"s": pa.array([str(int(v.sum()))], pa.string()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    tdf = per_part.map_batches(_totals, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if not len(tdf) or "s" not in tdf.columns:
+        return empty
+    tot = sum(int(s) for s in tdf["s"])
+    n_parts = int(tdf["n"].sum())
+    if n_parts == 0:
+        return empty
+    rhs = tot * num  # Python int, exact at any magnitude
+
+    def _filter(b: pa.Table) -> pa.Table:
+        cols = {"l_partkey": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64())}
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        lhs_max = int(v.max()) * den * n_parts
+        if lhs_max < 2**62 and rhs < 2**62:  # vectorized fast path
+            keep = v * (den * n_parts) > rhs
+        else:  # exact Python-int comparison (rows here are per-part)
+            keep = np.fromiter(
+                (int(x) * den * n_parts > rhs for x in v),
+                dtype=bool, count=len(v),
+            )
+        return b.filter(pa.array(keep)).select(["l_partkey", "value_cents"])
+
+    kept = per_part.map_batches(_filter, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    n_kept = kept.count()
+    if n_kept == 0:
+        return empty
+    if n_kept > max_driver_rows:
+        raise ValueError(
+            f"tpch_q11_top_value_parts: {n_kept} qualifying parts exceed "
+            f"the driver budget {max_driver_rows}; raise num/den or "
+            "consume the filtered Dataset directly"
+        )
+    out = kept.to_pandas()
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values(
+        ["value_cents", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q_tpch_q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape: line counts per return flag split by order
+    priority class (adapted: testdata lineitem has no l_shipmode or
+    commit/receipt dates, so the mode dimension is l_returnflag and the
+    late-shipment predicate is dropped; the join + CASE-priority split
+    is the Q12 core).
+
+    Scale shape: the q4 tagged-union co-partitioned plan — lineitem
+    pre-reduces to per-block (orderkey, returnflag, n) partials, orders
+    ship (orderkey, is-high) bits, ONE stable_partition groupby
+    co-locates each orderkey, and each bucket emits flag-cardinality
+    count partials; the driver folds 64 x 3 rows."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+    _HIGH = ("1-URGENT", "2-HIGH")
+    empty = _typed_empty(l_returnflag=object, high_lines="int64",
+                         low_lines="int64")
+
+    def _tagged(keys, flag, n, high, side):
+        keys = np.asarray(keys, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "flag": pa.array(list(flag), pa.string()),
+                "n": pa.array(np.asarray(n, dtype=np.int64), pa.int64()),
+                "high": pa.array(np.asarray(high, dtype=bool), pa.bool_()),
+                "side": pa.array(np.full(len(keys), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(keys, n_parts)
+                    if len(keys) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], [], 0)
+        g = (
+            pd.DataFrame(
+                {
+                    "k": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "flag": b["l_returnflag"].to_pandas(),
+                }
+            )
+            .groupby(["k", "flag"], as_index=False).size()
+        )
+        return _tagged(g["k"].to_numpy(np.int64), g["flag"],
+                       g["size"].to_numpy(np.int64),
+                       np.zeros(len(g), dtype=bool), 0)
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], [], 1)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        pri = b["o_orderpriority"].to_pandas()
+        return _tagged(keys, [""] * len(keys),
+                       np.zeros(len(keys), dtype=np.int64),
+                       pri.isin(_HIGH).to_numpy(), 1)
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"l_returnflag": "object", "high_lines": "int64",
+                    "low_lines": "int64"}
+        li = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m = li.merge(o[["k", "high"]], on="k", how="inner",
+                     suffixes=("", "_o"))
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        n = m["n"].to_numpy(np.int64)
+        hi = m["high_o"] if "high_o" in m.columns else m["high"]
+        hi = hi.to_numpy()
+        part = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": m["flag"],
+                    "high_lines": np.where(hi, n, 0),
+                    "low_lines": np.where(hi, 0, n),
+                }
+            )
+            .groupby("l_returnflag", as_index=False)[
+                ["high_lines", "low_lines"]].sum()
+        )
+        return part.astype({"high_lines": "int64", "low_lines": "int64"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]) \
+        .map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    parts = (
+        li.union(orders).groupby("_part")
+        .map_groups(_merge, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["l_returnflag"],
+                         ["high_lines", "low_lines"])
+    if out is None:
+        return empty
+    out["high_lines"] = out["high_lines"].astype("int64")
+    out["low_lines"] = out["low_lines"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_tpch_q18_big_orders(sf_dir: str, min_qty: int = 250, k: int = 100):
+    """TPC-H Q18 shape: the top-k largest orders by price among orders
+    whose total line quantity exceeds ``min_qty``, with the ordering
+    customer's name.
+
+    Scale shape: lineitem pre-reduces to per-block (orderkey, qty)
+    integer partials and orders ship (orderkey, custkey, price cents)
+    rows, co-partitioned by orderkey (q4 tagged-union plan); each bucket
+    completes its quantity sums, applies the HAVING filter, and emits
+    only its LOCAL top-k by (price desc, orderkey asc) — the global
+    top-k is a subset of the per-bucket top-k's, so the driver folds
+    64 x k rows, never the filtered order set. Customer names resolve by
+    broadcasting the <= k SURVIVOR custkeys and semi-join-filtering the
+    customer table distributedly (q3's BUILDING-keys shape reversed), so
+    the customer collect is survivor-bounded at any scale."""
+    import pandas as pd
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..partition import stable_partition
+
+    n_parts = 64
+    empty = _typed_empty(o_orderkey="int64", o_custkey="int64",
+                         c_name=object, sum_qty="int64",
+                         total_cents="int64")
+
+    def _tagged(keys, cust, cents, qty, side):
+        keys = np.asarray(keys, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "cust": pa.array(np.asarray(cust, dtype=np.int64),
+                                 pa.int64()),
+                "cents": pa.array(np.asarray(cents, dtype=np.int64),
+                                  pa.int64()),
+                "qty": pa.array(np.asarray(qty, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.full(len(keys), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(keys, n_parts)
+                    if len(keys) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], [], 0)
+        g = (
+            pd.DataFrame(
+                {
+                    "k": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby("k", as_index=False)["qty"].sum()
+        )
+        z = np.zeros(len(g), dtype=np.int64)
+        return _tagged(g["k"].to_numpy(np.int64), z, z,
+                       g["qty"].to_numpy(np.int64), 0)
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], [], 1)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return _tagged(
+            keys,
+            b["o_custkey"].to_numpy(zero_copy_only=False),
+            _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+            np.zeros(len(keys), dtype=np.int64),
+            1,
+        )
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"o_orderkey": "int64", "o_custkey": "int64",
+                    "sum_qty": "int64", "total_cents": "int64"}
+        li = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        qs = li.groupby("k", as_index=False)["qty"].sum()
+        qs = qs[qs["qty"] > min_qty]
+        m = qs.merge(o[["k", "cust", "cents"]], on="k", how="inner")
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m = m.sort_values(["cents", "k"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["k"].to_numpy(np.int64),
+                "o_custkey": m["cust"].to_numpy(np.int64),
+                "sum_qty": m["qty"].to_numpy(np.int64),
+                "total_cents": m["cents"].to_numpy(np.int64),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    cand = (
+        li.union(orders).groupby("_part")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()  # bounded: 64 buckets x k rows
+    )
+    if not len(cand) or "o_orderkey" not in cand.columns:
+        return empty
+    top = cand.sort_values(
+        ["total_cents", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+
+    # survivor-bounded customer-name resolve
+    ck_ref = ray.put(np.sort(top["o_custkey"].unique().astype(np.int64)))
+
+    def _cust(b: pa.Table) -> pa.Table:
+        cols = {"c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string())}
+        if "c_custkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        want = broadcast_get(ck_ref)
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(want, keys)
+        idx[idx >= len(want)] = 0
+        hit = (want[idx] == keys) if len(want) else \
+            np.zeros(len(keys), dtype=bool)
+        return b.filter(pa.array(hit)).select(["c_custkey", "c_name"])
+
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(_cust, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(names) or "c_custkey" not in names.columns:
+        top = top.assign(c_name=pd.Series([None] * len(top), dtype=object))
+    else:
+        top = top.merge(names, left_on="o_custkey", right_on="c_custkey",
+                        how="inner").drop(columns=["c_custkey"])
+    if not len(top):
+        return empty
+    for c in ("o_orderkey", "o_custkey", "sum_qty", "total_cents"):
+        top[c] = top[c].astype("int64")
+    return (
+        top[["o_orderkey", "o_custkey", "c_name", "sum_qty", "total_cents"]]
+        .sort_values(["total_cents", "o_orderkey"],
+                     ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q20_major_suppliers(sf_dir: str, mult: int = 5,
+                               max_supplier_broadcast: int = 20_000_000):
+    """TPC-H Q20 shape: suppliers holding a dominant share of some part's
+    shipments — a (part, supplier) pair qualifies when mult x its
+    quantity exceeds the part's total (adapted: no partsupp/availqty, so
+    'excess stock' is shipped-quantity share; mult=5 = a >20% share).
+
+    Scale shape: per-block (partkey, suppkey, qty) integer partials
+    hash-bucket by PARTKEY, so each bucket holds complete per-part AND
+    per-pair sums and applies the share cutoff locally with integer
+    cross-multiplication; only qualifying (suppkey, n_parts) partials
+    reach the driver (bounded by suppliers with a dominant part). The
+    name resolve broadcasts the supplier dim with the q15/q16 fail-fast
+    bound."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(s_suppkey="int64", s_name=object, n_parts="int64")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "qty": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"].sum()
+        )
+        g["_part"] = stable_partition(g["l_partkey"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"s_suppkey": "int64", "n_parts": "int64"}
+        if not len(g) or "l_partkey" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        pair = g.groupby(["l_partkey", "l_suppkey"],
+                         as_index=False)["qty"].sum()
+        tot = pair.groupby("l_partkey")["qty"].transform("sum")
+        keep = pair[pair["qty"] * mult > tot]
+        if not len(keep):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        out = (
+            keep.groupby("l_suppkey", as_index=False).size()
+            .rename(columns={"l_suppkey": "s_suppkey", "size": "n_parts"})
+        )
+        return out.astype({"s_suppkey": "int64", "n_parts": "int64"})
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    agg = _fold_partials(parts, ["s_suppkey"], ["n_parts"])
+    if agg is None:
+        return empty
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    if sup_ds.count() > max_supplier_broadcast:
+        raise ValueError(
+            f"tpch_q20_major_suppliers: supplier dim exceeds "
+            f"{max_supplier_broadcast}; co-partition the name join"
+        )
+    sup = sup_ds.to_pandas()
+    if "s_suppkey" not in sup.columns:
+        return empty
+    out = agg.merge(sup, on="s_suppkey", how="inner")
+    if not len(out):
+        return empty
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return (
+        out[["s_suppkey", "s_name", "n_parts"]]
+        .sort_values("s_suppkey").reset_index(drop=True)
     )

@@ -3340,17 +3340,16 @@ def register_oracles():
             WITH c(cnt) AS (SELECT COUNT(*) FROM embeddings),
             v(query_id, vec_id, cosine, corpus) AS (VALUES
             (0, 0, '1.0', 500),
-            (0, 365, '0.369994', 500),
             (0, 387, '0.331139', 500),
             (0, 423, '0.296934', 500),
-            (0, 320, '0.287861', 500),
+            (0, 73, '0.295434', 500),
             (0, 190, '0.281795', 500),
             (0, 388, '0.276301', 500),
-            (0, 498, '0.250726', 500),
+            (0, 344, '0.252487', 500),
             (0, 257, '0.248127', 500),
-            (0, 165, '0.244895', 500),
+            (0, 229, '0.2302', 500),
+            (0, 99, '0.204141', 500),
             (1, 1, '1.0', 500),
-            (1, 27, '0.348208', 500),
             (1, 407, '0.32701', 500),
             (1, 195, '0.322744', 500),
             (1, 64, '0.316374', 500),
@@ -3359,26 +3358,27 @@ def register_oracles():
             (1, 472, '0.292109', 500),
             (1, 220, '0.289782', 500),
             (1, 203, '0.268155', 500),
+            (1, 363, '0.263306', 500),
             (0, 0, '1.0', 2000),
+            (0, 1204, '0.406472', 2000),
             (0, 291, '0.391932', 2000),
+            (0, 1020, '0.375988', 2000),
             (0, 1511, '0.328782', 2000),
-            (0, 1978, '0.319227', 2000),
-            (0, 1407, '0.319136', 2000),
+            (0, 142, '0.311258', 2000),
             (0, 794, '0.310833', 2000),
             (0, 1841, '0.309887', 2000),
+            (0, 633, '0.309559', 2000),
             (0, 1033, '0.296046', 2000),
-            (0, 699, '0.290542', 2000),
-            (0, 1422, '0.28812', 2000),
             (1, 1, '1.0', 2000),
+            (1, 1950, '0.386131', 2000),
+            (1, 1580, '0.366762', 2000),
             (1, 260, '0.34666', 2000),
-            (1, 1843, '0.339907', 2000),
             (1, 1832, '0.33121', 2000),
-            (1, 986, '0.306432', 2000),
+            (1, 173, '0.310885', 2000),
+            (1, 665, '0.306598', 2000),
             (1, 134, '0.306412', 2000),
             (1, 732, '0.302915', 2000),
-            (1, 1388, '0.299343', 2000),
-            (1, 1069, '0.293295', 2000),
-            (1, 1060, '0.292245', 2000)
+            (1, 1159, '0.298389', 2000)
             )
             SELECT CAST(query_id AS BIGINT) AS query_id,
                    CAST(vec_id AS BIGINT) AS vec_id,

@@ -94,12 +94,17 @@ def _sampled_centroids(
 ) -> Optional[np.ndarray]:
     """Driver-side centroid seed sample + a few deterministic Lloyd steps.
 
-    Uses limit(sample) (reads only the first blocks; no count() pass and no
-    full-dataset scan) — centroid quality needs coverage of the embedding
-    space, not uniform-random rows, and the recall-vs-brute-force invariant
-    is pinned in tests. Returns None for an empty dataset.
+    The sample takes limit(sample) over a SEEDED RANDOM BLOCK ORDER
+    (randomize_block_order is a metadata-only permutation — still no
+    count() pass and no full-dataset scan, and the block list is a
+    function of the file layout, so the draw is identical at any
+    num_cpus). A plain limit() read the first blocks only, which seeds
+    every centroid from one source when the corpus is source-ordered;
+    random blocks restore coverage at the same cost. The
+    recall-vs-brute-force invariant is pinned in tests. Returns None for
+    an empty dataset.
     """
-    samp = emb_ds.limit(sample).to_pandas()
+    samp = emb_ds.randomize_block_order(seed=seed).limit(sample).to_pandas()
     if len(samp) == 0:
         return None
     xs = _normalize(np.array(samp[vec_col].tolist(), dtype=np.float64))

@@ -222,6 +222,13 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "user_activity_gini": ["n_users", "total_events", "gini"],
         "source_len_lognormal": ["source", "n_docs", "sum_ln_units",
                                  "sumsq_ln_units"],
+        "tpch_q9_profit": ["nation", "o_year", "n_lines", "profit_cents"],
+        "tpch_q11_top_value_parts": ["l_partkey", "value_cents"],
+        "tpch_q12_priority_lines": ["l_returnflag", "high_lines",
+                                    "low_lines"],
+        "tpch_q18_big_orders": ["o_orderkey", "o_custkey", "c_name",
+                                "sum_qty", "total_cents"],
+        "tpch_q20_major_suppliers": ["s_suppkey", "s_name", "n_parts"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -2,6 +2,8 @@
 seasonal-baseline hour anomalies, and per-source nucleus (top-p)
 vocabulary truncation. Hand-computed fixtures."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -145,6 +147,51 @@ def test_parts_skyline_hand_computed(ray_session, tmp_path):
 
     out = q_parts_price_skyline(str(tmp_path))
     assert out["p_partkey"].tolist() == [2, 3, 4, 5]
+    # tight budget: the 4 global-skyline rows survive BOTH distributed
+    # rounds (they're undominated), so the guard must fail-fast rather
+    # than collect
+    with pytest.raises(ValueError, match="skyline"):
+        q_parts_price_skyline(str(tmp_path), max_driver_rows=3)
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~1 min; run with MLPR_BIG_TESTS=1 for the anti-correlated skyline scale check",
+)
+def test_skyline_anticorrelated_at_scale(ray_session, tmp_path):
+    """Adversarial corpus where the skyline IS the corpus (size ascending,
+    price descending: nothing dominates anything): the full result must
+    come back exactly within budget, and a sub-corpus budget must
+    fail-fast after the second distributed round instead of collecting."""
+    import tracemalloc
+
+    n = 200_000
+    sizes = np.arange(n, dtype=np.int64)
+    # anti-correlated for (max size, min price): price RISES with size,
+    # so no row is both larger and cheaper than another -> skyline = all
+    prices = (sizes + 1).astype(np.float64) / 100.0  # cents = size + 1
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n), pa.int64()),
+                "p_size": pa.array(sizes, pa.int64()),
+                "p_retailprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_parts_price_skyline
+
+    tracemalloc.start()
+    out = q_parts_price_skyline(str(tmp_path))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == n  # every row is Pareto-optimal
+    assert (out["cents"].to_numpy() == out["p_size"].to_numpy() + 1).all()
+    # driver heap stays result-sized (the collect IS the answer here)
+    assert peak < n * 3 * 8 * 8 + 64 * 1024 * 1024, peak
+    with pytest.raises(ValueError, match="anti-correlated"):
+        q_parts_price_skyline(str(tmp_path), max_driver_rows=50_000)
 
 
 def test_seasonal_index_level_demand(ray_session, tmp_path):

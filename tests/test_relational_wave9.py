@@ -4,6 +4,7 @@ per-doc lexical-diversity entropy. Hand-computed fixtures, independent of
 /root/testdata."""
 
 import hashlib
+import os
 import math
 
 import numpy as np
@@ -223,3 +224,42 @@ def test_gini_extremes(ray_session, tmp_path, sf_dir):
     assert out.iloc[0]["total_events"] == 10
     assert math.isclose(out.iloc[0]["gini"], round(14 / 30, 6),
                         abs_tol=1e-9)
+
+
+@pytest.mark.skipif(
+    os.environ.get("MLPR_BIG_TESTS") != "1",
+    reason="~1 min; run with MLPR_BIG_TESTS=1 for the gini histogram-fold scale check",
+)
+def test_gini_million_users_bounded_driver(ray_session, tmp_path):
+    """1M users / 3M events: the histogram fold must keep the driver
+    Python heap far below a user-cardinality frame (the pre-r5 shape
+    collected 1M (user, count) rows + a 1M-element Python list), and the
+    value must equal the definition computed from the expanded rank
+    array."""
+    import tracemalloc
+
+    n_users = 1_000_000
+    # user i has 1 + (i % 5) events -> histogram {c: 200k} for c=1..5
+    uid = np.arange(n_users, dtype=np.int64)
+    events = np.repeat(uid, 1 + (uid % 5))
+    pq.write_table(
+        pa.table({"user_id": pa.array(events, pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_user_activity_gini
+
+    tracemalloc.start()
+    out = q_user_activity_gini(str(tmp_path))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # definition, computed independently over the expanded rank array
+    xs = np.sort(1 + (uid % 5)).astype(np.int64)
+    sx = int(xs.sum())
+    srx = int(np.dot(np.arange(1, n_users + 1, dtype=np.int64), xs))
+    want = round((2 * srx - (n_users + 1) * sx) / (n_users * sx), 6)
+    assert out.iloc[0]["n_users"] == n_users
+    assert out.iloc[0]["total_events"] == sx
+    assert math.isclose(out.iloc[0]["gini"], want, abs_tol=1e-9)
+    # driver heap bound: well under the ~45 MB a 1M-user frame + Python
+    # int list would cost (the histogram is 5 values x 64 buckets)
+    assert peak < 24 * 1024 * 1024, peak
