@@ -2289,6 +2289,7 @@ def register_queries():
         "source_top_p_vocab": q_source_top_p_vocab,
         "source_zipf_slope": q_source_zipf_slope,
         "source_len_lognormal": q_source_len_lognormal,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -2473,6 +2474,34 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "doc_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9)
+                         || chr(10) || chr(13) || chr(11) || chr(12))),
+                         '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), docs5 AS (
+              SELECT doc_id, len(w) - 4 AS n_windows, w
+              FROM toks WHERE len(w) >= 5
+            ), wins AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4] AS gram
+              FROM docs5, UNNEST(range(1, n_windows + 1)) AS t(i)
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), dc AS (
+              SELECT doc_id, COUNT(*) AS n_dup
+              FROM wins JOIN dup USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(d.n_windows AS BIGINT) AS n_windows,
+                   CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(CAST(COALESCE(dc.n_dup, 0) AS DOUBLE)
+                         / d.n_windows, 6) AS dup_frac
+            FROM docs5 d LEFT JOIN dc ON dc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "source_len_lognormal": r"""
             WITH u AS (
               SELECT source,
@@ -3800,3 +3829,96 @@ def q_source_len_lognormal(sf_dir: str):
         "sumsq_ln_units": np.array(sumsq, dtype=np.int64),
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_doc_dup_spans(sf_dir: str, k: int = 5):
+    """Cross-document duplicated-span detection (the exact-substring
+    dedup diagnostic of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", word-granular): for every doc, the
+    count and fraction of its k-word windows whose exact text also
+    appears in at least one OTHER document. High dup_frac = boilerplate
+    / templated / copied content the dedup stage should cut.
+
+    Scale shape: each doc's windows reduce batch-locally to
+    (gram_hash64, doc_id, cnt) fixed-width rows (gram TEXT never
+    shuffles); gram-hash buckets (stable_partition, 64) see every
+    occurrence of a gram, decide cross-doc duplication locally
+    (distinct-doc count >= 2), and emit per-doc (windows-seen,
+    dup-windows) partials. Every window lands in exactly one bucket, so
+    the folded windows-seen IS the doc's window count — one documents
+    pass, no second read, and the driver fold is doc-cardinality (the
+    output's own size). The ratio is integer/integer with half-up
+    rounding (CLAUDE.md ratio rule)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .dedup import _ASCII_WS, _ASCII_WS_RE, _gram_hash64
+
+    empty = typed_empty(doc_id="int64", n_windows="int64",
+                        n_dup_windows="int64", dup_frac="float64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _wins(b: pa.Table) -> pa.Table:
+        cols = {
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        ids, ghs, = [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            w = [x for x in _ASCII_WS_RE.split(t.strip(_ASCII_WS).lower())
+                 if x]
+            for i in range(len(w) - k + 1):
+                ids.append(did)
+                ghs.append(_gram_hash64(" ".join(w[i:i + k])))
+        if not ids:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                          "gh": np.array(ghs, dtype=np.int64)})
+            .groupby(["gh", "doc_id"], as_index=False).size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        g["_part"] = stable_partition(g["gh"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"doc_id": "int64", "n_windows": "int64",
+                    "n_dup_windows": "int64"}
+        if not len(g) or "gh" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        per_gram = g.groupby(["gh", "doc_id"], as_index=False)["cnt"].sum()
+        ndocs = per_gram.groupby("gh")["doc_id"].transform("nunique")
+        per_gram["dup"] = np.where(
+            ndocs.to_numpy() >= 2, per_gram["cnt"].to_numpy(np.int64), 0
+        )
+        out = per_gram.groupby("doc_id", as_index=False).agg(
+            n_windows=("cnt", "sum"), n_dup_windows=("dup", "sum")
+        )
+        return out.astype(out_cols)
+
+    parts = (
+        ds.map_batches(_wins, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["doc_id"], ["n_windows", "n_dup_windows"])
+    if out is None:
+        return empty
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+    out["dup_frac"] = round_half_up(
+        out["n_dup_windows"].to_numpy(np.float64)
+        / out["n_windows"].to_numpy(np.float64), 6
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -229,6 +229,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "tpch_q18_big_orders": ["o_orderkey", "o_custkey", "c_name",
                                 "sum_qty", "total_cents"],
         "tpch_q20_major_suppliers": ["s_suppkey", "s_name", "n_parts"],
+        "doc_dup_spans": ["doc_id", "n_windows", "n_dup_windows",
+                          "dup_frac"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -1665,3 +1665,40 @@ def test_winnow_scale_planted_recall(ray_session):
                 found.add((int(a_), int(b_)))
     want = {(i, n + i) for i in range(planted)}
     assert want <= found, f"missing {len(want - found)} planted pairs"
+
+
+def test_doc_dup_spans_hand_computed(ray_session, tmp_path):
+    """5-word windows duplicated across docs, counted with multiplicity.
+
+    doc0 = "a b c d e f"      -> windows: [a b c d e], [b c d e f]
+    doc1 = "a b c d e"        -> windows: [a b c d e]
+    doc2 = "x a b c d e f y"  -> [x a b c d], [a b c d e], [b c d e f],
+                                 [c d e f y]
+    doc3 = "p q r s"          -> <5 words, excluded
+    dup grams (>=2 distinct docs): "a b c d e" (docs 0,1,2),
+    "b c d e f" (docs 0,2).
+    """
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f", "a b c d e", "x a b c d e f y",
+                     "p q r s"]
+                ),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s0"] * 4),
+                "n_chars": pa.array([11, 9, 15, 7], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_doc_dup_spans
+
+    out = q_doc_dup_spans(str(tmp_path))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_windows"].tolist() == [2, 1, 4]
+    assert out["n_dup_windows"].tolist() == [2, 1, 2]
+    assert out["dup_frac"].tolist() == [1.0, 1.0, 0.5]
