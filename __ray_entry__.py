@@ -332,7 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (no CORRECTNESS row yet)
         "tpch_q9_profit", "tpch_q11_top_value_parts",
         "tpch_q12_priority_lines", "tpch_q18_big_orders",
-        "tpch_q20_major_suppliers", "doc_dup_spans",
+        "tpch_q20_major_suppliers", "doc_dup_spans", "source_dup_rate",
         # last checked in round 2 (stalest rows)
         "approx_distinct_users", "events_sessions", "top_users",
         "orders_by_segment", "lineitem_pricing", "supplier_by_nation",

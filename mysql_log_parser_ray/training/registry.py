@@ -2290,6 +2290,7 @@ def register_queries():
         "source_zipf_slope": q_source_zipf_slope,
         "source_len_lognormal": q_source_len_lognormal,
         "doc_dup_spans": q_doc_dup_spans,
+        "source_dup_rate": q_source_dup_rate,
     }
 
 
@@ -2474,6 +2475,37 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "source_dup_rate": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9)
+                         || chr(10) || chr(13) || chr(11) || chr(12))),
+                         '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), docs5 AS (
+              SELECT doc_id, source, len(w) - 4 AS n_windows, w
+              FROM toks WHERE len(w) >= 5
+            ), wins AS (
+              SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+              FROM docs5, UNNEST(range(1, n_windows + 1)) AS t(i)
+            ), dup AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), dc AS (
+              SELECT source, COUNT(*) AS n_dup
+              FROM wins JOIN dup USING (gram) GROUP BY 1
+            ), tot AS (
+              SELECT source, SUM(n_windows) AS n_windows
+              FROM docs5 GROUP BY 1
+            )
+            SELECT t.source, CAST(t.n_windows AS BIGINT) AS n_windows,
+                   CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(CAST(COALESCE(dc.n_dup, 0) AS DOUBLE)
+                         / t.n_windows, 6) AS dup_rate
+            FROM tot t LEFT JOIN dc ON dc.source = t.source
+            ORDER BY t.source
+        """,
         "doc_dup_spans": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -3922,3 +3954,95 @@ def q_doc_dup_spans(sf_dir: str, k: int = 5):
         / out["n_windows"].to_numpy(np.float64), 6
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_dup_rate(sf_dir: str, k: int = 5):
+    """Per-source boilerplate rate: the fraction of each source's k-word
+    windows whose exact text appears in >= 2 distinct documents
+    (corpus-wide) — the source-level rollup of doc_dup_spans, the number
+    a curation pipeline thresholds to drop templated/mirrored sources.
+
+    Scale shape: identical gram-hash bucketing to doc_dup_spans, but the
+    bucket kernel needs only (gh, doc distinct count) to decide
+    duplication and folds straight to SOURCE-cardinality (windows, dup)
+    partials — the driver sees 64 x sources rows, never docs. Window
+    counts carry the source string on the (gh, doc) rows (sources are a
+    bounded dimension; gram text still never shuffles)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .dedup import _ASCII_WS, _ASCII_WS_RE, _gram_hash64
+
+    empty = typed_empty(source=object, n_windows="int64",
+                        n_dup_windows="int64", dup_rate="float64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _wins(b: pa.Table) -> pa.Table:
+        cols = {
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if "text" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        ids, srcs, ghs = [], [], []
+        for did, src, t in zip(b["doc_id"].to_pylist(),
+                               b["source"].to_pylist(),
+                               b["text"].to_pylist()):
+            w = [x for x in _ASCII_WS_RE.split(t.strip(_ASCII_WS).lower())
+                 if x]
+            for i in range(len(w) - k + 1):
+                ids.append(did)
+                srcs.append(src)
+                ghs.append(_gram_hash64(" ".join(w[i:i + k])))
+        if not ids:
+            return pa.table(cols)
+        g = (
+            pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                          "source": np.array(srcs, dtype=object),
+                          "gh": np.array(ghs, dtype=np.int64)})
+            .groupby(["gh", "doc_id", "source"], as_index=False).size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        g["_part"] = stable_partition(g["gh"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": "object", "n_windows": "int64",
+                    "n_dup_windows": "int64"}
+        if not len(g) or "gh" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        per = g.groupby(["gh", "doc_id", "source"],
+                        as_index=False)["cnt"].sum()
+        ndocs = per.groupby("gh")["doc_id"].transform("nunique")
+        per["dup"] = np.where(
+            ndocs.to_numpy() >= 2, per["cnt"].to_numpy(np.int64), 0
+        )
+        out = per.groupby("source", as_index=False).agg(
+            n_windows=("cnt", "sum"), n_dup_windows=("dup", "sum")
+        )
+        return out.astype(out_cols)
+
+    parts = (
+        ds.map_batches(_wins, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["source"], ["n_windows", "n_dup_windows"])
+    if out is None:
+        return empty
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+    out["dup_rate"] = round_half_up(
+        out["n_dup_windows"].to_numpy(np.float64)
+        / out["n_windows"].to_numpy(np.float64), 6
+    )
+    return out.sort_values("source").reset_index(drop=True)

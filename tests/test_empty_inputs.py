@@ -231,6 +231,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "tpch_q20_major_suppliers": ["s_suppkey", "s_name", "n_parts"],
         "doc_dup_spans": ["doc_id", "n_windows", "n_dup_windows",
                           "dup_frac"],
+        "source_dup_rate": ["source", "n_windows", "n_dup_windows",
+                            "dup_rate"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

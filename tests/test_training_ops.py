@@ -1702,3 +1702,32 @@ def test_doc_dup_spans_hand_computed(ray_session, tmp_path):
     assert out["n_windows"].tolist() == [2, 1, 4]
     assert out["n_dup_windows"].tolist() == [2, 1, 2]
     assert out["dup_frac"].tolist() == [1.0, 1.0, 0.5]
+
+
+def test_source_dup_rate_hand_computed(ray_session, tmp_path):
+    """Same fixture as doc_dup_spans: docs 0,1 in s0; doc 2 in s1.
+    s0 windows = 2 + 1 = 3, dups = 2 + 1 = 3; s1 = 4 windows, 2 dups."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f", "a b c d e", "x a b c d e f y",
+                     "p q r s"]
+                ),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s0", "s0", "s1", "s1"]),
+                "n_chars": pa.array([11, 9, 15, 7], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_dup_rate
+
+    out = q_source_dup_rate(str(tmp_path))
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n_windows"].tolist() == [3, 4]
+    assert out["n_dup_windows"].tolist() == [3, 2]
+    assert out["dup_rate"].tolist() == [1.0, 0.5]
