@@ -2291,6 +2291,10 @@ def register_queries():
         "source_len_lognormal": q_source_len_lognormal,
         "doc_dup_spans": q_doc_dup_spans,
         "source_dup_rate": q_source_dup_rate,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "doc_novelty_frac": q_doc_novelty_frac,
+        "source_len_mad": q_source_len_mad,
+        "embed_quantize_error": q_embed_quantize_error,
     }
 
 
@@ -2475,6 +2479,85 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "source_overlap_matrix": r"""
+            WITH d AS (
+              SELECT DISTINCT source, substr(md5(text), 1, 16) AS h
+              FROM documents
+            ), sz AS (
+              SELECT source, COUNT(*) AS n FROM d GROUP BY 1
+            ), m AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     COUNT(*) AS n
+              FROM d a JOIN d b USING (h)
+              WHERE a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT sa.source AS src_a, sb.source AS src_b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(COALESCE(m.n, 0) AS BIGINT) AS n_shared,
+                   round(CAST(COALESCE(m.n, 0) AS DOUBLE)
+                         / least(sa.n, sb.n), 6) AS overlap
+            FROM sz sa
+            JOIN sz sb ON sa.source < sb.source
+            LEFT JOIN m ON m.src_a = sa.source AND m.src_b = sb.source
+            ORDER BY 1, 2
+        """,
+        "doc_novelty_frac": r"""
+            WITH f AS (
+              SELECT source,
+                     CASE WHEN doc_id = min(doc_id) OVER (
+                              PARTITION BY substr(md5(text), 1, 16))
+                          THEN 1 ELSE 0 END AS novel
+              FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(novel) AS BIGINT) AS n_novel,
+                   round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6)
+                       AS novelty
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "source_len_mad": r"""
+            WITH m AS (
+              SELECT source, median(n_chars) AS med
+              FROM documents GROUP BY 1
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(m.med AS DOUBLE) AS med_len,
+                   CAST(median(abs(CAST(d.n_chars AS DOUBLE) - m.med))
+                        AS DOUBLE) AS mad_len
+            FROM documents d JOIN m USING (source)
+            GROUP BY d.source, m.med
+            ORDER BY d.source
+        """,
+        "embed_quantize_error": r"""
+            WITH x AS (
+              SELECT t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), s AS (
+              SELECT dim, MAX(abs(xq)) AS ma FROM x GROUP BY 1
+            ), q AS (
+              SELECT x.dim, xq, ma,
+                     CAST(floor(127.0 * xq / ma + 0.5) AS BIGINT) AS qv
+              FROM x JOIN s USING (dim) WHERE ma > 0
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(ma) AS BIGINT) AS max_abs_units,
+                   CAST(MAX(abs(127 * xq - qv * ma)) AS BIGINT)
+                       AS max_err_units,
+                   CAST(SUM(abs(127 * xq - qv * ma)) AS BIGINT)
+                       AS sum_err_units,
+                   round(CAST(SUM(abs(127 * xq - qv * ma)) AS DOUBLE)
+                         / (COUNT(*) * 127000000.0), 6) AS mean_abs_err
+            FROM q GROUP BY 1 ORDER BY 1
+        """,
         "source_dup_rate": r"""
             WITH toks AS (
               SELECT doc_id, source,
@@ -4046,3 +4129,332 @@ def q_source_dup_rate(sf_dir: str, k: int = 5):
         / out["n_windows"].to_numpy(np.float64), 6
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_source_overlap_matrix(sf_dir: str):
+    """Cross-source mirror detection: for every source pair (a < b), the
+    number of distinct document texts both sources carry, and the overlap
+    fraction n_shared / min(n_a, n_b) — the number a curation pipeline
+    thresholds to drop a source that is a partial mirror of another.
+
+    Scale shape: the vocab-jaccard two-stage (batches pre-reduce to
+    distinct (source, text_hash) pairs; hashes bucket via stable_partition
+    so ALL copies of a text land in one task; the per-bucket kernel is one
+    self-merge on hash with rows-per-hash <= n_sources) — only
+    (src_a, src_b, n) partials reach the driver, including the (s, s)
+    diagonal carrying per-source distinct-text counts. Text never
+    shuffles; identity is md5[:16] on BOTH sides (oracle uses
+    substr(md5(text),1,16)) so any collision is shared, not a divergence."""
+    import hashlib
+
+    from ..partition import stable_partition
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(src_a=object, src_b=object, n_a="int64",
+                        n_b="int64", n_shared="int64", overlap="float64")
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "h": pa.array([], pa.string()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()[:16]
+              for t in b["text"].to_pylist()]
+        d = pd.DataFrame({"source": b["source"].to_pandas().to_numpy(),
+                          "h": hs}).drop_duplicates()
+        d["_part"] = stable_partition(pa.array(d["h"], pa.string()), 64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def _inter(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"src_a": "object", "src_b": "object", "n": "int64"}
+        if not len(g) or "h" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        g = g[["source", "h"]].drop_duplicates()
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]  # keep diagonal = sizes
+        out = (m.groupby(["source_a", "source_b"], as_index=False).size()
+               .rename(columns={"source_a": "src_a", "source_b": "src_b",
+                                "size": "n"}))
+        return out.astype(out_cols)
+
+    parts = (
+        ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_inter, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "src_a" not in parts.columns:
+        return empty
+    folded = parts.groupby(["src_a", "src_b"], as_index=False)["n"].sum()
+    sizes = dict(zip(
+        folded.loc[folded["src_a"] == folded["src_b"], "src_a"],
+        folded.loc[folded["src_a"] == folded["src_b"], "n"],
+    ))
+    # Full matrix: every (a < b) pair appears, zero-overlap included —
+    # a 0-shared pair is exactly the signal the threshold consumer reads.
+    srcs = sorted(sizes)
+    out = pd.DataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        columns=["src_a", "src_b"])
+    if not len(out):
+        return empty
+    shared = folded[folded["src_a"] < folded["src_b"]]
+    out = out.merge(shared, on=["src_a", "src_b"], how="left")
+    out["n_a"] = out["src_a"].map(sizes).astype("int64")
+    out["n_b"] = out["src_b"].map(sizes).astype("int64")
+    out = out.rename(columns={"n": "n_shared"})
+    out["n_shared"] = out["n_shared"].fillna(0).astype("int64")
+    out["overlap"] = round_half_up(
+        out["n_shared"].to_numpy(np.float64)
+        / np.minimum(out["n_a"].to_numpy(np.float64),
+                     out["n_b"].to_numpy(np.float64)), 6)
+    return (out[["src_a", "src_b", "n_a", "n_b", "n_shared", "overlap"]]
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
+def q_doc_novelty_frac(sf_dir: str):
+    """Per-source novelty rate: the fraction of a source's documents whose
+    exact text is globally FIRST-SEEN there (no document with a smaller
+    doc_id carries the same text) — the streaming keep-first dedup survival
+    rate, per source, without running the dedup.
+
+    Scale shape: rows reduce to (text_hash, doc_id, source) — text never
+    shuffles — and hash-bucket via stable_partition so each hash's global
+    min doc_id is computable inside one task; buckets fold straight to
+    SOURCE-cardinality (n_docs, n_novel) partials, so the driver sees
+    64 x sources rows. Identity is md5[:16] on both sides (oracle:
+    min(doc_id) OVER (PARTITION BY substr(md5(text),1,16)))."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..partition import stable_partition
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(source=object, n_docs="int64", n_novel="int64",
+                        novelty="float64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _rows(b: pa.Table) -> pa.Table:
+        cols = {
+            "h": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        hs = pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()[:16]
+             for t in b["text"].to_pylist()], pa.string())
+        return pa.table({
+            "h": hs,
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "source": b["source"],
+            "_part": pa.array(stable_partition(hs, 64), pa.int64()),
+        })
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"source": "object", "n_docs": "int64",
+                    "n_novel": "int64"}
+        if not len(g) or "h" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        novel = g["doc_id"].to_numpy() == g.groupby("h")["doc_id"].transform(
+            "min").to_numpy()
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "novel": novel.astype(np.int64)})
+        out = out.groupby("source", as_index=False).agg(
+            n_docs=("novel", "size"), n_novel=("novel", "sum"))
+        return out.astype(out_cols)
+
+    from ..pipelines.queries import _fold_partials
+
+    parts = (
+        ds.map_batches(_rows, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["source"], ["n_docs", "n_novel"])
+    if out is None:
+        return empty
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_novel"] = out["n_novel"].astype("int64")
+    out["novelty"] = round_half_up(
+        out["n_novel"].to_numpy(np.float64)
+        / out["n_docs"].to_numpy(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_source_len_mad(sf_dir: str):
+    """Robust per-source length statistics: exact median and exact MAD
+    (median absolute deviation) of n_chars — the outlier-resistant center/
+    spread pair a length-trim stage uses when means are skew-poisoned.
+
+    Exactness: medians interpolate halves, so everything is integer
+    half-units — med2 = (lo + hi) where lo/hi are the two middle values
+    (equal when n is odd), and the MAD works on d2 = |2*v - med2| integer
+    half-unit deviations whose own median is mad4 quarter-units. The
+    emitted doubles med2/2.0 and mad4/4.0 are exact binary fractions,
+    bit-identical to DuckDB's interpolating median().
+
+    Scale shape: batches fold to (source, n_chars, cnt) value-count
+    histograms — bounded by the length DOMAIN x sources, not by rows — and
+    the driver computes both medians from cumulative counts; no shuffle at
+    all."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+
+    empty = typed_empty(source=object, n_docs="int64", med_len="float64",
+                        mad_len="float64")
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def _hist(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "n_chars" not in b.column_names:
+            return pa.table(cols)
+        g = (b.select(["source", "n_chars"]).to_pandas()
+             .groupby(["source", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_hist, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    hist = _fold_partials(parts, ["source", "n_chars"], ["cnt"])
+    if hist is None:
+        return empty
+
+    def _med2(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """lo + hi of the interpolating median over a sorted value-count
+        histogram (positions (n+1)//2 and n//2 + 1, 1-indexed)."""
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = v[np.searchsorted(cum, (n + 1) // 2)]
+        hi = v[np.searchsorted(cum, n // 2 + 1)]
+        return int(lo) + int(hi)
+
+    rows = []
+    for src, g in hist.groupby("source"):
+        vals = g["n_chars"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med2 = _med2(vals, cnts)
+        d2 = np.abs(2 * vals - med2)
+        dd = pd.DataFrame({"d2": d2, "cnt": cnts}).groupby(
+            "d2", as_index=False)["cnt"].sum()
+        mad4 = _med2(dd["d2"].to_numpy(np.int64),
+                     dd["cnt"].to_numpy(np.int64))
+        rows.append((src, int(cnts.sum()), med2 / 2.0, mad4 / 4.0))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "med_len",
+                                      "mad_len"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_embed_quantize_error(sf_dir: str):
+    """Int8 vector-compression audit: per dimension, the max and mean
+    absolute error of symmetric int8 quantization (scale = max|x| / 127)
+    — the go/no-go numbers before shipping a quantized ANN index.
+
+    Exactness: components quantize once to 1e-6 units (exact f32->f64
+    widening on both sides); the int8 code is qv = floor(127*xq/ma + 0.5)
+    where both sides run the SAME double division (identical IEEE ops, no
+    round()-convention hazard), and the per-row error |127*xq - qv*ma| is
+    an exact int64. max is order-independent; sums fold per block in int64
+    (safe below ~1e10 rows/block at err<=ma/2~2.5e6) and recombine
+    driver-side in Python ints with the oracle-mirroring int64 fail-fast
+    (CAST(SUM(..) AS BIGINT) raises past int64; so do we).
+
+    Scale shape: pass 1 folds each block to 64 (dim, max|xq|) rows; pass 2
+    carries the 64 maxima in the task closure and folds each block to 64
+    (dim, n, max_err, sum_err) partials — vectors never shuffle, never
+    collect. Dims with ma == 0 are dropped (oracle WHERE ma > 0)."""
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(dim="int64", n="int64", max_abs_units="int64",
+                        max_err_units="int64", sum_err_units="int64",
+                        mean_abs_err="float64")
+
+    def _mat(b: pa.Table):
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    def _maxabs(b: pa.Table) -> pa.Table:
+        cols = {"dim": pa.array([], pa.int64()),
+                "ma": pa.array([], pa.int64())}
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        xq = _mat(b)
+        return pa.table({
+            "dim": pa.array(np.arange(1, xq.shape[1] + 1, dtype=np.int64)),
+            "ma": pa.array(np.abs(xq).max(axis=0)),
+        })
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    p1 = ds.map_batches(_maxabs, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(p1) or "dim" not in p1.columns:
+        return empty
+    ma_by_dim = p1.groupby("dim")["ma"].max()
+    ma_vec = ma_by_dim.reindex(
+        np.arange(1, ma_by_dim.index.max() + 1)).to_numpy(np.int64)
+
+    def _err(b: pa.Table) -> pa.Table:
+        cols = {"dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "max_err": pa.array([], pa.int64()),
+                "sum_err": pa.array([], pa.int64())}
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        xq = _mat(b)
+        ma = ma_vec[: xq.shape[1]]
+        live = ma > 0
+        qv = np.floor((127.0 * xq[:, live]) / ma[live] + 0.5).astype(
+            np.int64)
+        err = np.abs(127 * xq[:, live] - qv * ma[live])
+        dims = np.arange(1, xq.shape[1] + 1, dtype=np.int64)[live]
+        return pa.table({
+            "dim": pa.array(dims),
+            "n": pa.array(np.full(live.sum(), b.num_rows, np.int64)),
+            "max_err": pa.array(err.max(axis=0)),
+            "sum_err": pa.array(err.sum(axis=0)),
+        })
+
+    p2 = ds.map_batches(_err, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None).to_pandas()
+    if not len(p2) or "dim" not in p2.columns:
+        return empty
+    rows = []
+    for dim, g in p2.groupby("dim"):
+        n = int(g["n"].sum())
+        sum_err = sum(int(v) for v in g["sum_err"])  # Python ints: no wrap
+        if sum_err > np.iinfo(np.int64).max:
+            raise OverflowError(
+                f"sum_err_units for dim {dim} exceeds int64 "
+                f"({sum_err}); oracle CAST(... AS BIGINT) raises here too")
+        rows.append((int(dim), n, int(ma_by_dim.loc[dim]),
+                     int(g["max_err"].max()), sum_err))
+    out = pd.DataFrame(rows, columns=["dim", "n", "max_abs_units",
+                                      "max_err_units", "sum_err_units"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out["mean_abs_err"] = round_half_up(
+        out["sum_err_units"].to_numpy(np.float64)
+        / (out["n"].to_numpy(np.float64) * 127000000.0), 6)
+    return out.sort_values("dim").reset_index(drop=True)

@@ -233,6 +233,13 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                           "dup_frac"],
         "source_dup_rate": ["source", "n_windows", "n_dup_windows",
                             "dup_rate"],
+        "source_overlap_matrix": ["src_a", "src_b", "n_a", "n_b",
+                                  "n_shared", "overlap"],
+        "doc_novelty_frac": ["source", "n_docs", "n_novel", "novelty"],
+        "source_len_mad": ["source", "n_docs", "med_len", "mad_len"],
+        "embed_quantize_error": ["dim", "n", "max_abs_units",
+                                 "max_err_units", "sum_err_units",
+                                 "mean_abs_err"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

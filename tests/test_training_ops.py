@@ -1731,3 +1731,119 @@ def test_source_dup_rate_hand_computed(ray_session, tmp_path):
     assert out["n_windows"].tolist() == [3, 4]
     assert out["n_dup_windows"].tolist() == [3, 2]
     assert out["dup_rate"].tolist() == [1.0, 0.5]
+
+
+def test_source_overlap_matrix_hand_computed(ray_session, tmp_path):
+    """Distinct-text overlap: s0 carries {t1,t2,t3} (t1 twice — distinct
+    counting), s1 {t1,t4}, s2 {t5}. Full matrix: (s0,s1) shares t1 ->
+    1/min(3,2)=0.5; the other two pairs are present with zero overlap."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(7)), pa.int64()),
+                "text": pa.array(["t1", "t2", "t3", "t1", "t1", "t4",
+                                  "t5"]),
+                "lang": pa.array(["en"] * 7),
+                "source": pa.array(["s0", "s0", "s0", "s0", "s1", "s1",
+                                    "s2"]),
+                "n_chars": pa.array([2] * 7, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_overlap_matrix
+
+    out = q_source_overlap_matrix(str(tmp_path))
+    assert list(zip(out["src_a"], out["src_b"])) == [
+        ("s0", "s1"), ("s0", "s2"), ("s1", "s2")]
+    assert out["n_a"].tolist() == [3, 3, 2]
+    assert out["n_b"].tolist() == [2, 1, 1]
+    assert out["n_shared"].tolist() == [1, 0, 0]
+    assert out["overlap"].tolist() == [0.5, 0.0, 0.0]
+
+
+def test_doc_novelty_frac_hand_computed(ray_session, tmp_path):
+    """First-seen-by-doc_id novelty: doc2 and doc4 repeat doc0's text.
+    s0 = docs {0,1,4}: 0,1 novel, 4 not -> 2/3; s1 = docs {2,3}: only 3
+    novel -> 1/2."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["x", "y", "x", "z", "x"]),
+                "lang": pa.array(["en"] * 5),
+                "source": pa.array(["s0", "s0", "s1", "s1", "s0"]),
+                "n_chars": pa.array([1] * 5, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_doc_novelty_frac
+
+    out = q_doc_novelty_frac(str(tmp_path))
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n_docs"].tolist() == [3, 2]
+    assert out["n_novel"].tolist() == [2, 1]
+    assert out["novelty"].tolist() == [0.666667, 0.5]
+
+
+def test_source_len_mad_hand_computed(ray_session, tmp_path):
+    """Interpolating median/MAD in exact half/quarter units.
+    s0 lengths [1,2,3,100]: med=(2+3)/2=2.5; devs [1.5,.5,.5,97.5] ->
+    MAD=(0.5+1.5)/2=1.0. s1 [7,7,9]: med=7, devs [0,0,2] -> MAD=0."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(7)), pa.int64()),
+                "text": pa.array(["?"] * 7),
+                "lang": pa.array(["en"] * 7),
+                "source": pa.array(["s0", "s0", "s0", "s0", "s1", "s1",
+                                    "s1"]),
+                "n_chars": pa.array([1, 2, 3, 100, 7, 7, 9], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_len_mad
+
+    out = q_source_len_mad(str(tmp_path))
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n_docs"].tolist() == [4, 3]
+    assert out["med_len"].tolist() == [2.5, 7.0]
+    assert out["mad_len"].tolist() == [1.0, 0.0]
+
+
+def test_embed_quantize_error_hand_computed(ray_session, tmp_path):
+    """Symmetric int8 on exactly-representable f32 components.
+    dim1 xq=[1e6,-5e5,2.5e5], ma=1e6: codes [127,-63,32], errs
+    [0,5e5,2.5e5]. dim2 xq=[5e5,2.5e5,0], ma=5e5: codes [127,64,0],
+    errs [0,2.5e5,0]."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.5], [-0.5, 0.25], [0.25, 0.0]],
+                    pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_embed_quantize_error
+
+    out = q_embed_quantize_error(str(tmp_path))
+    assert out["dim"].tolist() == [1, 2]
+    assert out["n"].tolist() == [3, 3]
+    assert out["max_abs_units"].tolist() == [1000000, 500000]
+    assert out["max_err_units"].tolist() == [500000, 250000]
+    assert out["sum_err_units"].tolist() == [750000, 250000]
+    assert out["mean_abs_err"].tolist() == [0.001969, 0.000656]
