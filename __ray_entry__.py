@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_price_skyline": q.q_parts_price_skyline,
         "orders_seasonal_index": q.q_orders_seasonal_index,
         "user_activity_gini": q.q_user_activity_gini,
+        "events_burstiness": q.q_events_burstiness,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -1979,6 +1980,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
                          / CAST(n * sx AS DOUBLE), 6) AS gini
             FROM s
+        """,
+        "events_burstiness": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), a AS (
+              SELECT event_type,
+                     MAX(hr) - MIN(hr) + 1 AS h,
+                     SUM(n) AS n_events,
+                     SUM(CAST(n AS HUGEINT) * n) AS ssq
+              FROM c GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(h AS BIGINT) AS n_hours,
+                   CAST(ssq AS BIGINT) AS sumsq_hourly,
+                   round(CAST(CAST(h AS HUGEINT) * ssq
+                              - CAST(n_events AS HUGEINT) * n_events
+                              AS DOUBLE)
+                         / (CAST(n_events AS DOUBLE) * h), 6) AS fano
+            FROM a ORDER BY 1
         """,
     }
     try:

@@ -7906,3 +7906,73 @@ def q_tpch_q20_major_suppliers(sf_dir: str, mult: int = 5,
         out[["s_suppkey", "s_name", "n_parts"]]
         .sort_values("s_suppkey").reset_index(drop=True)
     )
+
+
+def q_events_burstiness(sf_dir: str):
+    """Traffic burstiness per event type: the Fano factor (variance /
+    mean) of hourly event counts over the type's dense active hour range
+    — ~1 for Poisson-like arrivals, >>1 for bursty/incident-driven types.
+    The capacity-planning number a rate-limit or autoscale policy reads.
+
+    Exactness: hourly cells are int64 counts (absolute hour = us //
+    3.6e9, floor-identical to the oracle's floor(epoch/3600) at timestamp
+    magnitudes); zero hours inside [min, max] contribute nothing to the
+    sums and H = max - min + 1 counts them exactly. fano =
+    (H*sumsq - n^2) / (n*H) runs in Python ints (HUGEINT oracle-side —
+    n^2 exceeds int64 at corpus scale) with ONE rounded division.
+
+    Scale shape: per-block (type, hour) count partials (types x hours,
+    bounded by the time range, not rows) fold on the driver."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(event_type=object, n_events="int64",
+                         n_hours="int64", sumsq_hourly="int64",
+                         fano="float64")
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "hr": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hr": (us // 3_600_000_000).astype(np.int64),
+        })
+        g = df.groupby(["event_type", "hr"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["event_type", "hr"], ["n"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for et, g in cells.groupby("event_type"):
+        hrs = g["hr"].to_numpy(np.int64)
+        ns = [int(v) for v in g["n"]]
+        h = int(hrs.max()) - int(hrs.min()) + 1
+        n = sum(ns)
+        ssq = sum(v * v for v in ns)  # Python ints: no wrap at any scale
+        i64 = np.iinfo(np.int64).max
+        if n > i64 or ssq > i64:
+            raise OverflowError(
+                f"events_burstiness: totals for {et!r} exceed int64; "
+                "oracle CAST(... AS BIGINT) raises here too")
+        fano = float(round_half_up(
+            np.array([float(h * ssq - n * n) / (float(n) * h)]), 6)[0])
+        rows.append((et, n, h, ssq, fano))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events", "n_hours",
+                                      "sumsq_hourly", "fano"])
+    for c in ("n_events", "n_hours", "sumsq_hourly"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

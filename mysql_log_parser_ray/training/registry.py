@@ -2295,6 +2295,8 @@ def register_queries():
         "doc_novelty_frac": q_doc_novelty_frac,
         "source_len_mad": q_source_len_mad,
         "embed_quantize_error": q_embed_quantize_error,
+        "lang_source_mi": q_lang_source_mi,
+        "source_simpson": q_source_simpson,
     }
 
 
@@ -2479,6 +2481,61 @@ _SCORE_UNITS_SQL = (
 
 def register_oracles():
     return {
+        "lang_source_mi": r"""
+            WITH cells AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), m AS (
+              SELECT lang, source, n,
+                     SUM(n) OVER (PARTITION BY lang) AS r,
+                     SUM(n) OVER (PARTITION BY source) AS c,
+                     SUM(n) OVER () AS t
+              FROM cells
+            ), u AS (
+              SELECT lang, source, n, r, c, t,
+                     CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0)
+                          AS BIGINT)
+                     + CAST(round(ln(CAST(t AS DOUBLE)) * 1000000, 0)
+                            AS BIGINT)
+                     - CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0)
+                            AS BIGINT)
+                     - CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0)
+                            AS BIGINT) AS lnr
+              FROM m
+            )
+            SELECT lang, source, n,
+                   CAST(r AS BIGINT) AS lang_total,
+                   CAST(c AS BIGINT) AS source_total,
+                   CAST(t AS BIGINT) AS grand_total,
+                   lnr AS ln_ratio_units,
+                   round(CAST(n AS DOUBLE) * lnr / (t * 1000000.0), 6)
+                       AS mi_term
+            FROM u ORDER BY 1, 2
+        """,
+        "source_simpson": r"""
+            WITH toks AS (
+              SELECT source,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9)
+                         || chr(10) || chr(13) || chr(11) || chr(12))),
+                         '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), words AS (
+              SELECT source, w[i] AS word
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i] <> ''
+            ), c AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM words GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                   CAST(SUM(n * n) AS BIGINT) AS sumsq_tokens,
+                   round(CAST(SUM(n * n) AS DOUBLE)
+                         / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6)
+                       AS simpson
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
         "source_overlap_matrix": r"""
             WITH d AS (
               SELECT DISTINCT source, substr(md5(text), 1, 16) AS h
@@ -4458,3 +4515,169 @@ def q_embed_quantize_error(sf_dir: str):
         out["sum_err_units"].to_numpy(np.float64)
         / (out["n"].to_numpy(np.float64) * 127000000.0), 6)
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Pointwise mutual information cells for lang x source — the
+    corpus-composition dependence screen (is a source mono-lingual? is a
+    language concentrated in a few sources?). Emitted per OBSERVED cell
+    (zero cells contribute nothing to MI) with exact integer marginals
+    and a per-factor-quantized log-ratio, plus the cell's MI term.
+
+    Exactness: ln quantizes PER FACTOR to 1e-6-unit int64s (the zipf
+    convention; both engines' ln agree bitwise on this box) and
+    ln_ratio_units = ln(n) + ln(T) - ln(r) - ln(c) is then exact int
+    arithmetic — no n*T/(r*c) product that would overflow BIGINT at
+    corpus scale. mi_term = (n/T) * lnr runs as the identical IEEE
+    (n_d * lnr) / (T * 1e6) on both sides, sign-aware half-away round.
+
+    Scale shape: one (lang, source) cell-count fold (langs x sources,
+    bounded by the dimension domains); marginals derive on the driver."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_away, typed_empty
+
+    empty = typed_empty(lang=object, source=object, n="int64",
+                        lang_total="int64", source_total="int64",
+                        grand_total="int64", ln_ratio_units="int64",
+                        mi_term="float64")
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "lang" not in b.column_names:
+            return pa.table(cols)
+        g = (b.select(["lang", "source"]).to_pandas()
+             .groupby(["lang", "source"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["lang", "source"], ["n"],
+    )
+    if cells is None:
+        return empty
+    cells["n"] = cells["n"].astype("int64")
+    r = cells.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    c = cells.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    t = int(cells["n"].sum())
+    n = cells["n"].to_numpy(np.int64)
+
+    def _lnu(v) -> np.ndarray:
+        return np.floor(
+            np.log(np.asarray(v, dtype=np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+
+    lnr = _lnu(n) + _lnu(np.full(len(n), t, np.int64)) - _lnu(r) - _lnu(c)
+    out = pd.DataFrame({
+        "lang": cells["lang"].to_numpy(),
+        "source": cells["source"].to_numpy(),
+        "n": n, "lang_total": r, "source_total": c,
+        "grand_total": np.full(len(n), t, np.int64),
+        "ln_ratio_units": lnr,
+    })
+    out["mi_term"] = round_half_away(
+        (n.astype(np.float64) * lnr) / (t * 1e6), 6)
+    for col in ("n", "lang_total", "source_total", "grand_total",
+                "ln_ratio_units"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def q_source_simpson(sf_dir: str):
+    """Per-source word-distribution Simpson concentration index:
+    sum_w c_w^2 / n_tokens^2 — the repeated-phrase/templating screen that
+    complements Shannon entropy (Simpson weights the HEAD of the
+    distribution; a source dominated by one boilerplate token scores near
+    1 even when its tail looks diverse).
+
+    Exactness: every c_w is a complete per-(source, word) int64 count
+    inside its hash bucket; c^2 sums run in Python ints and ship per
+    bucket as DECIMAL STRINGS (c^2 itself exceeds int64 once a word
+    passes ~3e9 occurrences — a shifted-limb transport of an already
+    overflowed int64 would be garbage), recombining driver-side in Python
+    ints with the oracle-mirroring BIGINT fail-fast. One rounded division
+    at the end.
+
+    Scale shape: batches pre-reduce (source, word) counts, words
+    hash-bucket via stable_partition (all copies of a word in one task),
+    buckets fold to source-cardinality rows — the driver sees
+    64 x sources rows, never vocabulary."""
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, n_tokens="int64", n_vocab="int64",
+                        sumsq_tokens="int64", simpson="float64")
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _counts(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        d = pd.DataFrame({
+            "source": b["source"].to_pandas().reindex(
+                ex.index[mask]).to_numpy(),
+            "word": ex[mask].to_numpy(),
+        }).groupby(["source", "word"], as_index=False).size().rename(
+            columns={"size": "n"})
+        d["n"] = d["n"].astype("int64")
+        d["_part"] = stable_partition(pa.array(d["word"], pa.string()), 64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def _bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"source": "object", "n_tokens": "int64",
+                    "n_vocab": "int64", "sumsq_str": "object"}
+        if not len(g) or "word" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        per = g.groupby(["source", "word"], as_index=False)["n"].sum()
+        rows = []
+        for src, gg in per.groupby("source"):
+            cs = [int(v) for v in gg["n"]]
+            rows.append((src, sum(cs), len(cs),
+                         str(sum(v * v for v in cs))))
+        out = pd.DataFrame(rows, columns=list(out_cols))
+        return out.astype(out_cols)
+
+    parts = (
+        ds.map_batches(_counts, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "source" not in parts.columns:
+        return empty
+    i64 = np.iinfo(np.int64).max
+    rows = []
+    for src, g in parts.groupby("source"):
+        n = int(g["n_tokens"].sum())
+        v = int(g["n_vocab"].sum())
+        ssq = sum(int(s) for s in g["sumsq_str"])
+        if ssq > i64:
+            raise OverflowError(
+                f"source_simpson: sumsq for {src!r} exceeds int64; "
+                "oracle CAST(... AS BIGINT) raises here too")
+        simpson = float(round_half_up(
+            np.array([float(ssq) / (float(n) * n)]), 6)[0])
+        rows.append((src, n, v, ssq, simpson))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "n_vocab",
+                                      "sumsq_tokens", "simpson"])
+    for c in ("n_tokens", "n_vocab", "sumsq_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -240,6 +240,13 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "embed_quantize_error": ["dim", "n", "max_abs_units",
                                  "max_err_units", "sum_err_units",
                                  "mean_abs_err"],
+        "lang_source_mi": ["lang", "source", "n", "lang_total",
+                           "source_total", "grand_total",
+                           "ln_ratio_units", "mi_term"],
+        "source_simpson": ["source", "n_tokens", "n_vocab",
+                           "sumsq_tokens", "simpson"],
+        "events_burstiness": ["event_type", "n_events", "n_hours",
+                              "sumsq_hourly", "fano"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

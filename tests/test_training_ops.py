@@ -1847,3 +1847,94 @@ def test_embed_quantize_error_hand_computed(ray_session, tmp_path):
     assert out["max_err_units"].tolist() == [500000, 250000]
     assert out["sum_err_units"].tolist() == [750000, 250000]
     assert out["mean_abs_err"].tolist() == [0.001969, 0.000656]
+
+
+def test_lang_source_mi_hand_computed(ray_session, tmp_path):
+    """Cells (en,s0)x2, (en,s1)x1, (fr,s1)x1; T=4. Per-factor 1e-6 ln
+    units: ln2=693147, ln3=1098612, ln4=1386294.
+    (en,s0): lnr = 693147+1386294-1098612-693147 = 287682,
+             mi = 2*287682/4e6 = 0.143841
+    (en,s1): lnr = 0+1386294-1098612-693147 = -405465, mi = -0.101366
+    (fr,s1): lnr = 0+1386294-0-693147 = 693147, mi = 0.173287"""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["w"] * 4),
+                "lang": pa.array(["en", "en", "en", "fr"]),
+                "source": pa.array(["s0", "s0", "s1", "s1"]),
+                "n_chars": pa.array([1] * 4, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_lang_source_mi
+
+    out = q_lang_source_mi(str(tmp_path))
+    assert list(zip(out["lang"], out["source"])) == [
+        ("en", "s0"), ("en", "s1"), ("fr", "s1")]
+    assert out["n"].tolist() == [2, 1, 1]
+    assert out["lang_total"].tolist() == [3, 3, 1]
+    assert out["source_total"].tolist() == [2, 2, 2]
+    assert out["grand_total"].tolist() == [4, 4, 4]
+    assert out["ln_ratio_units"].tolist() == [287682, -405465, 693147]
+    assert out["mi_term"].tolist() == [0.143841, -0.101366, 0.173287]
+
+
+def test_source_simpson_hand_computed(ray_session, tmp_path):
+    """s0 = 'a a b': counts {a:2, b:1} -> n=3, vocab=2, ssq=5,
+    simpson=5/9=0.555556. s1 = 'x y': 2/4 = 0.5."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a b", "x y"]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s0", "s1"]),
+                "n_chars": pa.array([5, 3], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_simpson
+
+    out = q_source_simpson(str(tmp_path))
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["n_vocab"].tolist() == [2, 2]
+    assert out["sumsq_tokens"].tolist() == [5, 2]
+    assert out["simpson"].tolist() == [0.555556, 0.5]
+
+
+def test_events_burstiness_hand_computed(ray_session, tmp_path):
+    """Type t: hours {0: 3 events, 2: 1} over dense range H=3 -> n=4,
+    ssq=10, fano=(3*10-16)/(4*3)=1.166667. Type u: one event -> fano 0."""
+    import pyarrow.parquet as pq_
+
+    hr = 3_600_000_000
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(5)), pa.int64()),
+                "ts": pa.array([0, 60_000_000, hr - 1, 2 * hr, 0],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["t", "t", "t", "t", "u"]),
+                "value": pa.array([0.0] * 5, pa.float64()),
+                "props": pa.array(["{}"] * 5),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_burstiness
+
+    out = q_events_burstiness(str(tmp_path))
+    assert out["event_type"].tolist() == ["t", "u"]
+    assert out["n_events"].tolist() == [4, 1]
+    assert out["n_hours"].tolist() == [3, 1]
+    assert out["sumsq_hourly"].tolist() == [10, 1]
+    assert out["fano"].tolist() == [1.166667, 0.0]
