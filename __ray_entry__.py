@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_seasonal_index": q.q_orders_seasonal_index,
         "user_activity_gini": q.q_user_activity_gini,
         "events_burstiness": q.q_events_burstiness,
+        "ab_value_ttest": q.q_ab_value_ttest,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2003,6 +2004,43 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE)
                          / (CAST(n_events AS DOUBLE) * h), 6) AS fano
             FROM a ORDER BY 1
+        """,
+        "ab_value_ttest": r"""
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COALESCE(SUM(c), 0) AS BIGINT) AS s,
+                     CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0)
+                          AS BIGINT) AS q
+              FROM v WHERE event_type = 'purchase'
+            ), b AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COALESCE(SUM(c), 0) AS BIGINT) AS s,
+                     CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0)
+                          AS BIGINT) AS q
+              FROM v WHERE event_type = 'click'
+            )
+            SELECT a.n AS n_a, a.s AS sum_a_cents, a.q AS sumsq_a_cents,
+                   b.n AS n_b, b.s AS sum_b_cents, b.q AS sumsq_b_cents,
+                   CASE WHEN a.n >= 2 AND b.n >= 2 THEN
+                     round((CAST(a.s AS DOUBLE) / a.n
+                            - CAST(b.s AS DOUBLE) / b.n)
+                           / sqrt((CAST(CAST(a.n AS HUGEINT) * a.q
+                                        - CAST(a.s AS HUGEINT) * a.s
+                                        AS DOUBLE)
+                                   / CAST(CAST(a.n AS HUGEINT) * (a.n - 1)
+                                          AS DOUBLE)) / a.n
+                                  + (CAST(CAST(b.n AS HUGEINT) * b.q
+                                          - CAST(b.s AS HUGEINT) * b.s
+                                          AS DOUBLE)
+                                     / CAST(CAST(b.n AS HUGEINT) * (b.n - 1)
+                                            AS DOUBLE)) / b.n), 6)
+                   ELSE NULL END AS welch_t
+            FROM a, b
         """,
     }
     try:

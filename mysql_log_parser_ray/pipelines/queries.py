@@ -7976,3 +7976,90 @@ def q_events_burstiness(sf_dir: str):
     for c in ("n_events", "n_hours", "sumsq_hourly"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ab_value_ttest(sf_dir: str, arm_a: str = "purchase",
+                     arm_b: str = "click"):
+    """Two-arm experiment readout: Welch's t statistic comparing the mean
+    event value between two event types (unequal variances, the default
+    A/B-test contrast). Emits the exact integer sufficient statistics per
+    arm plus the single derived float.
+
+    Exactness: values quantize once to cents; per-block partial sums run
+    in Python ints and ship as DECIMAL STRINGS (sumsq exceeds int64 within
+    a single large block at corpus scale), recombining driver-side in
+    Python ints with the oracle-mirroring BIGINT fail-fast. The sample
+    variance uses the exact-integer form (n*ssq - s^2)/(n*(n-1)) — one
+    correctly-rounded division per arm — and the t expression
+    (m1 - m2)/sqrt(v1/n1 + v2/n2) is the identical IEEE tree on both
+    sides (div/sub/add/sqrt are all correctly rounded). Arms with n < 2
+    yield NULL t (oracle CASE) / NaN here.
+
+    Scale shape: a 2-row-per-block partial fold; nothing key-sized ever
+    moves."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "arm": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "s_str": pa.array([], pa.string()),
+            "ssq_str": pa.array([], pa.string()),
+        }
+        if b.num_rows == 0 or "value" not in b.column_names:
+            return pa.table(cols)
+        et = b["event_type"].to_pandas().to_numpy()
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        arms, ns, ss, qq = [], [], [], []
+        for arm in (arm_a, arm_b):
+            m = et == arm
+            if not m.any():
+                continue
+            cs = [int(v) for v in cents[m]]
+            arms.append(arm)
+            ns.append(len(cs))
+            ss.append(str(sum(cs)))
+            qq.append(str(sum(v * v for v in cs)))
+        return pa.table({"arm": pa.array(arms, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "s_str": pa.array(ss, pa.string()),
+                         "ssq_str": pa.array(qq, pa.string())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    stats = {arm_a: [0, 0, 0], arm_b: [0, 0, 0]}
+    if len(parts) and "arm" in parts.columns:
+        for _, r in parts.iterrows():
+            st = stats[r["arm"]]
+            st[0] += int(r["n"])
+            st[1] += int(r["s_str"])
+            st[2] += int(r["ssq_str"])
+    i64 = np.iinfo(np.int64).max
+    for arm, (n, s, ssq) in stats.items():
+        if s > i64 or ssq > i64:
+            raise OverflowError(
+                f"ab_value_ttest: totals for {arm!r} exceed int64; "
+                "oracle CAST(... AS BIGINT) raises here too")
+    n1, s1, q1 = stats[arm_a]
+    n2, s2, q2 = stats[arm_b]
+    if n1 >= 2 and n2 >= 2:
+        v1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+        v2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+        t = (float(s1) / n1 - float(s2) / n2) / np.sqrt(v1 / n1 + v2 / n2)
+        t = float(round_half_away(np.array([t]), 6)[0])
+    else:
+        t = np.nan
+    out = pd.DataFrame([{
+        "n_a": n1, "sum_a_cents": s1, "sumsq_a_cents": q1,
+        "n_b": n2, "sum_b_cents": s2, "sumsq_b_cents": q2,
+        "welch_t": t,
+    }])
+    for c in ("n_a", "sum_a_cents", "sumsq_a_cents", "n_b", "sum_b_cents",
+              "sumsq_b_cents"):
+        out[c] = out[c].astype("int64")
+    out["welch_t"] = out["welch_t"].astype("float64")
+    return out

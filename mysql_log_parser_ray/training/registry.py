@@ -2297,6 +2297,7 @@ def register_queries():
         "embed_quantize_error": q_embed_quantize_error,
         "lang_source_mi": q_lang_source_mi,
         "source_simpson": q_source_simpson,
+        "doc_pagerank": q_doc_pagerank,
     }
 
 
@@ -2479,8 +2480,48 @@ _SCORE_UNITS_SQL = (
 )
 
 
+def _pagerank_step(prev: str, cur: str) -> str:
+    """One unrolled integer PageRank step (same floor arithmetic as
+    training/graph.py pagerank_integer: contrib = (17*r)//(20*deg),
+    base = 150000000 at scale 1e9)."""
+    return f"""
+            {cur} AS (
+              SELECT d.node, d.d,
+                     150000000 + COALESCE(c.s, 0) AS r
+              FROM deg d LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((17 * p.r) // (20 * p.d)) AS s
+                FROM sym e JOIN {prev} p ON p.node = e.src
+                GROUP BY 1
+              ) c ON c.node = d.node
+            )"""
+
+
 def register_oracles():
+    _PR_STEPS = ",".join(
+        _pagerank_step(f"it{i}", f"it{i + 1}") for i in range(5)
+    )
     return {
+        "doc_pagerank": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs
+            ), deg AS (
+              SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+              FROM sym GROUP BY 1
+            ), nn AS (SELECT COUNT(*) AS n FROM deg),
+            it0 AS (
+              SELECT node, d, 1000000000 // (SELECT n FROM nn) AS r
+              FROM deg
+            ),
+            {_PR_STEPS}
+            SELECT node AS doc_id,
+                   CAST(d AS BIGINT) AS out_degree,
+                   CAST(r AS BIGINT) AS pr_units
+            FROM it5 ORDER BY 1
+        """,
         "lang_source_mi": r"""
             WITH cells AS (
               SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
@@ -4681,3 +4722,32 @@ def q_source_simpson(sf_dir: str):
     for c in ("n_tokens", "n_vocab", "sumsq_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_doc_pagerank(sf_dir: str):
+    """PageRank centrality over the near-dup graph (the dup_clusters edge
+    set: ngram-jaccard >= 0.5 pairs, symmetrized) — ranks the docs a
+    curation pass should LOOK AT first: high-rank nodes sit at the center
+    of large duplicate families, low-rank leaves are one-off copies.
+
+    Fixed 5 iterations in EXACT integer 1e-9 units (floor-damped
+    contributions, integer base) so the values are bit-identical across
+    runs, num_cpus and engines — the oracle unrolls the same five integer
+    steps in SQL. See training/graph.py pagerank_integer for the
+    two-stage-per-round shuffle shape and the int64 overflow fail-fast."""
+    from .dedup import ngram_jaccard_pairs
+    from .graph import pagerank_integer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5, as_dataset=True)
+    out = pagerank_integer(pairs, n_iter=5).to_pandas()
+    if "node" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "out_degree": pd.Series([], dtype="int64"),
+            "pr_units": pd.Series([], dtype="int64"),
+        })
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "out_degree", "pr_units"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

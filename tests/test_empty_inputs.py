@@ -11,6 +11,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     """Every wave-3/4/5 query must return a typed, schema-stable empty
     result when its input tables are empty (Ray groupby over zero rows
     yields a column-less frame that would otherwise KeyError)."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -247,6 +248,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                            "sumsq_tokens", "simpson"],
         "events_burstiness": ["event_type", "n_events", "n_hours",
                               "sumsq_hourly", "fano"],
+        "doc_pagerank": ["doc_id", "out_degree", "pr_units"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
@@ -279,6 +281,15 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     out = _to_pandas(qs["users_all_types"](str(tmp_path)))
     assert list(out.columns) == ["n_users_all_types", "n_types"]
     assert len(out) == 1 and out.iloc[0].tolist() == [0, 0]
+    # ab_value_ttest's oracle is scalar subqueries: one row of zero
+    # counts with a NULL (NaN) t when either arm has n < 2
+    out = _to_pandas(qs["ab_value_ttest"](str(tmp_path)))
+    assert list(out.columns) == ["n_a", "sum_a_cents", "sumsq_a_cents",
+                                 "n_b", "sum_b_cents", "sumsq_b_cents",
+                                 "welch_t"]
+    assert len(out) == 1
+    assert out.iloc[0, :6].tolist() == [0, 0, 0, 0, 0, 0]
+    assert pd.isna(out["welch_t"].iloc[0])
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))

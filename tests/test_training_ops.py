@@ -1938,3 +1938,78 @@ def test_events_burstiness_hand_computed(ray_session, tmp_path):
     assert out["n_hours"].tolist() == [3, 1]
     assert out["sumsq_hourly"].tolist() == [10, 1]
     assert out["fano"].tolist() == [1.166667, 0.0]
+
+
+def test_pagerank_integer_hand_computed(ray_session):
+    """Path graph 1-2-3, one iteration. r0 = 1e9//3 = 333333333.
+    contribs: node1/3 send (17*r0)//20 = 283333333 to 2; node2 sends
+    (17*r0)//40 = 141666666 each way. r1 = [291666666, 716666666,
+    291666666] after base 150000000."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.graph import pagerank_integer
+
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_a": [1, 2], "doc_b": [2, 3]}))
+    out = pagerank_integer(pairs, n_iter=1).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["out_degree"].tolist() == [1, 2, 1]
+    assert out["pr_units"].tolist() == [291666666, 716666666, 291666666]
+
+
+def test_pagerank_distributed_equals_driver(ray_session):
+    """The label-propagation-shaped distributed rounds must produce
+    bit-identical ranks to the driver fold on the same graph (the CC
+    equality-pin pattern), including an isolated two-clique."""
+    import ray.data as rd
+
+    from mysql_log_parser_ray.training.graph import pagerank_integer
+
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 3, 1, 10, 11, 10, 20],
+        "doc_b": [2, 3, 4, 3, 11, 12, 12, 21],
+    })
+    a = pagerank_integer(
+        rd.from_pandas(pairs), n_iter=5
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    b = pagerank_integer(
+        rd.from_pandas(pairs), n_iter=5, small_graph_limit=None
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.astype("int64"), b[["node", "out_degree", "pr_units"]].astype("int64")
+    )
+    # mass sanity: every rank >= base, total ~ N * scale at fixpoint scale
+    assert (a["pr_units"] >= 150000000).all()
+
+
+def test_ab_value_ttest_hand_computed(ray_session, tmp_path):
+    """purchase values [1.0, 3.0] (cents 100, 300): n=2, s=400,
+    ssq=100000, var=(2*100000-160000)/2=20000, mean=200. click
+    [1.0, 1.0, 1.0]: mean=100, var=0. t = 100/sqrt(20000/2) = 1.0."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(5)), pa.int64()),
+                "ts": pa.array([0] * 5, pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(
+                    ["purchase", "purchase", "click", "click", "click"]),
+                "value": pa.array([1.0, 3.0, 1.0, 1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}"] * 5),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_ab_value_ttest
+
+    out = q_ab_value_ttest(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r[["n_a", "sum_a_cents", "sumsq_a_cents"]].tolist() == [
+        2, 400, 100000]
+    assert r[["n_b", "sum_b_cents", "sumsq_b_cents"]].tolist() == [
+        3, 300, 30000]
+    assert r["welch_t"] == 1.0
