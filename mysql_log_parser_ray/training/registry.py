@@ -2298,6 +2298,7 @@ def register_queries():
         "lang_source_mi": q_lang_source_mi,
         "source_simpson": q_source_simpson,
         "doc_pagerank": q_doc_pagerank,
+        "docs_bm25_topk": q_docs_bm25_topk,
     }
 
 
@@ -2501,7 +2502,59 @@ def register_oracles():
     _PR_STEPS = ",".join(
         _pagerank_step(f"it{i}", f"it{i + 1}") for i in range(5)
     )
+    _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return {
+        "docs_bm25_topk": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text, ' ' || chr(9)
+                         || chr(10) || chr(13) || chr(11) || chr(12))),
+                         '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), words AS (
+              SELECT doc_id, w[i] AS word
+              FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i] <> ''
+            ), dl AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM words GROUP BY 1
+            ), g AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT SUM(dl) FROM dl) AS tt
+            ), df AS (
+              SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM words WHERE word IN ({_BM25_IN}) GROUP BY 1
+            ), idf AS (
+              SELECT word,
+                     CAST(floor(ln(
+                         CAST(2 * (SELECT n FROM g) - 2 * df + 1 AS DOUBLE)
+                         / (2 * df + 1)) * 1000000 + 0.5) AS BIGINT) AS u
+              FROM df
+            ), tf AS (
+              SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM words WHERE word IN ({_BM25_IN}) GROUP BY 1, 2
+            ), sc AS (
+              SELECT t.doc_id, d.dl,
+                     CAST(floor(
+                         CAST(i.u AS DOUBLE) * (22 * t.tf)
+                         / ((10 * t.tf + 3)
+                            + ((9.0 * d.dl) * (SELECT n FROM g))
+                              / (SELECT tt FROM g))
+                         + 0.5) AS BIGINT) AS su
+              FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+            ), agg AS (
+              SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS n_tokens,
+                     CAST(SUM(su) AS BIGINT) AS score_units
+              FROM sc GROUP BY 1
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_units DESC, doc_id) AS BIGINT)
+                       AS rank,
+                   doc_id, n_tokens, score_units
+            FROM agg
+            ORDER BY score_units DESC, doc_id
+            LIMIT 20
+        """,
         "doc_pagerank": rf"""
             WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
             sym AS (
@@ -4751,3 +4804,118 @@ def q_doc_pagerank(sf_dir: str):
     for c in ("doc_id", "out_degree", "pr_units"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BM25_TERMS = ("hash", "join", "scan", "stream")
+
+
+def q_docs_bm25_topk(sf_dir: str, k: int = 20):
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed query term set — the
+    top-k most relevant documents, the IR scoring baseline a training-data
+    search/inspection surface needs.
+
+    Exactness: idf = ln((2N-2df+1)/(2df+1)) quantizes half-up to 1e-6
+    units once per term; each (doc, term) contribution is the IDENTICAL
+    IEEE expression tree idf_f * (22*tf) / ((10*tf+3) + ((9.0*dl)*N)/T)
+    on both sides (exact-int operands, correctly-rounded double ops, no
+    round()-convention hazard — floor(x+0.5) everywhere, sign-safe for
+    the negative idf of a term in more than half the corpus), quantized
+    to int64 units so the per-doc sum over matched terms is
+    order-independent. Ties break on doc_id.
+
+    Scale shape: pass 1 folds per-block (n_docs, total_tokens, df per
+    term) partials — terms are a constant; pass 2 carries (N, T, idf) in
+    the closure, scores docs block-locally (a doc's terms never leave its
+    row), and emits per-block top-k candidates — the driver folds
+    blocks x k rows, never the corpus."""
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(rank="int64", doc_id="int64", n_tokens="int64",
+                        score_units="int64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _words(b: pa.Table):
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        return (b["doc_id"].to_pandas().reindex(ex.index[mask]).to_numpy(),
+                ex[mask].to_numpy())
+
+    def _glob(b: pa.Table) -> pa.Table:
+        cols = {"n_docs": pa.array([], pa.int64()),
+                "total_tokens": pa.array([], pa.int64())}
+        cols.update({f"df_{t}": pa.array([], pa.int64())
+                     for t in _BM25_TERMS})
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        ids, words = _words(b)
+        d = pd.DataFrame({"doc_id": ids, "word": words})
+        row = {"n_docs": [b.num_rows], "total_tokens": [len(d)]}
+        for t in _BM25_TERMS:
+            row[f"df_{t}"] = [
+                d.loc[d["word"] == t, "doc_id"].nunique()]
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in row.items()})
+
+    g = ds.map_batches(_glob, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).to_pandas()
+    if not len(g) or "n_docs" not in g.columns:
+        return empty
+    n = int(g["n_docs"].sum())
+    t_total = int(g["total_tokens"].sum())
+    if n == 0 or t_total == 0:
+        return empty
+    idf = {
+        t: int(np.floor(np.log(
+            float(2 * n - 2 * int(g[f"df_{t}"].sum()) + 1)
+            / (2 * int(g[f"df_{t}"].sum()) + 1)) * 1e6 + 0.5))
+        for t in _BM25_TERMS
+    }
+
+    def _score(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "score_units": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        ids, words = _words(b)
+        d = pd.DataFrame({"doc_id": ids, "word": words})
+        dl = d.groupby("doc_id").size().rename("dl")
+        tf = (d[d["word"].isin(_BM25_TERMS)]
+              .groupby(["doc_id", "word"], as_index=False).size()
+              .rename(columns={"size": "tf"}))
+        if not len(tf):
+            return pa.table(cols)
+        tf = tf.join(dl, on="doc_id")
+        tfa = tf["tf"].to_numpy(np.int64)
+        dla = tf["dl"].to_numpy(np.int64)
+        idf_f = tf["word"].map({t: float(u) for t, u in idf.items()}
+                               ).to_numpy(np.float64)
+        su = np.floor(
+            idf_f * (22.0 * tfa)
+            / ((10 * tfa + 3) + ((9.0 * dla) * n) / t_total)
+            + 0.5
+        ).astype(np.int64)
+        per_doc = (pd.DataFrame({"doc_id": tf["doc_id"].to_numpy(np.int64),
+                                 "n_tokens": dla, "score_units": su})
+                   .groupby(["doc_id", "n_tokens"], as_index=False)
+                   ["score_units"].sum())
+        cand = per_doc.sort_values(
+            ["score_units", "doc_id"], ascending=[False, True]).head(k)
+        cand["score_units"] = cand["score_units"].astype("int64")
+        return pa.Table.from_pandas(
+            cand[["doc_id", "n_tokens", "score_units"]],
+            preserve_index=False)
+
+    parts = ds.map_batches(_score, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "doc_id" not in parts.columns:
+        return empty
+    out = parts.sort_values(["score_units", "doc_id"],
+                            ascending=[False, True]).head(k).copy()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    for c in ("doc_id", "n_tokens", "score_units"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "doc_id", "n_tokens", "score_units"]].reset_index(
+        drop=True)

@@ -249,6 +249,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_burstiness": ["event_type", "n_events", "n_hours",
                               "sumsq_hourly", "fano"],
         "doc_pagerank": ["doc_id", "out_degree", "pr_units"],
+        "docs_bm25_topk": ["rank", "doc_id", "n_tokens", "score_units"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

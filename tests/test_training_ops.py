@@ -2013,3 +2013,33 @@ def test_ab_value_ttest_hand_computed(ray_session, tmp_path):
     assert r[["n_b", "sum_b_cents", "sumsq_b_cents"]].tolist() == [
         3, 300, 30000]
     assert r["welch_t"] == 1.0
+
+
+def test_docs_bm25_topk_hand_computed(ray_session, tmp_path):
+    """N=3 docs, T=7 tokens. df(hash)=2 -> idf=ln(3/5) -> -510826 units
+    (negative: in more than half the corpus); df(join)=1 -> +510826.
+    doc0 'hash join' (dl=2): su = -542532 + 542532 = 0.
+    doc1 'hash hash filter' (dl=3, tf=2): su = -650142.
+    doc2 has no query terms and is absent; ranking is 0 > -650142."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["hash join", "hash hash filter",
+                                  "the table"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s0"] * 3),
+                "n_chars": pa.array([9, 16, 9], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_docs_bm25_topk
+
+    out = q_docs_bm25_topk(str(tmp_path))
+    assert out["rank"].tolist() == [1, 2]
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_tokens"].tolist() == [2, 3]
+    assert out["score_units"].tolist() == [0, -650142]
