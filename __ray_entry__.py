@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": q.q_user_activity_gini,
         "events_burstiness": q.q_events_burstiness,
         "ab_value_ttest": q.q_ab_value_ttest,
+        "events_table_checksum": q.q_events_table_checksum,
+        "sessions_bounce": q.q_sessions_bounce,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2041,6 +2043,73 @@ def oracle_sql() -> dict[str, str]:
                                             AS DOUBLE)) / b.n), 6)
                    ELSE NULL END AS welch_t
             FROM a, b
+        """,
+        "events_table_checksum": r"""
+            WITH r AS (
+              SELECT event_id % 64 AS bucket,
+                     md5(CAST(event_id AS VARCHAR) || '|'
+                         || CAST(user_id AS VARCHAR) || '|'
+                         || event_type || '|'
+                         || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR) || '|'
+                         || CAST(epoch_us(ts) AS VARCHAR)) AS hx
+              FROM events
+            ), v AS (
+              SELECT bucket,
+                     CAST((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 268435456
+                          + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16777216
+                          + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 1048576
+                          + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 65536
+                          + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 4096
+                          + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) * 256
+                          + (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substring(hx, 8, 1)) - 1)
+                          AS BIGINT) AS h32
+              FROM r
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(h32) AS BIGINT) AS checksum_sum,
+                   CAST(bit_xor(h32) AS BIGINT) AS checksum_xor
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "sessions_bounce": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER w AS prev_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            ), s AS (
+              SELECT user_id, us,
+                     CAST(SUM(CASE WHEN prev_us IS NULL
+                                   OR us - prev_us > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS session_seq
+              FROM o
+            ), sess AS (
+              SELECT user_id, session_seq, COUNT(*) AS n_events,
+                     MAX(us) - MIN(us) AS dur
+              FROM s GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COALESCE(SUM(CASE WHEN n_events = 1
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_bounce,
+                   CAST(COALESCE(SUM(CASE WHEN session_seq = 1
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_users,
+                   CAST(COALESCE(SUM(n_events), 0) AS BIGINT)
+                       AS sum_events,
+                   CAST(COALESCE(SUM(dur), 0) AS BIGINT)
+                       AS sum_duration_us,
+                   CASE WHEN COUNT(*) = 0 THEN NULL
+                        ELSE round(CAST(SUM(CASE WHEN n_events = 1
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                                   / COUNT(*), 6) END AS bounce_rate
+            FROM sess
         """,
     }
     try:

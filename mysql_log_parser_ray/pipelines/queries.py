@@ -8063,3 +8063,158 @@ def q_ab_value_ttest(sf_dir: str, arm_a: str = "purchase",
         out[c] = out[c].astype("int64")
     out["welch_t"] = out["welch_t"].astype("float64")
     return out
+
+
+def q_events_table_checksum(sf_dir: str, n_buckets: int = 64):
+    """Replica-consistency table checksum (the pt-table-checksum shape the
+    reference's ecosystem pairs with log parsing): events fold to
+    per-chunk row counts plus TWO order-independent digests of a
+    canonical per-row string — an integer SUM of the 32-bit md5 prefix
+    (catches multiset differences) and a BIT-XOR (the cheap variant two
+    replicas can compare chunk-by-chunk to localize drift).
+
+    Exactness: the canonical row string is identical on both sides
+    (integer cents, exact epoch microseconds via epoch_us, '|' joins);
+    md5 is md5. XOR never overflows; per-block SUM partials are int64
+    (safe below ~2e9 rows/block at 32-bit row hashes), ship as decimal
+    strings and recombine in Python ints with the oracle-mirroring
+    BIGINT fail-fast.
+
+    Scale shape: per-block (bucket, n, sum_str, xor) partials — 64 rows
+    per block, chunked by primary key so a real deployment can re-check
+    only mismatched chunks."""
+    import hashlib
+
+    import pandas as pd
+
+    empty = _typed_empty(bucket="int64", n_rows="int64",
+                         checksum_sum="int64", checksum_xor="int64")
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "bucket": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s_str": pa.array([], pa.string()),
+            "x": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table(cols)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_pylist()
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        h32 = np.fromiter(
+            (int(hashlib.md5(
+                f"{e}|{u}|{t}|{c}|{m}".encode("utf-8")
+            ).hexdigest()[:8], 16)
+             for e, u, t, c, m in zip(eid, uid, et, cents, us)),
+            dtype=np.int64, count=len(eid))
+        df = pd.DataFrame({"bucket": eid % n_buckets, "h": h32})
+        rows = []
+        for bk, g in df.groupby("bucket"):
+            hs = g["h"].to_numpy(np.int64)
+            rows.append((int(bk), len(hs), str(int(hs.sum())),
+                         int(np.bitwise_xor.reduce(hs))))
+        out = pd.DataFrame(rows, columns=["bucket", "n", "s_str", "x"])
+        for c in ("bucket", "n", "x"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "bucket" not in parts.columns:
+        return empty
+    i64 = np.iinfo(np.int64).max
+    rows = []
+    for bk, g in parts.groupby("bucket"):
+        s = sum(int(v) for v in g["s_str"])
+        if s > i64:
+            raise OverflowError(
+                f"events_table_checksum: sum for chunk {bk} exceeds "
+                "int64; oracle CAST(... AS BIGINT) raises here too")
+        rows.append((int(bk), int(g["n"].sum()), s,
+                     int(np.bitwise_xor.reduce(
+                         g["x"].to_numpy(np.int64)))))
+    out = pd.DataFrame(rows, columns=["bucket", "n_rows", "checksum_sum",
+                                      "checksum_xor"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_sessions_bounce(sf_dir: str):
+    """Session-quality rollup over the REAL sessionize operator: total
+    sessions, bounce sessions (single-event), distinct users, total
+    events and dwell time — the engagement headline a product dashboard
+    derives from gap-based sessions (30-min timeout, the events_sessions
+    semantics).
+
+    Exactness and split-safety: n_users counts sessions with
+    session_seq == 1 (exactly one per user — immune to Ray's dynamic
+    block splitting cutting a partition's output mid-user, where a
+    per-block nunique would double-count); everything else is a
+    row-count/int-sum over globally-unique session rows. Duration sums
+    ship as per-block decimal strings and recombine in Python ints with
+    the BIGINT fail-fast (microsecond dwell exceeds int64 at corpus
+    scale).
+
+    Scale shape: sessionize stays a Dataset (user-hash partitions, one
+    vectorized pass per partition); this folds 5-int partials per block."""
+    import pandas as pd
+
+    from ..stages.window import sessionize
+    from ..util import round_half_up
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    sess = sessionize(ev, gap_sec=1800, as_dataset=True)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "n_sessions": pa.array([], pa.int64()),
+            "n_bounce": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+            "sum_events": pa.array([], pa.int64()),
+            "dur_str": pa.array([], pa.string()),
+        }
+        if b.num_rows == 0 or "session_seq" not in b.column_names:
+            return pa.table(cols)
+        ne = b["n_events"].to_numpy(zero_copy_only=False)
+        seq = b["session_seq"].to_numpy(zero_copy_only=False)
+        dur = b["duration_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_sessions": pa.array([b.num_rows], pa.int64()),
+            "n_bounce": pa.array([int((ne == 1).sum())], pa.int64()),
+            "n_users": pa.array([int((seq == 1).sum())], pa.int64()),
+            "sum_events": pa.array([int(ne.sum())], pa.int64()),
+            "dur_str": pa.array([str(sum(int(v) for v in dur))],
+                                pa.string()),
+        })
+
+    parts = sess.map_batches(_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if not len(parts) or "n_sessions" not in parts.columns:
+        ns = nb = nu = se = sd = 0
+    else:
+        ns = int(parts["n_sessions"].sum())
+        nb = int(parts["n_bounce"].sum())
+        nu = int(parts["n_users"].sum())
+        se = int(parts["sum_events"].sum())
+        sd = sum(int(v) for v in parts["dur_str"])
+    if sd > np.iinfo(np.int64).max:
+        raise OverflowError(
+            "sessions_bounce: duration sum exceeds int64; oracle "
+            "CAST(... AS BIGINT) raises here too")
+    rate = (float(round_half_up(np.array([float(nb) / ns]), 6)[0])
+            if ns else np.nan)
+    out = pd.DataFrame([{
+        "n_sessions": ns, "n_bounce": nb, "n_users": nu,
+        "sum_events": se, "sum_duration_us": sd, "bounce_rate": rate,
+    }])
+    for c in ("n_sessions", "n_bounce", "n_users", "sum_events",
+              "sum_duration_us"):
+        out[c] = out[c].astype("int64")
+    out["bounce_rate"] = out["bounce_rate"].astype("float64")
+    return out

@@ -250,6 +250,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                               "sumsq_hourly", "fano"],
         "doc_pagerank": ["doc_id", "out_degree", "pr_units"],
         "docs_bm25_topk": ["rank", "doc_id", "n_tokens", "score_units"],
+        "events_table_checksum": ["bucket", "n_rows", "checksum_sum",
+                                  "checksum_xor"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
@@ -291,6 +293,14 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 1
     assert out.iloc[0, :6].tolist() == [0, 0, 0, 0, 0, 0]
     assert pd.isna(out["welch_t"].iloc[0])
+    # sessions_bounce is a scalar rollup: one zero row, NULL (NaN) rate
+    out = _to_pandas(qs["sessions_bounce"](str(tmp_path)))
+    assert list(out.columns) == ["n_sessions", "n_bounce", "n_users",
+                                 "sum_events", "sum_duration_us",
+                                 "bounce_rate"]
+    assert len(out) == 1
+    assert out.iloc[0, :5].tolist() == [0, 0, 0, 0, 0]
+    assert pd.isna(out["bounce_rate"].iloc[0])
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))

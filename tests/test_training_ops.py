@@ -2043,3 +2043,76 @@ def test_docs_bm25_topk_hand_computed(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [0, 1]
     assert out["n_tokens"].tolist() == [2, 3]
     assert out["score_units"].tolist() == [0, -650142]
+
+
+def test_events_table_checksum_hand_computed(ray_session, tmp_path):
+    """Two events in one chunk, one in another; expected digests built
+    from the same canonical string spec (id|user|type|cents|us) through
+    an independent hashlib path in the test."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    rows = [
+        (0, 0, 5, "click", 1.25),    # cents 125, bucket 0
+        (64, 1_000_000, 6, "view", 2.0),   # bucket 0
+        (1, 2_000_000, 7, "click", 0.1),   # bucket 1 (cents 10)
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 3),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    def h32(e, m, u, t, v):
+        c = int(np.floor(v * 100 + 0.5))
+        return int(hashlib.md5(
+            f"{e}|{u}|{t}|{c}|{m}".encode()).hexdigest()[:8], 16)
+
+    hs0 = [h32(*rows[0]), h32(*rows[1])]
+    hs1 = [h32(*rows[2])]
+    from mysql_log_parser_ray.pipelines.queries import q_events_table_checksum
+
+    out = q_events_table_checksum(str(tmp_path))
+    assert out["bucket"].tolist() == [0, 1]
+    assert out["n_rows"].tolist() == [2, 1]
+    assert out["checksum_sum"].tolist() == [sum(hs0), sum(hs1)]
+    assert out["checksum_xor"].tolist() == [hs0[0] ^ hs0[1], hs1[0]]
+
+
+def test_sessions_bounce_hand_computed(ray_session, tmp_path):
+    """user5: events at 0s, 600s (one session, dur 600s), then 3000s
+    (gap 2400s > 1800 -> new single-event session = bounce). user6: one
+    event = bounce. 3 sessions, 2 bounces, rate 2/3 = 0.666667."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": pa.array([0, 600_000_000, 3_000_000_000,
+                                0], pa.timestamp("us")),
+                "user_id": pa.array([5, 5, 5, 6], pa.int64()),
+                "event_type": pa.array(["view"] * 4),
+                "value": pa.array([0.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_sessions_bounce
+
+    out = q_sessions_bounce(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r[["n_sessions", "n_bounce", "n_users", "sum_events",
+              "sum_duration_us"]].tolist() == [3, 2, 2, 4, 600_000_000]
+    assert r["bounce_rate"] == 0.666667
