@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_value_ttest": q.q_ab_value_ttest,
         "events_table_checksum": q.q_events_table_checksum,
         "sessions_bounce": q.q_sessions_bounce,
+        "region_revenue_rollup": q.q_region_revenue_rollup,
+        "users_new_vs_returning": q.q_users_new_vs_returning,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2110,6 +2112,43 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END) AS DOUBLE)
                                    / COUNT(*), 6) END AS bounce_rate
             FROM sess
+        """,
+        "region_revenue_rollup": """
+            WITH j AS (
+              SELECT r.r_name AS region, n.n_name AS nation,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+            )
+            SELECT CASE WHEN GROUPING(region) = 1 THEN 'ALL'
+                        ELSE region END AS region,
+                   CASE WHEN GROUPING(nation) = 1 THEN 'ALL'
+                        ELSE nation END AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM j GROUP BY ROLLUP (region, nation)
+            ORDER BY 1, 2
+        """,
+        "users_new_vs_returning": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, day,
+                     MIN(day) OVER (PARTITION BY user_id) AS first_day
+              FROM p
+            )
+            SELECT day,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN day = first_day THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_returning
+            FROM f GROUP BY 1 ORDER BY 1
         """,
     }
     try:

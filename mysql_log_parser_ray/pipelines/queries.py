@@ -8218,3 +8218,185 @@ def q_sessions_bounce(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["bounce_rate"] = out["bounce_rate"].astype("float64")
     return out
+
+
+def q_region_revenue_rollup(sf_dir: str,
+                            max_customer_broadcast: int = 50_000_000):
+    """Hierarchical GROUPING-SETS rollup: order revenue at three levels —
+    (region, nation) detail, per-region subtotal, grand total — the OLAP
+    drill-down surface (SQL ROLLUP), with subtotal rows labeled 'ALL'.
+
+    Exactness: revenue is integer cents; per-block partials are int64
+    (order totals are ~1e7 cents, safe below ~1e11 rows/block), the
+    driver recombines in Python ints and fail-fasts past int64 exactly
+    where the oracle's CAST(SUM AS BIGINT) raises. Subtotals are derived
+    from the SAME folded cells, so the three levels cannot disagree.
+
+    Scale shape: customer collapses to a broadcast sorted
+    (custkey -> nationkey) array, count-checked BEFORE the collect;
+    orders then needs NO shuffle — each block emits nation-cardinality
+    partials and the driver folds blocks x 25 rows; nation/region are
+    true dims (25/5 rows, driver-side)."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..broadcast import broadcast_get
+
+    empty = _typed_empty(region=object, nation=object, n_orders="int64",
+                         revenue_cents="int64")
+    nat = pq_.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    region_of = dict(zip(
+        nat["n_nationkey"],
+        nat["n_regionkey"].map(dict(zip(reg["r_regionkey"],
+                                        reg["r_name"]))),
+    ))
+
+    cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    if cust_ds.count() > max_customer_broadcast:
+        raise ValueError(
+            f"region_revenue_rollup: customers exceed "
+            f"{max_customer_broadcast}; route the nationkey lookup "
+            "through a co-partitioned tagged-union join (q5 shape)"
+        )
+    cdf = cust_ds.to_pandas()
+    if "c_custkey" not in cdf.columns:
+        return empty
+    cdf = cdf.sort_values("c_custkey")
+    ckeys = cdf["c_custkey"].to_numpy(np.int64)
+    cnat = cdf["c_nationkey"].to_numpy(np.int64)
+    lut_ref = ray.put((ckeys, cnat))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "nationkey": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        ks, ns = broadcast_get(lut_ref)
+        ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ok)
+        idx[idx >= len(ks)] = 0
+        hit = (ks[idx] == ok) if len(ks) else np.zeros(len(ok), bool)
+        if not hit.any():
+            return pa.table(cols)
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"nationkey": ns[idx[hit]],
+                           "revenue_cents": cents[hit]})
+             .groupby("nationkey", as_index=False)
+             .agg(n_orders=("revenue_cents", "size"),
+                  revenue_cents=("revenue_cents", "sum")))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(
+            g[["nationkey", "n_orders", "revenue_cents"]],
+            preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    if not len(parts) or "nationkey" not in parts.columns:
+        return empty
+    i64 = np.iinfo(np.int64).max
+    cells = []
+    for nk, g in parts.groupby("nationkey"):
+        rev = sum(int(v) for v in g["revenue_cents"])
+        if rev > i64:
+            raise OverflowError(
+                "region_revenue_rollup: revenue exceeds int64; oracle "
+                "CAST(... AS BIGINT) raises here too")
+        cells.append((region_of[int(nk)], nation_name[int(nk)],
+                      int(g["n_orders"].sum()), rev))
+    det = pd.DataFrame(cells, columns=["region", "nation", "n_orders",
+                                       "revenue_cents"])
+    sub = (det.groupby("region", as_index=False)
+           [["n_orders", "revenue_cents"]].sum())
+    sub["nation"] = "ALL"
+    tot = pd.DataFrame([{
+        "region": "ALL", "nation": "ALL",
+        "n_orders": int(det["n_orders"].sum()),
+        "revenue_cents": int(det["revenue_cents"].sum()),
+    }])
+    out = pd.concat(
+        [det, sub[["region", "nation", "n_orders", "revenue_cents"]], tot],
+        ignore_index=True)
+    for c in ("n_orders", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+def q_users_new_vs_returning(sf_dir: str):
+    """Daily acquisition split: per UTC day, active users, NEW users
+    (whose global first-active day is that day) and returning users —
+    the growth-accounting series every product dashboard opens with.
+
+    Exactness: integer day buckets via the _day_from_us float-floor that
+    is floor-identical to the oracle's floor(epoch/86400) at timestamp
+    magnitudes; counts are exact ints. Split-safety: distinct (user, day)
+    pairs hash-bucket by USER (stable_partition) so each user's global
+    min-day is computed inside one task; buckets fold straight to
+    day-cardinality (n_active, n_new) partials — bounded by the time
+    range, never by users.
+
+    Scale shape: one shuffle on a 64-ary key; the driver folds
+    64 x days rows."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(day="int64", n_active="int64", n_new="int64",
+                         n_returning="int64")
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": _day_from_us(
+                pc.cast(b["ts"], pa.int64())
+            ).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        d["_part"] = stable_partition(
+            pa.array(d["user_id"], pa.int64()), 64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"day": "int64", "n_active": "int64", "n_new": "int64"}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        g = g[["user_id", "day"]].drop_duplicates()
+        first = g.groupby("user_id")["day"].transform("min").to_numpy()
+        out = pd.DataFrame({
+            "day": g["day"].to_numpy(),
+            "new": (g["day"].to_numpy() == first).astype(np.int64),
+        }).groupby("day", as_index=False).agg(
+            n_active=("new", "size"), n_new=("new", "sum"))
+        return out.astype(out_cols)
+
+    parts = (
+        ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["day"], ["n_active", "n_new"])
+    if out is None:
+        return empty
+    for c in ("day", "n_active", "n_new"):
+        out[c] = out[c].astype("int64")
+    out["n_returning"] = (out["n_active"] - out["n_new"]).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -2299,6 +2299,7 @@ def register_queries():
         "source_simpson": q_source_simpson,
         "doc_pagerank": q_doc_pagerank,
         "docs_bm25_topk": q_docs_bm25_topk,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -2405,12 +2406,13 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _lang_id_sql() -> str:
-    """Stopword-vote CASE expression generated from the SAME stopword
-    tables the Ray heuristic uses (training/text.py:_LANG_STOPWORDS), so
-    the two sides cannot drift. Tie semantics mirror the Python loop:
-    first language (dict order) achieving the maximum wins; all-zero ->
-    'und'. list_intersect is set-semantics like the Python set &."""
+def _lang_vote_parts() -> tuple:
+    """(intersection-count select list, winner CASE) generated from the
+    SAME stopword tables the Ray heuristic uses
+    (training/text.py:_LANG_STOPWORDS), so the two sides cannot drift.
+    Tie semantics mirror the Python loop: first language (dict order)
+    achieving the maximum wins; all-zero -> 'und'. list_intersect is
+    set-semantics like the Python set &."""
     from .text import _LANG_STOPWORDS
 
     inter = ",\n                   ".join(
@@ -2422,6 +2424,11 @@ def _lang_id_sql() -> str:
     case = f"CASE WHEN {greatest} = 0 THEN 'und' "
     case += " ".join(f"WHEN n_{l} = {greatest} THEN '{l}'" for l in langs)
     case += " END"
+    return inter, case
+
+
+def _lang_id_sql() -> str:
+    inter, case = _lang_vote_parts()
     return rf"""
             WITH w AS (
               SELECT doc_id,
@@ -2433,6 +2440,32 @@ def _lang_id_sql() -> str:
               FROM w
             )
             SELECT {case} AS pred_lang, COUNT(*) AS n_rows FROM c GROUP BY 1
+        """
+
+
+def _lang_confusion_sql() -> str:
+    inter, case = _lang_vote_parts()
+    return rf"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(lower(text), '[ \t\n\r\v\f]+') AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                   {inter}
+              FROM w
+            ), p AS (
+              SELECT lang, {case} AS pred_lang FROM c
+            ), cells AS (
+              SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2
+            )
+            SELECT lang, pred_lang, n,
+                   CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_lang,
+                   round(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY lang), 6) AS share
+            FROM cells ORDER BY 1, 2
         """
 
 
@@ -3564,6 +3597,7 @@ def register_oracles():
             FROM documents
         """,
         "lang_id_counts": _lang_id_sql(),
+        "lang_confusion": _lang_confusion_sql(),
         # minhash_pairs: on a corpus where the recall-guard test proves the
         # banding + signature prefilter lossless (tests/test_training_ops),
         # the LSH output EQUALS exact char-5-shingle jaccard >= 0.8 - which
@@ -4919,3 +4953,55 @@ def q_docs_bm25_topk(sf_dir: str, k: int = 20):
         out[c] = out[c].astype("int64")
     return out[["rank", "doc_id", "n_tokens", "score_units"]].reset_index(
         drop=True)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: labeled lang x predicted
+    lang (the stopword-vote heuristic of lang_id_counts) with per-label
+    row totals and shares — the eval surface that tells a curation
+    pipeline WHICH languages the cheap classifier is safe to route on.
+
+    Exactness: the prediction reuses lang_id_batch verbatim (row order is
+    preserved within a batch, so the label zips back on positionally);
+    shares are half-up ratios of exact counts. Scale shape: per-block
+    (lang, pred) cell counts fold driver-side — bounded by the language
+    domain squared, never rows."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import lang_id_batch
+
+    empty = typed_empty(lang=object, pred_lang=object, n="int64",
+                        n_lang="int64", share="float64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "lang": pa.array([], pa.string()),
+            "pred_lang": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        preds = lang_id_batch(b)
+        g = (pd.DataFrame({"lang": b["lang"].to_pandas().to_numpy(),
+                           "pred_lang": preds["pred_lang"].to_pandas()
+                           .to_numpy()})
+             .groupby(["lang", "pred_lang"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["lang", "pred_lang"], ["n"],
+    )
+    if cells is None:
+        return empty
+    cells["n"] = cells["n"].astype("int64")
+    cells["n_lang"] = cells.groupby("lang")["n"].transform("sum").astype(
+        "int64")
+    cells["share"] = round_half_up(
+        cells["n"].to_numpy(np.float64)
+        / cells["n_lang"].to_numpy(np.float64), 6)
+    return cells.sort_values(["lang", "pred_lang"]).reset_index(drop=True)

@@ -101,9 +101,19 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
             {
                 "n_nationkey": pa.array([], pa.int32()),
                 "n_name": pa.array([], pa.string()),
+                "n_regionkey": pa.array([], pa.int32()),
             }
         ),
         str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([], pa.int32()),
+                "r_name": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
     )
     pq.write_table(
         pa.table(
@@ -252,6 +262,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "docs_bm25_topk": ["rank", "doc_id", "n_tokens", "score_units"],
         "events_table_checksum": ["bucket", "n_rows", "checksum_sum",
                                   "checksum_xor"],
+        "lang_confusion": ["lang", "pred_lang", "n", "n_lang", "share"],
+        "region_revenue_rollup": ["region", "nation", "n_orders",
+                                  "revenue_cents"],
+        "users_new_vs_returning": ["day", "n_active", "n_new",
+                                   "n_returning"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

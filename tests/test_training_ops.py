@@ -2116,3 +2116,106 @@ def test_sessions_bounce_hand_computed(ray_session, tmp_path):
     assert r[["n_sessions", "n_bounce", "n_users", "sum_events",
               "sum_duration_us"]].tolist() == [3, 2, 2, 4, 600_000_000]
     assert r["bounce_rate"] == 0.666667
+
+
+def test_lang_confusion_hand_computed(ray_session, tmp_path):
+    """Labels vs stopword-vote predictions: two en-labeled docs — one
+    English-looking ('the and'), one German-looking ('der und') — and one
+    fr-labeled doc with no stopwords ('und' prediction impossible: no
+    vote -> 'und' undetermined). Shares are per-label ratios."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["the and of", "der und die", "xyzzy"]),
+                "lang": pa.array(["en", "en", "fr"]),
+                "source": pa.array(["s0"] * 3),
+                "n_chars": pa.array([10, 11, 5], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_lang_confusion
+
+    out = q_lang_confusion(str(tmp_path))
+    assert list(zip(out["lang"], out["pred_lang"])) == [
+        ("en", "de"), ("en", "en"), ("fr", "und")]
+    assert out["n"].tolist() == [1, 1, 1]
+    assert out["n_lang"].tolist() == [2, 2, 1]
+    assert out["share"].tolist() == [0.5, 0.5, 1.0]
+
+
+def test_region_revenue_rollup_hand_computed(ray_session, tmp_path):
+    """Two nations in one region, one in another; subtotals and grand
+    total must equal the detail sums exactly (cents)."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                  "r_name": pa.array(["EUROPE", "ASIA"])}),
+        str(tmp_path / "region.parquet"))
+    pq_.write_table(
+        pa.table({"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                  "n_name": pa.array(["FRANCE", "GERMANY", "JAPAN"]),
+                  "n_regionkey": pa.array([0, 0, 1], pa.int32())}),
+        str(tmp_path / "nation.parquet"))
+    pq_.write_table(
+        pa.table({"c_custkey": pa.array([10, 11, 12], pa.int64()),
+                  "c_name": pa.array(["a", "b", "c"]),
+                  "c_nationkey": pa.array([0, 1, 2], pa.int32()),
+                  "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+                  "c_mktsegment": pa.array(["x"] * 3)}),
+        str(tmp_path / "customer.parquet"))
+    pq_.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([10, 10, 11, 12], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4),
+            "o_totalprice": pa.array([1.5, 2.25, 10.0, 100.0],
+                                     pa.float64()),
+            "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }),
+        str(tmp_path / "orders.parquet"))
+    from mysql_log_parser_ray.pipelines.queries import q_region_revenue_rollup
+
+    out = q_region_revenue_rollup(str(tmp_path))
+    rows = {(r, n): (a, c) for r, n, a, c in out.itertuples(index=False)}
+    assert rows[("EUROPE", "FRANCE")] == (2, 375)
+    assert rows[("EUROPE", "GERMANY")] == (1, 1000)
+    assert rows[("EUROPE", "ALL")] == (3, 1375)
+    assert rows[("ASIA", "JAPAN")] == (1, 10000)
+    assert rows[("ASIA", "ALL")] == (1, 10000)
+    assert rows[("ALL", "ALL")] == (4, 11375)
+    assert len(out) == 6
+
+
+def test_users_new_vs_returning_hand_computed(ray_session, tmp_path):
+    """user5 active day0+day1 (new on 0, returning on 1); user6 active
+    day1 only (new). day0: 1 active/1 new; day1: 2 active, 1 new, 1 ret."""
+    import pyarrow.parquet as pq_
+
+    day = 86_400_000_000
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": pa.array([0, day, day + 1, day + 2],
+                               pa.timestamp("us")),
+                "user_id": pa.array([5, 5, 5, 6], pa.int64()),
+                "event_type": pa.array(["view"] * 4),
+                "value": pa.array([0.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_users_new_vs_returning
+
+    out = q_users_new_vs_returning(str(tmp_path))
+    assert out["day"].tolist() == [0, 1]
+    assert out["n_active"].tolist() == [1, 2]
+    assert out["n_new"].tolist() == [1, 1]
+    assert out["n_returning"].tolist() == [0, 1]
