@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_bounce": q.q_sessions_bounce,
         "region_revenue_rollup": q.q_region_revenue_rollup,
         "users_new_vs_returning": q.q_users_new_vs_returning,
+        "orders_ship_lag_histogram": q.q_orders_ship_lag_histogram,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2149,6 +2150,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day = first_day THEN 0 ELSE 1 END)
                         AS BIGINT) AS n_returning
             FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "orders_ship_lag_histogram": """
+            SELECT CAST(floor(epoch(l_shipdate) / 86400)
+                        - floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       AS lag_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -8400,3 +8400,107 @@ def q_users_new_vs_returning(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["n_returning"] = (out["n_active"] - out["n_new"]).astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_orders_ship_lag_histogram(sf_dir: str):
+    """Fulfillment-latency distribution: the histogram of order-to-ship
+    lag in whole days over every lineitem (l_shipdate day minus
+    o_orderdate day) — the operational SLA curve, emitted as a
+    distribution rather than a mean so the tail is visible.
+
+    Exactness: integer day buckets (the _day_from_us float-floor, oracle
+    floor(epoch/86400)); counts are exact ints. Scale shape: the q12
+    tagged-union co-partitioned plan — lineitem pre-reduces to per-block
+    (orderkey, ship_day, n) partials, orders ship (orderkey, order_day)
+    bits, ONE stable_partition groupby co-locates each orderkey, and
+    each bucket emits lag-cardinality count partials (lags span days,
+    not rows); the driver folds 64 x lags rows."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    n_parts = 64
+    empty = _typed_empty(lag_days="int64", n_lines="int64")
+
+    def _tagged(keys, d, n, side):
+        keys = np.asarray(keys, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "d": pa.array(np.asarray(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.asarray(n, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.full(len(keys), side, np.int32),
+                                 pa.int32()),
+                "_part": pa.array(
+                    stable_partition(keys, n_parts)
+                    if len(keys) else np.array([], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _l_side(b: pa.Table) -> pa.Table:
+        if "l_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], 0)
+        b = b.filter(pc.is_valid(b["l_shipdate"]))
+        if b.num_rows == 0:
+            return _tagged([], [], [], 0)
+        g = (pd.DataFrame({
+                "k": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "d": _day_from_us(pc.cast(b["l_shipdate"], pa.int64()))
+                .to_numpy(zero_copy_only=False),
+             })
+             .groupby(["k", "d"], as_index=False).size())
+        return _tagged(g["k"].to_numpy(np.int64),
+                       g["d"].to_numpy(np.int64),
+                       g["size"].to_numpy(np.int64), 0)
+
+    def _o_side(b: pa.Table) -> pa.Table:
+        if "o_orderkey" not in b.column_names or b.num_rows == 0:
+            return _tagged([], [], [], 1)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return _tagged([], [], [], 1)
+        return _tagged(
+            b["o_orderkey"].to_numpy(zero_copy_only=False),
+            _day_from_us(pc.cast(b["o_orderdate"], pa.int64()))
+            .to_numpy(zero_copy_only=False),
+            np.zeros(b.num_rows, dtype=np.int64), 1)
+
+    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"lag_days": "int64", "n_lines": "int64"}
+        li = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        if not len(li) or not len(o):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        m = li.merge(o[["k", "d"]], on="k", how="inner",
+                     suffixes=("", "_o"))
+        if not len(m):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_cols.items()})
+        part = (pd.DataFrame({
+                    "lag_days": m["d"].to_numpy(np.int64)
+                    - m["d_o"].to_numpy(np.int64),
+                    "n_lines": m["n"].to_numpy(np.int64),
+                })
+                .groupby("lag_days", as_index=False)["n_lines"].sum())
+        return part.astype(out_cols)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(_l_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(_o_side, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    parts = (
+        li.union(orders).groupby("_part")
+        .map_groups(_merge, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["lag_days"], ["n_lines"])
+    if out is None:
+        return empty
+    for c in ("lag_days", "n_lines"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lag_days").reset_index(drop=True)

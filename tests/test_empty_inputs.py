@@ -267,6 +267,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                   "revenue_cents"],
         "users_new_vs_returning": ["day", "n_active", "n_new",
                                    "n_returning"],
+        "orders_ship_lag_histogram": ["lag_days", "n_lines"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -2219,3 +2219,42 @@ def test_users_new_vs_returning_hand_computed(ray_session, tmp_path):
     assert out["n_active"].tolist() == [1, 2]
     assert out["n_new"].tolist() == [1, 1]
     assert out["n_returning"].tolist() == [0, 1]
+
+
+def test_orders_ship_lag_histogram_hand_computed(ray_session, tmp_path):
+    """Order 1 placed day 0 with lines shipped day 2 (x2) and day 5;
+    order 2 placed day 3, line shipped day 3. Histogram: lag 0 -> 1,
+    lag 2 -> 2, lag 5 -> 1."""
+    import pyarrow.parquet as pq_
+
+    day = 86_400_000_000
+    pq_.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 2),
+            "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+            "o_orderdate": pa.array([0, 3 * day], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        }),
+        str(tmp_path / "orders.parquet"))
+    pq_.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([1] * 4, pa.int64()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4),
+            "l_shipdate": pa.array([2 * day, 2 * day + 1, 5 * day,
+                                    3 * day], pa.timestamp("us")),
+        }),
+        str(tmp_path / "lineitem.parquet"))
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_orders_ship_lag_histogram,
+    )
+
+    out = q_orders_ship_lag_histogram(str(tmp_path))
+    assert out["lag_days"].tolist() == [0, 2, 5]
+    assert out["n_lines"].tolist() == [1, 2, 1]
