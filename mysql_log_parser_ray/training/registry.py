@@ -236,6 +236,11 @@ def _query_vecs(sf_dir: str, n: int = 2) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filter=pads.field("vec_id") < n,
     ).to_pandas()
+    if not len(qdf) or "vec_id" not in qdf.columns:
+        # to_pandas drops the schema over zero rows (CLAUDE.md hygiene
+        # rule) — an empty embeddings table must yield an empty matrix,
+        # not a KeyError on the sort below
+        return np.empty((0, 0), dtype=np.float64)
     qdf = qdf.sort_values("vec_id")
     return np.array(qdf["embedding"].tolist(), dtype=np.float64)
 
@@ -2300,6 +2305,8 @@ def register_queries():
         "doc_pagerank": q_doc_pagerank,
         "docs_bm25_topk": q_docs_bm25_topk,
         "lang_confusion": q_lang_confusion,
+        "embed_semdedup": q_embed_semdedup,
+        "source_fertility": q_source_fertility,
     }
 
 
@@ -3598,6 +3605,68 @@ def register_oracles():
         """,
         "lang_id_counts": _lang_id_sql(),
         "lang_confusion": _lang_confusion_sql(),
+        # SemDeDup summary: assignment = argmax of 6dp-rounded cosine to the
+        # first-8 vectors (lowest-cid tie-break), augmented corpus = base +
+        # planted near-copies (dim 1 shifted +0.25, an exact binary fraction)
+        # for vec_id % 4 == 0 under id 1_000_000 + vec_id; dup = EXISTS a
+        # lower-id same-cluster vector at rounded cosine >= 0.95.
+        "embed_semdedup": r"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT 1000000 + vec_id,
+                     list_transform(range(1, len(v) + 1),
+                         i -> CASE WHEN i = 1 THEN v[1] + 0.25
+                                   ELSE v[i] END) AS v
+              FROM base WHERE vec_id % 4 = 0
+            ), c AS (
+              SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8
+            ), sim AS (
+              SELECT a.vec_id, c.cid,
+                     round(list_cosine_similarity(a.v, c.cv), 6) AS s
+              FROM aug a, c
+            ), assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ), av AS (
+              SELECT a.vec_id, s.cluster, a.v
+              FROM aug a JOIN assign s USING (vec_id)
+            ), dups AS (
+              SELECT DISTINCT b.vec_id AS dup_id
+              FROM av a JOIN av b
+                ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+            )
+            SELECT s.cluster, COUNT(*) AS n_vecs,
+                   CAST(SUM(CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dups
+            FROM assign s LEFT JOIN dups d ON d.dup_id = s.vec_id
+            GROUP BY 1
+        """,
+        "source_fertility": r"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS BIGINT) AS n_ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))) AS BIGINT) AS n_bpe_pieces,
+                   round(CAST(SUM(length(text)) AS DOUBLE)
+                         / CAST(SUM(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+'))) AS DOUBLE), 6) AS chars_per_word,
+                   CASE WHEN SUM(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))) = 0
+                        THEN NULL
+                        ELSE round(CAST(SUM(length(text)) AS DOUBLE)
+                             / CAST(SUM(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))) AS DOUBLE), 6)
+                   END AS chars_per_piece
+            FROM documents GROUP BY 1
+        """,
         # minhash_pairs: on a corpus where the recall-guard test proves the
         # banding + signature prefilter lossless (tests/test_training_ops),
         # the LSH output EQUALS exact char-5-shingle jaccard >= 0.8 - which
@@ -5005,3 +5074,177 @@ def q_lang_confusion(sf_dir: str):
         cells["n"].to_numpy(np.float64)
         / cells["n_lang"].to_numpy(np.float64), 6)
     return cells.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+def q_embed_semdedup(sf_dir: str, tau: float = 0.95, k: int = 8):
+    """SemDeDup-style semantic dedup summary (Abbas et al. 2023,
+    arXiv:2303.09540 shape): cluster the embedding space, then mark a
+    vector a semantic duplicate if an EARLIER (lower-id) vector in the
+    SAME cluster has cosine >= tau — pairwise search never leaves a
+    cluster, which is the paper's trick for avoiding the corpus-wide
+    all-pairs scan. The raw synthetic embeddings have no natural
+    near-dups (max pairwise cosine ~0.51), so the corpus is
+    deterministically AUGMENTED in both engines: every vec_id % 4 == 0
+    vector gains a planted near-copy (dim 0 shifted by +0.25 — an exact
+    binary fraction, so the float arithmetic is bit-identical in numpy
+    and DuckDB) with id 1_000_000 + vec_id; planted copies land at
+    cosine ~0.968-0.978 to their source, far above every natural pair.
+
+    Exactness: cluster assignment is argmax over 6dp-rounded cosines to
+    the first-k (vec_id < k) vectors with lowest-cid tie-break (ties
+    measure-zero, the embed_nn_join precedent); the dup predicate
+    compares 6dp-rounded cosines to tau on both sides.
+
+    Scale shape: assignment + augmentation are one vectorized matmul per
+    block against a closure-carried (k, d) centroid matrix; the pair
+    scan runs inside groupby(cluster).map_groups with CHUNKED cosine
+    tiles (memory O(chunk x m), never O(m^2)), and only k (cluster,
+    n_vecs, n_dups) rows reach the driver. At real scale k grows with
+    the corpus (the paper uses k ~ n/expected-cluster-size), keeping the
+    per-cluster quadratic term bounded — exactly the auto_planes logic
+    dedup.py applies to LSH keys."""
+    from ..util import typed_empty
+    from .similarity import _to_matrix
+
+    empty = typed_empty(cluster="int64", n_vecs="int64", n_dups="int64")
+    cents = _query_vecs(sf_dir, n=k)
+    if not len(cents):
+        return empty
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vec_id" not in b.column_names:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "v": pa.array([], pa.large_list(pa.float64())),
+            })
+        X = _to_matrix(b["embedding"])
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        plant = ids % 4 == 0
+        Xp = X[plant].copy()
+        if len(Xp):
+            Xp[:, 0] += 0.25
+        Xa = np.vstack([X, Xp])
+        ida = np.concatenate([ids, 1_000_000 + ids[plant]])
+        S = np.round(
+            (Xa @ cents.T) / np.outer(np.linalg.norm(Xa, axis=1), cnorm), 6
+        )
+        cl = np.argmax(S, axis=1).astype(np.int64)  # first max = lowest cid
+        n, d = Xa.shape
+        offs = pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int64())
+        vec = pa.LargeListArray.from_arrays(
+            offs, pa.array(Xa.ravel(), pa.float64())
+        )
+        return pa.table({
+            "cluster": pa.array(cl, pa.int64()),
+            "vec_id": pa.array(ida, pa.int64()),
+            "v": vec,
+        })
+
+    def _cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"cluster": pd.Series([], dtype="int64"),
+                    "n_vecs": pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64")}
+        if not len(g) or "vec_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        g = g.sort_values("vec_id")
+        X = np.stack(g["v"].to_numpy())
+        nrm = np.linalg.norm(X, axis=1)
+        m = len(g)
+        dup = np.zeros(m, dtype=bool)
+        cols = np.arange(m)
+        ch = 1024
+        for s0 in range(1, m, ch):
+            e0 = min(s0 + ch, m)
+            C = np.round(
+                (X[s0:e0] @ X.T) / np.outer(nrm[s0:e0], nrm), 6
+            )
+            mask = cols[None, :] < np.arange(s0, e0)[:, None]
+            dup[s0:e0] = ((C >= tau) & mask).any(axis=1)
+        return pd.DataFrame({
+            "cluster": pd.array([int(g["cluster"].iloc[0])], dtype="int64"),
+            "n_vecs": pd.array([m], dtype="int64"),
+            "n_dups": pd.array([int(dup.sum())], dtype="int64"),
+        })
+
+    parts = (
+        emb.map_batches(_assign, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+        .groupby("cluster")
+        .map_groups(_cluster_dups, batch_format="pandas")
+    )
+    df = parts.to_pandas()
+    if not len(df) or "cluster" not in df.columns:
+        return empty
+    for c in ("cluster", "n_vecs", "n_dups"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("cluster").reset_index(drop=True)
+
+
+def q_source_fertility(sf_dir: str):
+    """Tokenizer-fertility rollup per source: characters per whitespace
+    word and per BPE-ish piece — the compression diagnostic that sizes a
+    token budget per corpus slice (high fertility = expensive slice).
+
+    Exactness: all three counters are exact integer per-block partials
+    (the shared ws_token_counts / _BPE_RE kernels, pinned to the same
+    regexes the doc_token_counts / doc_bpe_tokens oracles use); the two
+    ratios are ratio-of-integers, so they round with half-up (DuckDB
+    round semantics), per the repo's ratio rule. Scale shape: partials
+    are source-cardinality per block; the driver fold never sees rows.
+    Per-block int64 char sums are safe below ~1e14 chars/block and the
+    corpus total fits int64 up to ~9e18 chars (the BIGINT oracle cast
+    raises past that on both sides)."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import _BPE_RE, ws_token_counts
+
+    empty = typed_empty(source=object, n_docs="int64", n_chars="int64",
+                        n_ws_tokens="int64", n_bpe_pieces="int64",
+                        chars_per_word="float64", chars_per_piece="float64")
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_ws_tokens": pa.array([], pa.int64()),
+            "n_bpe_pieces": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = pd.Series(b["text"].to_pandas())
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas().to_numpy(),
+            "n_chars": s.str.len().astype("int64"),
+            "n_ws": ws_token_counts(s),
+            "n_bpe": s.str.findall(_BPE_RE).str.len().fillna(0)
+            .astype("int64"),
+        })
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum"),
+            n_ws_tokens=("n_ws", "sum"), n_bpe_pieces=("n_bpe", "sum"))
+        for c in ("n_docs", "n_chars", "n_ws_tokens", "n_bpe_pieces"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _fold_partials(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["source"], ["n_docs", "n_chars", "n_ws_tokens", "n_bpe_pieces"],
+    )
+    if out is None:
+        return empty
+    for c in ("n_docs", "n_chars", "n_ws_tokens", "n_bpe_pieces"):
+        out[c] = out[c].astype("int64")
+    chars = out["n_chars"].to_numpy(np.float64)
+    out["chars_per_word"] = round_half_up(
+        chars / out["n_ws_tokens"].to_numpy(np.float64), 6)
+    bpe = out["n_bpe_pieces"].to_numpy(np.float64)
+    out["chars_per_piece"] = np.where(
+        bpe == 0, np.nan, round_half_up(chars / np.maximum(bpe, 1.0), 6))
+    return out.sort_values("source").reset_index(drop=True)

@@ -268,6 +268,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "users_new_vs_returning": ["day", "n_active", "n_new",
                                    "n_returning"],
         "orders_ship_lag_histogram": ["lag_days", "n_lines"],
+        "embed_semdedup": ["cluster", "n_vecs", "n_dups"],
+        "source_fertility": ["source", "n_docs", "n_chars", "n_ws_tokens",
+                             "n_bpe_pieces", "chars_per_word",
+                             "chars_per_piece"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -2258,3 +2258,62 @@ def test_orders_ship_lag_histogram_hand_computed(ray_session, tmp_path):
     out = q_orders_ship_lag_histogram(str(tmp_path))
     assert out["lag_days"].tolist() == [0, 2, 5]
     assert out["n_lines"].tolist() == [1, 2, 1]
+
+
+def test_embed_semdedup_hand_computed(ray_session, tmp_path):
+    """10 vectors in d=4: the 8 axis vectors (the first-8 centroids are
+    the vectors themselves) plus two near-copies of an axis-0 blend.
+    Augmentation plants +0.25-dim-0 copies of vec_ids 0, 4, 8. Cluster 0
+    collects v0/v8/v9/p0/p8 (v8, v9 at cosine 0.994 to v0); everything
+    but the keep-first v0 is a dup. Cluster 4 collects v4 + its planted
+    copy. All other clusters are singleton survivors."""
+    import pyarrow.parquet as pq_
+
+    vecs = [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, -1],
+        [0.9, 0.1, 0, 0], [0.9, 0.1, 0, 0],
+    ]
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32())),
+            "label": pa.array([0] * 10, pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_embed_semdedup
+
+    out = q_embed_semdedup(str(tmp_path))
+    assert out["cluster"].tolist() == list(range(8))
+    assert out["n_vecs"].tolist() == [5, 1, 1, 1, 2, 1, 1, 1]
+    assert out["n_dups"].tolist() == [4, 0, 0, 0, 1, 0, 0, 0]
+
+
+def test_source_fertility_hand_computed(ray_session, tmp_path):
+    """Exact counts: s0 = {'ab cd' (5 ch, 2 words, 2 pieces), 'x! y'
+    (4 ch, 2 words, 3 pieces)}, s1 = {'hello' (5 ch, 1 word, 1 piece)}."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["ab cd", "x! y", "hello"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0", "s0", "s1"]),
+            "n_chars": pa.array([5, 4, 5], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_fertility
+
+    out = q_source_fertility(str(tmp_path))
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["n_chars"].tolist() == [9, 5]
+    assert out["n_ws_tokens"].tolist() == [4, 1]
+    assert out["n_bpe_pieces"].tolist() == [5, 1]
+    assert out["chars_per_word"].tolist() == [2.25, 5.0]
+    assert out["chars_per_piece"].tolist() == [1.8, 5.0]
