@@ -2307,6 +2307,8 @@ def register_queries():
         "lang_confusion": q_lang_confusion,
         "embed_semdedup": q_embed_semdedup,
         "source_fertility": q_source_fertility,
+        "doc_continuation_pairs": q_doc_continuation_pairs,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     }
 
 
@@ -3648,6 +3650,48 @@ def register_oracles():
                         AS BIGINT) AS n_dups
             FROM assign s LEFT JOIN dups d ON d.dup_id = s.vec_id
             GROUP BY 1
+        """,
+        # tail->head boundary-shingle join over the augmented corpus
+        # (planted continuations: last-5-words + first-3-words under
+        # id 2_000_000 + doc_id for doc_id % 7 == 0, derived identically
+        # in both engines)
+        "doc_continuation_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+') AS a
+              FROM documents
+            ), aug AS (
+              SELECT doc_id, a FROM w
+              UNION ALL
+              SELECT 2000000 + doc_id, a[len(a)-4:len(a)] || a[1:3]
+              FROM w WHERE doc_id % 7 = 0 AND len(a) >= 5
+            ), h AS (
+              SELECT doc_id,
+                     array_to_string(a[1:5], ' ') AS head5,
+                     array_to_string(a[len(a)-4:len(a)], ' ') AS tail5
+              FROM aug WHERE len(a) >= 5
+            )
+            SELECT t.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM h t JOIN h b
+              ON t.tail5 = b.head5 AND t.doc_id <> b.doc_id
+        """,
+        "dup_cluster_sizes": rf"""
+            WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+            und AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM und),
+            walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT und.v, walk.label FROM walk JOIN und ON und.u = walk.node
+            ),
+            cc AS (SELECT node, MIN(label) AS rep FROM walk GROUP BY 1),
+            sizes AS (SELECT rep, COUNT(*) AS sz FROM cc GROUP BY 1)
+            SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+            FROM sizes GROUP BY 1
         """,
         "source_fertility": r"""
             SELECT source,
@@ -5248,3 +5292,133 @@ def q_source_fertility(sf_dir: str):
     out["chars_per_piece"] = np.where(
         bpe == 0, np.nan, round_half_up(chars / np.maximum(bpe, 1.0), 6))
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_doc_continuation_pairs(sf_dir: str):
+    """Split-document re-join candidates: pairs (doc_a, doc_b) where
+    doc_a's LAST five words exactly equal doc_b's FIRST five words — the
+    boundary-shingle screen a curation pipeline runs to re-assemble
+    documents a crawler chunked mid-paragraph. The raw synthetic corpus
+    has zero natural tail->head matches, so the corpus is
+    deterministically AUGMENTED in both engines (the pii_redaction /
+    embed_semdedup pattern): every doc_id % 7 == 0 doc with >= 5 words
+    gains a planted continuation (its last 5 words + its first 3) under
+    id 2_000_000 + doc_id.
+
+    Exactness: shingles are literal space-joined word lists under the
+    shared ASCII trim/split convention; the join key is the string
+    itself (no hashing on the compare path). Scale shape: tagged
+    (key, side, doc) rows hash-bucket on the shingle via
+    stable_partition — each key's rows land in one task and only
+    matched pairs leave the bucket; document text never shuffles."""
+    from ..partition import stable_partition
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(doc_a="int64", doc_b="int64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {
+            "key": pa.array([], pa.string()),
+            "side": pa.array([], pa.int64()),
+            "doc": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = pd.Series(b["text"].to_pandas())
+        ids = b["doc_id"].to_pandas().to_numpy()
+        words = s.str.strip(_ASCII_WS).str.split(_WS_RE)
+        ok = (words.str.len().fillna(0) >= 5).to_numpy()
+        head5 = words.str[:5].str.join(" ")
+        tail5 = words.str[-5:].str.join(" ")
+        pm = ok & (ids % 7 == 0)
+        pw = (words.str[-5:] + words.str[:3])[pm]
+        ph = pw.str[:5].str.join(" ").to_numpy()
+        pt = pw.str[-5:].str.join(" ").to_numpy()
+        pids = 2_000_000 + ids[pm]
+        bh = head5[ok].to_numpy()
+        bt = tail5[ok].to_numpy()
+        bids = ids[ok]
+        key = np.concatenate([bt, pt, bh, ph])
+        doc = np.concatenate([bids, pids, bids, pids]).astype(np.int64)
+        side = np.concatenate([
+            np.zeros(len(bt) + len(pt), np.int64),
+            np.ones(len(bh) + len(ph), np.int64),
+        ])
+        df = pd.DataFrame({"key": key, "side": side, "doc": doc})
+        df["_part"] = stable_partition(df["key"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64")}
+        if not len(g) or "key" not in g.columns:
+            return pd.DataFrame(out_cols)
+        t = g[g["side"] == 0][["key", "doc"]]
+        h = g[g["side"] == 1][["key", "doc"]]
+        m = t.merge(h, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] != m["doc_b"]]
+        if not len(m):
+            return pd.DataFrame(out_cols)
+        return pd.DataFrame({"doc_a": m["doc_a"].astype("int64"),
+                             "doc_b": m["doc_b"].astype("int64")})
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    df = parts.to_pandas()
+    if not len(df) or "doc_a" not in df.columns:
+        return empty
+    for c in ("doc_a", "doc_b"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: how many transitive duplicate
+    clusters exist at each size — the summary that turns the dup graph
+    into a curation decision (a fat tail of giant clusters means
+    boilerplate/mirror domains, many pairs means true near-dups).
+
+    Rides the exact q_dup_clusters machinery (ngram-jaccard edge set ->
+    distributed min-label propagation); sizes fold as per-block
+    (cluster_rep, n) partials (the CC output is dup-graph-nodes-sized,
+    not corpus-sized), and the final histogram is bounded by the size
+    DOMAIN."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .dedup import ngram_jaccard_pairs
+    from .graph import connected_components
+
+    empty = typed_empty(cluster_size="int64", n_clusters="int64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5, as_dataset=True)
+    cc = connected_components(pairs)
+
+    def _part(b: pa.Table) -> pa.Table:
+        cols = {"cluster_rep": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "cluster_rep" not in b.column_names:
+            return pa.table(cols)
+        g = (b.select(["cluster_rep"]).to_pandas()
+             .groupby("cluster_rep", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sizes = _fold_partials(
+        cc.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["cluster_rep"], ["n"],
+    )
+    if sizes is None or not len(sizes):
+        return empty
+    hist = (sizes.groupby("n", as_index=False).size()
+            .rename(columns={"n": "cluster_size", "size": "n_clusters"}))
+    for c in ("cluster_size", "n_clusters"):
+        hist[c] = hist[c].astype("int64")
+    return hist.sort_values("cluster_size").reset_index(drop=True)

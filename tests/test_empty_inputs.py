@@ -269,6 +269,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                    "n_returning"],
         "orders_ship_lag_histogram": ["lag_days", "n_lines"],
         "embed_semdedup": ["cluster", "n_vecs", "n_dups"],
+        "doc_continuation_pairs": ["doc_a", "doc_b"],
+        "dup_cluster_sizes": ["cluster_size", "n_clusters"],
         "source_fertility": ["source", "n_docs", "n_chars", "n_ws_tokens",
                              "n_bpe_pieces", "chars_per_word",
                              "chars_per_piece"],

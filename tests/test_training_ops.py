@@ -2317,3 +2317,53 @@ def test_source_fertility_hand_computed(ray_session, tmp_path):
     assert out["n_bpe_pieces"].tolist() == [5, 1]
     assert out["chars_per_word"].tolist() == [2.25, 5.0]
     assert out["chars_per_piece"].tolist() == [1.8, 5.0]
+
+
+def test_doc_continuation_pairs_hand_computed(ray_session, tmp_path):
+    """d0 (id 0, 7 words) gets a planted continuation under id 2000000
+    whose first five words are d0's last five; d1 matches nothing; d7
+    (id 7, %7==0 but only 3 words) is below the 5-word floor so nothing
+    is planted for it."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 7], pa.int64()),
+            "text": pa.array(["a b c d e f g", "x y z w v u", "p q r"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+            "n_chars": pa.array([13, 11, 5], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_doc_continuation_pairs
+
+    out = q_doc_continuation_pairs(str(tmp_path))
+    assert out["doc_a"].tolist() == [0]
+    assert out["doc_b"].tolist() == [2000000]
+
+
+def test_dup_cluster_sizes_hand_computed(ray_session, tmp_path):
+    """Three identical docs form one size-3 cluster; two other identical
+    docs form one size-2 cluster; a unique doc joins no cluster."""
+    import pyarrow.parquet as pq_
+
+    same = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six"
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([same, same, same, other, other,
+                              "lone wolf text nothing matches here"]),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["s0"] * 6),
+            "n_chars": pa.array([len(same)] * 3 + [len(other)] * 2 + [35],
+                                pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_dup_cluster_sizes
+
+    out = q_dup_cluster_sizes(str(tmp_path))
+    assert out["cluster_size"].tolist() == [2, 3]
+    assert out["n_clusters"].tolist() == [1, 1]
