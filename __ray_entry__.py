@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue_rollup": q.q_region_revenue_rollup,
         "users_new_vs_returning": q.q_users_new_vs_returning,
         "orders_ship_lag_histogram": q.q_orders_ship_lag_histogram,
+        "events_watermark_late": q.q_events_watermark_late,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2160,6 +2161,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # watermark lateness over derived out-of-order arrival: event-time
+        # jittered backwards by (event_id % 97) * 300 s in both engines;
+        # late = watermark (max derived ts over earlier event_ids) more
+        # than 1800 s ahead of own derived ts. Pure integer epoch-us.
+        "events_watermark_late": """
+            WITH o AS (
+              SELECT event_type,
+                     epoch_us(ts) - (event_id % 97) * 300000000 AS tsu,
+                     MAX(epoch_us(ts) - (event_id % 97) * 300000000)
+                         OVER (ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS wm
+              FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN wm IS NOT NULL
+                                  AND wm - tsu > 1800 * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM o GROUP BY 1
         """,
     }
     try:

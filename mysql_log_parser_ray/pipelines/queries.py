@@ -8504,3 +8504,127 @@ def q_orders_ship_lag_histogram(sf_dir: str):
     for c in ("lag_days", "n_lines"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lag_days").reset_index(drop=True)
+
+
+def q_events_watermark_late(sf_dir: str, w_sec: int = 1800,
+                            jitter_mod: int = 97,
+                            jitter_step_sec: int = 300, n_buckets: int = 64):
+    """Streaming watermark-lateness audit: per event type, how many
+    events arrived more than w_sec behind the watermark — the metric a
+    windowed streaming job uses to size its allowed-lateness/watermark
+    delay. Arrival order is the event_id stream offset; the synthetic
+    corpus arrives perfectly time-ordered, so event-time is jittered
+    BACKWARDS by (event_id % jitter_mod) * jitter_step_sec seconds (300 s
+    steps: the synthetic stream's ~259 s inter-arrival gap would absorb
+    a smaller jitter and the audit would be degenerate) deterministically in
+    BOTH engines (the pii_redaction derivation pattern) to simulate the
+    late data a real collector sees. An event is late iff
+    max(derived ts over all earlier arrivals) - own derived ts > w_sec.
+
+    Exactness: pure integer epoch-us arithmetic end to end. Scale
+    shape: the sequential watermark recurrence parallelizes as a prefix
+    SCAN — one id-domain aggregate, range-bucket by arrival id, per-
+    bucket max partials fold to an exclusive carry-in prefix (n_buckets
+    values, driver-side), then each bucket computes its internal running
+    max independently in one vectorized pass; only per-type (n, late)
+    partials leave the buckets. Event rows shuffle once (the groupby),
+    which is inherent: the oracle semantics are a global ordered window."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    empty = _typed_empty(event_type=object, n_events="int64",
+                         n_late="int64")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    w_us = int(w_sec) * 1_000_000
+    jm = int(jitter_mod)
+    step_us = int(jitter_step_sec) * 1_000_000
+
+    def _derive(b: pa.Table) -> pa.Table:
+        cols = {
+            "event_id": pa.array([], pa.int64()),
+            "tsu": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table(cols)
+        ids = b["event_id"].to_numpy().astype(np.int64)
+        tsu = b["ts"].cast(pa.int64()).to_numpy().astype(np.int64) \
+            - (ids % jm) * step_us
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "tsu": pa.array(tsu, pa.int64()),
+            "event_type": b["event_type"].cast(pa.string()),
+        })
+
+    der = ev.map_batches(_derive, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None).materialize()
+    if der.count() == 0:
+        return empty
+    agg = der.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def _bucket_max(b: pa.Table) -> pa.Table:
+        cols = {"bucket": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table(cols)
+        bk = (b["event_id"].to_numpy().astype(np.int64) - lo) // width
+        g = (pd.DataFrame({"bucket": bk, "mx": b["tsu"].to_numpy()})
+             .groupby("bucket", as_index=False)["mx"].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bmax = der.map_batches(_bucket_max, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    bmax = bmax.groupby("bucket")["mx"].max()
+    SENTINEL = -(2 ** 62)
+    maxima = np.full(n_buckets + 1, SENTINEL, dtype=np.int64)
+    maxima[bmax.index.to_numpy().astype(np.int64)] = bmax.to_numpy()
+    # exclusive prefix: carry[b] = max tsu over all buckets < b
+    carry = np.concatenate(
+        [[SENTINEL], np.maximum.accumulate(maxima[:-1])])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {
+            "bucket": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "tsu": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table(cols)
+        bk = (b["event_id"].to_numpy().astype(np.int64) - lo) // width
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def _late(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_late": pd.Series([], dtype="int64")}
+        if not len(g) or "event_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        g = g.sort_values("event_id")
+        tsu = g["tsu"].to_numpy(np.int64)
+        cin = int(carry[int(g["bucket"].iloc[0])])
+        prev = np.concatenate([[cin], np.maximum.accumulate(tsu)[:-1]])
+        wm = np.maximum(prev, cin)
+        late = wm - tsu > w_us
+        out = (pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "late": late})
+               .groupby("event_type", as_index=False)
+               .agg(n_events=("late", "size"), n_late=("late", "sum")))
+        for c in ("n_events", "n_late"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        der.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+        .groupby("bucket").map_groups(_late, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["event_type"], ["n_events", "n_late"])
+    if out is None:
+        return empty
+    for c in ("n_events", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -271,6 +271,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "embed_semdedup": ["cluster", "n_vecs", "n_dups"],
         "doc_continuation_pairs": ["doc_a", "doc_b"],
         "dup_cluster_sizes": ["cluster_size", "n_clusters"],
+        "events_watermark_late": ["event_type", "n_events", "n_late"],
         "source_fertility": ["source", "n_docs", "n_chars", "n_ws_tokens",
                              "n_bpe_pieces", "chars_per_word",
                              "chars_per_piece"],

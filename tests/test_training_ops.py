@@ -2367,3 +2367,34 @@ def test_dup_cluster_sizes_hand_computed(ray_session, tmp_path):
     out = q_dup_cluster_sizes(str(tmp_path))
     assert out["cluster_size"].tolist() == [2, 3]
     assert out["n_clusters"].tolist() == [1, 1]
+
+
+def test_events_watermark_late_hand_computed(ray_session, tmp_path):
+    """ids 0,1,2,8 arrive 10 s apart; derived jitter (id%97)*300 s pulls
+    id 8 back 2400 s, putting it 2370 s behind the id-0 watermark (only
+    event past the 1800 s allowance). Buckets split across the id range,
+    so the carry-in prefix path is exercised."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq_
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0, t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=20),
+          t0 + dt.timedelta(seconds=30)]
+    pq_.write_table(
+        pa.table({
+            "event_id": pa.array([0, 1, 2, 8], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "b"]),
+            "value": pa.array([0.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_watermark_late
+
+    out = q_events_watermark_late(str(tmp_path))
+    assert out["event_type"].tolist() == ["a", "b"]
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["n_late"].tolist() == [0, 1]
