@@ -2309,6 +2309,8 @@ def register_queries():
         "source_fertility": q_source_fertility,
         "doc_continuation_pairs": q_doc_continuation_pairs,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "source_ngram_diversity": q_source_ngram_diversity,
+        "corpus_version_diff": q_corpus_version_diff,
     }
 
 
@@ -3692,6 +3694,53 @@ def register_oracles():
             sizes AS (SELECT rep, COUNT(*) AS sz FROM cc GROUP BY 1)
             SELECT sz AS cluster_size, COUNT(*) AS n_clusters
             FROM sizes GROUP BY 1
+        """,
+        # version B derived in both engines: %13 removed, else %11 edited
+        # (' v2' appended), %17 planted as new under 3_000_000 + doc_id;
+        # the diff is a real md5 outer join on doc_id
+        "corpus_version_diff": r"""
+            WITH a AS (
+              SELECT doc_id, source, md5(text) AS h FROM documents
+            ), b AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 11 = 0 THEN md5(text || ' v2')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 3000000 + doc_id, source, md5('new ' || text)
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT COALESCE(a.source, b.source) AS source,
+                   CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                  AND a.h = b.h THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same,
+                   CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                  AND a.h <> b.h THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN a.h IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            GROUP BY 1
+        """,
+        "source_ngram_diversity": r"""
+            WITH w AS (
+              SELECT source,
+                     regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+') AS a
+              FROM documents
+            ), g AS (
+              SELECT source, n,
+                     array_to_string(a[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ') AS gram
+              FROM w, UNNEST([1, 2, 3]) AS tn(n),
+                   UNNEST(range(1, len(a) - n + 2)) AS ti(i)
+            )
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   COUNT(*) AS n_grams,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+                   round(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS diversity
+            FROM g GROUP BY 1, 2
         """,
         "source_fertility": r"""
             SELECT source,
@@ -5422,3 +5471,237 @@ def q_dup_cluster_sizes(sf_dir: str):
     for c in ("cluster_size", "n_clusters"):
         hist[c] = hist[c].astype("int64")
     return hist.sort_values("cluster_size").reset_index(drop=True)
+
+
+def q_source_ngram_diversity(sf_dir: str, max_n: int = 3):
+    """N-gram diversity per source (distinct n-grams / total n-grams for
+    n = 1..max_n) — the Self-BLEU-adjacent memorization/templating
+    screen: low diversity at n=2/3 flags sources whose documents repeat
+    the same phrasing.
+
+    Exactness: counts are exact integers under the shared ASCII
+    trim/split convention; diversity is ratio-of-ints half-up. Scale
+    shape: totals are per-block integer partials (no shuffle); distinct
+    counts shuffle only (source, n, gram) rows hash-bucketed on the gram
+    string via stable_partition — a gram lands in exactly one bucket, so
+    per-bucket nunique partials SUM to the global distinct count; text
+    never shuffles and the driver fold is bounded by sources x max_n x
+    buckets."""
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, n="int64", n_grams="int64",
+                        n_distinct="int64", diversity="float64")
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _grams(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = pd.Series(b["text"].to_pandas()).reset_index(drop=True)
+        src = pd.Series(b["source"].to_pandas()).reset_index(drop=True)
+        words = s.str.strip(_ASCII_WS).str.split(_WS_RE)
+        ex = words.explode()
+        f0 = pd.DataFrame({
+            "source": src.to_numpy()[ex.index.to_numpy()],
+            "w": ex.to_numpy(),
+        })
+        # position within doc + doc length, vectorized; a global shift(-k)
+        # is safe because rows of one doc are consecutive and the
+        # pos <= len - n mask excludes every window that would cross a
+        # document boundary
+        pos = f0.groupby(ex.index.to_numpy()).cumcount().to_numpy()
+        lens = words.str.len().fillna(0).astype("int64").to_numpy()
+        doclen = lens[ex.index.to_numpy()]
+        w = f0["w"].astype(str)
+        frames = []
+        gram = w.copy()
+        for n in range(1, max_n + 1):
+            if n > 1:
+                gram = gram + " " + w.shift(-(n - 1)).fillna("")
+            mask = pos <= doclen - n
+            f = pd.DataFrame({"source": f0["source"].to_numpy()[mask],
+                              "gram": gram.to_numpy()[mask]})
+            f = f.drop_duplicates()
+            f["n"] = n
+            frames.append(f)
+        df = pd.concat(frames, ignore_index=True)
+        # block-local distinct first: one row per (source, n, gram) seen
+        # in this block (a pure reduction; global distinct happens in the
+        # buckets)
+        df = df.drop_duplicates()
+        df["_part"] = stable_partition(df["gram"], 64)
+        return pa.Table.from_pandas(
+            df[["source", "n", "gram", "_part"]], preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                    "n_distinct": pd.Series([], dtype="int64")}
+        if not len(g) or "gram" not in g.columns:
+            return pd.DataFrame(out_cols)
+        out = (g.drop_duplicates(["source", "n", "gram"])
+               .groupby(["source", "n"], as_index=False).size()
+               .rename(columns={"size": "n_distinct"}))
+        for c in ("n", "n_distinct"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    dist = _fold_partials(
+        ds.map_batches(_grams, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["source", "n"], ["n_distinct"],
+    )
+
+    def _totals(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = pd.Series(b["text"].to_pandas())
+        src = pd.Series(b["source"].to_pandas())
+        nw = s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0) \
+            .astype("int64")
+        frames = []
+        for n in range(1, max_n + 1):
+            cnt = (nw - (n - 1)).clip(lower=0)
+            f = pd.DataFrame({"source": src, "n_grams": cnt})
+            f = f.groupby("source", as_index=False)["n_grams"].sum()
+            f["n"] = n
+            frames.append(f)
+        df = pd.concat(frames, ignore_index=True)
+        for c in ("n", "n_grams"):
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(
+            df[["source", "n", "n_grams"]], preserve_index=False)
+
+    tot = _fold_partials(
+        ds.map_batches(_totals, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["source", "n"], ["n_grams"],
+    )
+    if tot is None or dist is None or not len(tot):
+        return empty
+    out = tot.merge(dist, on=["source", "n"], how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out = out[out["n_grams"] > 0]
+    if not len(out):
+        return empty
+    out["diversity"] = round_half_up(
+        out["n_distinct"].to_numpy(np.float64)
+        / out["n_grams"].to_numpy(np.float64), 6)
+    return out.sort_values(["source", "n"]).reset_index(drop=True)
+
+
+def q_corpus_version_diff(sf_dir: str):
+    """Dataset-versioning diff report: per source, how many documents
+    are unchanged / changed / removed / added between corpus version A
+    (the documents table) and version B (a deterministically derived
+    next release: doc_id % 13 == 0 removed, else % 11 == 0 edited by
+    appending ' v2', plus new docs under id 3_000_000 + doc_id for
+    doc_id % 17 == 0) — the audit a data-lake diff runs before
+    retraining on a refreshed crawl. Both engines derive B identically
+    (the pii_redaction pattern), and the diff itself runs as a REAL
+    content-hash outer join, not a shortcut on the shared lineage.
+
+    Exactness: identity is md5(text) — equal-by-construction on both
+    sides. Scale shape: both versions reduce to (doc_id, source, h,
+    side) hash rows (text never shuffles), hash-bucket by doc_id via
+    stable_partition so each id's A/B rows meet in one task; buckets
+    emit per-source counter partials only."""
+    import hashlib
+
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+
+    empty = typed_empty(source=object, n_same="int64", n_changed="int64",
+                        n_removed="int64", n_added="int64")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _md5s(texts) -> np.ndarray:
+        return np.fromiter(
+            (hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts),
+            dtype=object, count=len(texts))
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "h": pa.array([], pa.string()),
+            "side": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        src = b["source"].to_pandas().to_numpy()
+        txt = b["text"].to_pylist()
+        ha = _md5s(txt)
+        keep = ids % 13 != 0
+        edit = keep & (ids % 11 == 0)
+        hb = ha.copy()
+        if edit.any():
+            hb[edit] = _md5s([t + " v2" for t, e in zip(txt, edit) if e])
+        new = ids % 17 == 0
+        hn = _md5s(["new " + t for t, m in zip(txt, new) if m])
+        doc = np.concatenate([ids, ids[keep], 3_000_000 + ids[new]])
+        source = np.concatenate([src, src[keep], src[new]])
+        h = np.concatenate([ha, hb[keep], hn])
+        side = np.concatenate([
+            np.zeros(len(ids), np.int64),
+            np.ones(int(keep.sum()) + int(new.sum()), np.int64),
+        ])
+        df = pd.DataFrame({"doc_id": doc, "source": source, "h": h,
+                           "side": side})
+        df["_part"] = stable_partition(df["doc_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "n_same": pd.Series([], dtype="int64"),
+                    "n_changed": pd.Series([], dtype="int64"),
+                    "n_removed": pd.Series([], dtype="int64"),
+                    "n_added": pd.Series([], dtype="int64")}
+        if not len(g) or "doc_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        a = g[g["side"] == 0][["doc_id", "source", "h"]]
+        bb = g[g["side"] == 1][["doc_id", "source", "h"]]
+        m = a.merge(bb, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        in_a = m["h_a"].notna()
+        in_b = m["h_b"].notna()
+        m["source"] = m["source_a"].where(in_a, m["source_b"])
+        m["n_same"] = (in_a & in_b & (m["h_a"] == m["h_b"])).astype("int64")
+        m["n_changed"] = (in_a & in_b & (m["h_a"] != m["h_b"])) \
+            .astype("int64")
+        m["n_removed"] = (in_a & ~in_b).astype("int64")
+        m["n_added"] = (~in_a & in_b).astype("int64")
+        out = m.groupby("source", as_index=False)[
+            ["n_same", "n_changed", "n_removed", "n_added"]].sum()
+        for c in ("n_same", "n_changed", "n_removed", "n_added"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["source"], ["n_same", "n_changed", "n_removed", "n_added"],
+    )
+    if out is None:
+        return empty
+    for c in ("n_same", "n_changed", "n_removed", "n_added"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -272,6 +272,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "doc_continuation_pairs": ["doc_a", "doc_b"],
         "dup_cluster_sizes": ["cluster_size", "n_clusters"],
         "events_watermark_late": ["event_type", "n_events", "n_late"],
+        "source_ngram_diversity": ["source", "n", "n_grams", "n_distinct",
+                                   "diversity"],
+        "corpus_version_diff": ["source", "n_same", "n_changed",
+                                "n_removed", "n_added"],
         "source_fertility": ["source", "n_docs", "n_chars", "n_ws_tokens",
                              "n_bpe_pieces", "chars_per_word",
                              "chars_per_piece"],

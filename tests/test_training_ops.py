@@ -2398,3 +2398,52 @@ def test_events_watermark_late_hand_computed(ray_session, tmp_path):
     assert out["event_type"].tolist() == ["a", "b"]
     assert out["n_events"].tolist() == [2, 2]
     assert out["n_late"].tolist() == [0, 1]
+
+
+def test_source_ngram_diversity_hand_computed(ray_session, tmp_path):
+    """s0 = {'a a b', 'a b'}: unigrams 5 total / 2 distinct, bigrams
+    3 total / 2 distinct, trigrams 1 total / 1 distinct."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b", "a b"]),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s0"] * 2),
+            "n_chars": pa.array([5, 3], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_source_ngram_diversity
+
+    out = q_source_ngram_diversity(str(tmp_path))
+    assert out["n"].tolist() == [1, 2, 3]
+    assert out["n_grams"].tolist() == [5, 3, 1]
+    assert out["n_distinct"].tolist() == [2, 2, 1]
+    assert out["diversity"].tolist() == [0.4, 0.666667, 1.0]
+
+
+def test_corpus_version_diff_hand_computed(ray_session, tmp_path):
+    """id 0 is removed (%13) AND seeds a planted new doc (%17); id 11 is
+    edited; id 1 unchanged; id 13 removed."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 11, 13], pa.int64()),
+            "text": pa.array(["t zero", "t one", "t eleven", "t thirteen"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s0"] * 4),
+            "n_chars": pa.array([6, 5, 8, 10], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_corpus_version_diff
+
+    out = q_corpus_version_diff(str(tmp_path))
+    assert out["source"].tolist() == ["s0"]
+    assert out["n_same"].tolist() == [1]
+    assert out["n_changed"].tolist() == [1]
+    assert out["n_removed"].tolist() == [2]
+    assert out["n_added"].tolist() == [1]
