@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": q.q_tpch_q13_custdist,
         "tpch_q19_discount": q.q_tpch_q19_discount,
         "tpch_q21_waiting": q.q_tpch_q21_waiting,
+        "tpch_q22_global_sales": q.q_tpch_q22_global_sales,
         "tpch_q9_profit": q.q_tpch_q9_profit,
         "tpch_q11_top_value_parts": q.q_tpch_q11_top_value_parts,
         "tpch_q12_priority_lines": q.q_tpch_q12_priority_lines,
@@ -1576,6 +1577,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS numwait
             FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        "tpch_q22_global_sales": """
+            WITH c AS (
+              SELECT c_custkey AS k,
+                     CAST(10 + c_nationkey AS VARCHAR) AS cntrycode,
+                     CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ), a AS (
+              SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+              FROM c WHERE cents > 0
+            )
+            SELECT c.cntrycode,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(c.cents) AS DOUBLE) / 100 AS totacctbal
+            FROM c, a
+            WHERE c.cents * a.n > a.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.k
+                  AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "events_json_source": """
             SELECT event_type,

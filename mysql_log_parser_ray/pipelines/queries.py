@@ -8628,3 +8628,180 @@ def q_events_watermark_late(sf_dir: str, w_sec: int = 1800,
     for c in ("n_events", "n_late"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_tpch_q22_global_sales(sf_dir: str):
+    """TPC-H Q22 shape ("global sales opportunity"): customers from seven
+    country codes with above-average positive account balance and NO
+    orders, grouped by country code (numcust + totacctbal) — completing
+    the 22-query TPC-H suite. Adapted: testdata customer has no c_phone,
+    so the country code derives as 10 + c_nationkey (TPC-H generates the
+    phone prefix AS 10 + nationkey); the seven-code set mirrors Q22's
+    seven literals; and because this testdata gives essentially EVERY
+    customer at least one order, the anti-join is against orders in the
+    final year of the date range (o_orderdate >= 2000-08-01) — Q22's
+    exact shape with a recency window that keeps the predicate
+    discriminating (~22% of customers qualify). Reference parity n/a
+    (relational operator beyond the log parser's scope).
+
+    Exactness: balances quantize once to integer cents (house
+    floor(x*100+0.5), identical IEEE ops oracle-side) and the
+    above-average filter is integer cross-multiplication
+    (cents * n_pos > sum_cents — no float average; exact while
+    |cents| * n_pos < 2^63, i.e. < ~9e12 positive-balance customers);
+    totacctbal is CAST(sum_cents AS DOUBLE)/100 on both sides.
+    Scale shape: the filtered projection folds (sum, n) per-block
+    partials for the average (tiny), then qualifying customers and
+    block-distinct order custkeys hash-bucket by custkey via
+    stable_partition — the anti-join happens inside each bucket (a key
+    lives in exactly one bucket), and buckets emit per-cntrycode
+    (numcust, cents) partials only. No full-table shuffle, nothing
+    customer-sized on the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(cntrycode=object, numcust="int64",
+                         totacctbal="float64")
+    nat_keys = np.array([1, 3, 5, 7, 9, 11, 13], dtype=np.int64)
+    n_parts = 64
+    # microseconds since epoch of 2000-08-01T00:00:00 (the recency window)
+    recent_cut_us = 965088000 * 1_000_000
+
+    def _cust(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "cntrycode": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "c_custkey" not in b.column_names:
+            return pa.table(cols)
+        nat = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(nat, nat_keys)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "k": pa.array(
+                b["c_custkey"].to_numpy(zero_copy_only=False)[m]
+                .astype(np.int64), pa.int64()),
+            "cntrycode": pa.array((10 + nat[m]).astype(str), pa.string()),
+            "cents": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64),
+                              pa.int64()),
+        })
+
+    # consumed twice (average fold + qualifying scan) -> materialize
+    cust = (
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(_cust, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .materialize()
+    )
+    if cust.count() == 0:
+        return empty
+
+    def _avg_part(b: pa.Table) -> pa.Table:
+        cols = {
+            "one": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "cents" not in b.column_names:
+            return pa.table(cols)
+        c = b["cents"].to_numpy()
+        pos = c[c > 0]
+        return pa.table({
+            "one": pa.array([1], pa.int64()),
+            "s": pa.array([int(pos.sum())], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    agg = _fold_partials(
+        cust.map_batches(_avg_part, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["one"], ["s", "n"],
+    )
+    if agg is None or int(agg["n"].iloc[0]) == 0:
+        # Q22's average over zero positive balances is NULL -> no rows
+        return empty
+    s_pos, n_pos = int(agg["s"].iloc[0]), int(agg["n"].iloc[0])
+
+    def _qual(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "cntrycode": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "k" not in b.column_names:
+            return pa.table(cols)
+        cents = b["cents"].to_numpy()
+        m = cents * n_pos > s_pos
+        k = b["k"].to_numpy()[m]
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "cntrycode": pa.array(
+                b["cntrycode"].to_numpy(zero_copy_only=False)[m],
+                pa.string()),
+            "cents": pa.array(cents[m], pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            "_part": pa.array(stable_partition(k, n_parts), pa.int64()),
+        })
+
+    def _okeys(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "cntrycode": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if (b.num_rows == 0 or "o_custkey" not in b.column_names
+                or "o_orderdate" not in b.column_names):
+            return pa.table(cols)
+        odus = pc.cast(b["o_orderdate"], pa.int64()).to_numpy()
+        recent = odus >= recent_cut_us
+        k = np.unique(
+            b["o_custkey"].to_numpy(zero_copy_only=False)[recent]
+            .astype(np.int64))
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "cntrycode": pa.array([""] * len(k), pa.string()),
+            "cents": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+            "_part": pa.array(stable_partition(k, n_parts), pa.int64()),
+        })
+
+    def _anti(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = {"cntrycode": pd.Series([], dtype=object),
+                    "numcust": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64")}
+        if not len(g) or "k" not in g.columns:
+            return pd.DataFrame(out_cols)
+        has_order = g.loc[g["side"] == 1, "k"]
+        c = g[g["side"] == 0]
+        c = c[~c["k"].isin(has_order)]
+        if not len(c):
+            return pd.DataFrame(out_cols)
+        out = c.groupby("cntrycode", as_index=False).agg(
+            numcust=("k", "size"), cents=("cents", "sum"))
+        for col in ("numcust", "cents"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    parts = (
+        cust.map_batches(_qual, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .union(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+            .map_batches(_okeys, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_anti, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["cntrycode"], ["numcust", "cents"])
+    if out is None or not len(out):
+        return empty
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["cents"].astype("float64") / 100.0
+    return (out[["cntrycode", "numcust", "totacctbal"]]
+            .sort_values("cntrycode").reset_index(drop=True))

@@ -2311,6 +2311,7 @@ def register_queries():
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "source_ngram_diversity": q_source_ngram_diversity,
         "corpus_version_diff": q_corpus_version_diff,
+        "heaps_vocab_growth": q_heaps_vocab_growth,
     }
 
 
@@ -3741,6 +3742,34 @@ def register_oracles():
                    round(CAST(COUNT(DISTINCT gram) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS diversity
             FROM g GROUP BY 1, 2
+        """,
+        "heaps_vocab_growth": r"""
+            WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            ks AS (
+              SELECT CAST(t.k AS BIGINT) AS k,
+                     CAST((mx.m * t.k) // 10 AS BIGINT) AS doc_cut
+              FROM mx, UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS t(k)
+              WHERE mx.m IS NOT NULL
+            ), w AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), fs AS (
+              SELECT word, MIN(doc_id) AS fd FROM w GROUP BY 1
+            ), dn AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS nw
+              FROM documents
+            ), dd AS (
+              SELECT ks.k, CAST(COUNT(dn.doc_id) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(SUM(dn.nw), 0) AS BIGINT) AS n_tokens
+              FROM ks LEFT JOIN dn ON dn.doc_id <= ks.doc_cut GROUP BY 1
+            ), vv AS (
+              SELECT ks.k, CAST(COUNT(fs.word) AS BIGINT) AS vocab
+              FROM ks LEFT JOIN fs ON fs.fd <= ks.doc_cut GROUP BY 1
+            )
+            SELECT ks.k, ks.doc_cut, dd.n_docs, dd.n_tokens, vv.vocab
+            FROM ks JOIN dd ON dd.k = ks.k JOIN vv ON vv.k = ks.k
         """,
         "source_fertility": r"""
             SELECT source,
@@ -5705,3 +5734,120 @@ def q_corpus_version_diff(sf_dir: str):
     for c in ("n_same", "n_changed", "n_removed", "n_added"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_heaps_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: cumulative corpus statistics
+    at ten doc_id-value checkpoints T_k = (max_doc * k) // 10 — document
+    count, running token total, and distinct-vocabulary size after
+    ingesting every doc with doc_id <= T_k. The scaling diagnostic a
+    corpus-growth plan reads before committing to a bigger crawl
+    (V(n) ~ K * n^beta: sublinear vocab growth means new crawl volume
+    mostly repeats known vocabulary).
+
+    Exactness: all counters are exact integers under the shared ASCII
+    trim/split convention; checkpoints are pure integer arithmetic.
+    Scale shape: docs/tokens fold as 10-counter per-block partials via a
+    searchsorted prefix (no shuffle); vocabulary shuffles only
+    block-distinct (word, min doc_id) pairs hash-bucketed on the word
+    via stable_partition — a word lands in exactly one bucket, so
+    per-bucket counts of first-seen <= T_k SUM to the global vocab.
+    Text never shuffles; the driver fold is bounded by
+    10 x (blocks + buckets) rows."""
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(k="int64", doc_cut="int64", n_docs="int64",
+                        n_tokens="int64", vocab="int64")
+
+    def _mx(b: pa.Table) -> pa.Table:
+        cols = {"m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({"m": pa.array(
+            [int(b["doc_id"].to_numpy().max())], pa.int64())})
+
+    mparts = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(_mx, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(mparts) or "m" not in mparts.columns:
+        return empty
+    mdoc = int(mparts["m"].max())
+    cuts = np.array([(mdoc * k) // 10 for k in range(1, 11)], dtype=np.int64)
+    ks = np.arange(1, 11, dtype=np.int64)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_partials(b: pa.Table) -> pa.Table:
+        cols = {
+            "k": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(b["text"].to_pandas())
+        nw = (s.str.strip(_ASCII_WS).str.split(_WS_RE).str.len().fillna(0)
+              .astype("int64").to_numpy())
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        cum = np.concatenate([[0], np.cumsum(nw[order])])
+        idx = np.searchsorted(sids, cuts, side="right")
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "n_docs": pa.array(idx.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(cum[idx].astype(np.int64), pa.int64()),
+        })
+
+    def _first_seen(b: pa.Table) -> pa.Table:
+        cols = {
+            "w": pa.array([], pa.string()),
+            "fd": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        s = pd.Series(b["text"].to_pandas()).reset_index(drop=True)
+        ex = s.str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        f = (pd.DataFrame({"w": ex.to_numpy().astype(str),
+                           "fd": ids[ex.index.to_numpy()]})
+             .groupby("w", as_index=False)["fd"].min())
+        f["_part"] = stable_partition(f["w"], 64)
+        return pa.Table.from_pandas(f[["w", "fd", "_part"]],
+                                    preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"k": pd.Series([], dtype="int64"),
+                    "vocab": pd.Series([], dtype="int64")}
+        if not len(g) or "w" not in g.columns:
+            return pd.DataFrame(out_cols)
+        fd = np.sort(g.groupby("w")["fd"].min().to_numpy(np.int64))
+        idx = np.searchsorted(fd, cuts, side="right")
+        return pd.DataFrame({"k": ks, "vocab": idx.astype("int64")})
+
+    dt = _fold_partials(
+        ds.map_batches(_doc_partials, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["k"], ["n_docs", "n_tokens"],
+    )
+    voc = _fold_partials(
+        ds.map_batches(_first_seen, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["k"], ["vocab"],
+    )
+    if dt is None or voc is None:
+        return empty
+    out = dt.merge(voc, on="k", how="left")
+    out["doc_cut"] = cuts[out["k"].to_numpy(np.int64) - 1]
+    for c in ("k", "doc_cut", "n_docs", "n_tokens", "vocab"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return (out[["k", "doc_cut", "n_docs", "n_tokens", "vocab"]]
+            .sort_values("k").reset_index(drop=True))

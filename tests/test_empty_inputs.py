@@ -279,6 +279,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "source_fertility": ["source", "n_docs", "n_chars", "n_ws_tokens",
                              "n_bpe_pieces", "chars_per_word",
                              "chars_per_piece"],
+        "tpch_q22_global_sales": ["cntrycode", "numcust", "totacctbal"],
+        "heaps_vocab_growth": ["k", "doc_cut", "n_docs", "n_tokens",
+                               "vocab"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -424,3 +424,38 @@ def test_unigram_surprisal_bins(ray_session, tmp_path):
     assert out["n_docs"].tolist() == [1, 1]
     exp = int(np.floor(np.round(-np.log(0.25), 6) * 10))
     assert exp == 13
+
+
+def test_tpch_q22_hand_computed(ray_session, tmp_path):
+    """Selected codes are 10 + nationkey for odd nationkeys. Positive
+    balances among selected customers: 100, 600, 500 (avg 400). Above
+    average: custkey 2 (600, code 11, no recent orders -> kept) and
+    custkey 3 (500, code 13, has an order inside the recency window ->
+    anti-joined away; its second, OLD order alone would not exclude
+    it). Customer 4 is in an unselected nation; customer 5 is
+    negative-balance."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(1, 6)]),
+                "c_nationkey": pa.array([1, 1, 3, 2, 3], pa.int32()),
+                "c_acctbal": pa.array(
+                    [100.0, 600.0, 500.0, 9000.0, -5.0], pa.float64()
+                ),
+                "c_mktsegment": pa.array(["B"] * 5),
+            }
+        ),
+        os.path.join(str(tmp_path), "customer.parquet"),
+    )
+    _write_orders(
+        str(tmp_path),
+        [(900, 3, "F", "2000-09-01"), (901, 3, "F", "1995-01-01"),
+         (902, 2, "F", "1999-12-31")],
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_tpch_q22_global_sales
+
+    out = q_tpch_q22_global_sales(str(tmp_path))
+    assert out["cntrycode"].tolist() == ["11"]
+    assert out["numcust"].tolist() == [1]
+    assert out["totacctbal"].tolist() == [600.0]

@@ -2447,3 +2447,28 @@ def test_corpus_version_diff_hand_computed(ray_session, tmp_path):
     assert out["n_changed"].tolist() == [1]
     assert out["n_removed"].tolist() == [2]
     assert out["n_added"].tolist() == [1]
+
+
+def test_heaps_vocab_growth_hand_computed(ray_session, tmp_path):
+    """ids {0, 5, 10}; max=10 so T_k = k. Docs cross the cuts at k=5 and
+    k=10; first-seen: a@0 b@0 c@5 d@10."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 5, 10], pa.int64()),
+            "text": pa.array(["a b", "b c", "c d a"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+            "n_chars": pa.array([3, 3, 5], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_heaps_vocab_growth
+
+    out = q_heaps_vocab_growth(str(tmp_path))
+    assert out["k"].tolist() == list(range(1, 11))
+    assert out["doc_cut"].tolist() == list(range(1, 11))
+    assert out["n_docs"].tolist() == [1, 1, 1, 1, 2, 2, 2, 2, 2, 3]
+    assert out["n_tokens"].tolist() == [2, 2, 2, 2, 4, 4, 4, 4, 4, 7]
+    assert out["vocab"].tolist() == [2, 2, 2, 2, 3, 3, 3, 3, 3, 4]
