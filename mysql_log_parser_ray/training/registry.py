@@ -2312,6 +2312,7 @@ def register_queries():
         "source_ngram_diversity": q_source_ngram_diversity,
         "corpus_version_diff": q_corpus_version_diff,
         "heaps_vocab_growth": q_heaps_vocab_growth,
+        "corpus_drift_psi": q_corpus_drift_psi,
     }
 
 
@@ -3770,6 +3771,41 @@ def register_oracles():
             )
             SELECT ks.k, ks.doc_cut, dd.n_docs, dd.n_tokens, vv.vocab
             FROM ks JOIN dd ON dd.k = ks.k JOIN vv ON vv.k = ks.k
+        """,
+        "corpus_drift_psi": r"""
+            WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            c AS (
+              SELECT source, LEAST(9, n_chars // 100) AS bucket,
+                     CAST(SUM(CASE WHEN doc_id <= mx.m // 2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(SUM(CASE WHEN doc_id > mx.m // 2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM documents, mx GROUP BY 1, 2
+            ), t AS (
+              SELECT source, bucket, n_a, n_b,
+                     SUM(n_a) OVER (PARTITION BY source) AS ta,
+                     SUM(n_b) OVER (PARTITION BY source) AS tb
+              FROM c
+            ), u AS (
+              SELECT source, bucket, n_a, n_b, ta, tb,
+                CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  CAST(round(ln(CAST(n_a AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                  + CAST(round(ln(CAST(tb AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                  - CAST(round(ln(CAST(n_b AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                  - CAST(round(ln(CAST(ta AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                ELSE 0 END AS lnr
+              FROM t
+            )
+            SELECT source, CAST(bucket AS BIGINT) AS bucket, n_a, n_b,
+                   CAST(ta AS BIGINT) AS total_a,
+                   CAST(tb AS BIGINT) AS total_b,
+                   lnr AS ln_ratio_units,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     round((CAST(n_a AS DOUBLE) / ta
+                            - CAST(n_b AS DOUBLE) / tb)
+                           * lnr / 1000000.0, 6)
+                   ELSE 0.0 END AS psi_term
+            FROM u ORDER BY 1, 2
         """,
         "source_fertility": r"""
             SELECT source,
@@ -5851,3 +5887,112 @@ def q_heaps_vocab_growth(sf_dir: str):
         out[c] = out[c].fillna(0).astype("int64")
     return (out[["k", "doc_cut", "n_docs", "n_tokens", "vocab"]]
             .sort_values("k").reset_index(drop=True))
+
+
+def q_corpus_drift_psi(sf_dir: str):
+    """Per-source corpus-drift PSI (population stability index) between
+    the first and second half of the corpus (doc_id <= max//2 vs the
+    rest) over ten fixed document-length buckets (min(9, n_chars//100))
+    — the standard distribution-shift audit a pipeline runs on a
+    refreshed crawl before retraining (PSI > 0.2 flags actionable
+    drift). Cells observed on only one side contribute 0 by the
+    exclusion convention (documented; smoothing would make the value
+    estimator-dependent).
+
+    Exactness: counts are exact integer folds; ln quantizes PER FACTOR
+    to 1e-6-unit int64s (the lang_source_mi convention — all four
+    factors are lns of positive ints, so half-up floor(x*1e6+0.5)
+    equals the oracle's half-away round) and
+    ln_ratio_units = ln(n_a) + ln(T_b) - ln(n_b) - ln(T_a) is exact int
+    arithmetic with no cross-products that could overflow BIGINT at
+    corpus scale. psi_term runs as the identical IEEE
+    (n_a/T_a - n_b/T_b) * lnr / 1e6 on both sides, half-away round.
+
+    Scale shape: ONE (source, bucket, half) counter fold bounded by
+    sources x 10 x 2 (text never leaves the workers; no shuffle at
+    all); the half split needs only a max(doc_id) pre-pass over the
+    pruned id column. Marginals and PSI terms derive on the driver
+    from the folded cells."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_away, typed_empty
+
+    empty = typed_empty(source=object, bucket="int64", n_a="int64",
+                        n_b="int64", total_a="int64", total_b="int64",
+                        ln_ratio_units="int64", psi_term="float64")
+
+    def _mx(b: pa.Table) -> pa.Table:
+        cols = {"m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({"m": pa.array(
+            [int(b["doc_id"].to_numpy().max())], pa.int64())})
+
+    mparts = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(_mx, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(mparts) or "m" not in mparts.columns:
+        return empty
+    mid = int(mparts["m"].max()) // 2
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {
+            "source": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table(cols)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        nc = b["n_chars"].to_numpy().astype(np.int64)
+        g = (pd.DataFrame({
+            "source": b["source"].to_pandas().to_numpy(),
+            "bucket": np.minimum(9, nc // 100),
+            "n_a": (ids <= mid).astype(np.int64),
+            "n_b": (ids > mid).astype(np.int64),
+        }).groupby(["source", "bucket"], as_index=False)[["n_a", "n_b"]]
+          .sum())
+        for c in ("bucket", "n_a", "n_b"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["source", "bucket"], ["n_a", "n_b"],
+    )
+    if cells is None:
+        return empty
+    na = cells["n_a"].to_numpy(np.int64)
+    nb = cells["n_b"].to_numpy(np.int64)
+    ta = cells.groupby("source")["n_a"].transform("sum").to_numpy(np.int64)
+    tb = cells.groupby("source")["n_b"].transform("sum").to_numpy(np.int64)
+    both = (na > 0) & (nb > 0)
+
+    def _lnu(v) -> np.ndarray:
+        x = np.asarray(v, dtype=np.float64)
+        return np.floor(
+            np.log(np.where(x > 0, x, 1.0)) * 1e6 + 0.5).astype(np.int64)
+
+    lnr = np.where(both, _lnu(na) + _lnu(tb) - _lnu(nb) - _lnu(ta), 0)
+    pa_frac = np.divide(na.astype(np.float64), ta,
+                        out=np.zeros(len(na)), where=ta > 0)
+    pb_frac = np.divide(nb.astype(np.float64), tb,
+                        out=np.zeros(len(nb)), where=tb > 0)
+    psi = np.where(
+        both, round_half_away((pa_frac - pb_frac) * lnr / 1e6, 6), 0.0)
+    out = pd.DataFrame({
+        "source": cells["source"].to_numpy(),
+        "bucket": cells["bucket"].to_numpy(np.int64),
+        "n_a": na, "n_b": nb, "total_a": ta, "total_b": tb,
+        "ln_ratio_units": lnr.astype(np.int64),
+        "psi_term": psi,
+    })
+    for c in ("bucket", "n_a", "n_b", "total_a", "total_b",
+              "ln_ratio_units"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "bucket"]).reset_index(drop=True)

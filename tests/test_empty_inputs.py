@@ -282,6 +282,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "tpch_q22_global_sales": ["cntrycode", "numcust", "totacctbal"],
         "heaps_vocab_growth": ["k", "doc_cut", "n_docs", "n_tokens",
                                "vocab"],
+        "corpus_drift_psi": ["source", "bucket", "n_a", "n_b", "total_a",
+                             "total_b", "ln_ratio_units", "psi_term"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

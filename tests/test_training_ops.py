@@ -2472,3 +2472,32 @@ def test_heaps_vocab_growth_hand_computed(ray_session, tmp_path):
     assert out["n_docs"].tolist() == [1, 1, 1, 1, 2, 2, 2, 2, 2, 3]
     assert out["n_tokens"].tolist() == [2, 2, 2, 2, 4, 4, 4, 4, 4, 7]
     assert out["vocab"].tolist() == [2, 2, 2, 2, 3, 3, 3, 3, 3, 4]
+
+
+def test_corpus_drift_psi_hand_computed(ray_session, tmp_path):
+    """max=3 so half A = ids {0,1}, B = {2,3}. Bucket 0 holds A-docs 0,1
+    and B-doc 2 (n_a=2, n_b=1); bucket 1 is B-only (one-sided -> 0 by
+    the exclusion convention). lnr(b0) = ln(2)+ln(2)-ln(1)-ln(2) units;
+    psi(b0) = (1 - 0.5) * 0.693147."""
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s0"] * 4),
+            "n_chars": pa.array([50, 60, 70, 150], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_corpus_drift_psi
+
+    out = q_corpus_drift_psi(str(tmp_path))
+    assert out["bucket"].tolist() == [0, 1]
+    assert out["n_a"].tolist() == [2, 0]
+    assert out["n_b"].tolist() == [1, 1]
+    assert out["total_a"].tolist() == [2, 2]
+    assert out["total_b"].tolist() == [2, 2]
+    assert out["ln_ratio_units"].tolist() == [693147, 0]
+    assert out["psi_term"].tolist() == [0.346574, 0.0]
