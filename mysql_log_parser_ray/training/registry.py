@@ -2313,6 +2313,9 @@ def register_queries():
         "corpus_version_diff": q_corpus_version_diff,
         "heaps_vocab_growth": q_heaps_vocab_growth,
         "corpus_drift_psi": q_corpus_drift_psi,
+        "docs_score_auc": q_docs_score_auc,
+        "events_spearman_daily": q_events_spearman_daily,
+        "source_len_ks": q_source_len_ks,
     }
 
 
@@ -3806,6 +3809,90 @@ def register_oracles():
                            * lnr / 1000000.0, 6)
                    ELSE 0.0 END AS psi_term
             FROM u ORDER BY 1, 2
+        """,
+        "docs_score_auc": r"""
+            WITH d AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+                     len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\v\f]+')) AS score
+              FROM documents
+            ), h AS (
+              SELECT score, SUM(p) AS pos, SUM(1 - p) AS neg
+              FROM d GROUP BY 1
+            ), c AS (
+              SELECT score, pos, neg,
+                     COALESCE(SUM(neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_neg
+              FROM h
+            )
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg,
+                   CAST(SUM(pos * (2 * cum_neg + neg)) AS BIGINT) AS u2,
+                   round(CAST(SUM(pos * (2 * cum_neg + neg)) AS DOUBLE)
+                         / CAST(2 * SUM(pos) * SUM(neg) AS BIGINT),
+                         6) AS auc
+            FROM c HAVING SUM(pos) > 0 AND SUM(neg) > 0
+        """,
+        "events_spearman_daily": r"""
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     COUNT(*) AS x, COUNT(DISTINCT user_id) AS y
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), r AS (
+              SELECT 2 * RANK() OVER (ORDER BY x)
+                       + COUNT(*) OVER (PARTITION BY x) - 1 AS x2,
+                     2 * RANK() OVER (ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY y) - 1 AS y2
+              FROM d
+            ), s AS (
+              SELECT COUNT(*) AS n, SUM(x2) AS sx, SUM(y2) AS sy,
+                     SUM(x2 * x2) AS sxx, SUM(y2 * y2) AS syy,
+                     SUM(x2 * y2) AS sxy
+              FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+                   CAST(n * syy - sy * sy AS BIGINT) AS dy,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS rho
+            FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "source_len_ks": r"""
+            WITH h AS (
+              SELECT source, n_chars AS v, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, SUM(c) AS n FROM h GROUP BY 1
+            ), grid AS (
+              SELECT s.source, g.v
+              FROM (SELECT DISTINCT source FROM h) s
+              CROSS JOIN (SELECT DISTINCT v FROM h) g
+            ), cum AS (
+              SELECT grid.source, grid.v,
+                     SUM(COALESCE(h.c, 0)) OVER (
+                       PARTITION BY grid.source ORDER BY grid.v) AS cc
+              FROM grid LEFT JOIN h
+                ON h.source = grid.source AND h.v = grid.v
+            ), pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     ta.n AS n_a, tb.n AS n_b,
+                     MAX(ABS(a.cc * tb.n - b.cc * ta.n)) AS d_num
+              FROM cum a
+              JOIN cum b ON a.v = b.v AND a.source < b.source
+              JOIN tot ta ON ta.source = a.source
+              JOIN tot tb ON tb.source = b.source
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT source_a, source_b,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(d_num AS BIGINT) AS d_num,
+                   round(CAST(d_num AS DOUBLE)
+                         / CAST(n_a * n_b AS BIGINT), 6) AS ks
+            FROM pairs ORDER BY 1, 2
         """,
         "source_fertility": r"""
             SELECT source,
@@ -5996,3 +6083,278 @@ def q_corpus_drift_psi(sf_dir: str):
               "ln_ratio_units"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+def q_docs_score_auc(sf_dir: str):
+    """Mann-Whitney AUC of the whitespace word count as a separator of
+    English vs non-English documents — the rank statistic (= ROC area)
+    a pipeline computes to validate ANY per-doc score against a binary
+    label before trusting it as a curation filter. Ties take the
+    standard half credit: AUC = P(score_en > score_other)
+    + P(tie)/2.
+
+    Exactness: AUC is a pure function of the (word_count -> n_pos,
+    n_neg) HISTOGRAM — with scores sorted ascending,
+    u2 = 2*U = sum_s pos_s * (2*cum_neg_below(s) + neg_s). All sums run
+    in Python ints (HUGEINT oracle-side) with the int64 fail-fast the
+    oracle's CAST(... AS BIGINT) mirrors, and ONE float division at the
+    end (float(u2) / float(2*n_pos*n_neg), half-up round — identical to
+    the oracle's CAST-CAST-divide). A one-class corpus yields the typed
+    empty frame on both sides (oracle HAVING).
+
+    Scale shape: one (score, pos, neg) counter fold bounded by distinct
+    word counts (<= max doc words); text never leaves the workers; the
+    driver sees only the histogram and folds it sequentially in Python
+    ints."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import ws_token_counts
+
+    empty = typed_empty(n_pos="int64", n_neg="int64", u2="int64",
+                        auc="float64")
+
+    def _hist(b: pa.Table) -> pa.Table:
+        cols = {"score": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "neg": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        wc = ws_token_counts(b["text"].to_pandas()).to_numpy(np.int64)
+        is_en = b["lang"].to_pandas().to_numpy() == "en"
+        g = (pd.DataFrame({"score": wc,
+                           "pos": is_en.astype(np.int64),
+                           "neg": (~is_en).astype(np.int64)})
+             .groupby("score", as_index=False)[["pos", "neg"]].sum())
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "documents", columns=["text", "lang"])
+        .map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["score"], ["pos", "neg"],
+    )
+    if hist is None:
+        return empty
+    hist = hist.sort_values("score")
+    n_pos = int(hist["pos"].astype(object).sum())
+    n_neg = int(hist["neg"].astype(object).sum())
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    u2, cum_neg = 0, 0
+    for p_s, n_s in zip(hist["pos"].tolist(), hist["neg"].tolist()):
+        u2 += int(p_s) * (2 * cum_neg + int(n_s))
+        cum_neg += int(n_s)
+    denom = 2 * n_pos * n_neg
+    if u2 > 2**63 - 1 or denom > 2**63 - 1:
+        # the oracle's CAST(... AS BIGINT) raises here; silent wrap is
+        # the divergence class CLAUDE.md's big-int rule exists for
+        raise OverflowError(
+            "docs_score_auc: u2/denominator exceed BIGINT at this corpus "
+            "size; widen the output type on both sides")
+    auc = float(round_half_up(
+        np.array([float(u2) / float(denom)]), 6)[0])
+    return pd.DataFrame({"n_pos": pd.Series([n_pos], dtype="int64"),
+                         "n_neg": pd.Series([n_neg], dtype="int64"),
+                         "u2": pd.Series([u2], dtype="int64"),
+                         "auc": pd.Series([auc], dtype="float64")})
+
+
+def q_events_spearman_daily(sf_dir: str):
+    """Spearman rank correlation between a day's event volume and its
+    distinct active users — the standard "is traffic growth real users
+    or bot bursts" monotonic-association check, robust to the heavy
+    right tail that makes Pearson useless on volume data.
+
+    Exactness: average ranks over days are exact half-integers, so
+    BOTH rank vectors are carried as 2*avg_rank ints
+    (2*RANK() + COUNT(*) OVER (PARTITION BY value) - 1 oracle-side, the
+    identical integers). Spearman rho is Pearson over those ints:
+    num = n*Sxy - Sx*Sy, dx = n*Sxx - Sx^2, dy = n*Syy - Sy^2, all in
+    Python ints (HUGEINT oracle-side; bounded by 4*n_days^4 — int64-safe
+    past 10^4 days, fail-fast beyond), one float expression at the end
+    (num / sqrt(dx_float * dy_float), half-away round) identical to the
+    oracle. Zero-variance sides yield the typed empty frame (oracle
+    WHERE dx > 0 AND dy > 0).
+
+    Scale shape: x folds from (day, n) counter partials; y reuses the
+    events_hourly_distinct bucket shape (distinct (day, user) pairs
+    hash-bucketed by user so each user's copies dedupe in one task; only
+    (day, n_users) cells leave the buckets). The driver frame is
+    day-cardinality by construction (~365 rows/year at any corpus
+    size)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..partition import stable_partition
+    from ..pipelines.queries import _day_from_us, _fold_partials, _read as _r
+    from ..util import round_half_away, typed_empty
+
+    empty = typed_empty(n_days="int64", num="int64", dx="int64",
+                        dy="int64", rho="float64")
+
+    def _day_counts(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        g = (pd.DataFrame({"day": _day_from_us(
+                pc.cast(b["ts"], pa.int64())).to_numpy(
+                    zero_copy_only=False)})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "x"}))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _day_users(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        df = pd.DataFrame({
+            "day": _day_from_us(pc.cast(b["ts"], pa.int64())).to_numpy(
+                zero_copy_only=False),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _count_users(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "day" not in g.columns:
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        out = (g.drop_duplicates(["day", "user_id"])
+               .groupby("day", as_index=False).size()
+               .rename(columns={"size": "y"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    ev = sf_dir  # alias for clarity below
+    xf = _fold_partials(
+        _r(ev, "events", columns=["ts"])
+        .map_batches(_day_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["day"], ["x"],
+    )
+    if xf is None:
+        return empty
+    yf = (
+        _r(ev, "events", columns=["ts", "user_id"])
+        .map_batches(_day_users, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_count_users, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(yf) and "day" in yf.columns:
+        yf = yf.groupby("day", as_index=False)["y"].sum()
+        d = xf.merge(yf, on="day", how="left")
+        d["y"] = d["y"].fillna(0)
+    else:
+        d = xf.assign(y=0)
+    n = len(d)
+    # 2*average-rank is always an integer; rank() floats are exact at
+    # day cardinality (n < 2^52)
+    x2 = (d["x"].rank(method="average") * 2).astype("int64").tolist()
+    y2 = (d["y"].rank(method="average") * 2).astype("int64").tolist()
+    sx, sy = sum(x2), sum(y2)
+    sxx = sum(v * v for v in x2)
+    syy = sum(v * v for v in y2)
+    sxy = sum(a * b for a, b in zip(x2, y2))
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if max(abs(num), dx, dy) > 2**63 - 1:
+        raise OverflowError(
+            "events_spearman_daily: rank sums exceed BIGINT (n_days > "
+            "~10^4); widen the output type on both sides")
+    if dx == 0 or dy == 0:
+        return empty
+    rho = float(round_half_away(
+        np.array([float(num) / math.sqrt(float(dx) * float(dy))]), 6)[0])
+    return pd.DataFrame({"n_days": pd.Series([n], dtype="int64"),
+                         "num": pd.Series([num], dtype="int64"),
+                         "dx": pd.Series([dx], dtype="int64"),
+                         "dy": pd.Series([dy], dtype="int64"),
+                         "rho": pd.Series([rho], dtype="float64")})
+
+
+def q_source_len_ks(sf_dir: str):
+    """Pairwise two-sample Kolmogorov-Smirnov distance between sources'
+    document-length distributions — the ECDF sup-norm audit that ranks
+    which source pairs differ most in length profile (complements
+    corpus_drift_psi's bucketed within-source drift with an unbucketed
+    between-source test).
+
+    Exactness: over the union grid of observed lengths,
+    D = max_v |F_a(v) - F_b(v)| = max_v |c_a(v)*n_b - c_b(v)*n_a|
+    / (n_a*n_b); the numerator is exact int64 (|.| <= n_a*n_b, with the
+    oracle-mirroring BIGINT fail-fast), the single division is the
+    identical CAST-CAST-divide with half-up round.
+
+    Scale shape: one (source, n_chars) counter fold bounded by
+    sources x distinct lengths; the driver pivots that small cell frame
+    to per-source cumulative counts (numpy int64 cumsum) and sweeps all
+    pairs vectorized — documents never shuffle, nothing row-scale
+    reaches the driver."""
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(source_a=object, source_b=object, n_a="int64",
+                        n_b="int64", d_num="int64", ks="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "source" not in b.column_names:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "source": b["source"].to_pandas().to_numpy(),
+                "v": b["n_chars"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)})
+             .groupby(["source", "v"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["v"] = g["v"].astype("int64")
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "documents", columns=["source", "n_chars"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["source", "v"], ["c"],
+    )
+    if cells is None:
+        return empty
+    # pivot: rows = sources (sorted), cols = union length grid (sorted)
+    piv = (cells.pivot(index="source", columns="v", values="c")
+           .fillna(0).astype(np.int64).sort_index())
+    srcs = list(piv.index)
+    cum = piv.to_numpy().cumsum(axis=1)          # (S, V) int64
+    tot = cum[:, -1]                              # per-source n
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            n_a, n_b = int(tot[i]), int(tot[j])
+            if n_a * n_b > 2**63 - 1:
+                raise OverflowError(
+                    "source_len_ks: n_a*n_b exceeds BIGINT; widen the "
+                    "output type on both sides")
+            d_num = int(np.abs(cum[i] * n_b - cum[j] * n_a).max())
+            ks = float(round_half_up(
+                np.array([float(d_num) / float(n_a * n_b)]), 6)[0])
+            rows.append((srcs[i], srcs[j], n_a, n_b, d_num, ks))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "n_a",
+                                      "n_b", "d_num", "ks"])
+    for c in ("n_a", "n_b", "d_num"):
+        out[c] = out[c].astype("int64")
+    out["ks"] = out["ks"].astype("float64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

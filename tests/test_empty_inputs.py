@@ -284,6 +284,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                "vocab"],
         "corpus_drift_psi": ["source", "bucket", "n_a", "n_b", "total_a",
                              "total_b", "ln_ratio_units", "psi_term"],
+        "docs_score_auc": ["n_pos", "n_neg", "u2", "auc"],
+        "events_spearman_daily": ["n_days", "num", "dx", "dy", "rho"],
+        "source_len_ks": ["source_a", "source_b", "n_a", "n_b", "d_num",
+                          "ks"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
