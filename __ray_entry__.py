@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue_rollup": q.q_region_revenue_rollup,
         "users_new_vs_returning": q.q_users_new_vs_returning,
         "orders_ship_lag_histogram": q.q_orders_ship_lag_histogram,
+        "events_autocorr_lag1": q.q_events_autocorr_lag1,
+        "orders_benford_digits": q.q_orders_benford_digits,
         "events_watermark_late": q.q_events_watermark_late,
     }
     try:  # training-data operators (registered as they land)
@@ -2204,6 +2206,48 @@ def oracle_sql() -> dict[str, str]:
                                   AND wm - tsu > 1800 * 1000000
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM o GROUP BY 1
+        """,
+        "events_autocorr_lag1": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     COUNT(*) AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), p AS (
+              SELECT a.x AS xa, b.x AS xb
+              FROM d a JOIN d b ON b.day = a.day + 1
+            ), s AS (
+              SELECT COUNT(*) AS m, SUM(xa) AS sa, SUM(xb) AS sb,
+                     SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb,
+                     SUM(xa * xb) AS sab
+              FROM p
+            )
+            SELECT CAST(m AS BIGINT) AS n_pairs,
+                   CAST(m * sab - sa * sb AS BIGINT) AS num,
+                   CAST(m * saa - sa * sa AS BIGINT) AS da,
+                   CAST(m * sbb - sb * sb AS BIGINT) AS db,
+                   round(CAST(m * sab - sa * sb AS DOUBLE)
+                         / sqrt(CAST(m * saa - sa * sa AS DOUBLE)
+                                * CAST(m * sbb - sb * sb AS DOUBLE)),
+                         6) AS r1
+            FROM s
+            WHERE m > 0 AND m * saa - sa * sa > 0
+              AND m * sbb - sb * sb > 0
+        """,
+        "orders_benford_digits": """
+            WITH c AS (
+              SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100
+                       + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+              FROM orders
+            ), h AS (
+              SELECT digit, COUNT(*) AS n FROM c GROUP BY 1
+            ), t AS (SELECT SUM(n) AS total FROM h)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(total AS BIGINT), 6) AS observed_frac,
+                   round(log10((digit + 1.0) / digit), 6) AS benford_frac
+            FROM h, t ORDER BY digit
         """,
     }
     try:

@@ -8805,3 +8805,147 @@ def q_tpch_q22_global_sales(sf_dir: str):
     out["totacctbal"] = out["cents"].astype("float64") / 100.0
     return (out[["cntrycode", "numcust", "totacctbal"]]
             .sort_values("cntrycode").reset_index(drop=True))
+
+
+def q_events_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — the
+    serial-dependence audit that tells an ingestion pipeline whether
+    day-over-day volume is momentum-driven (r1 near 1: backfill bursts,
+    weekly seasonality bleeding through) or independent (r1 near 0),
+    computed as Pearson over (x_t, x_{t+1}) pairs of CALENDAR-adjacent
+    observed days (day_b = day_a + 1; gap days pair with nothing — the
+    convention a JOIN ON b.day = a.day + 1 expresses on both sides).
+
+    Exactness: all sums run in Python ints over the day-cardinality
+    count frame (HUGEINT oracle-side; a day count can reach 1e9 at
+    corpus scale, so m*sum(x^2) exceeds int64 well before the fold
+    does — the BIGINT output casts fail-fast exactly where the oracle's
+    CAST raises). One float expression at the end
+    (num / sqrt(da_float * db_float), half-away round) identical to the
+    oracle's CAST-CAST arithmetic.
+
+    Scale shape: one (day, n) counter fold (the events_cum_daily
+    partial); the driver frame is day-cardinality (~365 rows/year at
+    any corpus size) and the pair sweep is one numpy mask over the
+    sorted day vector."""
+    import math
+
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_pairs="int64", num="int64", da="int64",
+                         db="int64", r1="float64")
+
+    def _day_counts(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        g = (pd.DataFrame({"day": _day_from_us(
+                pc.cast(b["ts"], pa.int64())).to_numpy(
+                    zero_copy_only=False)})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = _fold_partials(
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(_day_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["day"], ["n"],
+    )
+    if d is None:
+        return empty
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].to_numpy(np.int64)
+    x = d["n"].to_numpy(np.int64)
+    adj = days[1:] == days[:-1] + 1
+    a = [int(v) for v in x[:-1][adj]]
+    b = [int(v) for v in x[1:][adj]]
+    m = len(a)
+    if m == 0:
+        return empty
+    sa, sb = sum(a), sum(b)
+    saa = sum(v * v for v in a)
+    sbb = sum(v * v for v in b)
+    sab = sum(u * v for u, v in zip(a, b))
+    num = m * sab - sa * sb
+    da = m * saa - sa * sa
+    db = m * sbb - sb * sb
+    if max(abs(num), da, db) > 2**63 - 1:
+        raise OverflowError(
+            "events_autocorr_lag1: pair sums exceed BIGINT at this "
+            "corpus size; widen the output type on both sides")
+    if da == 0 or db == 0:
+        return empty
+    r1 = float(round_half_away(
+        np.array([float(num) / math.sqrt(float(da) * float(db))]), 6)[0])
+    return pd.DataFrame({"n_pairs": pd.Series([m], dtype="int64"),
+                         "num": pd.Series([num], dtype="int64"),
+                         "da": pd.Series([da], dtype="int64"),
+                         "db": pd.Series([db], dtype="int64"),
+                         "r1": pd.Series([r1], dtype="float64")})
+
+
+def q_orders_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit over order totals (in cents) —
+    the classic fabricated-data / export-truncation screen: a natural
+    multi-magnitude money column should put ~30.1% of leading digits at
+    1; a uniform or clipped synthetic source shows up immediately as a
+    flat profile.
+
+    Exactness: cents = floor(price*100 + 0.5) int64 on both sides; the
+    leading digit is the first character of the decimal string (no
+    log10-of-value arithmetic whose libm rounding could flip a digit at
+    a power-of-ten boundary). observed_frac is one CAST-CAST divide
+    (half-up round); benford_frac is round(log10((d+1)/d), 6) — the
+    nine constants verified identical between DuckDB's round/log10 and
+    the engine's half-up quantization (all nine sit far from .5 ties).
+
+    Scale shape: one 9-row digit-counter fold; prices never shuffle.
+    Only observed digits are emitted (a digit with zero orders appears
+    on neither side)."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(digit="int64", n="int64",
+                         observed_frac="float64", benford_frac="float64")
+
+    def _digits(b: pa.Table) -> pa.Table:
+        cols = {"digit": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_totalprice" not in b.column_names:
+            return pa.table(cols)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        lead = (pd.Series(cents).astype(str).str[0].astype(np.int64)
+                .to_numpy())
+        g = (pd.DataFrame({"digit": lead}).groupby("digit", as_index=False)
+             .size().rename(columns={"size": "n"}))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _fold_partials(
+        _read(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(_digits, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["digit"], ["n"],
+    )
+    if out is None:
+        return empty
+    total = int(out["n"].astype(object).sum())
+    out = out.sort_values("digit").reset_index(drop=True)
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["observed_frac"] = round_half_up(
+        out["n"].to_numpy(np.float64) / float(total), 6)
+    d = out["digit"].to_numpy(np.float64)
+    out["benford_frac"] = round_half_up(np.log10((d + 1.0) / d), 6)
+    return out

@@ -288,6 +288,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_spearman_daily": ["n_days", "num", "dx", "dy", "rho"],
         "source_len_ks": ["source_a", "source_b", "n_a", "n_b", "d_num",
                           "ks"],
+        "events_autocorr_lag1": ["n_pairs", "num", "da", "db", "r1"],
+        "orders_benford_digits": ["digit", "n", "observed_frac",
+                                  "benford_frac"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
