@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ship_lag_histogram": q.q_orders_ship_lag_histogram,
         "events_autocorr_lag1": q.q_events_autocorr_lag1,
         "orders_benford_digits": q.q_orders_benford_digits,
+        "user_type_stability": q.q_user_type_stability,
+        "user_activity_hill": q.q_user_activity_hill,
         "events_watermark_late": q.q_events_watermark_late,
     }
     try:  # training-data operators (registered as they land)
@@ -2248,6 +2250,47 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(total AS BIGINT), 6) AS observed_frac,
                    round(log10((digit + 1.0) / digit), 6) AS benford_frac
             FROM h, t ORDER BY digit
+        """,
+        "user_type_stability": """
+            WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+            t AS (
+              SELECT DISTINCT user_id, event_type,
+                     CASE WHEN event_id <= mx.m // 2 THEN 1 ELSE 0 END
+                       AS ha
+              FROM events, mx WHERE user_id IS NOT NULL
+            ), per AS (
+              SELECT user_id, COUNT(*) AS n_rows, SUM(ha) AS na,
+                     COUNT(DISTINCT event_type) AS u
+              FROM t GROUP BY 1
+            )
+            SELECT CAST((10 * (n_rows - u)) // u AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per WHERE na > 0 AND n_rows - na > 0
+            GROUP BY 1 ORDER BY 1
+        """,
+        "user_activity_hill": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1
+            ), r AS (
+              SELECT n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn
+              FROM c
+            ), kk AS (SELECT n AS xk1 FROM r WHERE rn = 101),
+            s AS (
+              SELECT SUM(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0)
+                              AS BIGINT)) AS su
+              FROM r WHERE rn <= 100
+            )
+            SELECT CAST(100 AS BIGINT) AS k,
+                   CAST(kk.xk1 AS BIGINT) AS x_k1,
+                   CAST(s.su - 100 * CAST(round(
+                       ln(CAST(kk.xk1 AS DOUBLE)) * 1000000, 0)
+                       AS BIGINT) AS BIGINT) AS sum_ln_units,
+                   round(CAST(s.su - 100 * CAST(round(
+                       ln(CAST(kk.xk1 AS DOUBLE)) * 1000000, 0)
+                       AS BIGINT) AS DOUBLE) / 100000000.0, 6) AS hill
+            FROM s, kk
         """,
     }
     try:

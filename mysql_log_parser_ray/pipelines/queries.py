@@ -8949,3 +8949,185 @@ def q_orders_benford_digits(sf_dir: str):
     d = out["digit"].to_numpy(np.float64)
     out["benford_frac"] = round_half_up(np.log10((d + 1.0) / d), 6)
     return out
+
+
+def q_user_type_stability(sf_dir: str):
+    """Per-user behavioral stability between corpus halves: Jaccard of
+    each user's event-TYPE set in the first half (event_id <= max//2,
+    the corpus_drift_psi split convention) vs the second, histogrammed
+    into 11 integer buckets ((10*|A∩B|) // |A∪B|: bucket 10 is an exact
+    set match, which (10*i)//u reaches iff i == u). Users active in only
+    one half carry no Jaccard and are excluded on both sides — the
+    user-level complement to corpus_drift_psi's distribution-level
+    drift.
+
+    Exactness: pure set counting — |A∩B| = |A| + |B| - |A∪B| over
+    distinct (user, type, half) triples, and the bucket id is one
+    integer floor-division; no floats anywhere.
+
+    Scale shape: batches pre-reduce to distinct (user, type, half)
+    triples and hash-bucket by USER (stable_partition), so each user's
+    full triple set lands in one task; buckets emit an 11-row histogram
+    partial and the driver folds 64 x 11 rows. Users never reach the
+    driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(bucket="int64", n_users="int64")
+
+    def _mx(b: pa.Table) -> pa.Table:
+        cols = {"m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({"m": pa.array(
+            [int(b["event_id"].to_numpy().max())], pa.int64())})
+
+    mparts = (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(_mx, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .to_pandas()
+    )
+    if not len(mparts) or "m" not in mparts.columns:
+        return empty
+    mid = int(mparts["m"].max()) // 2
+
+    def _triples(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ha": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["user_id"]))
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas().to_numpy(),
+            "ha": (b["event_id"].to_numpy(zero_copy_only=False)
+                   <= mid).astype(np.int64),
+        }).drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"bucket": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        d = g.drop_duplicates(["user_id", "event_type", "ha"])
+        per = d.groupby("user_id").agg(
+            na=("ha", "sum"),
+            n_rows=("ha", "size"),
+        )
+        # |A| = na, |B| = rows - na, |A∪B| = distinct types,
+        # |A∩B| = |A| + |B| - |A∪B| = rows - union
+        uni = (d.drop_duplicates(["user_id", "event_type"])
+               .groupby("user_id").size())
+        per["u"] = uni
+        per["nb"] = per["n_rows"] - per["na"]
+        per = per[(per["na"] > 0) & (per["nb"] > 0)]
+        if not len(per):
+            return pd.DataFrame(out_cols)
+        i = (per["n_rows"] - per["u"]).to_numpy(np.int64)
+        u = per["u"].to_numpy(np.int64)
+        out = (pd.DataFrame({"bucket": (10 * i) // u})
+               .groupby("bucket", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type"])
+        .map_batches(_triples, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_hist, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["bucket"], ["n_users"])
+    if out is None:
+        return empty
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_user_activity_hill(sf_dir: str, k: int = 100):
+    """Hill tail-index estimator over per-user event counts — the
+    standard heavy-tail exponent estimate (alpha_hat = 1/hill) a
+    capacity planner runs on user activity: hill =
+    (1/k) * sum_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest counts
+    vs the (k+1)-th. The top-(k+1) VALUE multiset is well-defined under
+    ties (contributions depend only on values), so the estimate is
+    deterministic without naming which tied users are "in".
+
+    Exactness: per-factor 1e-6-unit ln quantization (the
+    corpus_drift_psi / lang_source_mi convention — counts are positive
+    ints, half-up floor(x*1e6+0.5) equals the oracle's half-away
+    round); sum_ln_units is exact int arithmetic, hill is ONE float
+    division (sum_units / (k * 1e6), half-up round). Returns the typed
+    empty frame when fewer than k+1 users exist (oracle WHERE).
+
+    Scale shape: per-user counts fold per hash bucket (stable_partition
+    by user, the distinct-shape guarantee that each user's rows land in
+    one task), each bucket emits only its top-(k+1) candidate COUNTS,
+    and the driver folds 64 x (k+1) ints — never the user frame."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(k="int64", x_k1="int64", sum_ln_units="int64",
+                         hill="float64")
+
+    def _counts(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["user_id"]))
+        g = (pd.DataFrame({"user_id": b["user_id"].to_numpy(
+                zero_copy_only=False)})
+             .groupby("user_id", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["_part"] = stable_partition(g["user_id"], 64)
+        for c in ("n", "_part"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        per = g.groupby("user_id", as_index=False)["n"].sum()
+        top = per["n"].nlargest(k + 1).astype("int64")
+        return pd.DataFrame({"n": top.to_numpy(np.int64)})
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "n" not in parts.columns:
+        return empty
+    vals = sorted((int(v) for v in parts["n"]), reverse=True)
+    if len(vals) < k + 1:
+        return empty
+    top, x_k1 = vals[:k], vals[k]
+
+    def _lnu(v: int) -> int:
+        import math
+        return int(np.floor(math.log(v) * 1e6 + 0.5))
+
+    sum_units = sum(_lnu(v) for v in top) - k * _lnu(x_k1)
+    hill = float(round_half_up(
+        np.array([float(sum_units) / (k * 1e6)]), 6)[0])
+    return pd.DataFrame({"k": pd.Series([k], dtype="int64"),
+                         "x_k1": pd.Series([x_k1], dtype="int64"),
+                         "sum_ln_units": pd.Series([sum_units],
+                                                   dtype="int64"),
+                         "hill": pd.Series([hill], dtype="float64")})

@@ -291,6 +291,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_autocorr_lag1": ["n_pairs", "num", "da", "db", "r1"],
         "orders_benford_digits": ["digit", "n", "observed_frac",
                                   "benford_frac"],
+        "user_type_stability": ["bucket", "n_users"],
+        "user_activity_hill": ["k", "x_k1", "sum_ln_units", "hill"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
