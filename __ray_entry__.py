@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford_digits": q.q_orders_benford_digits,
         "user_type_stability": q.q_user_type_stability,
         "user_activity_hill": q.q_user_activity_hill,
+        "events_cusum_shift": q.q_events_cusum_shift,
+        "transition_cond_entropy": q.q_transition_cond_entropy,
         "events_watermark_late": q.q_events_watermark_late,
     }
     try:  # training-data operators (registered as they land)
@@ -2291,6 +2293,58 @@ def oracle_sql() -> dict[str, str]:
                        ln(CAST(kk.xk1 AS DOUBLE)) * 1000000, 0)
                        AS BIGINT) AS DOUBLE) / 100000000.0, 6) AS hill
             FROM s, kk
+        """,
+        "events_cusum_shift": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     COUNT(*) AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), w AS (
+              SELECT day, SUM(x) OVER (ORDER BY day) AS pre,
+                     ROW_NUMBER() OVER (ORDER BY day) AS t
+              FROM d
+            ), g AS (SELECT COUNT(*) AS n, SUM(x) AS total FROM d),
+            c AS (
+              SELECT w.day, ABS(g.n * w.pre - w.t * g.total) AS dabs,
+                     g.n, g.total
+              FROM w, g WHERE w.t < g.n
+            )
+            SELECT CAST(day AS BIGINT) AS split_day,
+                   CAST(dabs AS BIGINT) AS d_num,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(total AS BIGINT) AS total_events,
+                   round(CAST(dabs AS DOUBLE)
+                         / CAST(n * total AS BIGINT), 6) AS stat
+            FROM c ORDER BY dabs DESC, day LIMIT 1
+        """,
+        "transition_cond_entropy": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS next_type
+              FROM events
+            ), cells AS (
+              SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+              FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ), m AS (
+              SELECT n,
+                     SUM(n) OVER (PARTITION BY prev_type) AS nc
+              FROM cells
+            ), s AS (
+              SELECT SUM(n) AS total,
+                     SUM(n * (CAST(round(ln(CAST(nc AS DOUBLE))
+                                * 1000000, 0) AS BIGINT)
+                              - CAST(round(ln(CAST(n AS DOUBLE))
+                                * 1000000, 0) AS BIGINT))) AS su
+              FROM m
+            )
+            SELECT CAST(total AS BIGINT) AS total_transitions,
+                   CAST(su AS BIGINT) AS sum_units,
+                   round(CAST(su AS DOUBLE) / CAST(total AS BIGINT)
+                         / 1000000.0, 6) AS cond_entropy
+            FROM s WHERE total > 0
         """,
     }
     try:

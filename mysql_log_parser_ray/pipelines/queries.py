@@ -9131,3 +9131,127 @@ def q_user_activity_hill(sf_dir: str, k: int = 100):
                          "sum_ln_units": pd.Series([sum_units],
                                                    dtype="int64"),
                          "hill": pd.Series([hill], dtype="float64")})
+
+
+def q_events_cusum_shift(sf_dir: str):
+    """CUSUM change-point detection on the daily event-count series:
+    the split day t maximizing |cumulative-to-t minus the overall-rate
+    expectation| — the standard "when did volume structurally shift"
+    audit on an ingestion stream. The deviation is kept integer-scaled
+    (D_t = n*prefix_t - t*total, i.e. n*total times the normalized
+    CUSUM), ties broken to the EARLIEST day, and only split points
+    strictly inside the series qualify (t < n; D_n = 0 by identity).
+
+    Exactness: prefix sums and D_t run in Python ints over the
+    day-cardinality frame (HUGEINT oracle-side; the BIGINT output casts
+    fail-fast exactly where the oracle's CAST raises); stat is ONE
+    CAST-CAST divide d_num/(n*total), half-up round.
+
+    Scale shape: one (day, n) counter fold; the driver sweep is
+    day-cardinality (~365 rows/year at any corpus size)."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(split_day="int64", d_num="int64",
+                         n_days="int64", total_events="int64",
+                         stat="float64")
+
+    def _day_counts(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        g = (pd.DataFrame({"day": _day_from_us(
+                pc.cast(b["ts"], pa.int64())).to_numpy(
+                    zero_copy_only=False)})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = _fold_partials(
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(_day_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["day"], ["n"],
+    )
+    if d is None or len(d) < 2:
+        return empty
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].tolist()
+    xs = [int(v) for v in d["n"]]
+    n, total = len(xs), sum(xs)
+    best_day, best = None, -1
+    pre = 0
+    for t in range(1, n):  # split after position t, strictly inside
+        pre += xs[t - 1]
+        dt = abs(n * pre - t * total)
+        if dt > best:
+            best, best_day = dt, days[t - 1]
+    if best > 2**63 - 1 or n * total > 2**63 - 1:
+        raise OverflowError(
+            "events_cusum_shift: scaled CUSUM exceeds BIGINT at this "
+            "corpus size; widen the output type on both sides")
+    stat = float(round_half_up(
+        np.array([float(best) / float(n * total)]), 6)[0])
+    return pd.DataFrame({
+        "split_day": pd.Series([best_day], dtype="int64"),
+        "d_num": pd.Series([best], dtype="int64"),
+        "n_days": pd.Series([n], dtype="int64"),
+        "total_events": pd.Series([total], dtype="int64"),
+        "stat": pd.Series([stat], dtype="float64")})
+
+
+def q_transition_cond_entropy(sf_dir: str):
+    """Conditional entropy H(next | current) of the user event-type
+    transition matrix — the information-rate diagnostic on behavior
+    sequences: 0 means the next action is fully determined by the
+    current one, ln(|types|) means it carries no signal. Transitions
+    are the q_user_transition_counts cells (consecutive events inside a
+    user's (ts, event_id)-ordered stream), so the two surfaces agree by
+    construction.
+
+    Exactness: H = sum_cells n * (ln(n_prev) - ln(n)) / total with
+    per-factor 1e-6-unit ln quantization (the corpus_drift_psi
+    convention); the weighted unit sum runs in Python ints (HUGEINT
+    oracle-side — n * ln_units overflows int64 near 1e12 transitions,
+    exactly where the oracle's BIGINT cast raises) and the entropy is
+    the identical two-step CAST divide, half-up round.
+
+    Scale shape: reuses the transition-cell pipeline (whole user per
+    hash bucket, |types|^2 partials per bucket); the driver folds the
+    types^2 cell frame in Python ints."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(total_transitions="int64", sum_units="int64",
+                         cond_entropy="float64")
+    cells = q_user_transition_counts(sf_dir)
+    if not len(cells):
+        return empty
+
+    def _lnu(v: int) -> int:
+        import math
+        return int(np.floor(math.log(v) * 1e6 + 0.5))
+
+    nc = cells.groupby("prev_type")["n"].transform("sum")
+    total, su = 0, 0
+    for n_cell, n_prev in zip(cells["n"].tolist(), nc.tolist()):
+        n_cell, n_prev = int(n_cell), int(n_prev)
+        total += n_cell
+        su += n_cell * (_lnu(n_prev) - _lnu(n_cell))
+    if su > 2**63 - 1 or total > 2**63 - 1:
+        raise OverflowError(
+            "transition_cond_entropy: weighted ln-unit sum exceeds "
+            "BIGINT at this corpus size; widen the output type on both "
+            "sides")
+    h = float(round_half_up(
+        np.array([float(su) / float(total) / 1e6]), 6)[0])
+    return pd.DataFrame({
+        "total_transitions": pd.Series([total], dtype="int64"),
+        "sum_units": pd.Series([su], dtype="int64"),
+        "cond_entropy": pd.Series([h], dtype="float64")})

@@ -293,6 +293,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                   "benford_frac"],
         "user_type_stability": ["bucket", "n_users"],
         "user_activity_hill": ["k", "x_k1", "sum_ln_units", "hill"],
+        "events_cusum_shift": ["split_day", "d_num", "n_days",
+                               "total_events", "stat"],
+        "transition_cond_entropy": ["total_transitions", "sum_units",
+                                    "cond_entropy"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
