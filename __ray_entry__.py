@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_hill": q.q_user_activity_hill,
         "events_cusum_shift": q.q_events_cusum_shift,
         "transition_cond_entropy": q.q_transition_cond_entropy,
+        "events_winsorized_mean": q.q_events_winsorized_mean,
         "events_watermark_late": q.q_events_watermark_late,
     }
     try:  # training-data operators (registered as they land)
@@ -2345,6 +2346,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(su AS DOUBLE) / CAST(total AS BIGINT)
                          / 1000000.0, 6) AS cond_entropy
             FROM s WHERE total > 0
+        """,
+        "events_winsorized_mean": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            ), h AS (
+              SELECT event_type, cents, COUNT(*) AS n
+              FROM c GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, cents, n,
+                     SUM(n) OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM h
+            ), b AS (
+              SELECT event_type, tot AS n,
+                     MIN(CASE WHEN cum >= GREATEST(1, (5 * tot) // 100)
+                              THEN cents END) AS lo,
+                     MIN(CASE WHEN cum >= GREATEST(1, (95 * tot) // 100)
+                              THEN cents END) AS hi
+              FROM w GROUP BY 1, 2
+            )
+            SELECT h.event_type, CAST(b.n AS BIGINT) AS n,
+                   CAST(b.lo AS BIGINT) AS lo_cents,
+                   CAST(b.hi AS BIGINT) AS hi_cents,
+                   CAST(SUM(LEAST(GREATEST(h.cents, b.lo), b.hi) * h.n)
+                        AS BIGINT) AS wins_sum_cents,
+                   round(CAST(SUM(LEAST(GREATEST(h.cents, b.lo), b.hi)
+                                  * h.n) AS DOUBLE)
+                         / CAST(b.n AS BIGINT), 6) AS wins_mean_cents
+            FROM h JOIN b ON b.event_type = h.event_type
+            GROUP BY 1, 2, 3, 4 ORDER BY 1
         """,
     }
     try:

@@ -9255,3 +9255,89 @@ def q_transition_cond_entropy(sf_dir: str):
         "total_transitions": pd.Series([total], dtype="int64"),
         "sum_units": pd.Series([su], dtype="int64"),
         "cond_entropy": pd.Series([h], dtype="float64")})
+
+
+def q_events_winsorized_mean(sf_dir: str):
+    """5%/95% winsorized mean of event value per type — the robust
+    central-tendency aggregate dashboards use when raw means are hostage
+    to outliers: values below the 5th / above the 95th nearest-rank
+    percentile are CLAMPED to those bounds (not dropped), then averaged.
+    Bounds use the repo's 1-based nearest-rank convention
+    (rank = GREATEST(1, (p*n)//100), the EventStats.Current shape).
+
+    Exactness: cents = floor(value*100 + 0.5) int64 on both sides; the
+    bounds come from histogram cumsums (exact order statistics), the
+    clipped sum runs in Python ints over histogram cells (HUGEINT
+    oracle-side, BIGINT fail-fast at the output cast), and the mean is
+    one CAST-CAST divide, half-up round.
+
+    Scale shape: one (type, cents, n) counter fold bounded by
+    types x distinct cents (the value domain, not the event count);
+    per-type bound-finding and clipping run vectorized on that cell
+    frame."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(event_type=object, n="int64", lo_cents="int64",
+                         hi_cents="int64", wins_sum_cents="int64",
+                         wins_mean_cents="float64")
+
+    def _hist(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "value" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["value"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas().to_numpy(),
+                "cents": np.floor(
+                    b["value"].to_numpy(zero_copy_only=False) * 100.0
+                    + 0.5).astype(np.int64)})
+             .groupby(["event_type", "cents"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("cents", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["event_type", "cents"], ["n"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = [int(v) for v in g["cents"]]
+        cnts = [int(v) for v in g["n"]]
+        n = sum(cnts)
+        r_lo = max(1, (5 * n) // 100)
+        r_hi = max(1, (95 * n) // 100)
+        cum, lo, hi = 0, None, None
+        for v, c in zip(vals, cnts):
+            cum += c
+            if lo is None and cum >= r_lo:
+                lo = v
+            if hi is None and cum >= r_hi:
+                hi = v
+        ws = sum(min(max(v, lo), hi) * c for v, c in zip(vals, cnts))
+        if ws > 2**63 - 1:
+            raise OverflowError(
+                "events_winsorized_mean: clipped sum exceeds BIGINT; "
+                "widen the output type on both sides")
+        mean = float(round_half_away(
+            np.array([float(ws) / float(n)]), 6)[0])
+        rows.append((et, n, lo, hi, ws, mean))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "lo_cents",
+                                      "hi_cents", "wins_sum_cents",
+                                      "wins_mean_cents"])
+    for c in ("n", "lo_cents", "hi_cents", "wins_sum_cents"):
+        out[c] = out[c].astype("int64")
+    out["wins_mean_cents"] = out["wins_mean_cents"].astype("float64")
+    return out.sort_values("event_type").reset_index(drop=True)

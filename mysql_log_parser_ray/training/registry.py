@@ -2316,6 +2316,7 @@ def register_queries():
         "docs_score_auc": q_docs_score_auc,
         "events_spearman_daily": q_events_spearman_daily,
         "source_len_ks": q_source_len_ks,
+        "source_bigram_cond_entropy": q_source_bigram_cond_entropy,
     }
 
 
@@ -3832,6 +3833,35 @@ def register_oracles():
                          / CAST(2 * SUM(pos) * SUM(neg) AS BIGINT),
                          6) AS auc
             FROM c HAVING SUM(pos) > 0 AND SUM(neg) > 0
+        """,
+        "source_bigram_cond_entropy": r"""
+            WITH toks AS (
+              SELECT source, regexp_split_to_array(
+                  trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                  '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), bi AS (
+              SELECT source, w[i] AS wa, w[i+1] AS wb, COUNT(*) AS n
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+              WHERE w[i] <> '' AND w[i+1] <> ''
+              GROUP BY 1, 2, 3
+            ), m AS (
+              SELECT source, n,
+                     SUM(n) OVER (PARTITION BY source, wa) AS nm
+              FROM bi
+            ), s AS (
+              SELECT source, SUM(n) AS total,
+                     SUM(n * (CAST(round(ln(CAST(nm AS DOUBLE))
+                                * 1000000, 0) AS BIGINT)
+                              - CAST(round(ln(CAST(n AS DOUBLE))
+                                * 1000000, 0) AS BIGINT))) AS su
+              FROM m GROUP BY 1
+            )
+            SELECT source, CAST(total AS BIGINT) AS total_bigrams,
+                   CAST(su AS BIGINT) AS sum_units,
+                   round(CAST(su AS DOUBLE) / CAST(total AS BIGINT)
+                         / 1000000.0, 6) AS cond_entropy
+            FROM s ORDER BY source
         """,
         "events_spearman_daily": r"""
             WITH d AS (
@@ -6358,3 +6388,121 @@ def q_source_len_ks(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["ks"] = out["ks"].astype("float64")
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def q_source_bigram_cond_entropy(sf_dir: str):
+    """Per-source conditional entropy H(next word | current word) over
+    adjacent-word bigrams — the bigram-LM cross-entropy of each source
+    under its own bigram model, the classic "how predictable is this
+    text" quality signal (low = boilerplate/templated, high = diverse
+    prose). Bigrams are consecutive non-empty lowercased
+    whitespace-words (the word_pmi_topk convention; a doc whose text
+    strips empty contributes nothing).
+
+    Exactness: H = sum_cells n * (ln(margin) - ln(n)) / total / 1e6
+    with per-factor 1e-6-unit ln quantization (corpus_drift_psi
+    convention). The per-bucket weighted unit sums can exceed int64 at
+    corpus scale (~1e13 bigrams x 3e7 units), so buckets ship them as
+    hi/lo int64 LIMBS (hi = su >> 30, lo = su & (2^30-1) — the
+    CLAUDE.md big-int transport rule) and the driver recombines in
+    Python ints, fail-fasting at the BIGINT output cast exactly where
+    the oracle's CAST raises.
+
+    Scale shape: (source, w1, w2, n) counter partials hash-bucketed by
+    the (source, w1) PAIR (stable_pair_partition), so every margin
+    group sits whole in one bucket and per-bucket margins are global;
+    buckets emit one (source, total, su_hi, su_lo) row each — raw text
+    and vocabulary never shuffle beyond the counter cells."""
+    from ..partition import stable_pair_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_up, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, total_bigrams="int64",
+                        sum_units="int64", cond_entropy="float64")
+    n_parts = 64
+
+    def _bi_partial(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "wa": pa.array([], pa.string()),
+                "wb": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        src = pd.Series(b["source"].to_pandas().to_numpy())
+        lists = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE)
+        ex = lists.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        df = ex.reset_index()
+        df.columns = ["doc", "w"]
+        nxt = df["w"].shift(-1)
+        same_doc = df["doc"].shift(-1) == df["doc"]
+        pairs = pd.DataFrame({
+            "source": src.reindex(df["doc"][same_doc]).to_numpy(),
+            "wa": df["w"][same_doc].to_numpy(),
+            "wb": nxt[same_doc].to_numpy(),
+        })
+        part = (pairs.groupby(["source", "wa", "wb"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+        if not len(part):
+            return pa.table(cols)
+        part["n"] = part["n"].astype("int64")
+        part["_part"] = stable_pair_partition(
+            part["source"], part["wa"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "total": pd.Series([], dtype="int64"),
+                    "su_hi": pd.Series([], dtype="int64"),
+                    "su_lo": pd.Series([], dtype="int64")}
+        if not len(g) or "wa" not in g.columns:
+            return pd.DataFrame(out_cols)
+        cells = g.groupby(["source", "wa", "wb"], as_index=False)["n"].sum()
+        margin = cells.groupby(["source", "wa"])["n"].transform("sum")
+        lnu_m = np.floor(np.log(margin.to_numpy(np.float64)) * 1e6
+                         + 0.5).astype(np.int64)
+        lnu_n = np.floor(np.log(cells["n"].to_numpy(np.float64)) * 1e6
+                         + 0.5).astype(np.int64)
+        cells["dm"] = lnu_m - lnu_n  # ln-unit diffs: small ints
+        rows = []
+        for src, sub in cells.groupby("source"):
+            su = sum(int(a) * int(b)
+                     for a, b in zip(sub["n"].tolist(), sub["dm"].tolist()))
+            rows.append((src, sum(int(v) for v in sub["n"].tolist()),
+                         su >> 30, su & ((1 << 30) - 1)))
+        out = pd.DataFrame(rows, columns=["source", "total", "su_hi",
+                                          "su_lo"])
+        for c in ("total", "su_hi", "su_lo"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(_bi_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "source" not in parts.columns:
+        return empty
+    rows = []
+    for src, g in parts.groupby("source"):
+        total = sum(int(v) for v in g["total"])
+        su = (sum(int(v) for v in g["su_hi"]) << 30) \
+            + sum(int(v) for v in g["su_lo"])
+        if su > 2**63 - 1 or total > 2**63 - 1:
+            raise OverflowError(
+                "source_bigram_cond_entropy: weighted ln-unit sum "
+                "exceeds BIGINT; widen the output type on both sides")
+        h = float(round_half_up(
+            np.array([float(su) / float(total) / 1e6]), 6)[0])
+        rows.append((src, total, su, h))
+    out = pd.DataFrame(rows, columns=["source", "total_bigrams",
+                                      "sum_units", "cond_entropy"])
+    for c in ("total_bigrams", "sum_units"):
+        out[c] = out[c].astype("int64")
+    out["cond_entropy"] = out["cond_entropy"].astype("float64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -297,6 +297,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                "total_events", "stat"],
         "transition_cond_entropy": ["total_transitions", "sum_units",
                                     "cond_entropy"],
+        "source_bigram_cond_entropy": ["source", "total_bigrams",
+                                       "sum_units", "cond_entropy"],
+        "events_winsorized_mean": ["event_type", "n", "lo_cents",
+                                   "hi_cents", "wins_sum_cents",
+                                   "wins_mean_cents"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
