@@ -2317,6 +2317,8 @@ def register_queries():
         "events_spearman_daily": q_events_spearman_daily,
         "source_len_ks": q_source_len_ks,
         "source_bigram_cond_entropy": q_source_bigram_cond_entropy,
+        "source_yule_k": q_source_yule_k,
+        "source_hapax_ratio": q_source_hapax_ratio,
     }
 
 
@@ -4057,6 +4059,49 @@ def register_oracles():
                    CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(cosine AS DOUBLE) AS cosine
             FROM v JOIN c ON v.corpus = c.cnt
+        """,
+        "source_yule_k": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(
+                         trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                         '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), f AS (
+              SELECT source, word, COUNT(*) AS n
+              FROM w WHERE word <> '' GROUP BY 1, 2
+            ), s AS (
+              SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                     CAST(SUM(n * n) AS BIGINT) AS sum_freq_sq
+              FROM f GROUP BY 1
+            )
+            SELECT source, n_tokens, sum_freq_sq,
+                   round(CAST(CAST(10000 AS HUGEINT)
+                              * (sum_freq_sq - n_tokens) AS DOUBLE)
+                         / CAST(CAST(n_tokens AS HUGEINT) * n_tokens
+                                AS DOUBLE), 6) AS yule_k
+            FROM s ORDER BY source
+        """,
+        "source_hapax_ratio": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(
+                         trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                         '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), f AS (
+              SELECT source, word, COUNT(*) AS n
+              FROM w WHERE word <> '' GROUP BY 1, 2
+            ), s AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                     CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax
+              FROM f GROUP BY 1
+            )
+            SELECT source, n_vocab, n_hapax,
+                   round(CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE),
+                         6) AS hapax_ratio
+            FROM s ORDER BY source
         """,
     }
 
@@ -6506,3 +6551,171 @@ def q_source_bigram_cond_entropy(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["cond_entropy"] = out["cond_entropy"].astype("float64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def _source_word_cells(sf_dir: str, n_parts: int = 64):
+    """Shared stage: (source, word, n, _part) counter cells over
+    lowercased ASCII-whitespace words (the word_doc_freq parity
+    convention), hash-bucketed by the (source, word) PAIR via
+    stable_pair_partition so every word's bucket-sum is its GLOBAL
+    per-source count. Feeds the lexical-richness family
+    (source_yule_k, source_hapax_ratio)."""
+    from ..partition import stable_pair_partition
+    from .text import _ASCII_WS, _WS_RE
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        src = pd.Series(b["source"].to_pandas().to_numpy())
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if not len(ex):
+            return pa.table(cols)
+        df = pd.DataFrame({"source": src.reindex(ex.index).to_numpy(),
+                           "w": ex.to_numpy()})
+        part = (df.groupby(["source", "w"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+        part["n"] = part["n"].astype("int64")
+        part["_part"] = stable_pair_partition(part["source"], part["w"],
+                                              n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return (_read(sf_dir, "documents", columns=["source", "text"])
+            .map_batches(_cells, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))
+
+
+def q_source_yule_k(sf_dir: str):
+    """Yule's K lexical-richness characteristic per source — the classic
+    repeat-rate statistic K = 1e4 * (S2 - S1) / S1^2 over the per-source
+    word-frequency spectrum (S1 = total tokens, S2 = sum of squared word
+    counts); high K = repetitive/templated text, low K = diverse
+    vocabulary — a standard corpus-quality screen for boilerplate-heavy
+    sources. Words are lowercased ASCII-whitespace tokens (word_doc_freq
+    parity convention).
+
+    Exactness: per-word global counts are exact int64 cell sums; each is
+    squared in PYTHON ints behind a fail-fast at isqrt(2^63-1) (the
+    oracle's BIGINT n*n raises there), per-bucket S2 partials ship as
+    hi/lo int64 LIMBS (CLAUDE.md big-int transport rule) and recombine
+    driver-side in Python ints with the BIGINT output fail-fast; K is
+    ONE float(num)/float(den) divide (HUGEINT products oracle-side),
+    half-up round to 6dp.
+
+    Scale shape: (source, word, n) counter cells bucketed by the
+    (source, word) pair; buckets emit one row per (bucket, source) —
+    text never shuffles beyond counter cells and the driver folds
+    64 x sources rows, never the vocabulary."""
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(source=object, n_tokens="int64",
+                        sum_freq_sq="int64", yule_k="float64")
+    I64MAX = 2**63 - 1
+    NMAX = 3037000499  # isqrt(2^63-1): the oracle's n*n raises above
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "s1": pd.Series([], dtype="int64"),
+                    "s2_hi": pd.Series([], dtype="int64"),
+                    "s2_lo": pd.Series([], dtype="int64")}
+        if not len(g) or "w" not in g.columns:
+            return pd.DataFrame(out_cols)
+        cells = g.groupby(["source", "w"], as_index=False)["n"].sum()
+        rows = []
+        for src, sub in cells.groupby("source"):
+            ns = [int(v) for v in sub["n"].tolist()]
+            if max(ns) > NMAX:
+                raise OverflowError(
+                    "source_yule_k: a squared word count exceeds BIGINT; "
+                    "the oracle's n*n raises here too")
+            s2 = sum(v * v for v in ns)
+            if s2 > I64MAX:
+                raise OverflowError(
+                    "source_yule_k: sum of squared counts exceeds BIGINT; "
+                    "the oracle's CAST raises here too")
+            rows.append((src, sum(ns), s2 >> 30, s2 & ((1 << 30) - 1)))
+        out = pd.DataFrame(rows, columns=["source", "s1", "s2_hi", "s2_lo"])
+        for c in ("s1", "s2_hi", "s2_lo"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (_source_word_cells(sf_dir)
+             .groupby("_part").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "source" not in parts.columns:
+        return empty
+    rows = []
+    for src, g in parts.groupby("source"):
+        s1 = sum(int(v) for v in g["s1"])
+        s2 = ((sum(int(v) for v in g["s2_hi"]) << 30)
+              + sum(int(v) for v in g["s2_lo"]))
+        if s2 > I64MAX or s1 > I64MAX:
+            raise OverflowError(
+                "source_yule_k: S1/S2 exceeds BIGINT; the oracle's CAST "
+                "raises here too")
+        k = float(round_half_up(
+            np.array([float(10000 * (s2 - s1)) / float(s1 * s1)]), 6)[0])
+        rows.append((src, s1, s2, k))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "sum_freq_sq",
+                                      "yule_k"])
+    for c in ("n_tokens", "sum_freq_sq"):
+        out[c] = out[c].astype("int64")
+    out["yule_k"] = out["yule_k"].astype("float64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_source_hapax_ratio(sf_dir: str):
+    """Hapax-legomena ratio per source — the fraction of each source's
+    vocabulary that occurs exactly once, the complementary
+    vocabulary-richness screen to Yule's K (high hapax ratio = diverse /
+    long-tail text, low = templated). Same lowercased ASCII-whitespace
+    word convention as word_doc_freq.
+
+    Exactness: per-word global counts are exact int64 cell sums (the
+    (source, word) pair bucketing makes each bucket's count global, so
+    "occurs exactly once" is decidable IN the bucket); vocab and hapax
+    are exact int64 counts and the ratio is ONE CAST-CAST divide,
+    half-up round to 6dp (representable .5 ties are possible for ratios
+    of small ints — the CLAUDE.md round_half_up rule).
+
+    Scale shape: identical cell fold to source_yule_k; buckets emit one
+    (source, vocab, hapax) row each — the driver folds 64 x sources
+    rows, never the vocabulary."""
+    from ..util import round_half_up, typed_empty
+
+    empty = typed_empty(source=object, n_vocab="int64", n_hapax="int64",
+                        hapax_ratio="float64")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "vocab": pd.Series([], dtype="int64"),
+                    "hapax": pd.Series([], dtype="int64")}
+        if not len(g) or "w" not in g.columns:
+            return pd.DataFrame(out_cols)
+        cells = g.groupby(["source", "w"], as_index=False)["n"].sum()
+        out = (cells.assign(hapax=(cells["n"] == 1).astype("int64"))
+               .groupby("source", as_index=False)
+               .agg(vocab=("w", "size"), hapax=("hapax", "sum")))
+        for c in ("vocab", "hapax"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (_source_word_cells(sf_dir)
+             .groupby("_part").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "source" not in parts.columns:
+        return empty
+    g = parts.groupby("source", as_index=False).agg(
+        n_vocab=("vocab", "sum"), n_hapax=("hapax", "sum"))
+    g["hapax_ratio"] = round_half_up(
+        g["n_hapax"].to_numpy(np.float64) / g["n_vocab"].to_numpy(np.float64),
+        6)
+    for c in ("n_vocab", "n_hapax"):
+        g[c] = g[c].astype("int64")
+    g["hapax_ratio"] = g["hapax_ratio"].astype("float64")
+    return g.sort_values("source").reset_index(drop=True)

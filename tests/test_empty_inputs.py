@@ -302,6 +302,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_winsorized_mean": ["event_type", "n", "lo_cents",
                                    "hi_cents", "wins_sum_cents",
                                    "wins_mean_cents"],
+        "source_yule_k": ["source", "n_tokens", "sum_freq_sq", "yule_k"],
+        "source_hapax_ratio": ["source", "n_vocab", "n_hapax",
+                               "hapax_ratio"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
