@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_cond_entropy": q.q_transition_cond_entropy,
         "events_winsorized_mean": q.q_events_winsorized_mean,
         "events_watermark_late": q.q_events_watermark_late,
+        "user_activity_theil": q.q_user_activity_theil,
+        "events_kendall_daily": q.q_events_kendall_daily,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2379,6 +2381,88 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(b.n AS BIGINT), 6) AS wins_mean_cents
             FROM h JOIN b ON b.event_type = h.event_type
             GROUP BY 1, 2, 3, 4 ORDER BY 1
+        """,
+        "user_activity_theil": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+            ), t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(x) AS BIGINT) AS s,
+                     SUM(CAST(x AS HUGEINT)
+                         * CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000
+                                      + 0.5) AS BIGINT)) AS sxlnx
+              FROM c
+            ), u AS (
+              SELECT n_users, s,
+                     sxlnx
+                     - CAST(s AS HUGEINT)
+                       * CAST(floor(ln(CAST(s AS DOUBLE)) * 1000000
+                                    + 0.5) AS BIGINT)
+                     + CAST(s AS HUGEINT)
+                       * CAST(floor(ln(CAST(n_users AS DOUBLE)) * 1000000
+                                    + 0.5) AS BIGINT) AS num
+              FROM t WHERE n_users > 0
+            )
+            SELECT n_users, s AS total_events,
+                   CAST(num AS BIGINT) AS sum_units,
+                   round(CAST(num AS DOUBLE)
+                         / CAST(CAST(s AS HUGEINT) * 1000000 AS DOUBLE),
+                         6) AS theil
+            FROM u
+        """,
+        "events_kendall_daily": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     event_type, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), bounds AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi,
+                     CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days
+              FROM d
+            ), cal AS (
+              SELECT unnest(range(lo, hi + 1)) AS day FROM bounds
+            ), ty AS (
+              SELECT DISTINCT event_type FROM d
+            ), grid AS (
+              SELECT cal.day, ty.event_type, COALESCE(d.n, 0) AS n
+              FROM cal CROSS JOIN ty
+              LEFT JOIN d ON d.day = cal.day
+                         AND d.event_type = ty.event_type
+            ), j AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     a.day, a.n AS xa, b.n AS xb
+              FROM grid a JOIN grid b
+                ON a.day = b.day AND a.event_type < b.event_type
+            ), p AS (
+              SELECT j1.type_a, j1.type_b,
+                     SUM(CASE WHEN sign(j1.xa - j2.xa)
+                                   * sign(j1.xb - j2.xb) > 0
+                              THEN 1 ELSE 0 END) AS c,
+                     SUM(CASE WHEN sign(j1.xa - j2.xa)
+                                   * sign(j1.xb - j2.xb) < 0
+                              THEN 1 ELSE 0 END) AS dd,
+                     SUM(CASE WHEN j1.xa = j2.xa AND j1.xb <> j2.xb
+                              THEN 1 ELSE 0 END) AS tx,
+                     SUM(CASE WHEN j1.xb = j2.xb AND j1.xa <> j2.xa
+                              THEN 1 ELSE 0 END) AS ty
+              FROM j j1 JOIN j j2
+                ON j1.type_a = j2.type_a AND j1.type_b = j2.type_b
+               AND j1.day < j2.day
+              GROUP BY 1, 2
+            )
+            SELECT type_a, type_b,
+                   (SELECT n_days FROM bounds) AS n_days,
+                   CAST(c AS BIGINT) AS concordant,
+                   CAST(dd AS BIGINT) AS discordant,
+                   CAST(tx AS BIGINT) AS ties_a,
+                   CAST(ty AS BIGINT) AS ties_b,
+                   round(CAST(c - dd AS DOUBLE)
+                         / sqrt(CAST((c + dd + tx) * (c + dd + ty)
+                                     AS DOUBLE)), 6) AS tau_b
+            FROM p
+            WHERE (c + dd + tx) > 0 AND (c + dd + ty) > 0
+            ORDER BY type_a, type_b
         """,
     }
     try:

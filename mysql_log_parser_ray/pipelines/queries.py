@@ -9341,3 +9341,187 @@ def q_events_winsorized_mean(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["wins_mean_cents"] = out["wins_mean_cents"].astype("float64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_activity_theil(sf_dir: str):
+    """Theil index of per-user event counts — the entropy-based
+    engagement-inequality diagnostic (0 = perfectly equal, ln(n_users) =
+    one user generates everything), the decomposable companion to
+    user_activity_gini.
+
+    Exactness: T = [sum_i x_i*lnu(x_i) - S*lnu(S) + S*lnu(n)] /
+    (1e6 * S) with per-factor 1e-6-unit ln quantization (the
+    corpus_drift_psi convention) — every term is an exact Python int
+    (HUGEINT oracle-side; S*lnu(S) ~ 1e13 x 3e7 exceeds int64 at corpus
+    scale) with the BIGINT fail-fast at the sum_units output cast, and
+    ONE half-away-rounded division (quantization can leave a tiny
+    negative on perfectly-equal data, so ties must round away from
+    zero like DuckDB).
+
+    Scale shape: identical to user_activity_gini — per-block (user, n)
+    partials hash-bucket by user, buckets collapse to the distinct
+    COUNT-VALUE HISTOGRAM, the driver folds 64 x distinct-activity-level
+    rows (never user cardinality) and the weighted ln sums run over
+    that bounded histogram."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_users="int64", total_events="int64",
+                         sum_units="int64", theil="float64")
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if "user_id" not in b.column_names or b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        df = (
+            b.select(["user_id"]).to_pandas()
+            .groupby("user_id", as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        df["n"] = df["n"].astype("int64")
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"count_value": pd.Series([], dtype="int64"),
+                    "m_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        totals = g.groupby("user_id")["n"].sum()
+        hist = totals.value_counts().sort_index()
+        return pd.DataFrame({
+            "count_value": hist.index.to_numpy(np.int64),
+            "m_users": hist.to_numpy(np.int64),
+        })
+
+    parts = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket_hist, batch_format="pandas")
+    )
+    hist = _fold_partials(parts, ["count_value"], ["m_users"])
+    if hist is None:
+        return empty
+
+    def _lnu(v: int) -> int:
+        return int(np.floor(np.log(np.float64(v)) * 1e6 + 0.5))
+
+    cs = [int(v) for v in hist["count_value"]]
+    ms = [int(v) for v in hist["m_users"]]
+    n = sum(ms)
+    s = sum(c * m for c, m in zip(cs, ms))
+    num = (sum(m * c * _lnu(c) for c, m in zip(cs, ms))
+           - s * _lnu(s) + s * _lnu(n))
+    if abs(num) > 2**63 - 1:
+        raise OverflowError(
+            "user_activity_theil: weighted ln-unit sum exceeds BIGINT; "
+            "the oracle's CAST raises here too")
+    theil = float(round_half_away(
+        np.array([float(num) / float(10**6 * s)]), 6)[0])
+    return pd.DataFrame(
+        {"n_users": np.array([n], np.int64),
+         "total_events": np.array([s], np.int64),
+         "sum_units": np.array([num], np.int64),
+         "theil": np.array([theil], np.float64)}
+    )
+
+
+def q_events_kendall_daily(sf_dir: str):
+    """Kendall tau-b between every pair of event types' DAILY volume
+    series over the dense observed day range (absent days count 0) —
+    the tie-robust ordinal answer to "do these two behaviors move
+    together day over day", the companion to events_spearman_daily's
+    volume-vs-users rho.
+
+    Exactness: concordant/discordant/tie counts are exact integers
+    (sign-product comparisons both sides — no magnitude products that
+    could overflow on hot days); tau_b = (C - D) /
+    sqrt((C + D + Tx) * (C + D + Ty)) with the denominator product in
+    Python ints (HUGEINT oracle-side), one identical float expression
+    (correctly-rounded sqrt on identical doubles), half-away round
+    (tau is signed). All-tied sides are excluded on both sides.
+
+    Scale shape: one (day, type, n) counter fold — bounded by calendar
+    days x type cardinality, never event count; the driver's dense
+    grid and the per-pair O(days^2) sign matrices are calendar-bounded
+    (3650 days -> 13M int8 cells per pair)."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(type_a=object, type_b=object, n_days="int64",
+                         concordant="int64", discordant="int64",
+                         ties_a="int64", ties_b="int64", tau_b="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                       .to_numpy(zero_copy_only=False),
+                "event_type": b["event_type"].to_pandas().to_numpy()})
+             .groupby(["day", "event_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("day", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["day", "event_type"], ["n"],
+    )
+    if cells is None:
+        return empty
+    lo, hi = int(cells["day"].min()), int(cells["day"].max())
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    types = sorted(cells["event_type"].unique().tolist())
+    series = {}
+    for t in types:
+        sub = cells[cells["event_type"] == t]
+        v = np.zeros(len(days), dtype=np.int64)
+        v[sub["day"].to_numpy(np.int64) - lo] = sub["n"].to_numpy(np.int64)
+        series[t] = v
+    rows = []
+    n_days = len(days)
+    for i, ta in enumerate(types):
+        xa = series[ta]
+        sa = np.sign(xa[:, None] - xa[None, :]).astype(np.int8)
+        iu = np.triu_indices(n_days, k=1)
+        sa_u = sa[iu]
+        for tb in types[i + 1:]:
+            xb = series[tb]
+            sb_u = np.sign(xb[:, None] - xb[None, :]).astype(np.int8)[iu]
+            prod = sa_u.astype(np.int16) * sb_u.astype(np.int16)
+            c = int(np.count_nonzero(prod > 0))
+            d = int(np.count_nonzero(prod < 0))
+            tx = int(np.count_nonzero((sa_u == 0) & (sb_u != 0)))
+            ty = int(np.count_nonzero((sb_u == 0) & (sa_u != 0)))
+            den_a, den_b = c + d + tx, c + d + ty
+            if den_a == 0 or den_b == 0:
+                continue
+            tau = float(round_half_away(np.array(
+                [float(c - d) / np.sqrt(float(den_a * den_b))]), 6)[0])
+            rows.append((ta, tb, n_days, c, d, tx, ty, tau))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_days",
+                                      "concordant", "discordant",
+                                      "ties_a", "ties_b", "tau_b"])
+    for c in ("n_days", "concordant", "discordant", "ties_a", "ties_b"):
+        out[c] = out[c].astype("int64")
+    out["tau_b"] = out["tau_b"].astype("float64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

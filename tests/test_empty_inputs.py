@@ -303,6 +303,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                    "hi_cents", "wins_sum_cents",
                                    "wins_mean_cents"],
         "source_yule_k": ["source", "n_tokens", "sum_freq_sq", "yule_k"],
+        "user_activity_theil": ["n_users", "total_events", "sum_units",
+                                "theil"],
+        "events_kendall_daily": ["type_a", "type_b", "n_days",
+                                 "concordant", "discordant", "ties_a",
+                                 "ties_b", "tau_b"],
         "source_hapax_ratio": ["source", "n_vocab", "n_hapax",
                                "hapax_ratio"],
     }
