@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": q.q_events_watermark_late,
         "user_activity_theil": q.q_user_activity_theil,
         "events_kendall_daily": q.q_events_kendall_daily,
+        "event_type_lift": q.q_event_type_lift,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2463,6 +2464,34 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE (c + dd + tx) > 0 AND (c + dd + ty) > 0
             ORDER BY type_a, type_b
+        """,
+        "event_type_lift": """
+            WITH u AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), nn AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              FROM u
+            ), t AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM u GROUP BY 1
+            ), p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM u a JOIN u b
+                ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b,
+                   p.n_both, nn.nu AS n_users,
+                   round(CAST(CAST(p.n_both AS HUGEINT) * nn.nu AS DOUBLE)
+                         / CAST(CAST(ta.n AS HUGEINT) * tb.n AS DOUBLE),
+                         6) AS lift
+            FROM p
+            JOIN t ta ON ta.event_type = p.type_a
+            JOIN t tb ON tb.event_type = p.type_b
+            CROSS JOIN nn
+            ORDER BY p.type_a, p.type_b
         """,
     }
     try:

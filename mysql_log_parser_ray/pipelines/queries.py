@@ -9525,3 +9525,102 @@ def q_events_kendall_daily(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["tau_b"] = out["tau_b"].astype("float64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_event_type_lift(sf_dir: str):
+    """Market-basket LIFT for every unordered event-type pair — the
+    association-rule strength of event_type_pairs' raw support counts:
+    lift = n_both * n_users / (n_a * n_b), > 1 when two behaviors
+    co-occur in the same users more than independence predicts.
+
+    Exactness: all four inputs are exact distinct-user counts; the
+    numerator and denominator products run in Python ints (HUGEINT
+    oracle-side — n_a * n_b exceeds int64 past ~3e9 users) and lift is
+    ONE float(num)/float(den) divide, half-up round (ratios of ints
+    can hit representable .5 ties).
+
+    Scale shape: the event_type_pairs bucket kernel extended to emit
+    per-type margin counts and the bucket's user count through the SAME
+    fold, tagged with an empty-string sentinel type_b (event types are
+    never empty) — distinct (user, type) pairs hash-bucket by user so
+    each user's type set sits whole in one task; only <= types^2 + types
+    + 1 partial rows per bucket reach the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(type_a=object, type_b=object, n_a="int64",
+                         n_b="int64", n_both="int64", n_users="int64",
+                         lift="float64")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        # Empty guard emits the INTERMEDIATE schema (q_event_type_pairs
+        # convention) so empty and non-empty blocks concat cleanly.
+        if "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64()),
+            })
+        if b.num_rows == 0:
+            return b.select(["user_id", "event_type"]).append_column(
+                "_part", pa.array([], pa.int64())
+            )
+        df = b.select(["user_id", "event_type"]).to_pandas().drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], 64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"type_a": pd.Series([], dtype=object),
+                    "type_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        pairs = (m.groupby(["event_type_a", "event_type_b"], as_index=False)
+                 .size().rename(columns={"event_type_a": "type_a",
+                                         "event_type_b": "type_b",
+                                         "size": "n"}))
+        margins = (d.groupby("event_type", as_index=False).size()
+                   .rename(columns={"event_type": "type_a", "size": "n"}))
+        margins["type_b"] = ""  # sentinel: per-type user count
+        total = pd.DataFrame({"type_a": [""], "type_b": [""],
+                              "n": [d["user_id"].nunique()]})
+        out = pd.concat(
+            [pairs, margins[["type_a", "type_b", "n"]], total],
+            ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    folded = _fold_partials(parts, ["type_a", "type_b"], ["n"])
+    if folded is None:
+        return empty
+    n_users = int(folded.loc[(folded["type_a"] == "")
+                             & (folded["type_b"] == ""), "n"].sum())
+    marg = folded[(folded["type_b"] == "") & (folded["type_a"] != "")]
+    counts = {r["type_a"]: int(r["n"]) for _, r in marg.iterrows()}
+    pairs = folded[(folded["type_a"] != "") & (folded["type_b"] != "")]
+    if not len(pairs) or n_users == 0:
+        return empty
+    rows = []
+    for _, r in pairs.sort_values(["type_a", "type_b"]).iterrows():
+        ta, tb, nb = r["type_a"], r["type_b"], int(r["n"])
+        na, nbb = counts[ta], counts[tb]
+        lift = float(round_half_up(
+            np.array([float(nb * n_users) / float(na * nbb)]), 6)[0])
+        rows.append((ta, tb, na, nbb, nb, n_users, lift))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a", "n_b",
+                                      "n_both", "n_users", "lift"])
+    for c in ("n_a", "n_b", "n_both", "n_users"):
+        out[c] = out[c].astype("int64")
+    out["lift"] = out["lift"].astype("float64")
+    return out.reset_index(drop=True)

@@ -2319,6 +2319,7 @@ def register_queries():
         "source_bigram_cond_entropy": q_source_bigram_cond_entropy,
         "source_yule_k": q_source_yule_k,
         "source_hapax_ratio": q_source_hapax_ratio,
+        "source_g2_keywords": q_source_g2_keywords,
     }
 
 
@@ -2327,6 +2328,67 @@ def register_queries():
 # ---------------------------------------------------------------------------
 
 # shared by ngram_jaccard_pairs and dup_clusters (its edge set)
+def _lnu_sql(expr: str) -> str:
+    """Per-factor 1e-6-unit quantized ln (lang_source_mi convention);
+    GREATEST(x, 1) keeps vectorized ln(0) finite in dead CASE branches."""
+    return (f"CAST(floor(ln(CAST(GREATEST({expr}, 1) AS DOUBLE)) "
+            f"* 1000000 + 0.5) AS BIGINT)")
+
+
+_G2_KEYWORDS_SQL = rf"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(
+                         trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                         '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), f AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+              FROM w WHERE word <> '' GROUP BY 1, 2
+            ), col AS (
+              SELECT source, CAST(SUM(a) AS BIGINT) AS cs FROM f GROUP BY 1
+            ), rw AS (
+              SELECT word, CAST(SUM(a) AS BIGINT) AS r FROM f GROUP BY 1
+            ), nn AS (
+              SELECT CAST(SUM(a) AS BIGINT) AS n FROM f
+            ), g AS (
+              SELECT f.source, f.word, f.a,
+                     rw.r - f.a AS b, col.cs - f.a AS c,
+                     nn.n - rw.r - col.cs + f.a AS d,
+                     rw.r AS r, col.cs AS cs, nn.n AS n
+              FROM f
+              JOIN col USING (source) JOIN rw USING (word) CROSS JOIN nn
+              WHERE f.a >= 5
+            ), t AS (
+              SELECT source, word, a, b,
+                     (CASE WHEN a > 0 THEN CAST(a AS HUGEINT)
+                           * ({_lnu_sql('a')} + {_lnu_sql('n')}
+                              - {_lnu_sql('r')} - {_lnu_sql('cs')})
+                           ELSE 0 END
+                      + CASE WHEN b > 0 THEN CAST(b AS HUGEINT)
+                           * ({_lnu_sql('b')} + {_lnu_sql('n')}
+                              - {_lnu_sql('r')} - {_lnu_sql('n - cs')})
+                           ELSE 0 END
+                      + CASE WHEN c > 0 THEN CAST(c AS HUGEINT)
+                           * ({_lnu_sql('c')} + {_lnu_sql('n')}
+                              - {_lnu_sql('n - r')} - {_lnu_sql('cs')})
+                           ELSE 0 END
+                      + CASE WHEN d > 0 THEN CAST(d AS HUGEINT)
+                           * ({_lnu_sql('d')} + {_lnu_sql('n')}
+                              - {_lnu_sql('n - r')} - {_lnu_sql('n - cs')})
+                           ELSE 0 END) AS units
+              FROM g
+            )
+            SELECT source, word, a AS n_source, b AS n_rest,
+                   CAST(units AS BIGINT) AS g2_units,
+                   round(CAST(2 * units AS DOUBLE) / 1000000.0, 6) AS g2
+            FROM t
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY units DESC, word ASC) <= 10
+            ORDER BY source, units DESC, word
+        """
+
+
 _NGRAM_PAIRS_SQL = r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '[ \t\n\r\v\f]+') AS w
@@ -4103,6 +4165,7 @@ def register_oracles():
                          6) AS hapax_ratio
             FROM s ORDER BY source
         """,
+        "source_g2_keywords": _G2_KEYWORDS_SQL,
     }
 
 
@@ -6719,3 +6782,178 @@ def q_source_hapax_ratio(sf_dir: str):
         g[c] = g[c].astype("int64")
     g["hapax_ratio"] = g["hapax_ratio"].astype("float64")
     return g.sort_values("source").reset_index(drop=True)
+
+
+def q_source_g2_keywords(sf_dir: str, topk: int = 10, min_count: int = 5):
+    """Top-``topk`` distinctive words per source by Dunning's G^2
+    log-likelihood ratio — the standard corpus-linguistics keyword
+    extraction (which words does THIS source use disproportionately vs
+    the rest), the significance-aware upgrade of raw PMI. Words are
+    lowercased ASCII-whitespace tokens with per-source count >=
+    ``min_count``; the 2x2 contingency per (source, word) is
+    a = in-source count, b = rest-of-corpus count, c/d the complements.
+
+    Exactness: G^2/2 = sum over the 4 cells of O * (ln O + ln N - ln R
+    - ln C) with per-factor 1e-6-unit ln quantization (the lang_source_mi
+    convention; GREATEST(x,1) keeps vectorized ln(0) out of dead
+    branches on both sides) — the cells partition N, so |g2_units| <=
+    N * max|dln|, and the kernel uses exact int64 numpy when that bound
+    fits (always at test scale) and exact object-dtype Python ints past
+    it; the BIGINT output cast fail-fasts exactly where the oracle's
+    CAST raises. g2 is ONE float divide by 1e6, half-away round
+    (quantization can leave a tiny negative near independence).
+
+    Scale shape: per-source token totals are a sources-cardinality fold
+    captured in the bucket closure; (source, word, n) cells hash-bucket
+    by WORD so each word's cross-source counts co-locate and its corpus
+    row margin is in-bucket-global; each bucket emits its top-``topk``
+    candidates PER SOURCE (a global top-k row is its bucket's top-k row
+    — rows are globally unique), so the driver folds
+    64 x sources x topk rows, never the vocabulary."""
+    from ..partition import stable_partition
+    from ..pipelines.queries import _fold_partials
+    from ..util import round_half_away, typed_empty
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = typed_empty(source=object, word=object, n_source="int64",
+                        n_rest="int64", g2_units="int64", g2="float64")
+    n_parts = 64
+    I64MAX = 2**63 - 1
+
+    def _tok_totals(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "n_tok": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        src = pd.Series(b["source"].to_pandas().to_numpy())
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if not len(ex):
+            return pa.table(cols)
+        g = (pd.DataFrame({"source": src.reindex(ex.index).to_numpy()})
+             .groupby("source", as_index=False).size()
+             .rename(columns={"size": "n_tok"}))
+        g["n_tok"] = g["n_tok"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = _fold_partials(
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(_tok_totals, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["source"], ["n_tok"],
+    )
+    if totals is None:
+        return empty
+    cs_map = {str(r["source"]): int(r["n_tok"])
+              for _, r in totals.iterrows()}
+    n_total = sum(cs_map.values())
+    if n_total == 0:
+        return empty
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        src = pd.Series(b["source"].to_pandas().to_numpy())
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if not len(ex):
+            return pa.table(cols)
+        df = pd.DataFrame({"source": src.reindex(ex.index).to_numpy(),
+                           "w": ex.to_numpy()})
+        part = (df.groupby(["source", "w"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+        part["n"] = part["n"].astype("int64")
+        part["_part"] = stable_partition(part["w"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _lnu_np(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(np.maximum(v, 1).astype(np.float64)) * 1e6
+                        + 0.5).astype(np.int64)
+
+    lnu_n = int(_lnu_np(np.array([n_total]))[0])
+    # |g2_units| <= N * max|dln|; past this bound int64 numpy would wrap.
+    int64_safe = n_total * (4 * lnu_n + 8) < I64MAX
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"source": pd.Series([], dtype=object),
+                    "word": pd.Series([], dtype=object),
+                    "n_source": pd.Series([], dtype="int64"),
+                    "n_rest": pd.Series([], dtype="int64"),
+                    "g2_units": pd.Series([], dtype="int64")}
+        if not len(g) or "w" not in g.columns:
+            return pd.DataFrame(out_cols)
+        cells = g.groupby(["source", "w"], as_index=False)["n"].sum()
+        row = cells.groupby("w")["n"].transform("sum").to_numpy(np.int64)
+        a = cells["n"].to_numpy(np.int64)
+        keep = a >= min_count
+        if not keep.any():
+            return pd.DataFrame(out_cols)
+        cells, row, a = cells[keep], row[keep], a[keep]
+        cs = (cells["source"].map(cs_map).to_numpy(np.int64))
+        n = n_total
+        b_ = row - a
+        c_ = cs - a
+        d_ = n - row - cs + a
+        dln_a = _lnu_np(a) + lnu_n - _lnu_np(row) - _lnu_np(cs)
+        dln_b = _lnu_np(b_) + lnu_n - _lnu_np(row) - _lnu_np(n - cs)
+        dln_c = _lnu_np(c_) + lnu_n - _lnu_np(n - row) - _lnu_np(cs)
+        dln_d = _lnu_np(d_) + lnu_n - _lnu_np(n - row) - _lnu_np(n - cs)
+        if int64_safe:
+            units = (np.where(a > 0, a * dln_a, 0)
+                     + np.where(b_ > 0, b_ * dln_b, 0)
+                     + np.where(c_ > 0, c_ * dln_c, 0)
+                     + np.where(d_ > 0, d_ * dln_d, 0))
+            out = pd.DataFrame({"source": cells["source"].to_numpy(),
+                                "word": cells["w"].to_numpy(),
+                                "n_source": a, "n_rest": b_,
+                                "g2_units": units})
+        else:  # exact object-dtype path: Python-int products, no wrap
+            units = [
+                (int(av) * int(da) if av > 0 else 0)
+                + (int(bv) * int(db) if bv > 0 else 0)
+                + (int(cv) * int(dc) if cv > 0 else 0)
+                + (int(dv) * int(dd) if dv > 0 else 0)
+                for av, bv, cv, dv, da, db, dc, dd in zip(
+                    a, b_, c_, d_, dln_a, dln_b, dln_c, dln_d)
+            ]
+            if any(abs(u) > I64MAX for u in units):
+                raise OverflowError(
+                    "source_g2_keywords: g2_units exceeds BIGINT; the "
+                    "oracle's CAST raises here too")
+            out = pd.DataFrame({"source": cells["source"].to_numpy(),
+                                "word": cells["w"].to_numpy(),
+                                "n_source": a, "n_rest": b_,
+                                "g2_units": np.array(units, np.int64)})
+        out = (out.sort_values(["source", "g2_units", "word"],
+                               ascending=[True, False, True])
+               .groupby("source", as_index=False).head(topk))
+        for c in ("n_source", "n_rest", "g2_units"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "source" not in parts.columns:
+        return empty
+    out = (parts.sort_values(["source", "g2_units", "word"],
+                             ascending=[True, False, True])
+           .groupby("source", as_index=False).head(topk)
+           .reset_index(drop=True))
+    out["g2"] = round_half_away(
+        np.array([float(2 * int(u)) for u in out["g2_units"]]) / 1e6, 6)
+    for c in ("n_source", "n_rest", "g2_units"):
+        out[c] = out[c].astype("int64")
+    out["g2"] = out["g2"].astype("float64")
+    return out[["source", "word", "n_source", "n_rest", "g2_units",
+                "g2"]].reset_index(drop=True)

@@ -305,6 +305,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "source_yule_k": ["source", "n_tokens", "sum_freq_sq", "yule_k"],
         "user_activity_theil": ["n_users", "total_events", "sum_units",
                                 "theil"],
+        "event_type_lift": ["type_a", "type_b", "n_a", "n_b", "n_both",
+                            "n_users", "lift"],
+        "source_g2_keywords": ["source", "word", "n_source", "n_rest",
+                               "g2_units", "g2"],
         "events_kendall_daily": ["type_a", "type_b", "n_days",
                                  "concordant", "discordant", "ties_a",
                                  "ties_b", "tau_b"],
