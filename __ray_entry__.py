@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_theil": q.q_user_activity_theil,
         "events_kendall_daily": q.q_events_kendall_daily,
         "event_type_lift": q.q_event_type_lift,
+        "events_daily_jsd": q.q_events_daily_jsd,
+        "nation_revenue_hhi": q.q_nation_revenue_hhi,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2492,6 +2494,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN t tb ON tb.event_type = p.type_b
             CROSS JOIN nn
             ORDER BY p.type_a, p.type_b
+        """,
+        "events_daily_jsd": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), ty AS (
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS qn
+              FROM d GROUP BY 1
+            ), qq AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS q FROM d
+            ), days AS (
+              SELECT day, CAST(SUM(n) AS BIGINT) AS p FROM d GROUP BY 1
+            ), grid AS (
+              SELECT days.day, ty.event_type, COALESCE(d.n, 0) AS pn,
+                     ty.qn, days.p, qq.q
+              FROM days CROSS JOIN ty
+              LEFT JOIN d ON d.day = days.day
+                         AND d.event_type = ty.event_type
+              CROSS JOIN qq
+            ), terms AS (
+              SELECT day, p, q,
+                     CASE WHEN pn > 0 THEN CAST(pn AS HUGEINT)
+                          * (CAST(floor(ln(CAST(GREATEST(
+                                 CAST(2 AS HUGEINT) * pn * q, 1)
+                               AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                             - CAST(floor(ln(CAST(GREATEST(
+                                 CAST(pn AS HUGEINT) * q
+                                 + CAST(qn AS HUGEINT) * p, 1)
+                               AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                          ELSE 0 END AS t1,
+                     CAST(qn AS HUGEINT)
+                     * (CAST(floor(ln(CAST(GREATEST(
+                            CAST(2 AS HUGEINT) * qn * p, 1)
+                          AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                        - CAST(floor(ln(CAST(GREATEST(
+                            CAST(pn AS HUGEINT) * q
+                            + CAST(qn AS HUGEINT) * p, 1)
+                          AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS t2
+              FROM grid
+            )
+            SELECT day, p AS n_day,
+                   CAST(SUM(t1) AS BIGINT) AS su1,
+                   CAST(SUM(t2) AS BIGINT) AS su2,
+                   round((CAST(SUM(t1) AS DOUBLE) / (2 * p)
+                          + CAST(SUM(t2) AS DOUBLE) / (2 * q))
+                         / 1000000.0, 6) AS jsd
+            FROM terms GROUP BY day, p, q ORDER BY day
+        """,
+        "nation_revenue_hhi": """
+            WITH per_sup AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(floor(
+                         l_extendedprice * (1 - l_discount) * 100 + 0.5
+                     ) AS BIGINT)) AS BIGINT) AS cents
+              FROM lineitem GROUP BY 1
+            ), s AS (
+              SELECT sup.s_nationkey,
+                     CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                     CAST(SUM(per_sup.cents) AS BIGINT) AS total_cents,
+                     SUM(CAST(per_sup.cents AS HUGEINT)
+                         * per_sup.cents) AS sumsq_h
+              FROM per_sup
+              JOIN supplier sup ON sup.s_suppkey = per_sup.l_suppkey
+              GROUP BY 1
+            )
+            SELECT n.n_name, s.n_suppliers, s.total_cents,
+                   CAST(s.sumsq_h AS VARCHAR) AS sumsq_cents,
+                   round(CAST(s.sumsq_h AS DOUBLE)
+                         / CAST(CAST(s.total_cents AS HUGEINT)
+                                * s.total_cents AS DOUBLE), 6) AS hhi
+            FROM s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE s.total_cents > 0
+            ORDER BY n.n_name
         """,
     }
     try:

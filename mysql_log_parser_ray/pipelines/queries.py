@@ -9624,3 +9624,237 @@ def q_event_type_lift(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["lift"] = out["lift"].astype("float64")
     return out.reset_index(drop=True)
+
+
+def q_events_daily_jsd(sf_dir: str):
+    """Per-day Jensen-Shannon divergence between the day's event-type mix
+    and the GLOBAL type mix — the bounded, symmetric daily drift monitor
+    (0 = the day looks like the corpus, ln2 = disjoint), the per-day
+    companion to corpus_drift_psi's half-vs-half audit. Types absent on
+    a day still contribute their ln2-weighted global mass, so the dense
+    day x global-type grid is scored, not just observed cells.
+
+    Exactness: JSD = su1/(2p) + su2/(2q) (in 1e-6 ln units) where
+    su1 = sum_i p_i*(lnu(2*p_i*q) - lnu(p_i*q + q_i*p)) and su2 the
+    q-side mirror — per-factor quantized ln over exact integer products
+    (HUGEINT oracle-side; 2*p_i*q ~ 1e23 at corpus scale), weighted
+    sums in Python ints with the BIGINT fail-fast at the su outputs,
+    and ONE identical float expression (two divides + add + /1e6),
+    half-away round.
+
+    Scale shape: one (day, type) counter fold bounded by calendar x
+    type cardinality; margins and the unit sums run on that bounded
+    grid driver-side."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(day="int64", n_day="int64", su1="int64",
+                         su2="int64", jsd="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                       .to_numpy(zero_copy_only=False),
+                "event_type": b["event_type"].to_pandas().to_numpy()})
+             .groupby(["day", "event_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("day", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["day", "event_type"], ["n"],
+    )
+    if cells is None:
+        return empty
+
+    def _lnu(v: int) -> int:
+        return int(np.floor(np.log(np.float64(v)) * 1e6 + 0.5))
+
+    qn = {t: int(s) for t, s in cells.groupby("event_type")["n"].sum().items()}
+    q = sum(qn.values())
+    pn_by_day = {}
+    for (day, t), s in cells.groupby(["day", "event_type"])["n"].sum().items():
+        pn_by_day.setdefault(int(day), {})[t] = int(s)
+    rows = []
+    for day in sorted(pn_by_day):
+        pmap = pn_by_day[day]
+        p = sum(pmap.values())
+        su1, su2 = 0, 0
+        for t, qv in qn.items():
+            pv = pmap.get(t, 0)
+            den = pv * q + qv * p
+            if pv > 0:
+                su1 += pv * (_lnu(2 * pv * q) - _lnu(den))
+            su2 += qv * (_lnu(2 * qv * p) - _lnu(den))
+        if abs(su1) > 2**63 - 1 or abs(su2) > 2**63 - 1:
+            raise OverflowError(
+                "events_daily_jsd: weighted ln-unit sum exceeds BIGINT; "
+                "the oracle's CAST raises here too")
+        jsd = float(round_half_away(np.array(
+            [(float(su1) / float(2 * p) + float(su2) / float(2 * q))
+             / 1e6]), 6)[0])
+        rows.append((day, p, su1, su2, jsd))
+    out = pd.DataFrame(rows, columns=["day", "n_day", "su1", "su2", "jsd"])
+    for c in ("day", "n_day", "su1", "su2"):
+        out[c] = out[c].astype("int64")
+    out["jsd"] = out["jsd"].astype("float64")
+    return out.reset_index(drop=True)
+
+
+def q_nation_revenue_hhi(sf_dir: str,
+                         max_supplier_broadcast: int = 20_000_000):
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — the market-concentration diagnostic (1/n_suppliers =
+    perfectly even, 1.0 = one supplier takes everything) over discounted
+    lineitem revenue (the Q5 cents convention: floor(extendedprice *
+    (1-discount) * 100 + 0.5) per line).
+
+    Exactness: HHI = sum_s cents_s^2 / (sum_s cents_s)^2 is a pure
+    ratio of integers — per-supplier global cents are exact Python-int
+    bucket sums (the oracle's per-supplier BIGINT CAST mirrored by a
+    fail-fast), squared in PYTHON ints; cents^2 exceeds BIGINT even at
+    small SFs, so sumsq ships between stages AND to the output as a
+    DECIMAL STRING (HUGEINT + VARCHAR cast oracle-side, fail-fast at
+    the 2^127 HUGEINT bound); hhi is one float(num)/float(den) divide
+    (HUGEINT square oracle-side), half-up round.
+
+    Scale shape: lineitem pre-reduces to per-block (suppkey, cents)
+    partials, hash-buckets by suppkey so each supplier's global total
+    lives in one task; the supplier->nation lookup is the Q5 broadcast
+    (sorted arrays, fail-fast bound); buckets emit one row per
+    (bucket, nation) and the driver folds 64 x 25 rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..broadcast import broadcast_get
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_name=object, n_suppliers="int64",
+                         total_cents="int64", sumsq_cents=object,
+                         hhi="float64")
+    nat = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_sup = sup_ds.count()  # parquet metadata, no materialization
+    if n_sup == 0:
+        return empty
+    if n_sup > max_supplier_broadcast:
+        raise ValueError(
+            f"nation_revenue_hhi: {n_sup} suppliers exceed the broadcast "
+            f"bound {max_supplier_broadcast}; route the nation lookup "
+            "through a co-partitioned join instead")
+    sup = sup_ds.to_pandas().sort_values("s_suppkey")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["s_nationkey"].to_numpy(np.int64)))
+    I64MAX = 2**63 - 1
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_suppkey" not in b.column_names:
+            return pa.table(cols)
+        cents = _cents(pc.multiply(
+            b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])))
+        g = (pd.DataFrame({
+                "suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64),
+                "cents": cents.to_numpy(zero_copy_only=False)})
+             .groupby("suppkey", as_index=False)["cents"].sum())
+        g["cents"] = g["cents"].astype("int64")
+        g["_part"] = stable_partition(g["suppkey"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"nationkey": pd.Series([], dtype="int64"),
+                    "n_sup": pd.Series([], dtype="int64"),
+                    "total": pd.Series([], dtype="int64"),
+                    "sq_str": pd.Series([], dtype=object)}
+        if not len(g) or "suppkey" not in g.columns:
+            return pd.DataFrame(out_cols)
+        ks, ns = broadcast_get(sup_ref)
+        # Per-supplier totals in object-dtype Python ints: the oracle's
+        # per-supplier CAST(SUM(...) AS BIGINT) raises on overflow, an
+        # int64 groupby sum would silently wrap instead.
+        gg = g[["suppkey", "cents"]].copy()
+        gg["cents"] = gg["cents"].astype(object)
+        per_sup = gg.groupby("suppkey", as_index=False)["cents"].sum()
+        if any(int(v) > I64MAX for v in per_sup["cents"]):
+            raise OverflowError(
+                "nation_revenue_hhi: a supplier's revenue exceeds BIGINT; "
+                "the oracle's CAST raises here too")
+        per_sup["cents"] = per_sup["cents"].astype("int64")
+        idx = np.searchsorted(ks, per_sup["suppkey"].to_numpy(np.int64))
+        idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+        nk = ns[idx]
+        rows = []
+        for nkey, sub in per_sup.assign(nk=nk).groupby("nk"):
+            cs = [int(v) for v in sub["cents"].tolist()]
+            # cents^2 exceeds BIGINT even at small SFs (3e9 cents per
+            # supplier squares past 2^63), so the partial ships as a
+            # DECIMAL STRING (the CLAUDE.md big-int transport
+            # alternative; limbs cap out at 2^93).
+            sq = sum(v * v for v in cs)
+            rows.append((int(nkey), len(cs), sum(cs), str(sq)))
+        out = pd.DataFrame(rows, columns=["nationkey", "n_sup", "total",
+                                          "sq_str"])
+        for c in ("nationkey", "n_sup", "total"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts) or "nationkey" not in parts.columns:
+        return empty
+    rows = []
+    for nkey, g in parts.groupby("nationkey"):
+        n_s = sum(int(v) for v in g["n_sup"])
+        total = sum(int(v) for v in g["total"])
+        sq = sum(int(s) for s in g["sq_str"])
+        if total > I64MAX:
+            raise OverflowError(
+                "nation_revenue_hhi: total revenue exceeds BIGINT; the "
+                "oracle's CAST raises here too")
+        if sq > 2**127 - 1:
+            raise OverflowError(
+                "nation_revenue_hhi: sum of squares exceeds HUGEINT; the "
+                "oracle's SUM raises here too")
+        if total <= 0:
+            continue
+        hhi = float(round_half_up(
+            np.array([float(sq) / float(total * total)]), 6)[0])
+        rows.append((names.get(int(nkey), "unknown"), n_s, total,
+                     str(sq), hhi))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["n_name", "n_suppliers",
+                                      "total_cents", "sumsq_cents", "hhi"])
+    for c in ("n_suppliers", "total_cents"):
+        out[c] = out[c].astype("int64")
+    out["hhi"] = out["hhi"].astype("float64")
+    return out.sort_values("n_name").reset_index(drop=True)

@@ -307,6 +307,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                 "theil"],
         "event_type_lift": ["type_a", "type_b", "n_a", "n_b", "n_both",
                             "n_users", "lift"],
+        "events_daily_jsd": ["day", "n_day", "su1", "su2", "jsd"],
+        "nation_revenue_hhi": ["n_name", "n_suppliers", "total_cents",
+                               "sumsq_cents", "hhi"],
         "source_g2_keywords": ["source", "word", "n_source", "n_rest",
                                "g2_units", "g2"],
         "events_kendall_daily": ["type_a", "type_b", "n_days",
