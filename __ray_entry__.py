@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_lift": q.q_event_type_lift,
         "events_daily_jsd": q.q_events_daily_jsd,
         "nation_revenue_hhi": q.q_nation_revenue_hhi,
+        "user_transition_trigrams": q.q_user_transition_trigrams,
+        "orders_interpurchase_p50": q.q_orders_interpurchase_p50,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2569,6 +2571,51 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE s.total_cents > 0
             ORDER BY n.n_name
+        """,
+        "user_transition_trigrams": """
+            WITH o AS (
+              SELECT user_id, event_type AS t1,
+                     LEAD(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS t2,
+                     LEAD(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS t3
+              FROM events
+            )
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
+        "orders_interpurchase_p50": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+                          AS BIGINT) AS day
+              FROM orders
+            ), g AS (
+              SELECT LEAD(day) OVER (
+                       PARTITION BY o_custkey ORDER BY day
+                     ) - day AS gap
+              FROM o
+            ), h AS (
+              SELECT gap FROM g WHERE gap IS NOT NULL
+            ), n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps FROM h
+            ), s AS (
+              SELECT gap, COUNT(*) AS c FROM h GROUP BY 1
+            ), w AS (
+              SELECT gap, SUM(c) OVER (ORDER BY gap) AS cum FROM s
+            )
+            SELECT n.n_gaps,
+                   (SELECT CAST(MIN(gap) AS BIGINT) FROM w, n
+                    WHERE cum >= GREATEST(1, (50 * n.n_gaps) // 100))
+                     AS p50_days,
+                   (SELECT CAST(MIN(gap) AS BIGINT) FROM w, n
+                    WHERE cum >= GREATEST(1, (90 * n.n_gaps) // 100))
+                     AS p90_days
+            FROM n WHERE n.n_gaps > 0
         """,
     }
     try:

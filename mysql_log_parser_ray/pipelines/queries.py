@@ -9858,3 +9858,164 @@ def q_nation_revenue_hhi(sf_dir: str,
         out[c] = out[c].astype("int64")
     out["hhi"] = out["hhi"].astype("float64")
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_user_transition_trigrams(sf_dir: str, topk: int = 20):
+    """Second-order behavioral n-grams: the ``topk`` most frequent
+    (A -> B -> C) event-type TRIGRAMS inside users' (ts, event_id)-ordered
+    streams, summed over all users — the 3-gram extension of
+    user_transition_counts' Markov matrix, the feature op for
+    sequence-model training data.
+
+    Scale shape: the sessionize pattern — hash-bucket users whole, ONE
+    lexsort per bucket, trigrams from two vectorized shift compares;
+    only (t1, t2, t3, n) partials (<= |types|^3 per bucket) leave the
+    buckets. The driver folds 64 x |types|^3 rows, takes the global head
+    by (n DESC, t1, t2, t3) — exact because cells fold completely before
+    ranking."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(t1=object, t2=object, t3=object, n="int64")
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        if "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "user_id": b["user_id"],
+            "us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "_part": pa.array(stable_partition(b["user_id"], 64),
+                              pa.int64()),
+        })
+
+    def _tri(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"t1": pd.Series([], dtype=object),
+                    "t2": pd.Series([], dtype=object),
+                    "t3": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        o = np.lexsort((g["event_id"].to_numpy(), g["us"].to_numpy(),
+                        g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy()[o]
+        et = g["event_type"].to_numpy()[o]
+        if len(u) < 3:
+            return pd.DataFrame(out_cols)
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        out = (pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same],
+                             "t3": et[2:][same]})
+               .groupby(["t1", "t2", "t3"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_tri, batch_format="pandas"),
+        ["t1", "t2", "t3"], ["n"],
+    )
+    if cells is None:
+        return empty
+    cells["n"] = cells["n"].astype("int64")
+    out = (cells.sort_values(["n", "t1", "t2", "t3"],
+                             ascending=[False, True, True, True])
+           .head(topk).reset_index(drop=True))
+    return out
+
+
+def q_orders_interpurchase_p50(sf_dir: str):
+    """Inter-purchase gap percentiles: the p50/p90 of day gaps between a
+    customer's CONSECUTIVE orders, pooled over all customers — the
+    repurchase-cadence KPI behind churn-window and CLV models. Gaps use
+    the repo's 1-based nearest-rank convention (EventStats.Current
+    shape); same-day repeat orders contribute gap 0.
+
+    Exactness: order days are the floor(epoch_us/86400e6) ints, gaps
+    are differences of sorted per-customer day multisets (tie order
+    between equal days cannot change the diff multiset), and the
+    percentiles come from exact histogram cumsums.
+
+    Scale shape: orders hash-bucket by customer (whole customer per
+    task), one lexsort + shift-diff per bucket, and only (gap_days, n)
+    HISTOGRAM cells — bounded by the distinct-gap domain, never order
+    count — leave the buckets; the driver folds that histogram and
+    walks its cumsum."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(n_gaps="int64", p50_days="int64",
+                         p90_days="int64")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        if "o_custkey" not in b.column_names:
+            return pa.table({
+                "cust": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "day": _day_from_us(pc.cast(b["o_orderdate"], pa.int64())),
+            "_part": pa.array(stable_partition(b["o_custkey"], 64),
+                              pa.int64()),
+        })
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"gap_days": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(out_cols)
+        o = np.lexsort((g["day"].to_numpy(), g["cust"].to_numpy()))
+        cu = g["cust"].to_numpy()[o]
+        dy = g["day"].to_numpy()[o]
+        if len(cu) < 2:
+            return pd.DataFrame(out_cols)
+        same = cu[1:] == cu[:-1]
+        gaps = (dy[1:] - dy[:-1])[same]
+        if not len(gaps):
+            return pd.DataFrame(out_cols)
+        out = (pd.DataFrame({"gap_days": gaps})
+               .groupby("gap_days", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    hist = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_gaps, batch_format="pandas"),
+        ["gap_days"], ["n"],
+    )
+    if hist is None:
+        return empty
+    hist = hist.sort_values("gap_days").reset_index(drop=True)
+    gs = [int(v) for v in hist["gap_days"]]
+    cs = [int(v) for v in hist["n"]]
+    n = sum(cs)
+    r50 = max(1, (50 * n) // 100)
+    r90 = max(1, (90 * n) // 100)
+    cum, p50, p90 = 0, None, None
+    for gv, cv in zip(gs, cs):
+        cum += cv
+        if p50 is None and cum >= r50:
+            p50 = gv
+        if p90 is None and cum >= r90:
+            p90 = gv
+    return pd.DataFrame({"n_gaps": np.array([n], np.int64),
+                         "p50_days": np.array([p50], np.int64),
+                         "p90_days": np.array([p90], np.int64)})

@@ -308,6 +308,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "event_type_lift": ["type_a", "type_b", "n_a", "n_b", "n_both",
                             "n_users", "lift"],
         "events_daily_jsd": ["day", "n_day", "su1", "su2", "jsd"],
+        "user_transition_trigrams": ["t1", "t2", "t3", "n"],
+        "orders_interpurchase_p50": ["n_gaps", "p50_days", "p90_days"],
         "nation_revenue_hhi": ["n_name", "n_suppliers", "total_cents",
                                "sumsq_cents", "hhi"],
         "source_g2_keywords": ["source", "word", "n_source", "n_rest",
