@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_hhi": q.q_nation_revenue_hhi,
         "user_transition_trigrams": q.q_user_transition_trigrams,
         "orders_interpurchase_p50": q.q_orders_interpurchase_p50,
+        "slowlog_rows_efficiency": q.q_slowlog_rows_efficiency,
+        "slowlog_qt_regression": q.q_slowlog_qt_regression,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2616,6 +2618,48 @@ def oracle_sql() -> dict[str, str]:
                     WHERE cum >= GREATEST(1, (90 * n.n_gaps) // 100))
                      AS p90_days
             FROM n WHERE n.n_gaps > 0
+        """,
+        "slowlog_rows_efficiency": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   COUNT(*) AS n_queries,
+                   CAST(SUM(n_chars % 7) AS BIGINT) AS sum_sent,
+                   CAST(SUM(n_chars % 11) AS BIGINT) AS sum_examined,
+                   round(CAST(SUM(n_chars % 7) AS DOUBLE)
+                         / CAST(SUM(n_chars % 11) AS DOUBLE), 6)
+                       AS efficiency
+            FROM documents GROUP BY 1
+            HAVING SUM(n_chars % 11) > 0
+            ORDER BY 1
+        """,
+        "slowlog_qt_regression": f"""
+            WITH b AS (
+              SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+              FROM documents
+            ), h AS (
+              SELECT {_CLASS_EXPR} AS class_id,
+                     CASE WHEN doc_id > (SELECT mid FROM b)
+                          THEN 1 ELSE 0 END AS half,
+                     n_chars % 128 AS u
+              FROM documents
+            ), p AS (
+              SELECT class_id,
+                     CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n2,
+                     CAST(SUM(CASE WHEN half = 0 THEN u ELSE 0 END)
+                          AS BIGINT) AS s1,
+                     CAST(SUM(CASE WHEN half = 1 THEN u ELSE 0 END)
+                          AS BIGINT) AS s2
+              FROM h GROUP BY 1
+            )
+            SELECT class_id, n1 AS n_first, n2 AS n_second,
+                   s1 AS su_first, s2 AS su_second,
+                   round(CAST(CAST(s2 AS HUGEINT) * n1
+                              - CAST(s1 AS HUGEINT) * n2 AS DOUBLE)
+                         / CAST(CAST(4 AS HUGEINT) * n1 * n2 AS DOUBLE),
+                         6) AS qt_drift
+            FROM p WHERE n1 > 0 AND n2 > 0 ORDER BY class_id
         """,
     }
     try:

@@ -10019,3 +10019,164 @@ def q_orders_interpurchase_p50(sf_dir: str):
     return pd.DataFrame({"n_gaps": np.array([n], np.int64),
                          "p50_days": np.array([p50], np.int64),
                          "p90_days": np.array([p90], np.int64)})
+
+
+def q_slowlog_rows_efficiency(sf_dir: str):
+    """Per-class index-efficiency audit over the REAL slow-log pipeline
+    (parse -> fingerprint -> class): efficiency = sum(Rows_sent) /
+    sum(Rows_examined) — the classic "is this query class scanning far
+    more rows than it returns" DBA screen the reference's per-class
+    metric tables feed (event.go NumberMetrics; stats semantics per
+    stats.go:64-83).
+
+    Exactness: both sums are exact int64 (rows_* parse as integers;
+    <= ~10 per event so 1e12 events stays under 1e13), efficiency is ONE
+    float(num)/float(den) divide rounded half-up at 6dp (ratio-of-ints
+    rule); classes whose examined total is 0 are excluded on both sides
+    (HAVING > 0) rather than emitting a NULL-vs-NaN hash hazard.
+
+    Scale shape: per-block integer partials (class x 3 counters) fold on
+    the driver — bounded by class cardinality x blocks, never events."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(class_id=object, n_queries="int64",
+                         sum_sent="int64", sum_examined="int64",
+                         efficiency="float64")
+    ev = _flat_events(sf_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "class_id": pa.array([], pa.string()),
+            "n_queries": pa.array([], pa.int64()),
+            "sum_sent": pa.array([], pa.int64()),
+            "sum_examined": pa.array([], pa.int64()),
+        }
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "class_id": b["class_id"].to_pandas(),
+            "sent": b["rows_sent"].to_numpy(zero_copy_only=False),
+            "exam": b["rows_examined"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("class_id", as_index=False).agg(
+            n_queries=("sent", "size"), sum_sent=("sent", "sum"),
+            sum_examined=("exam", "sum"),
+        )
+        for c in ("n_queries", "sum_sent", "sum_examined"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _fold_partials(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["class_id"], ["n_queries", "sum_sent", "sum_examined"],
+    )
+    if out is None:
+        return empty
+    out = out[out["sum_examined"] > 0].reset_index(drop=True)
+    if not len(out):
+        return empty
+    out["efficiency"] = round_half_up(
+        [float(int(s)) / float(int(x))
+         for s, x in zip(out["sum_sent"], out["sum_examined"])], 6)
+    for c in ("n_queries", "sum_sent", "sum_examined"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("class_id").reset_index(drop=True)[
+        ["class_id", "n_queries", "sum_sent", "sum_examined", "efficiency"]
+    ]
+
+
+def q_slowlog_qt_regression(sf_dir: str):
+    """Per-class Query_time DRIFT between the first and second half of
+    the corpus (split at the doc_id midpoint — the ingest-order proxy a
+    rotating log shipper gives you): mean_qt(second) - mean_qt(first),
+    the "which query classes got slower" regression screen run after
+    every deploy.
+
+    Exactness: Query_time is (n_chars % 128)/4 by construction, so
+    qt * 4 is an exact integer in BOTH the parsed float and the oracle's
+    closed form — all sums are quarter-unit int64; the drift is the ONE
+    divide (su2*n1 - su1*n2) / (4*n1*n2) with numerator/denominator in
+    Python ints (HUGEINT oracle-side: n1*n2 alone exceeds int64 past
+    ~3e9 events per half) rounded half-AWAY at 6dp (drift is signed).
+    Classes missing from either half are excluded on both sides.
+
+    Scale shape: one cheap Min/Max aggregate over the pruned doc_id
+    column picks the split point; the parse stream folds per-block
+    (class x half) integer partials — class-cardinality-bounded, never
+    event-bounded; nothing but the split scalar is broadcast."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(class_id=object, n_first="int64",
+                         n_second="int64", su_first="int64",
+                         su_second="int64", qt_drift="float64")
+    bounds = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
+    lo, hi = bounds.get("min(doc_id)"), bounds.get("max(doc_id)")
+    if lo is None or hi is None:
+        return empty
+    mid = (int(lo) + int(hi)) // 2
+
+    ev = _flat_events(sf_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {
+            "class_id": pa.array([], pa.string()),
+            "half": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "su": pa.array([], pa.int64()),
+        }
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "class_id": b["class_id"].to_pandas(),
+            "half": (pc.cast(b["doc_id"], pa.int64())
+                     .to_numpy(zero_copy_only=False)
+                     > mid).astype(np.int64),
+            "u": np.round(qt * 4.0).astype(np.int64),
+        })
+        g = df.groupby(["class_id", "half"], as_index=False).agg(
+            n=("u", "size"), su=("u", "sum"))
+        for c in ("half", "n", "su"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _fold_partials(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["class_id", "half"], ["n", "su"],
+    )
+    if parts is None:
+        return empty
+    wide = parts.pivot_table(index="class_id", columns="half",
+                             values=["n", "su"], fill_value=0,
+                             aggfunc="sum")
+    rows = []
+    for cid in wide.index:
+        n1 = int(wide.at[cid, ("n", 0)]) if ("n", 0) in wide.columns else 0
+        n2 = int(wide.at[cid, ("n", 1)]) if ("n", 1) in wide.columns else 0
+        if n1 == 0 or n2 == 0:
+            continue
+        s1 = int(wide.at[cid, ("su", 0)])
+        s2 = int(wide.at[cid, ("su", 1)])
+        num = s2 * n1 - s1 * n2
+        den = 4 * n1 * n2
+        drift = float(round_half_away(
+            np.array([float(num) / float(den)]), 6)[0])
+        rows.append((cid, n1, n2, s1, s2, drift))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["class_id", "n_first", "n_second",
+                                      "su_first", "su_second", "qt_drift"])
+    for c in ("n_first", "n_second", "su_first", "su_second"):
+        out[c] = out[c].astype("int64")
+    out["qt_drift"] = out["qt_drift"].astype("float64")
+    return out.sort_values("class_id").reset_index(drop=True)

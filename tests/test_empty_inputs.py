@@ -319,6 +319,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                  "ties_b", "tau_b"],
         "source_hapax_ratio": ["source", "n_vocab", "n_hapax",
                                "hapax_ratio"],
+        "slowlog_rows_efficiency": ["class_id", "n_queries", "sum_sent",
+                                    "sum_examined", "efficiency"],
+        "slowlog_qt_regression": ["class_id", "n_first", "n_second",
+                                  "su_first", "su_second", "qt_drift"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
