@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_interpurchase_p50": q.q_orders_interpurchase_p50,
         "slowlog_rows_efficiency": q.q_slowlog_rows_efficiency,
         "slowlog_qt_regression": q.q_slowlog_qt_regression,
+        "fk_orphans_audit": q.q_fk_orphans_audit,
+        "orders_totalprice_audit": q.q_orders_totalprice_audit,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2660,6 +2662,68 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(CAST(4 AS HUGEINT) * n1 * n2 AS DOUBLE),
                          6) AS qt_drift
             FROM p WHERE n1 > 0 AND n2 > 0 ORDER BY class_id
+        """,
+        "fk_orphans_audit": """
+            SELECT 'customer.c_nationkey->nation' AS edge,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+                     AS n_child,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+                    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    WHERE n.n_nationkey IS NULL) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_orderkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                    WHERE p.p_partkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    WHERE s.s_suppkey IS NULL)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL)
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+                    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    WHERE n.n_nationkey IS NULL)
+            ORDER BY edge
+        """,
+        "orders_totalprice_audit": """
+            WITH l AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 + l_tax)
+                                         * (1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS recomputed
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS expected,
+                     l.recomputed
+              FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(SUM(CASE WHEN expected <> recomputed
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_mismatch,
+                   CAST(COALESCE(MAX(ABS(expected - recomputed)), 0)
+                        AS BIGINT) AS max_abs_diff,
+                   CAST(COALESCE(SUM(ABS(expected - recomputed)), 0)
+                        AS BIGINT) AS sum_abs_diff
+            FROM j
         """,
     }
     try:

@@ -10180,3 +10180,248 @@ def q_slowlog_qt_regression(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["qt_drift"] = out["qt_drift"].astype("float64")
     return out.sort_values("class_id").reset_index(drop=True)
+
+
+_FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def q_fk_orphans_audit(sf_dir: str, n_parts: int = 64):
+    """Referential-integrity audit over every foreign-key edge of the
+    warehouse star: per edge, total child rows and the number whose key
+    has NO parent row — the load-validation gate a real pipeline runs
+    before letting a partition into the join layer.
+
+    Scale shape: ALL six edges ride ONE shuffle — each table is read once
+    with only its key columns, child blocks fold to (edge, key, n)
+    counter partials and parent blocks to deduped (edge, key) membership
+    rows, everything hash-buckets by the (edge, key) PAIR
+    (stable_pair_partition, so a key's partials and its parent membership
+    land in the same task) and each bucket emits two counters per edge.
+    Nothing key-cardinality-sized touches the driver (64 x 6 x 2 rows).
+    Child keys are assumed non-null (the warehouse contract; a NULL key
+    would count as an orphan oracle-side).
+
+    Always emits one row per edge (zero counts on empty input) to match
+    the oracle's scalar-aggregate contract."""
+    import pandas as pd
+
+    from ..partition import stable_pair_partition
+
+    def _table_stream(table: str, child_edges, parent_edges):
+        cols = sorted({c for _, c in child_edges}
+                      | {c for _, c in parent_edges})
+        ds = _read(sf_dir, table, columns=cols)
+
+        def _fn(b: pa.Table) -> pa.Table:
+            out = {"edge": [], "key": [], "n": [], "side": []}
+            frames = []
+            if b.num_rows and cols[0] in b.column_names:
+                for eid, col in child_edges:
+                    g = (pd.DataFrame(
+                            {"key": pc.cast(b[col], pa.int64())
+                                    .to_numpy(zero_copy_only=False)})
+                         .groupby("key", as_index=False).size()
+                         .rename(columns={"size": "n"}))
+                    g["edge"] = np.int64(eid)
+                    g["side"] = np.int64(0)
+                    frames.append(g)
+                for eid, col in parent_edges:
+                    k = np.unique(pc.cast(b[col], pa.int64())
+                                  .to_numpy(zero_copy_only=False))
+                    frames.append(pd.DataFrame(
+                        {"key": k,
+                         "n": np.zeros(len(k), np.int64),
+                         "edge": np.full(len(k), eid, np.int64),
+                         "side": np.ones(len(k), np.int64)}))
+            if not frames:
+                df = pd.DataFrame({k: pd.Series([], dtype="int64")
+                                   for k in out})
+            else:
+                df = pd.concat(frames, ignore_index=True)[
+                    ["edge", "key", "n", "side"]]
+                for c in df.columns:
+                    df[c] = df[c].astype("int64")
+            df["_part"] = (stable_pair_partition(
+                df["edge"].to_numpy(), df["key"].to_numpy(), n_parts)
+                if len(df) else pd.Series([], dtype="int64"))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    by_table: dict = {}
+    for eid, (_, ct, cc, pt, pc_) in enumerate(_FK_EDGES):
+        by_table.setdefault(ct, ([], []))[0].append((eid, cc))
+        by_table.setdefault(pt, ([], []))[1].append((eid, pc_))
+    streams = [_table_stream(t, ch, pr) for t, (ch, pr) in by_table.items()]
+    unioned = streams[0].union(*streams[1:])
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"edge": pd.Series([], dtype="int64"),
+                "n_child": pd.Series([], dtype="int64"),
+                "n_orphans": pd.Series([], dtype="int64")}
+        if not len(g) or "edge" not in g.columns:
+            return pd.DataFrame(cols)
+        rows = []
+        for eid, sub in g.groupby("edge"):
+            ch = sub[sub["side"] == 0]
+            parents = sub.loc[sub["side"] == 1, "key"]
+            n_child = int(ch["n"].sum())
+            miss = ~ch["key"].isin(parents)
+            rows.append((int(eid), n_child, int(ch.loc[miss, "n"].sum())))
+        return pd.DataFrame(rows, columns=["edge", "n_child", "n_orphans"])
+
+    folded = _fold_partials(
+        unioned.groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["edge"], ["n_child", "n_orphans"],
+    )
+    names = [e[0] for e in _FK_EDGES]
+    out = pd.DataFrame({"edge": names,
+                        "n_child": np.zeros(len(names), np.int64),
+                        "n_orphans": np.zeros(len(names), np.int64)})
+    if folded is not None:
+        m = {int(e): (int(c), int(o)) for e, c, o in zip(
+            folded["edge"], folded["n_child"], folded["n_orphans"])}
+        for i in range(len(names)):
+            if i in m:
+                out.loc[i, "n_child"], out.loc[i, "n_orphans"] = m[i]
+    for c in ("n_child", "n_orphans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("edge").reset_index(drop=True)
+
+
+def q_orders_totalprice_audit(sf_dir: str, n_parts: int = 64):
+    """Cross-table consistency audit: recompute each order's total from
+    its lines (sum of round-to-cents l_extendedprice * (1 + l_tax) *
+    (1 - l_discount), the TPC-H o_totalprice identity) and compare with
+    the stored o_totalprice — the "did the loader corrupt the rollup"
+    reconciliation check. Reports orders checked, mismatch count, max
+    and total absolute drift in cents.
+
+    Exactness: both sides round each line/total to cents with the SAME
+    floor(x*100+0.5) on identically-associated double products, so every
+    compared quantity is an exact int64; the global |diff| total is
+    accumulated per bucket in 2^20-row chunks (chunk sums stay ~5e13,
+    far inside int64) combined in Python ints and shipped as hi/lo
+    limbs, with the BIGINT fail-fast at the output cast exactly where
+    the oracle's CAST raises.
+
+    Scale shape: lineitem folds to per-(block, order) cents partials,
+    partials AND the (o_orderkey, expected) pairs hash-bucket by
+    orderkey through ONE shuffle, each bucket collapses and compares its
+    whole orders locally and emits 5 counters; the driver folds 64 rows.
+    Orders with no lines are out of scope (fk_orphans_audit owns
+    missing-parent lines)."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_tax"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _child(b: pa.Table) -> pa.Table:
+        cols = {"key": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return pa.table(cols)
+        v = pc.multiply(
+            pc.multiply(b["l_extendedprice"], pc.add(1.0, b["l_tax"])),
+            pc.subtract(1.0, b["l_discount"]))
+        df = pd.DataFrame({
+            "key": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "a": _cents(v).to_numpy(zero_copy_only=False)})
+        g = df.groupby("key", as_index=False)["a"].sum()
+        g["side"] = np.int64(0)
+        for c in ("key", "a", "side"):
+            g[c] = g[c].astype("int64")
+        g["_part"] = stable_partition(g["key"], n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _parent(b: pa.Table) -> pa.Table:
+        cols = {"key": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "a": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)})
+        df["side"] = np.int64(1)
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        df["_part"] = stable_partition(df["key"], n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    unioned = li.map_batches(
+        _child, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(orders.map_batches(
+        _parent, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_orders": pd.Series([], dtype="int64"),
+                "n_mismatch": pd.Series([], dtype="int64"),
+                "max_abs": pd.Series([], dtype="int64"),
+                "sum_hi": pd.Series([], dtype="int64"),
+                "sum_lo": pd.Series([], dtype="int64")}
+        if not len(g) or "side" not in g.columns:
+            return pd.DataFrame(cols)
+        rec = (g[g["side"] == 0].groupby("key", as_index=False)["a"].sum()
+               .rename(columns={"a": "recomputed"}))
+        exp = (g[g["side"] == 1][["key", "a"]]
+               .rename(columns={"a": "expected"}))
+        j = rec.merge(exp, on="key", how="inner")
+        if not len(j):
+            return pd.DataFrame(cols)
+        diff = np.abs(j["expected"].to_numpy(np.int64)
+                      - j["recomputed"].to_numpy(np.int64))
+        total = 0
+        for i in range(0, len(diff), 1 << 20):
+            total += int(diff[i:i + (1 << 20)].sum())
+        return pd.DataFrame({
+            "n_orders": np.array([len(j)], np.int64),
+            "n_mismatch": np.array([int(np.count_nonzero(diff))], np.int64),
+            "max_abs": np.array([int(diff.max())], np.int64),
+            "sum_hi": np.array([total >> 30], np.int64),
+            "sum_lo": np.array([total & ((1 << 30) - 1)], np.int64),
+        })
+
+    parts = unioned.groupby("_part").map_groups(
+        _bucket, batch_format="pandas").to_pandas()
+    if not len(parts) or "n_orders" not in parts.columns:
+        parts = pd.DataFrame({c: [0] for c in
+                              ("n_orders", "n_mismatch", "max_abs",
+                               "sum_hi", "sum_lo")})
+    total_abs = ((int(parts["sum_hi"].astype(object).sum()) << 30)
+                 + int(parts["sum_lo"].astype(object).sum()))
+    if total_abs > 2**63 - 1:
+        raise OverflowError(
+            "orders_totalprice_audit: |diff| total exceeds BIGINT; the "
+            "oracle's CAST raises here too")
+    return pd.DataFrame({
+        "n_orders": np.array([int(parts["n_orders"].sum())], np.int64),
+        "n_mismatch": np.array([int(parts["n_mismatch"].sum())], np.int64),
+        "max_abs_diff": np.array([int(parts["max_abs"].max())
+                                  if len(parts) else 0], np.int64),
+        "sum_abs_diff": np.array([total_abs], np.int64),
+    })

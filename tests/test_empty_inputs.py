@@ -66,6 +66,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                 "l_quantity": pa.array([], pa.float64()),
                 "l_extendedprice": pa.array([], pa.float64()),
                 "l_discount": pa.array([], pa.float64()),
+                "l_tax": pa.array([], pa.float64()),
                 "l_returnflag": pa.array([], pa.string()),
                 "l_shipdate": pa.array([], pa.timestamp("us")),
             }
@@ -372,6 +373,18 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 1
     assert out.iloc[0, :5].tolist() == [0, 0, 0, 0, 0]
     assert pd.isna(out["bounce_rate"].iloc[0])
+    # fk_orphans_audit always reports every edge (scalar-subquery oracle),
+    # so empty input means 6 zero rows in edge order
+    out = _to_pandas(qs["fk_orphans_audit"](str(tmp_path)))
+    assert list(out.columns) == ["edge", "n_child", "n_orphans"]
+    assert len(out) == 6
+    assert out["n_child"].tolist() == [0] * 6
+    assert out["n_orphans"].tolist() == [0] * 6
+    # orders_totalprice_audit is a scalar rollup: one zero row always
+    out = _to_pandas(qs["orders_totalprice_audit"](str(tmp_path)))
+    assert list(out.columns) == ["n_orders", "n_mismatch", "max_abs_diff",
+                                 "sum_abs_diff"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0, 0]
     # streaming_shard_distinct always reports every shard (oracle LEFT
     # JOINs a generated 0..7 series), so empty input means 8 zero rows
     out = _to_pandas(qs["streaming_shard_distinct"](str(tmp_path)))

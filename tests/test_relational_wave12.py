@@ -79,3 +79,88 @@ def test_qt_regression_negative_drift_rounds_half_away(ray_session, tmp_path):
     assert len(out) == 1
     assert out.iloc[0]["qt_drift"] == -30.0
     assert out.iloc[0]["n_first"] == 2 and out.iloc[0]["n_second"] == 2
+
+
+def _tbl(tmp_path, name, **cols):
+    pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+
+def test_fk_orphans_planted(ray_session, tmp_path):
+    # customers 1,2 (nation 10 exists, 99 missing); orders -> cust 1,1,3
+    # (3 missing); lineitem -> orders {100 ok, 200 missing}, parts
+    # {5 ok, 6 missing}, suppliers {7 ok}
+    _tbl(tmp_path, "nation",
+         n_nationkey=pa.array([10], pa.int32()),
+         n_name=pa.array(["A"]), n_regionkey=pa.array([0], pa.int32()))
+    _tbl(tmp_path, "customer",
+         c_custkey=pa.array([1, 2], pa.int64()),
+         c_name=pa.array(["a", "b"]),
+         c_nationkey=pa.array([10, 99], pa.int32()),
+         c_acctbal=pa.array([0.0, 0.0]))
+    _tbl(tmp_path, "orders",
+         o_orderkey=pa.array([100, 101, 102], pa.int64()),
+         o_custkey=pa.array([1, 1, 3], pa.int64()),
+         o_orderstatus=pa.array(["O"] * 3),
+         o_totalprice=pa.array([1.0] * 3),
+         o_orderdate=pa.array([None] * 3, pa.timestamp("us")),
+         o_orderpriority=pa.array(["1-URGENT"] * 3))
+    _tbl(tmp_path, "lineitem",
+         l_orderkey=pa.array([100, 200], pa.int64()),
+         l_partkey=pa.array([5, 6], pa.int64()),
+         l_suppkey=pa.array([7, 7], pa.int64()),
+         l_quantity=pa.array([1.0, 1.0]),
+         l_extendedprice=pa.array([1.0, 1.0]),
+         l_discount=pa.array([0.0, 0.0]),
+         l_tax=pa.array([0.0, 0.0]),
+         l_returnflag=pa.array(["N", "N"]),
+         l_shipdate=pa.array([None, None], pa.timestamp("us")))
+    _tbl(tmp_path, "part",
+         p_partkey=pa.array([5], pa.int64()), p_name=pa.array(["p"]),
+         p_brand=pa.array(["B"]), p_type=pa.array(["T"]),
+         p_size=pa.array([1], pa.int32()), p_retailprice=pa.array([1.0]))
+    _tbl(tmp_path, "supplier",
+         s_suppkey=pa.array([7], pa.int64()), s_name=pa.array(["s"]),
+         s_nationkey=pa.array([10], pa.int32()),
+         s_acctbal=pa.array([0.0]))
+    from mysql_log_parser_ray.pipelines.queries import q_fk_orphans_audit
+
+    out = q_fk_orphans_audit(str(tmp_path))
+    got = {r["edge"]: (r["n_child"], r["n_orphans"])
+           for _, r in out.iterrows()}
+    assert got == {
+        "customer.c_nationkey->nation": (2, 1),
+        "lineitem.l_orderkey->orders": (2, 1),
+        "lineitem.l_partkey->part": (2, 1),
+        "lineitem.l_suppkey->supplier": (2, 0),
+        "orders.o_custkey->customer": (3, 1),
+        "supplier.s_nationkey->nation": (1, 0),
+    }
+
+
+def test_totalprice_audit_planted(ray_session, tmp_path):
+    # order 1: lines sum to exactly 30.00 -> stored 30.00 matches
+    # order 2: lines sum 10.00 -> stored 10.07 (7 cents off)
+    # order 3: stored but NO lines -> out of scope
+    _tbl(tmp_path, "orders",
+         o_orderkey=pa.array([1, 2, 3], pa.int64()),
+         o_custkey=pa.array([1, 1, 1], pa.int64()),
+         o_orderstatus=pa.array(["O"] * 3),
+         o_totalprice=pa.array([30.0, 10.07, 5.0]),
+         o_orderdate=pa.array([None] * 3, pa.timestamp("us")),
+         o_orderpriority=pa.array(["1-URGENT"] * 3))
+    _tbl(tmp_path, "lineitem",
+         l_orderkey=pa.array([1, 1, 2], pa.int64()),
+         l_partkey=pa.array([5, 5, 5], pa.int64()),
+         l_suppkey=pa.array([7, 7, 7], pa.int64()),
+         l_quantity=pa.array([1.0, 1.0, 1.0]),
+         l_extendedprice=pa.array([10.0, 20.0, 10.0]),
+         l_discount=pa.array([0.0, 0.0, 0.0]),
+         l_tax=pa.array([0.0, 0.0, 0.0]),
+         l_returnflag=pa.array(["N"] * 3),
+         l_shipdate=pa.array([None] * 3, pa.timestamp("us")))
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_orders_totalprice_audit,
+    )
+
+    out = q_orders_totalprice_audit(str(tmp_path))
+    assert out.iloc[0].tolist() == [2, 1, 7, 7]
