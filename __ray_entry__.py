@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_qt_regression": q.q_slowlog_qt_regression,
         "fk_orphans_audit": q.q_fk_orphans_audit,
         "orders_totalprice_audit": q.q_orders_totalprice_audit,
+        "events_mann_kendall": q.q_events_mann_kendall,
+        "events_runs_test": q.q_events_runs_test,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2724,6 +2726,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(ABS(expected - recomputed)), 0)
                         AS BIGINT) AS sum_abs_diff
             FROM j
+        """,
+        "events_mann_kendall": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi,
+                     CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days
+              FROM d
+            ), cal AS (
+              SELECT unnest(range(lo, hi + 1)) AS day FROM b
+            ), g AS (
+              SELECT cal.day, COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d ON d.day = cal.day
+            ), s AS (
+              SELECT CAST(SUM(sign(g2.n - g1.n)) AS BIGINT) AS s_stat
+              FROM g g1 JOIN g g2 ON g1.day < g2.day
+            ), t AS (
+              SELECT CAST(COALESCE(SUM(
+                       CAST(c AS BIGINT) * (c - 1) * (2 * c + 5)), 0)
+                     AS BIGINT) AS tie_term
+              FROM (SELECT COUNT(*) AS c FROM g GROUP BY n)
+            ), v AS (
+              SELECT (SELECT n_days FROM b) AS n, s_stat,
+                     (SELECT n_days FROM b)
+                       * ((SELECT n_days FROM b) - 1)
+                       * (2 * (SELECT n_days FROM b) + 5)
+                       - tie_term AS var18
+              FROM s, t
+            )
+            SELECT n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+                   round(CASE
+                     WHEN var18 <= 0 OR s_stat = 0 THEN 0.0
+                     WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     ELSE CAST(s_stat + 1 AS DOUBLE)
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   END, 6) AS z
+            FROM v WHERE s_stat IS NOT NULL
+        """,
+        "events_runs_test": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+            ), cal AS (
+              SELECT unnest(range(lo, hi + 1)) AS day FROM b
+            ), g AS (
+              SELECT cal.day, COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d ON d.day = cal.day
+            ), m AS (
+              SELECT n AS med FROM (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rk,
+                       COUNT(*) OVER () AS cnt
+                FROM g
+              ) WHERE rk = GREATEST(1, (50 * cnt) // 100)
+            ), k AS (
+              SELECT day,
+                     CASE WHEN n > (SELECT med FROM m)
+                          THEN 1 ELSE 0 END AS side
+              FROM g WHERE n <> (SELECT med FROM m)
+            ), r AS (
+              SELECT CAST(1 + SUM(CASE WHEN side <> prev
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                       AS runs
+              FROM (SELECT side, LAG(side) OVER (ORDER BY day) AS prev
+                    FROM k)
+              WHERE prev IS NOT NULL
+            ), c AS (
+              SELECT CAST(SUM(side) AS BIGINT) AS n1,
+                     CAST(COUNT(*) - SUM(side) AS BIGINT) AS n2
+              FROM k
+            )
+            SELECT n1 + n2 AS n_used, n1 AS n_above, n2 AS n_below, runs,
+                   round(CAST(n1 + n2 + 2 * n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE), 6) AS expected_runs,
+                   round(CAST(runs * (n1 + n2) AS DOUBLE)
+                         / CAST(n1 + n2 + 2 * n1 * n2 AS DOUBLE), 6)
+                     AS ratio
+            FROM r, c WHERE n1 > 0 AND n2 > 0
         """,
     }
     try:

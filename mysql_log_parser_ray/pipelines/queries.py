@@ -10425,3 +10425,134 @@ def q_orders_totalprice_audit(sf_dir: str, n_parts: int = 64):
                                   if len(parts) else 0], np.int64),
         "sum_abs_diff": np.array([total_abs], np.int64),
     })
+
+
+def _daily_total_counts(sf_dir: str):
+    """(day, n) fold of the events table over the dense observed day
+    range — shared by the trend/runs screens. Returns (days_array,
+    counts_array) with absent days = 0, or None over empty input;
+    everything after the fold is calendar-bounded."""
+    def _cells(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {"day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                       .to_numpy(zero_copy_only=False)})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("day", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["day"], ["n"],
+    )
+    if cells is None:
+        return None
+    lo, hi = int(cells["day"].min()), int(cells["day"].max())
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.zeros(len(days), dtype=np.int64)
+    x[cells["day"].to_numpy(np.int64) - lo] = cells["n"].to_numpy(np.int64)
+    return days, x
+
+
+def q_events_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test on total daily event volume over
+    the dense day grid (absent days = 0) — the nonparametric "is traffic
+    drifting up or down" screen, tie-corrected (zero-days tie heavily).
+
+    Exactness: S = sum_{i<j} sign(x_j - x_i) and the tie-corrected
+    18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) are exact integers
+    (calendar-bounded: n^3 at 10 years is ~5e10, far inside int64); the
+    continuity-corrected z is one identical float expression both sides
+    ((S -/+ 1) / sqrt(var18 / 18.0)), half-away (signed).
+
+    Scale shape: one (day, n) counter fold, everything after is
+    calendar-bounded driver math (O(days^2) sign matrix)."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_days="int64", s_stat="int64", var18="int64",
+                         z="float64")
+    dx = _daily_total_counts(sf_dir)
+    if dx is None:
+        return empty
+    _, x = dx
+    n = len(x)
+    s = int(np.sign(x[None, :] - x[:, None])[
+        np.triu_indices(n, k=1)].astype(np.int64).sum())
+    _, tie_sizes = np.unique(x, return_counts=True)
+    var18 = int(n) * (n - 1) * (2 * n + 5) - sum(
+        int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tie_sizes)
+    if var18 <= 0:
+        z = 0.0
+    elif s > 0:
+        z = float(s - 1) / np.sqrt(float(var18) / 18.0)
+    elif s < 0:
+        z = float(s + 1) / np.sqrt(float(var18) / 18.0)
+    else:
+        z = 0.0
+    z = float(round_half_away(np.array([z]), 6)[0])
+    return pd.DataFrame({"n_days": np.array([n], np.int64),
+                         "s_stat": np.array([s], np.int64),
+                         "var18": np.array([var18], np.int64),
+                         "z": np.array([z], np.float64)})
+
+
+def q_events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on total daily event volume vs its
+    nearest-rank median over the dense day grid — the randomness screen
+    that catches regime clustering (long stretches above/below median)
+    a trend test misses. Days equal to the median are excluded (the
+    standard convention).
+
+    Exactness: the median is the repo's nearest-rank value
+    (rank max(1, 50n//100) on the ascending days), runs/n_above/n_below
+    are exact integers; expected_runs = (N + 2ab)/N and ratio =
+    runs*N/(N + 2ab) are each ONE ratio-of-ints divide, half-up.
+
+    Scale shape: same single (day, n) fold; the run-length scan is a
+    vectorized diff over the calendar-bounded series."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_used="int64", n_above="int64", n_below="int64",
+                         runs="int64", expected_runs="float64",
+                         ratio="float64")
+    dx = _daily_total_counts(sf_dir)
+    if dx is None:
+        return empty
+    _, x = dx
+    srt = np.sort(x)
+    med = int(srt[max(1, (50 * len(x)) // 100) - 1])
+    keep = x[x != med]
+    above = keep > med
+    n1 = int(np.count_nonzero(above))
+    n2 = int(len(keep) - n1)
+    if n1 == 0 or n2 == 0:
+        return empty
+    runs = 1 + int(np.count_nonzero(above[1:] != above[:-1]))
+    nn = n1 + n2
+    e_num = nn + 2 * n1 * n2
+    expected = float(round_half_up(
+        np.array([float(e_num) / float(nn)]), 6)[0])
+    ratio = float(round_half_up(
+        np.array([float(runs * nn) / float(e_num)]), 6)[0])
+    return pd.DataFrame({"n_used": np.array([nn], np.int64),
+                         "n_above": np.array([n1], np.int64),
+                         "n_below": np.array([n2], np.int64),
+                         "runs": np.array([runs], np.int64),
+                         "expected_runs": np.array([expected], np.float64),
+                         "ratio": np.array([ratio], np.float64)})

@@ -324,6 +324,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                     "sum_examined", "efficiency"],
         "slowlog_qt_regression": ["class_id", "n_first", "n_second",
                                   "su_first", "su_second", "qt_drift"],
+        "events_mann_kendall": ["n_days", "s_stat", "var18", "z"],
+        "events_runs_test": ["n_used", "n_above", "n_below", "runs",
+                             "expected_runs", "ratio"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

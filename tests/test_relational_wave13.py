@@ -1,0 +1,82 @@
+"""Unit tests for the wave-13 time-series screens: Mann-Kendall trend
+and Wald-Wolfowitz runs test on daily event volume (hand-computed
+expectations on planted daily series)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, day_counts):
+    """day_counts: list of (day_index, n_events) — builds ts values."""
+    ts, eid = [], []
+    k = 0
+    for d, n in day_counts:
+        for _ in range(n):
+            ts.append(d * 86400_000_000 + k)  # us, within the day
+            eid.append(k)
+            k += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * k, pa.int64()),
+                "event_type": pa.array(["view"] * k),
+                "value": pa.array([0.0] * k),
+                "props": pa.array(["{}"] * k),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def test_mann_kendall_increasing(ray_session, tmp_path):
+    # counts 1, 2, 3 over three consecutive days: S = +3, no ties
+    _write_events(tmp_path, [(0, 1), (1, 2), (2, 3)])
+    from mysql_log_parser_ray.pipelines.queries import q_events_mann_kendall
+
+    out = q_events_mann_kendall(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_days"], r["s_stat"]) == (3, 3)
+    assert r["var18"] == 3 * 2 * 11  # n(n-1)(2n+5), tie term 0
+    assert r["z"] == round(2.0 / np.sqrt(66.0 / 18.0), 6)
+
+
+def test_mann_kendall_gap_day_counts_zero(ray_session, tmp_path):
+    # days 0 and 2 observed, day 1 absent -> dense series [2, 0, 2]
+    # pairs: (2,0) -1, (2,2) 0, (0,2) +1 -> S = 0, z = 0
+    _write_events(tmp_path, [(0, 2), (2, 2)])
+    from mysql_log_parser_ray.pipelines.queries import q_events_mann_kendall
+
+    out = q_events_mann_kendall(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_days"], r["s_stat"], r["z"]) == (3, 0, 0.0)
+    # ties: the two 2s -> t=2 term 2*1*9=18; var18 = 66 - 18 = 48
+    assert r["var18"] == 48
+
+
+def test_runs_test_alternating(ray_session, tmp_path):
+    # daily counts [5, 1, 5, 1, 5, 2]: nearest-rank median (rank 3 of
+    # sorted [1,1,2,5,5,5]) = 2; the day equal to 2 drops out, leaving
+    # sides [1,0,1,0,1] -> 5 runs, n_above=3, n_below=2
+    _write_events(
+        tmp_path, [(0, 5), (1, 1), (2, 5), (3, 1), (4, 5), (5, 2)]
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_runs_test
+
+    out = q_events_runs_test(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_used"], r["n_above"], r["n_below"], r["runs"]) == (
+        5, 3, 2, 5)
+    assert r["expected_runs"] == round((5 + 12) / 5.0, 6)
+    assert r["ratio"] == round(25.0 / 17.0, 6)
+
+
+def test_runs_test_one_sided_is_empty(ray_session, tmp_path):
+    # constant series: every day equals the median -> nothing to test
+    _write_events(tmp_path, [(0, 3), (1, 3), (2, 3)])
+    from mysql_log_parser_ray.pipelines.queries import q_events_runs_test
+
+    out = q_events_runs_test(str(tmp_path))
+    assert len(out) == 0
