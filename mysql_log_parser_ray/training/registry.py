@@ -2320,6 +2320,8 @@ def register_queries():
         "source_yule_k": q_source_yule_k,
         "source_hapax_ratio": q_source_hapax_ratio,
         "source_g2_keywords": q_source_g2_keywords,
+        "word_skipgram_topk": q_word_skipgram_topk,
+        "source_burrows_delta": q_source_burrows_delta,
     }
 
 
@@ -4166,6 +4168,83 @@ def register_oracles():
             FROM s ORDER BY source
         """,
         "source_g2_keywords": _G2_KEYWORDS_SQL,
+        "word_skipgram_topk": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(
+                  trim(lower(text), ' ' || chr(9) || chr(10) || chr(13)
+                       || chr(11) || chr(12)),
+                  '[ \t\n\r\v\f]+') AS w
+              FROM documents
+            ), sg AS (
+              SELECT w[i] AS word_a, w[i + d] AS word_b, COUNT(*) AS n
+              FROM toks, UNNEST(range(1, len(w))) AS t(i),
+                   UNNEST([1, 2]) AS dd(d)
+              WHERE i + d <= len(w)
+              GROUP BY 1, 2
+            )
+            SELECT word_a, word_b, CAST(n AS BIGINT) AS n
+            FROM sg WHERE n >= 5
+            ORDER BY n DESC, word_a ASC, word_b ASC LIMIT 20
+        """,
+        "source_burrows_delta": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(
+                         trim(lower(text), ' ' || chr(9) || chr(10)
+                              || chr(13) || chr(11) || chr(12)),
+                         '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), sw AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+              FROM w WHERE word <> '' GROUP BY 1, 2
+            ), top AS (
+              SELECT word FROM (
+                SELECT word, SUM(c) AS n FROM sw GROUP BY 1
+              ) ORDER BY n DESC, word ASC LIMIT 30
+            ), ts AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS t
+              FROM sw GROUP BY 1
+            ), sc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS s FROM ts
+            ), f AS (
+              SELECT ts.source, top.word,
+                     CAST(CAST(COALESCE(sw.c, 0) AS HUGEINT)
+                          * 1000000000 // ts.t AS BIGINT) AS fu
+              FROM ts CROSS JOIN top
+              LEFT JOIN sw ON sw.source = ts.source
+                          AND sw.word = top.word
+            ), v AS (
+              SELECT word,
+                     (SELECT s FROM sc)
+                       * SUM(CAST(fu AS HUGEINT) * fu)
+                       - SUM(CAST(fu AS HUGEINT))
+                         * SUM(CAST(fu AS HUGEINT)) AS vv
+              FROM f GROUP BY 1
+            ), vg AS (
+              SELECT word, vv FROM v WHERE vv > 0
+            ), k AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM vg
+            ), p AS (
+              SELECT fa.source AS sa, fb.source AS sb,
+                     ABS(fa.fu - fb.fu) AS dfu, vg.vv
+              FROM f fa
+              JOIN f fb ON fa.word = fb.word AND fa.source < fb.source
+              JOIN vg ON vg.word = fa.word
+            ), u AS (
+              SELECT sa, sb,
+                     CAST(SUM(CAST(floor(
+                         CAST((SELECT s FROM sc) * dfu AS DOUBLE)
+                         / sqrt(CAST(vv AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sum_units
+              FROM p GROUP BY 1, 2
+            )
+            SELECT sa AS src_a, sb AS src_b,
+                   (SELECT n_words FROM k) AS n_words, sum_units,
+                   round(CAST(sum_units AS DOUBLE)
+                         / CAST(1000000 * (SELECT n_words FROM k)
+                                AS DOUBLE), 6) AS delta
+            FROM u ORDER BY 1, 2
+        """,
     }
 
 
@@ -6957,3 +7036,227 @@ def q_source_g2_keywords(sf_dir: str, topk: int = 10, min_count: int = 5):
     out["g2"] = out["g2"].astype("float64")
     return out[["source", "word", "n_source", "n_rest", "g2_units",
                 "g2"]].reset_index(drop=True)
+
+
+def q_word_skipgram_topk(sf_dir: str, topk: int = 20, min_count: int = 5,
+                         n_parts: int = 64):
+    """Top-``topk`` ordered word pairs by skip-gram co-occurrence within
+    a forward window of 2 (distances 1 AND 2) — the context-window
+    counting stage of a word-embedding / collocation pipeline, the
+    window-2 companion to word_pmi_topk's adjacency counts. Pairs with
+    n < ``min_count`` drop; ties break (n DESC, word_a, word_b).
+
+    Scale shape: raw text never shuffles — per-block (a, b, n) partials
+    hash-bucket by the PAIR, so per-bucket collapsed counts are global
+    and each bucket emits only its top-``topk`` candidates; the driver
+    folds 64 x topk rows."""
+    from ..partition import stable_pair_partition
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    empty = pd.DataFrame({
+        "word_a": pd.Series([], dtype="object"),
+        "word_b": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+    })
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.Table.from_pandas(
+                empty.assign(_part=pd.Series([], dtype="int64")),
+                preserve_index=False)
+        lists = (b["text"].to_pandas().str.lower()
+                 .str.strip(_ASCII_WS).str.split(_WS_RE))
+        ex = lists.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        df = ex.reset_index()
+        df.columns = ["doc", "w"]
+        frames = []
+        for d in (1, 2):
+            nxt = df["w"].shift(-d)
+            same = df["doc"].shift(-d) == df["doc"]
+            frames.append(pd.DataFrame(
+                {"word_a": df["w"][same], "word_b": nxt[same]}))
+        pairs = pd.concat(frames, ignore_index=True)
+        part = (pairs.groupby(["word_a", "word_b"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+        part["n"] = part["n"].astype("int64")
+        part["_part"] = stable_pair_partition(
+            part["word_a"], part["word_b"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "word_a" not in g.columns:
+            return empty.copy()
+        c = g.groupby(["word_a", "word_b"], as_index=False)["n"].sum()
+        c = c[c["n"] >= min_count]
+        return (c.sort_values(["n", "word_a", "word_b"],
+                              ascending=[False, True, True])
+                .head(topk).reset_index(drop=True))
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .groupby("_part").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "word_a" not in parts.columns:
+        return empty
+    out = (parts.sort_values(["n", "word_a", "word_b"],
+                             ascending=[False, True, True])
+           .head(topk).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[["word_a", "word_b", "n"]]
+
+
+def q_source_burrows_delta(sf_dir: str, topk_words: int = 30,
+                           n_parts: int = 64):
+    """Burrows' Delta stylometric distance between every source pair —
+    the authorship/style drift screen: mean absolute z-score difference
+    of the global top-``topk_words`` word frequencies, normalized by the
+    across-source dispersion of each word. High delta = the two sources
+    are written in measurably different styles.
+
+    Exactness: per-source relative frequencies quantize ONCE to integer
+    1e-9 units via floor division (fu = c*1e9 // T_s, exact both sides);
+    the across-source dispersion V_w = S*sum(fu^2) - (sum fu)^2 is exact
+    Python ints (HUGEINT oracle-side — fu^2 alone passes int64); each
+    word's pair term floor-quantizes the identical float expression
+    S*|fu_a-fu_b| / sqrt(V_w) to 1e-6 units so the cross-word sum is an
+    order-free integer (<= 30 words x 1e16 — inside int64 by
+    construction); delta is ONE half-up divide. Zero-dispersion words
+    drop on both sides.
+
+    Scale shape: pass A folds word totals (pair never ships raw text)
+    and keeps only per-bucket top-k candidates; pass B re-reads with the
+    tiny top-word set in the task closure, emitting (source, word, c)
+    cells plus per-source token totals as sentinel rows through ONE
+    fold — driver sees sources x (topk+1) rows, never vocabulary."""
+    import math
+
+    from ..partition import stable_partition, stable_pair_partition
+    from ..util import round_half_up
+    from .text import _ASCII_WS, _WS_RE
+
+    empty = pd.DataFrame({
+        "src_a": pd.Series([], dtype="object"),
+        "src_b": pd.Series([], dtype="object"),
+        "n_words": pd.Series([], dtype="int64"),
+        "sum_units": pd.Series([], dtype="int64"),
+        "delta": pd.Series([], dtype="float64"),
+    })
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _tot_partial(b: pa.Table) -> pa.Table:
+        cols = {"word": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "_part": pd.Series([], dtype="int64")}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        w = (b["text"].to_pandas().str.lower()
+             .str.strip(_ASCII_WS).str.split(_WS_RE).explode())
+        w = w[w.notna() & (w != "")]
+        part = w.value_counts().rename_axis("word").reset_index(name="n")
+        part["n"] = part["n"].astype("int64")
+        part["_part"] = stable_partition(part["word"], n_parts)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def _tot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "word" not in g.columns:
+            return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        c = g.groupby("word", as_index=False)["n"].sum()
+        return (c.sort_values(["n", "word"], ascending=[False, True])
+                .head(topk_words).reset_index(drop=True))
+
+    cand = (ds.map_batches(_tot_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+            .groupby("_part").map_groups(_tot_bucket,
+                                         batch_format="pandas")
+            .to_pandas())
+    if not len(cand) or "word" not in cand.columns:
+        return empty
+    top_words = set(
+        cand.sort_values(["n", "word"], ascending=[False, True])
+        .head(topk_words)["word"].tolist())
+
+    def _cell_partial(b: pa.Table) -> pa.Table:
+        cols = {"source": pd.Series([], dtype="object"),
+                "word": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64"),
+                "_part": pd.Series([], dtype="int64")}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        lists = (b["text"].to_pandas().str.lower()
+                 .str.strip(_ASCII_WS).str.split(_WS_RE))
+        src = b["source"].to_pandas()
+        df = pd.DataFrame({"source": src.repeat(lists.str.len()),
+                           "word": lists.explode()})
+        df = df[df["word"].notna() & (df["word"] != "")]
+        tot = (df.groupby("source", as_index=False).size()
+               .rename(columns={"size": "c"}))
+        tot["word"] = ""
+        hit = df[df["word"].isin(top_words)]
+        cells = (hit.groupby(["source", "word"], as_index=False).size()
+                 .rename(columns={"size": "c"}))
+        out = pd.concat([cells, tot[["source", "word", "c"]]],
+                        ignore_index=True)
+        out["c"] = out["c"].astype("int64")
+        out["_part"] = stable_pair_partition(out["source"], out["word"],
+                                             n_parts)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _cell_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "source" not in g.columns:
+            return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                                 "word": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="int64")})
+        return g.groupby(["source", "word"], as_index=False)["c"].sum()
+
+    cells = (ds.map_batches(_cell_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .groupby("_part").map_groups(_cell_bucket,
+                                          batch_format="pandas")
+             .to_pandas())
+    if not len(cells) or "source" not in cells.columns:
+        return empty
+    totals = {r["source"]: int(r["c"])
+              for _, r in cells[cells["word"] == ""].iterrows()}
+    sources = sorted(s for s, t in totals.items() if t > 0)
+    if len(sources) < 2:
+        return empty
+    s_n = len(sources)
+    cmap = {(r["source"], r["word"]): int(r["c"])
+            for _, r in cells[cells["word"] != ""].iterrows()}
+    words = sorted(top_words)
+    fu = {(s, w): (cmap.get((s, w), 0) * 10**9) // totals[s]
+          for s in sources for w in words}
+    keep = []
+    vv = {}
+    for w in words:
+        sm = sum(fu[(s, w)] for s in sources)
+        sq = sum(fu[(s, w)] * fu[(s, w)] for s in sources)
+        v = s_n * sq - sm * sm
+        if v > 0:
+            keep.append(w)
+            vv[w] = v
+    if not keep:
+        return empty
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            su = 0
+            for w in keep:
+                dfu = abs(fu[(sa, w)] - fu[(sb, w)])
+                su += int(math.floor(
+                    float(s_n * dfu) / math.sqrt(float(vv[w]))
+                    * 1000000 + 0.5))
+            delta = float(round_half_up(
+                np.array([float(su) / float(10**6 * len(keep))]), 6)[0])
+            rows.append((sa, sb, len(keep), su, delta))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "n_words",
+                                      "sum_units", "delta"])
+    for c in ("n_words", "sum_units"):
+        out[c] = out[c].astype("int64")
+    out["delta"] = out["delta"].astype("float64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

@@ -80,3 +80,67 @@ def test_runs_test_one_sided_is_empty(ray_session, tmp_path):
 
     out = q_events_runs_test(str(tmp_path))
     assert len(out) == 0
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(sources or ["s0"] * n),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_skipgram_window2_counts(ray_session, tmp_path):
+    # "a b c" repeated 5x in one doc each: within each doc the pairs are
+    # (a,b), (b,c) at d=1 and (a,c) at d=2 — all reach min_count=5
+    _write_docs(tmp_path, ["a b c"] * 5)
+    from mysql_log_parser_ray.training.registry import q_word_skipgram_topk
+
+    out = q_word_skipgram_topk(str(tmp_path))
+    got = {(r["word_a"], r["word_b"]): r["n"] for _, r in out.iterrows()}
+    assert got == {("a", "b"): 5, ("b", "c"): 5, ("a", "c"): 5}
+    # ordering: ties at n=5 break (word_a, word_b) ascending
+    assert out["word_a"].tolist() == ["a", "a", "b"]
+
+
+def test_burrows_delta_two_identical_sources_zero(ray_session, tmp_path):
+    # two sources with IDENTICAL word distributions -> every fu matches,
+    # all pair terms 0 -> but V=0 for every word too (no dispersion) ->
+    # no usable words -> empty
+    _write_docs(tmp_path, ["x y", "x y"], sources=["s0", "s1"])
+    from mysql_log_parser_ray.training.registry import q_source_burrows_delta
+
+    out = q_source_burrows_delta(str(tmp_path))
+    assert len(out) == 0
+
+
+def test_burrows_delta_hand_computed(ray_session, tmp_path):
+    # s0: "a a b" (T=3), s1: "a b b" (T=3)
+    # fu(a): s0 = 2e9//3, s1 = 1e9//3; fu(b): mirrored
+    _write_docs(tmp_path, ["a a b", "a b b"], sources=["s0", "s1"])
+    from mysql_log_parser_ray.training.registry import q_source_burrows_delta
+
+    out = q_source_burrows_delta(str(tmp_path))
+    assert len(out) == 1
+    import math
+
+    fa0, fa1 = 2 * 10**9 // 3, 1 * 10**9 // 3
+    v = 2 * (fa0 * fa0 + fa1 * fa1) - (fa0 + fa1) ** 2
+    term = math.floor(2.0 * abs(fa0 - fa1) / math.sqrt(float(v))
+                      * 1e6 + 0.5)
+    su = 2 * term  # words a and b are symmetric
+    r = out.iloc[0]
+    assert (r["src_a"], r["src_b"], r["n_words"], r["sum_units"]) == (
+        "s0", "s1", 2, su)
+    assert r["delta"] == round(su / (1e6 * 2), 6)
