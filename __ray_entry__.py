@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_totalprice_audit": q.q_orders_totalprice_audit,
         "events_mann_kendall": q.q_events_mann_kendall,
         "events_runs_test": q.q_events_runs_test,
+        "events_value_anova": q.q_events_value_anova,
+        "events_perm_entropy": q.q_events_perm_entropy,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2809,6 +2811,84 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n1 + n2 + 2 * n1 * n2 AS DOUBLE), 6)
                      AS ratio
             FROM r, c WHERE n1 > 0 AND n2 > 0
+        """,
+        "events_value_anova": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ), g AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS q
+              FROM c GROUP BY 1
+            ), t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(n) AS BIGINT) AS n_total,
+                     CAST(SUM(s) AS HUGEINT) AS s_tot,
+                     SUM(q) AS q_tot,
+                     SUM(CAST(floor(
+                         CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                         / CAST(n AS DOUBLE) * 1000000 + 0.5)
+                       AS HUGEINT)) AS a_units
+              FROM g
+            ), v AS (
+              SELECT k, n_total, a_units, q_tot,
+                     CAST(floor(CAST(s_tot * s_tot AS DOUBLE)
+                                / CAST(n_total AS DOUBLE)
+                                * 1000000 + 0.5) AS HUGEINT) AS g_units
+              FROM t
+            )
+            SELECT k AS n_groups, n_total,
+                   round(CAST((n_total - k) * (a_units - g_units)
+                              AS DOUBLE)
+                         / CAST((k - 1) * (q_tot * 1000000 - a_units)
+                                AS DOUBLE), 6) AS f_stat
+            FROM v
+            WHERE k >= 2 AND n_total > k
+              AND (k - 1) * (q_tot * 1000000 - a_units) > 0
+        """,
+        "events_perm_entropy": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+            ), cal AS (
+              SELECT unnest(range(lo, hi + 1)) AS day FROM b
+            ), g AS (
+              SELECT cal.day, COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d ON d.day = cal.day
+            ), tr AS (
+              SELECT n AS x0,
+                     LEAD(n, 1) OVER (ORDER BY day) AS x1,
+                     LEAD(n, 2) OVER (ORDER BY day) AS x2
+              FROM g
+            ), p AS (
+              SELECT CASE WHEN x1 < x0 THEN 4 ELSE 0 END
+                     + CASE WHEN x2 < x0 THEN 2 ELSE 0 END
+                     + CASE WHEN x2 < x1 THEN 1 ELSE 0 END AS pat
+              FROM tr WHERE x2 IS NOT NULL
+            ), c AS (
+              SELECT pat, CAST(COUNT(*) AS BIGINT) AS c
+              FROM p GROUP BY 1
+            ), m AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS m FROM c
+            ), s AS (
+              SELECT CAST((SELECT m FROM m)
+                       * CAST(floor(ln(CAST((SELECT m FROM m) AS DOUBLE))
+                                    * 1000000 + 0.5) AS BIGINT)
+                     - SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                          * 1000000 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_units
+              FROM c
+            )
+            SELECT m.m AS n_triples, s.sum_units,
+                   round(CAST(s.sum_units AS DOUBLE)
+                         / CAST(1000000 * m.m AS DOUBLE), 6)
+                     AS perm_entropy
+            FROM s, m WHERE m.m IS NOT NULL
         """,
     }
     try:

@@ -10556,3 +10556,129 @@ def q_events_runs_test(sf_dir: str):
                          "runs": np.array([runs], np.int64),
                          "expected_runs": np.array([expected], np.float64),
                          "ratio": np.array([ratio], np.float64)})
+
+
+def q_events_value_anova(sf_dir: str):
+    """One-way ANOVA F-statistic of value across event types — the
+    k-group generalization of ab_value_ttest: "does mean spend differ
+    by behavior at all" before pairwise drilldowns.
+
+    Exactness: per-type (n, sum_cents) and per-block sum-of-squares ride
+    as exact integers (cents^2 partials ship as hi/lo int64 LIMBS — a
+    block's sumsq passes int64 at ~1e5 rows x (1e7 cents)^2); the
+    between/within decomposition quantizes each S_g^2/n_g and S^2/N to
+    1e-6 units with ONE identical float expression per group (HUGEINT ->
+    DOUBLE is correctly rounded on both sides), after which
+    F = (N-k)(A - g) / ((k-1)(Q*1e6 - A)) is ONE divide of exact Python
+    ints (HUGEINT oracle-side).
+
+    Scale shape: one (type x 4-counter) fold, bounded by type
+    cardinality x blocks; nothing row-sized leaves the map stage."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_groups="int64", n_total="int64",
+                         f_stat="float64")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "q_hi": pa.array([], pa.int64()),
+                "q_lo": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "value" not in b.column_names:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "c": _cents(b["value"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type")["c"]
+        out = pd.DataFrame({
+            "event_type": g.size().index,
+            "n": g.size().to_numpy(np.int64),
+            "s": g.sum().to_numpy(np.int64)})
+        # squares in object ints: a max-cents row already nears int64 when
+        # squared, so the sumsq partial is exact-arbitrary-precision and
+        # ships as hi/lo limbs (CLAUDE.md big-int transport rule)
+        sq = df.assign(c2=df["c"].astype(object) * df["c"].astype(object))
+        q_tot = sq.groupby("event_type")["c2"].sum()
+        out["q_hi"] = [int(v) >> 30 for v in q_tot.to_numpy()]
+        out["q_lo"] = [int(v) & ((1 << 30) - 1) for v in q_tot.to_numpy()]
+        for c in ("n", "s", "q_hi", "q_lo"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _fold_partials(
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["event_type"], ["n", "s", "q_hi", "q_lo"],
+    )
+    if parts is None:
+        return empty
+    k = len(parts)
+    n_tot = int(parts["n"].sum())
+    if k < 2 or n_tot <= k:
+        return empty
+    s_tot = sum(int(v) for v in parts["s"])
+    q_tot = sum((int(h) << 30) + int(lo)
+                for h, lo in zip(parts["q_hi"], parts["q_lo"]))
+    a_units = sum(
+        int(np.floor(float(int(s) * int(s)) / float(int(n))
+                     * 1000000 + 0.5))
+        for s, n in zip(parts["s"], parts["n"]))
+    g_units = int(np.floor(float(s_tot * s_tot) / float(n_tot)
+                           * 1000000 + 0.5))
+    num = (n_tot - k) * (a_units - g_units)
+    den = (k - 1) * (q_tot * 1000000 - a_units)
+    if den <= 0:
+        return empty
+    f = float(round_half_up(np.array([float(num) / float(den)]), 6)[0])
+    return pd.DataFrame({"n_groups": np.array([k], np.int64),
+                         "n_total": np.array([n_tot], np.int64),
+                         "f_stat": np.array([f], np.float64)})
+
+
+def q_events_perm_entropy(sf_dir: str):
+    """Permutation entropy (order-3 ordinal patterns) of total daily
+    event volume over the dense day grid — the model-free complexity
+    screen: low entropy = strongly patterned/periodic traffic, ln(6) =
+    indistinguishable from noise. Ties rank by position (stable
+    argsort), so each day triple maps to one of 6 patterns via three
+    strict comparisons.
+
+    Exactness: pattern counts are exact integers; H = [M*lnu(M) -
+    sum_p c_p*lnu(c_p)] / (1e6*M) with per-factor 1e-6-unit ln
+    quantization (the theil/JSD convention) — integer weighted sums
+    (calendar-bounded, trivially inside int64), one half-up divide.
+
+    Scale shape: one (day, n) counter fold; the triple scan is three
+    vectorized compares over the calendar-bounded series."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_triples="int64", sum_units="int64",
+                         perm_entropy="float64")
+    dx = _daily_total_counts(sf_dir)
+    if dx is None:
+        return empty
+    _, x = dx
+    if len(x) < 3:
+        return empty
+    x0, x1, x2 = x[:-2], x[1:-1], x[2:]
+    pat = ((x1 < x0).astype(np.int64) * 4
+           + (x2 < x0).astype(np.int64) * 2
+           + (x2 < x1).astype(np.int64))
+    _, counts = np.unique(pat, return_counts=True)
+    m = int(len(pat))
+
+    def _lnu(v: int) -> int:
+        return int(np.floor(np.log(np.float64(v)) * 1e6 + 0.5))
+
+    su = m * _lnu(m) - sum(int(c) * _lnu(int(c)) for c in counts)
+    h = float(round_half_up(
+        np.array([float(su) / float(10**6 * m)]), 6)[0])
+    return pd.DataFrame({"n_triples": np.array([m], np.int64),
+                         "sum_units": np.array([su], np.int64),
+                         "perm_entropy": np.array([h], np.float64)})

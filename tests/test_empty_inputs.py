@@ -326,6 +326,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                   "su_first", "su_second", "qt_drift"],
         "events_mann_kendall": ["n_days", "s_stat", "var18", "z"],
         "word_skipgram_topk": ["word_a", "word_b", "n"],
+        "events_value_anova": ["n_groups", "n_total", "f_stat"],
+        "events_perm_entropy": ["n_triples", "sum_units", "perm_entropy"],
         "source_burrows_delta": ["src_a", "src_b", "n_words",
                                  "sum_units", "delta"],
         "events_runs_test": ["n_used", "n_above", "n_below", "runs",

@@ -144,3 +144,66 @@ def test_burrows_delta_hand_computed(ray_session, tmp_path):
     assert (r["src_a"], r["src_b"], r["n_words"], r["sum_units"]) == (
         "s0", "s1", 2, su)
     assert r["delta"] == round(su / (1e6 * 2), 6)
+
+
+def test_anova_two_groups_matches_t_squared(ray_session, tmp_path):
+    # classic identity: with 2 groups, F == t^2 (pooled-variance t).
+    # groups: a = [1, 2, 3], b = [5, 6, 7] (dollars -> cents x100)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [1.0, 2.0, 3.0, 5.0, 6.0, 7.0]
+    types = ["a"] * 3 + ["b"] * 3
+    n = len(vals)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_value_anova
+
+    out = q_events_value_anova(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_groups"], r["n_total"]) == (2, 6)
+    # exact decomposition in cents: means 200, 600; grand 400;
+    # SSB = 3*(200^2) + 3*(200^2) = 240000; SSW = 20000 + 20000 = 40000
+    # F = (SSB/1) / (SSW/4) = 240000 / 10000 = 24
+    assert r["f_stat"] == 24.0
+
+
+def test_perm_entropy_monotone_series_is_zero(ray_session, tmp_path):
+    # strictly increasing daily counts -> every triple is the same
+    # pattern -> H = 0
+    _write_events(tmp_path, [(d, d + 1) for d in range(6)])
+    from mysql_log_parser_ray.pipelines.queries import q_events_perm_entropy
+
+    out = q_events_perm_entropy(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_triples"], r["perm_entropy"]) == (4, 0.0)
+
+
+def test_perm_entropy_two_patterns(ray_session, tmp_path):
+    # counts [1,2,1,2,1,2]: triples (1,2,1),(2,1,2),(1,2,1),(2,1,2) ->
+    # two patterns x2 each -> H = ln 2
+    import numpy as np
+
+    _write_events(
+        tmp_path, [(0, 1), (1, 2), (2, 1), (3, 2), (4, 1), (5, 2)]
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_perm_entropy
+
+    out = q_events_perm_entropy(str(tmp_path))
+    r = out.iloc[0]
+    assert r["n_triples"] == 4
+    lnu = lambda v: int(np.floor(np.log(np.float64(v)) * 1e6 + 0.5))
+    su = 4 * lnu(4) - 2 * (2 * lnu(2))
+    assert r["sum_units"] == su
+    assert r["perm_entropy"] == round(su / 4e6, 6)
