@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": q.q_events_runs_test,
         "events_value_anova": q.q_events_value_anova,
         "events_perm_entropy": q.q_events_perm_entropy,
+        "embed_norm_histogram": q.q_embed_norm_histogram,
+        "transition_predictor_acc": q.q_transition_predictor_acc,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2889,6 +2891,44 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(1000000 * m.m AS DOUBLE), 6)
                      AS perm_entropy
             FROM s, m WHERE m.m IS NOT NULL
+        """,
+        "embed_norm_histogram": """
+            WITH x AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), s AS (
+              SELECT vec_id, SUM(xq * xq) AS sq FROM x GROUP BY 1
+            )
+            SELECT CAST(sq // 1000000000000 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "transition_predictor_acc": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS next_type
+              FROM events
+            ), c AS (
+              SELECT event_type AS prev_type, next_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ), mx AS (
+              SELECT prev_type, MAX(n) AS m FROM c GROUP BY 1
+            ), t AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+            ), k AS (
+              SELECT CAST(SUM(m) AS BIGINT) AS correct FROM mx
+            )
+            SELECT t.total AS total_transitions, k.correct AS n_correct,
+                   round(CAST(k.correct AS DOUBLE)
+                         / CAST(t.total AS DOUBLE), 6) AS accuracy
+            FROM t, k WHERE t.total > 0
         """,
     }
     try:

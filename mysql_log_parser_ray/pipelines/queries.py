@@ -10682,3 +10682,134 @@ def q_events_perm_entropy(sf_dir: str):
     return pd.DataFrame({"n_triples": np.array([m], np.int64),
                          "sum_units": np.array([su], np.int64),
                          "perm_entropy": np.array([h], np.float64)})
+
+
+def q_embed_norm_histogram(sf_dir: str, bucket_units: int = 10**12):
+    """Histogram of squared L2 embedding norms — the vector-sanity screen
+    that catches unnormalized batches, zero vectors and magnitude
+    outliers before any cosine math trusts the corpus.
+
+    Exactness: each float32 component quantizes ONCE to 1e-6 units (the
+    embed_dim_moments convention: the f32->f64 widening is exact, so
+    floor(x*1e6+0.5) is bit-identical both sides); the squared norm is
+    then an exact int64 per vector (64 dims x (1e7 units)^2 ~ 6e15) and
+    the bucket id one integer floor-division. No float ever crosses a
+    sum.
+
+    Scale shape: per-block (bucket, n) counter partials fold on the
+    driver — bounded by occupied buckets x blocks, never vectors."""
+    import pandas as pd
+
+    empty = _typed_empty(bucket="int64", n_vecs="int64")
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"bucket": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64())}
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        sq = (xq * xq).sum(axis=1)
+        g = (pd.DataFrame({"bucket": sq // bucket_units})
+             .groupby("bucket", as_index=False).size()
+             .rename(columns={"size": "n_vecs"}))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _fold_partials(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["bucket"], ["n_vecs"],
+    )
+    if out is None:
+        return empty
+    for c in ("bucket", "n_vecs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_transition_predictor_acc(sf_dir: str):
+    """Majority-transition predictor evaluation: if the next event type
+    is always predicted as the globally most common successor of the
+    current type, what fraction of transitions does that get right? The
+    zero-parameter baseline every sequence model must beat, computed
+    from the same (ts, event_id)-ordered per-user streams as the Markov
+    matrix.
+
+    Exactness: accuracy = sum_prev max_next / total is exact integers +
+    ONE half-up divide (the argmax is over counts — value-only, so ties
+    need no break).
+
+    Scale shape: the user_transition_counts fold (whole user per bucket,
+    <= |types|^2 cells per bucket); the driver folds the types^2 matrix
+    and takes row maxima."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(total_transitions="int64", n_correct="int64",
+                         accuracy="float64")
+    from ..util import round_half_up
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        t = pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+        return t.append_column(
+            "_part", pa.array(stable_partition(b["user_id"], 64),
+                              pa.int64()))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prev_type": pd.Series([], dtype="object"),
+                "next_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        same = g["user_id"].shift(-1) == g["user_id"]
+        out = pd.DataFrame({
+            "prev_type": g["event_type"][same],
+            "next_type": g["event_type"].shift(-1)[same]})
+        c = out.groupby(["prev_type", "next_type"], as_index=False).size()
+        c = c.rename(columns={"size": "n"})
+        c["n"] = c["n"].astype("int64")
+        return c
+
+    mat = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["prev_type", "next_type"], ["n"],
+    )
+    if mat is None:
+        return empty
+    total = int(mat["n"].sum())
+    if total == 0:
+        return empty
+    correct = int(mat.groupby("prev_type")["n"].max().sum())
+    acc = float(round_half_up(
+        np.array([float(correct) / float(total)]), 6)[0])
+    return pd.DataFrame({"total_transitions": np.array([total], np.int64),
+                         "n_correct": np.array([correct], np.int64),
+                         "accuracy": np.array([acc], np.float64)})

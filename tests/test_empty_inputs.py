@@ -327,6 +327,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_mann_kendall": ["n_days", "s_stat", "var18", "z"],
         "word_skipgram_topk": ["word_a", "word_b", "n"],
         "events_value_anova": ["n_groups", "n_total", "f_stat"],
+        "embed_norm_histogram": ["bucket", "n_vecs"],
+        "transition_predictor_acc": ["total_transitions", "n_correct",
+                                     "accuracy"],
         "events_perm_entropy": ["n_triples", "sum_units", "perm_entropy"],
         "source_burrows_delta": ["src_a", "src_b", "n_words",
                                  "sum_units", "delta"],

@@ -207,3 +207,61 @@ def test_perm_entropy_two_patterns(ray_session, tmp_path):
     su = 4 * lnu(4) - 2 * (2 * lnu(2))
     assert r["sum_units"] == su
     assert r["perm_entropy"] == round(su / 4e6, 6)
+
+
+def test_embed_norm_histogram_hand_buckets(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # vec of all 1.0 over 64 dims: units 1e6 each -> sq = 64e12 ->
+    # bucket 64; vec of all 0.5: units 5e5 -> sq = 64*25e10=16e12 ->
+    # bucket 16; zero vec -> bucket 0
+    vecs = [[1.0] * 64, [0.5] * 64, [0.0] * 64, [1.0] * 64]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_embed_norm_histogram
+
+    out = q_embed_norm_histogram(str(tmp_path))
+    got = {r["bucket"]: r["n_vecs"] for _, r in out.iterrows()}
+    assert got == {0: 1, 16: 1, 64: 2}
+    assert out["bucket"].tolist() == [0, 16, 64]  # sorted
+
+
+def test_transition_predictor_majority(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one user, stream: a b a b a c  -> transitions a->b(2), b->a(2),
+    # a->c(1); majority rule: after a predict b (2 of 3 correct),
+    # after b predict a (2 of 2) -> correct = 4 of 5
+    types = ["a", "b", "a", "b", "a", "c"]
+    n = len(types)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(range(n), pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([0.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_transition_predictor_acc,
+    )
+
+    out = q_transition_predictor_acc(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["total_transitions"], r["n_correct"]) == (5, 4)
+    assert r["accuracy"] == 0.8
