@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_perm_entropy": q.q_events_perm_entropy,
         "embed_norm_histogram": q.q_embed_norm_histogram,
         "transition_predictor_acc": q.q_transition_predictor_acc,
+        "slowlog_lock_contention": q.q_slowlog_lock_contention,
+        "events_quiet_hours": q.q_events_quiet_hours,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2929,6 +2931,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(k.correct AS DOUBLE)
                          / CAST(t.total AS DOUBLE), 6) AS accuracy
             FROM t, k WHERE t.total > 0
+        """,
+        "slowlog_lock_contention": f"""
+            SELECT {_DB} AS db,
+                   COUNT(*) AS n_queries,
+                   CAST(SUM(n_chars % 32) AS BIGINT) AS su_lock,
+                   CAST(SUM(n_chars % 128) AS BIGINT) AS su_qt,
+                   round(CAST(SUM(n_chars % 32) AS DOUBLE)
+                         / CAST(2 * SUM(n_chars % 128) AS DOUBLE), 6)
+                       AS contention
+            FROM documents GROUP BY 1
+            HAVING SUM(n_chars % 128) > 0
+            ORDER BY 1
+        """,
+        "events_quiet_hours": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                       AS hr, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(hr) AS lo, MAX(hr) AS hi,
+                     CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS n_hours
+              FROM d
+            ), cal AS (
+              SELECT unnest(range(lo, hi + 1)) AS hr FROM b
+            ), g AS (
+              SELECT cal.hr, COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d ON d.hr = cal.hr
+            ), runs AS (
+              SELECT COUNT(*) AS run_len
+              FROM (SELECT hr, hr - ROW_NUMBER() OVER (ORDER BY hr)
+                             AS grp
+                    FROM g WHERE n = 0)
+              GROUP BY grp
+            )
+            SELECT b.n_hours,
+                   CAST((SELECT COUNT(*) FROM g WHERE n = 0) AS BIGINT)
+                     AS n_zero_hours,
+                   CAST(COALESCE((SELECT MAX(run_len) FROM runs), 0)
+                        AS BIGINT) AS longest_zero_run
+            FROM b WHERE b.lo IS NOT NULL
         """,
     }
     try:

@@ -10813,3 +10813,129 @@ def q_transition_predictor_acc(sf_dir: str):
     return pd.DataFrame({"total_transitions": np.array([total], np.int64),
                          "n_correct": np.array([correct], np.int64),
                          "accuracy": np.array([acc], np.float64)})
+
+
+def q_slowlog_lock_contention(sf_dir: str):
+    """Per-database lock-contention share over the REAL slow-log
+    pipeline: what fraction of each db's total query wall-time is spent
+    waiting on locks (sum Lock_time / sum Query_time) — the "which
+    schema is lock-bound" triage the reference's per-metric stats tables
+    feed (Lock_time/Query_time semantics per event.go TimeMetrics).
+
+    Exactness: Lock_time is (n_chars % 32)/8 and Query_time
+    (n_chars % 128)/4 by construction, so lock*8 and qt*4 are exact
+    integer units in both the parsed floats and the oracle's closed
+    form; contention = su_lock / (2 * su_qt) is ONE half-up
+    ratio-of-ints divide (the unit factors fold into the constant 2).
+    Dbs with zero total query time are excluded on both sides.
+
+    Scale shape: per-block (db x 3 counters) integer partials fold on
+    the driver — db-cardinality-bounded."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(db=object, n_queries="int64", su_lock="int64",
+                         su_qt="int64", contention="float64")
+    ev = _flat_events(sf_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"db": pa.array([], pa.string()),
+                "n_queries": pa.array([], pa.int64()),
+                "su_lock": pa.array([], pa.int64()),
+                "su_qt": pa.array([], pa.int64())}
+        if "db" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        lt = b["lock_time"].to_numpy(zero_copy_only=False)
+        qt = b["query_time"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "db": b["db"].to_pandas(),
+            "lu": np.round(lt * 8.0).astype(np.int64),
+            "qu": np.round(qt * 4.0).astype(np.int64)})
+        g = df.groupby("db", as_index=False).agg(
+            n_queries=("lu", "size"), su_lock=("lu", "sum"),
+            su_qt=("qu", "sum"))
+        for c in ("n_queries", "su_lock", "su_qt"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _fold_partials(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["db"], ["n_queries", "su_lock", "su_qt"],
+    )
+    if out is None:
+        return empty
+    out = out[out["su_qt"] > 0].reset_index(drop=True)
+    if not len(out):
+        return empty
+    out["contention"] = round_half_up(
+        [float(int(l)) / float(2 * int(q))
+         for l, q in zip(out["su_lock"], out["su_qt"])], 6)
+    for c in ("n_queries", "su_lock", "su_qt"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("db").reset_index(drop=True)[
+        ["db", "n_queries", "su_lock", "su_qt", "contention"]]
+
+
+def q_events_quiet_hours(sf_dir: str):
+    """Dead-air monitor: over the dense hour grid between the first and
+    last event, how many hours saw zero traffic and how long was the
+    longest silent stretch — the pipeline-outage / ingestion-gap screen
+    an SRE reads before trusting any daily aggregate.
+
+    Exactness: all outputs are exact integers (hour counts and run
+    lengths over the dense grid).
+
+    Scale shape: one (hour, n) counter fold (calendar-bounded); the
+    run-length scan is a vectorized boundary diff on the driver."""
+    import pandas as pd
+
+    empty = _typed_empty(n_hours="int64", n_zero_hours="int64",
+                         longest_zero_run="int64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"hr": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        hr = pc.cast(
+            pc.floor(pc.divide(pc.cast(pc.cast(b["ts"], pa.int64()),
+                                       pa.float64()), 3600000000.0)),
+            pa.int64())
+        g = (pd.DataFrame({"hr": hr.to_numpy(zero_copy_only=False)})
+             .groupby("hr", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("hr", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["hr"], ["n"],
+    )
+    if cells is None:
+        return empty
+    lo, hi = int(cells["hr"].min()), int(cells["hr"].max())
+    n_hours = hi - lo + 1
+    occupied = np.zeros(n_hours, dtype=bool)
+    occupied[cells["hr"].to_numpy(np.int64) - lo] = True
+    zero = ~occupied
+    n_zero = int(np.count_nonzero(zero))
+    if n_zero == 0:
+        longest = 0
+    else:
+        z = np.concatenate(([False], zero, [False]))
+        d = np.diff(z.astype(np.int8))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        longest = int((ends - starts).max())
+    return pd.DataFrame({
+        "n_hours": np.array([n_hours], np.int64),
+        "n_zero_hours": np.array([n_zero], np.int64),
+        "longest_zero_run": np.array([longest], np.int64)})

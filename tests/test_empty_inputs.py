@@ -328,6 +328,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "word_skipgram_topk": ["word_a", "word_b", "n"],
         "events_value_anova": ["n_groups", "n_total", "f_stat"],
         "embed_norm_histogram": ["bucket", "n_vecs"],
+        "slowlog_lock_contention": ["db", "n_queries", "su_lock",
+                                    "su_qt", "contention"],
+        "events_quiet_hours": ["n_hours", "n_zero_hours",
+                               "longest_zero_run"],
         "transition_predictor_acc": ["total_transitions", "n_correct",
                                      "accuracy"],
         "events_perm_entropy": ["n_triples", "sum_units", "perm_entropy"],

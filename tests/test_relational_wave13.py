@@ -265,3 +265,63 @@ def test_transition_predictor_majority(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["total_transitions"], r["n_correct"]) == (5, 4)
     assert r["accuracy"] == 0.8
+
+
+def test_quiet_hours_planted_gap(ray_session, tmp_path):
+    # events in hours 0, 1, 5, 6 -> grid 0..6 (7 hours), zeros at
+    # 2,3,4 -> 3 zero hours, longest run 3
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hrs = [0, 1, 5, 6]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array([h * 3600_000_000 for h in hrs],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["view"] * 4),
+                "value": pa.array([0.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_quiet_hours
+
+    out = q_events_quiet_hours(str(tmp_path))
+    assert out.iloc[0].tolist() == [7, 3, 3]
+
+
+def test_lock_contention_hand_computed(ray_session, tmp_path):
+    # docs with n_chars 40 and 80, both db = 'db' || n%3:
+    # 40 -> db1: lock units 40%32=8, qt units 40%128=40
+    # 80 -> db2: lock 80%32=16, qt 80
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nc = [40, 80]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(["x" * c for c in nc]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s0"] * 2),
+                "n_chars": pa.array(nc, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_slowlog_lock_contention,
+    )
+
+    out = q_slowlog_lock_contention(str(tmp_path))
+    got = {r["db"]: (r["n_queries"], r["su_lock"], r["su_qt"],
+                     r["contention"]) for _, r in out.iterrows()}
+    assert got == {
+        "db1": (1, 8, 40, 0.1),       # 8 / (2*40)
+        "db2": (1, 16, 80, 0.1),      # 16 / (2*80)
+    }
