@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_predictor_acc": q.q_transition_predictor_acc,
         "slowlog_lock_contention": q.q_slowlog_lock_contention,
         "events_quiet_hours": q.q_events_quiet_hours,
+        "orders_cohort_revenue": q.q_orders_cohort_revenue,
+        "users_funnel_windowed": q.q_users_funnel_windowed,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -2971,6 +2973,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE((SELECT MAX(run_len) FROM runs), 0)
                         AS BIGINT) AS longest_zero_run
             FROM b WHERE b.lo IS NOT NULL
+        """,
+        "orders_cohort_revenue": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders WHERE o_orderdate IS NOT NULL
+            ), f AS (
+              SELECT o_custkey,
+                     date_trunc('month', MIN(o_orderdate)) AS cm
+              FROM o GROUP BY 1
+            ), j AS (
+              SELECT strftime(f.cm, '%Y-%m') AS cohort,
+                     (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                       - (year(f.cm) * 12 + month(f.cm)) AS mo_offset,
+                     o.cents
+              FROM o JOIN f ON o.o_custkey = f.o_custkey
+            )
+            SELECT cohort, CAST(mo_offset AS BIGINT) AS mo_offset,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "users_funnel_windowed": """
+            WITH v AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN v ON v.user_id = e.user_id
+                AND epoch_us(e.ts) > v.t
+                AND epoch_us(e.ts) <= v.t + 3600000000
+              WHERE e.event_type = 'click' GROUP BY 1
+            ), p AS (
+              SELECT DISTINCT e.user_id
+              FROM events e JOIN c ON c.user_id = e.user_id
+                AND epoch_us(e.ts) > c.t
+                AND epoch_us(e.ts) <= c.t + 3600000000
+              WHERE e.event_type = 'purchase'
+            )
+            SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                   (SELECT COUNT(*) FROM c) AS n_click_1h,
+                   (SELECT COUNT(*) FROM p) AS n_purchase_1h
         """,
     }
     try:

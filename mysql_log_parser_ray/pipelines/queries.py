@@ -10939,3 +10939,160 @@ def q_events_quiet_hours(sf_dir: str):
         "n_hours": np.array([n_hours], np.int64),
         "n_zero_hours": np.array([n_zero], np.int64),
         "longest_zero_run": np.array([longest], np.int64)})
+
+
+def q_orders_cohort_revenue(sf_dir: str, n_parts: int = 64):
+    """Cohort revenue matrix: customers grouped by FIRST-order month,
+    revenue and order counts per months-since-acquisition offset — the
+    LTV-curve input (the revenue-side companion to the user-retention
+    cohort_week_matrix).
+
+    Exactness: cents via the shared floor(x*100+0.5); month arithmetic
+    is integer (months-since-epoch difference both sides); all sums
+    int64.
+
+    Scale shape: orders hash-bucket by custkey so each customer's
+    history sits whole in one task (first-order month is in-bucket
+    global); buckets emit (cohort, offset) cells — calendar^2-bounded —
+    and the driver folds those."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(cohort=object, mo_offset="int64",
+                         n_orders="int64", revenue_cents="int64")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"o_custkey": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "ts_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "cents": _cents(b["o_totalprice"])})
+        return t.append_column(
+            "_part", pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64()))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort": pd.Series([], dtype="object"),
+                "mo_offset": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")}
+        if not len(g) or "o_custkey" not in g.columns:
+            return pd.DataFrame(cols)
+        # month index since epoch (integer), via datetime64[M]
+        m = (g["ts_us"].to_numpy(np.int64).astype("datetime64[us]")
+             .astype("datetime64[M]"))
+        mi = m.astype(np.int64)
+        df = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                           "mi": mi,
+                           "cents": g["cents"].to_numpy(np.int64)})
+        first = df.groupby("cust")["mi"].transform("min")
+        cohort = np.datetime_as_string(
+            first.to_numpy(np.int64).astype("datetime64[M]"), unit="M")
+        out = pd.DataFrame({
+            "cohort": cohort,
+            "mo_offset": (df["mi"] - first).astype("int64"),
+            "cents": df["cents"]})
+        c = out.groupby(["cohort", "mo_offset"], as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        for col in ("mo_offset", "n_orders", "revenue_cents"):
+            c[col] = c[col].astype("int64")
+        return c
+
+    out = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["cohort", "mo_offset"], ["n_orders", "revenue_cents"],
+    )
+    if out is None:
+        return empty
+    for c in ("mo_offset", "n_orders", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort", "mo_offset"]).reset_index(drop=True)
+
+
+def q_users_funnel_windowed(sf_dir: str, window_us: int = 3_600_000_000,
+                            n_parts: int = 64):
+    """Time-window-constrained funnel: users whose first view led to a
+    click within an hour, and from that click to a purchase within an
+    hour — the latency-honest conversion count (the plain funnel counts
+    eventual converters; this one counts converters fast enough to
+    attribute). Greedy anchors: first view, then FIRST qualifying click.
+
+    Exactness: all three outputs are exact integer user counts (always
+    one row, zeros on empty input — the funnel_steps scalar contract).
+
+    Scale shape: events hash-bucket by user so each user's stream sits
+    whole in one task; buckets emit one 3-counter row."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        mask = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = pa.table({"user_id": b["user_id"],
+                      "ts_us": pc.cast(b["ts"], pa.int64()),
+                      "event_type": b["event_type"]})
+        return t.append_column(
+            "_part", pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64()))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_view": pd.Series([], dtype="int64"),
+                "n_click_1h": pd.Series([], dtype="int64"),
+                "n_purchase_1h": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id")["ts_us"].min())
+        cl = g[g["event_type"] == "click"].merge(
+            v.rename("vt"), left_on="user_id", right_index=True)
+        cl = cl[(cl["ts_us"] > cl["vt"])
+                & (cl["ts_us"] <= cl["vt"] + window_us)]
+        c = cl.groupby("user_id")["ts_us"].min()
+        pu = g[g["event_type"] == "purchase"].merge(
+            c.rename("ct"), left_on="user_id", right_index=True)
+        pu = pu[(pu["ts_us"] > pu["ct"])
+                & (pu["ts_us"] <= pu["ct"] + window_us)]
+        return pd.DataFrame({
+            "n_view": np.array([len(v)], np.int64),
+            "n_click_1h": np.array([len(c)], np.int64),
+            "n_purchase_1h": np.array([pu["user_id"].nunique()],
+                                      np.int64)})
+
+    parts = (_read(sf_dir, "events",
+                   columns=["user_id", "ts", "event_type"])
+             .map_batches(_tag, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+             .groupby("_part").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "n_view" not in parts.columns:
+        parts = pd.DataFrame({"n_view": [0], "n_click_1h": [0],
+                              "n_purchase_1h": [0]})
+    return pd.DataFrame({
+        "n_view": np.array([int(parts["n_view"].sum())], np.int64),
+        "n_click_1h": np.array([int(parts["n_click_1h"].sum())],
+                               np.int64),
+        "n_purchase_1h": np.array([int(parts["n_purchase_1h"].sum())],
+                                  np.int64)})

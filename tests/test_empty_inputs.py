@@ -332,6 +332,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                     "su_qt", "contention"],
         "events_quiet_hours": ["n_hours", "n_zero_hours",
                                "longest_zero_run"],
+        "orders_cohort_revenue": ["cohort", "mo_offset", "n_orders",
+                                  "revenue_cents"],
         "transition_predictor_acc": ["total_transitions", "n_correct",
                                      "accuracy"],
         "events_perm_entropy": ["n_triples", "sum_units", "perm_entropy"],
@@ -388,6 +390,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     assert len(out) == 1
     assert out.iloc[0, :5].tolist() == [0, 0, 0, 0, 0]
     assert pd.isna(out["bounce_rate"].iloc[0])
+    # users_funnel_windowed is a scalar rollup: one zero row always
+    out = _to_pandas(qs["users_funnel_windowed"](str(tmp_path)))
+    assert list(out.columns) == ["n_view", "n_click_1h", "n_purchase_1h"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0]
     # fk_orphans_audit always reports every edge (scalar-subquery oracle),
     # so empty input means 6 zero rows in edge order
     out = _to_pandas(qs["fk_orphans_audit"](str(tmp_path)))

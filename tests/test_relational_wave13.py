@@ -325,3 +325,75 @@ def test_lock_contention_hand_computed(ray_session, tmp_path):
         "db1": (1, 8, 40, 0.1),       # 8 / (2*40)
         "db2": (1, 16, 80, 0.1),      # 16 / (2*80)
     }
+
+
+def test_cohort_revenue_two_cohorts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # cust 1: first order 2024-01 (10.00), then 2024-03 (20.00) ->
+    #   cohort 2024-01 offsets 0 and 2
+    # cust 2: single order 2024-02 (5.00) -> cohort 2024-02 offset 0
+    def _ts(y, m):
+        import datetime
+
+        return int(datetime.datetime(y, m, 15).timestamp() * 1_000_000)
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([10.0, 20.0, 5.0]),
+                "o_orderdate": pa.array(
+                    [_ts(2024, 1), _ts(2024, 3), _ts(2024, 2)],
+                    pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_orders_cohort_revenue
+
+    out = q_orders_cohort_revenue(str(tmp_path))
+    got = {(r["cohort"], r["mo_offset"]): (r["n_orders"],
+                                           r["revenue_cents"])
+           for _, r in out.iterrows()}
+    assert got == {
+        ("2024-01", 0): (1, 1000),
+        ("2024-01", 2): (1, 2000),
+        ("2024-02", 0): (1, 500),
+    }
+
+
+def test_funnel_windowed_late_click_excluded(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000_000
+    # user 1: view@0, click@H (inside), purchase@H+10 (inside) -> full
+    # user 2: view@0, click@H+1 (late) -> view only
+    # user 3: view@0, click@10, purchase@10+H+1 (late) -> view+click
+    rows = [
+        (1, 0, "view"), (1, H, "click"), (1, H + 10, "purchase"),
+        (2, 0, "view"), (2, H + 1, "click"),
+        (3, 0, "view"), (3, 10, "click"), (3, 10 + H + 1, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_users_funnel_windowed
+
+    out = q_users_funnel_windowed(str(tmp_path))
+    assert out.iloc[0].tolist() == [3, 2, 1]
