@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quiet_hours": q.q_events_quiet_hours,
         "orders_cohort_revenue": q.q_orders_cohort_revenue,
         "users_funnel_windowed": q.q_users_funnel_windowed,
+        "parts_name_trigram_match": q.q_parts_name_trigram_match,
+        "lineitem_flag_ols": q.q_lineitem_flag_ols,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3016,6 +3018,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM v) AS n_view,
                    (SELECT COUNT(*) FROM c) AS n_click_1h,
                    (SELECT COUNT(*) FROM p) AS n_purchase_1h
+        """,
+        "parts_name_trigram_match": """
+            WITH names AS (
+              SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+            ), tri AS (
+              SELECT DISTINCT p_name, substr(p_name, CAST(u AS INT), 3) AS g
+              FROM (SELECT p_name,
+                           unnest(generate_series(1, length(p_name) - 2))
+                             AS u
+                    FROM names)
+            ), sz AS (
+              SELECT p_name, COUNT(*) AS sz FROM tri GROUP BY 1
+            ), inter AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b,
+                     COUNT(*) AS ni
+              FROM tri a JOIN tri b ON a.g = b.g AND a.p_name < b.p_name
+              GROUP BY 1, 2
+            )
+            SELECT name_a, name_b, CAST(ni AS BIGINT) AS n_inter,
+                   CAST(sa.sz + sb.sz - ni AS BIGINT) AS n_union,
+                   round(CAST(ni AS DOUBLE)
+                         / CAST(sa.sz + sb.sz - ni AS DOUBLE), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.p_name = name_a
+            JOIN sz sb ON sb.p_name = name_b
+            WHERE ni * 4 >= (sa.sz + sb.sz - ni)
+            ORDER BY name_a, name_b
+        """,
+        "lineitem_flag_ols": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ), m AS (
+              SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+                     SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM q GROUP BY 1
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                     AS slope_cents_per_qty,
+                   round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                     AS intercept_cents
+            FROM m WHERE n * sxx - sx * sx != 0
+            ORDER BY l_returnflag
         """,
     }
     try:

@@ -11096,3 +11096,151 @@ def q_users_funnel_windowed(sf_dir: str, window_us: int = 3_600_000_000,
                                np.int64),
         "n_purchase_1h": np.array([int(parts["n_purchase_1h"].sum())],
                                   np.int64)})
+
+
+def q_parts_name_trigram_match(sf_dir: str, num: int = 1, den: int = 4,
+                               max_vocab: int = 100_000):
+    """Fuzzy entity matching over the distinct part-name vocabulary:
+    character-trigram Jaccard between every pair of DISTINCT names,
+    keeping pairs at or above num/den (default 0.25) — the pg_trgm-style
+    duplicate-entity screen ("blue anvil" vs "blue bolt" share 'blu',
+    'lue', 'ue ') run before trusting name-keyed rollups.
+
+    Exactness: similarity is a ratio of integers (shared distinct
+    trigrams / union size) thresholded in INTEGER arithmetic
+    (ni*den >= num*union, zero-inter pairs excluded like the oracle's
+    inner join) and rounded via round_half_up — the representable-.5-ties
+    rule for ratios of small ints.
+
+    Scale shape: names fold to the DISTINCT vocabulary per block
+    (pc.unique) before anything pairwise ships; the vocabulary is
+    catalog-bounded (TPC-H p_name is a closed word-combination set) with
+    a max_vocab fail-fast, and the pairwise intersection is ONE numpy
+    incidence-matrix product (vocab x trigrams), never a Python pair
+    loop."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(name_a=object, name_b=object, n_inter="int64",
+                         n_union="int64", jaccard="float64")
+
+    def _uniq(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "p_name" not in b.column_names:
+            return pa.table({"p_name": pa.array([], pa.string())})
+        v = pc.unique(pc.drop_null(b["p_name"]))
+        return pa.table({"p_name": v})
+
+    parts = (_read(sf_dir, "part", columns=["p_name"])
+             .map_batches(_uniq, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+             .to_pandas())
+    if not len(parts) or "p_name" not in parts.columns:
+        return empty
+    names = sorted(set(parts["p_name"].tolist()))
+    if len(names) > max_vocab:
+        raise ValueError(
+            f"distinct part-name vocabulary {len(names)} exceeds "
+            f"max_vocab={max_vocab}; pairwise matching is vocab^2 — "
+            "raise the bound deliberately or pre-block the names")
+    if not names:
+        return empty
+    gram_sets = [{nm[i:i + 3] for i in range(len(nm) - 2)} for nm in names]
+    grams = sorted(set().union(*gram_sets)) if gram_sets else []
+    if not grams:
+        return empty
+    gidx = {g: i for i, g in enumerate(grams)}
+    M = np.zeros((len(names), len(grams)), np.int64)
+    for r, gs in enumerate(gram_sets):
+        for g in gs:
+            M[r, gidx[g]] = 1
+    inter = M @ M.T
+    sz = M.sum(axis=1)
+    ia, ib = np.triu_indices(len(names), k=1)
+    ni = inter[ia, ib]
+    un = sz[ia] + sz[ib] - ni
+    keep = (ni > 0) & (ni * den >= num * un)
+    if not keep.any():
+        return empty
+    ia, ib, ni, un = ia[keep], ib[keep], ni[keep], un[keep]
+    arr = np.asarray(names, dtype=object)
+    out = pd.DataFrame({
+        "name_a": arr[ia], "name_b": arr[ib],
+        "n_inter": ni.astype("int64"), "n_union": un.astype("int64"),
+        "jaccard": round_half_up(
+            ni.astype(np.float64) / un.astype(np.float64), 6)})
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+def q_lineitem_flag_ols(sf_dir: str):
+    """Per-returnflag OLS of extendedprice (cents) on quantity — the
+    price-per-unit consistency screen: a flag class whose slope diverges
+    from the others signals mispriced or mis-flagged line items.
+
+    Exactness: quantity is integral in TPC-H (floor(q+0.5) both sides),
+    price quantizes to cents; per-block moment partials (n, sx, sy, sxy,
+    sxx) are int64-safe (max |xy| ~ 5e8/elem), the driver folds them in
+    PYTHON ints (the n*sxy cross products overflow int64 at petabyte
+    scale — mirrors the oracle's HUGEINT math), and only the final
+    quotient touches floats: float(num)/float(den) == the oracle's
+    CAST-CAST-divide bit-for-bit. Half-away rounding (slopes/intercepts
+    can go negative)."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(l_returnflag=object, n="int64",
+                         slope_cents_per_qty="float64",
+                         intercept_cents="float64")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"l_returnflag": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_returnflag" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["l_quantity"]),
+                             pc.is_valid(b["l_extendedprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        x = pc.cast(pc.floor(pc.add(b["l_quantity"], 0.5)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas().to_numpy(),
+            "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        }).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (li.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .to_pandas())
+    if not len(parts) or "l_returnflag" not in parts.columns:
+        return empty
+    rows = []
+    for fl, g in parts.groupby("l_returnflag"):
+        n = int(g["n"].sum()); sx = int(g["sx"].sum())
+        sy = int(g["sy"].sum()); sxy = int(g["sxy"].sum())
+        sxx = int(g["sxx"].sum())
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = np.float64(n * sxy - sx * sy) / np.float64(den)
+        icept = np.float64(sy * sxx - sx * sxy) / np.float64(den)
+        rows.append((fl, n, slope, icept))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n",
+                                      "slope_cents_per_qty",
+                                      "intercept_cents"])
+    out["n"] = out["n"].astype("int64")
+    out["slope_cents_per_qty"] = round_half_away(
+        out["slope_cents_per_qty"], 6)
+    out["intercept_cents"] = round_half_away(out["intercept_cents"], 6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)

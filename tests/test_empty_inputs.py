@@ -341,6 +341,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                  "sum_units", "delta"],
         "events_runs_test": ["n_used", "n_above", "n_below", "runs",
                              "expected_runs", "ratio"],
+        "parts_name_trigram_match": ["name_a", "name_b", "n_inter",
+                                     "n_union", "jaccard"],
+        "lineitem_flag_ols": ["l_returnflag", "n", "slope_cents_per_qty",
+                              "intercept_cents"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -397,3 +397,59 @@ def test_funnel_windowed_late_click_excluded(ray_session, tmp_path):
 
     out = q_users_funnel_windowed(str(tmp_path))
     assert out.iloc[0].tolist() == [3, 2, 1]
+
+
+def test_trigram_match_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # "blue bolt" vs "blue boat": trigrams of "blue bolt" = {blu, lue,
+    # ue , e b,  bo, bol, olt} (7); "blue boat" = {blu, lue, ue , e b,
+    #  bo, boa, oat} (7); inter = 5, union = 9 -> jaccard 0.555556.
+    # "red rod" shares nothing with either at >= 0.25.
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "p_name": pa.array(["blue bolt", "blue boat", "red rod",
+                                "blue bolt"]),
+            "p_type": pa.array(["t"] * 4),
+            "p_retailprice": pa.array([1.0] * 4),
+        }),
+        str(tmp_path / "part.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_parts_name_trigram_match,
+    )
+
+    out = q_parts_name_trigram_match(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["name_a"], r["name_b"]) == ("blue boat", "blue bolt")
+    assert (r["n_inter"], r["n_union"]) == (5, 9)
+    assert r["jaccard"] == 0.555556
+
+
+def test_lineitem_flag_ols_exact_line(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # flag A lies exactly on y = 200x + 50 cents: qty 1..4,
+    # price dollars 2.5, 4.5, 6.5, 8.5 -> slope 200, intercept 50.
+    # flag B has a single x value -> zero denominator, dropped.
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 5.0]),
+            "l_extendedprice": pa.array([2.5, 4.5, 6.5, 8.5, 1.0, 2.0]),
+            "l_returnflag": pa.array(["A", "A", "A", "A", "B", "B"]),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_lineitem_flag_ols
+
+    out = q_lineitem_flag_ols(str(tmp_path))
+    assert out["l_returnflag"].tolist() == ["A"]
+    r = out.iloc[0]
+    assert r["n"] == 4
+    assert r["slope_cents_per_qty"] == 200.0
+    assert r["intercept_cents"] == 50.0
