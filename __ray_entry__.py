@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_funnel_windowed": q.q_users_funnel_windowed,
         "parts_name_trigram_match": q.q_parts_name_trigram_match,
         "lineitem_flag_ols": q.q_lineitem_flag_ols,
+        "events_session_pctl": q.q_events_session_pctl,
+        "nation_balance_spend_corr": q.q_nation_balance_spend_corr,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3070,6 +3072,68 @@ def oracle_sql() -> dict[str, str]:
                      AS intercept_cents
             FROM m WHERE n * sxx - sx * sx != 0
             ORDER BY l_returnflag
+        """,
+        "events_session_pctl": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), b AS (
+              SELECT user_id, t,
+                     CASE WHEN LAG(t) OVER w IS NULL
+                            OR t - LAG(t) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), sid AS (
+              SELECT user_id, t,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM b
+            ), d AS (
+              SELECT (MAX(t) - MIN(t)) // 1000000 AS dur_s
+              FROM sid GROUP BY user_id, sid
+            ), n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM d
+            ), s AS (
+              SELECT dur_s, COUNT(*) AS c FROM d GROUP BY 1
+            ), w AS (
+              SELECT dur_s, SUM(c) OVER (ORDER BY dur_s) AS cum FROM s
+            )
+            SELECT n.n_sessions,
+                   (SELECT CAST(MIN(dur_s) AS BIGINT) FROM w, n
+                    WHERE cum >= GREATEST(1, (50 * n.n_sessions) // 100))
+                     AS p50_s,
+                   (SELECT CAST(MIN(dur_s) AS BIGINT) FROM w, n
+                    WHERE cum >= GREATEST(1, (90 * n.n_sessions) // 100))
+                     AS p90_s
+            FROM n WHERE n.n_sessions > 0
+        """,
+        "nation_balance_spend_corr": """
+            WITH sp AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS spend
+              FROM orders GROUP BY 1
+            ), c AS (
+              SELECT c_nationkey,
+                     CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                     COALESCE(sp.spend, 0) AS y
+              FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey
+            ), m AS (
+              SELECT c_nationkey, COUNT(*) AS n, SUM(x) AS sx,
+                     SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM c GROUP BY 1
+            )
+            SELECT nt.n_name, CAST(m.n AS BIGINT) AS n_customers,
+                   round(CAST(m.n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(m.n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m.n * syy - sy * sy AS DOUBLE))),
+                         6) AS corr_bal_spend
+            FROM m JOIN nation nt ON nt.n_nationkey = m.c_nationkey
+            WHERE m.n * sxx - sx * sx > 0 AND m.n * syy - sy * sy > 0
+            ORDER BY nt.n_name
         """,
     }
     try:

@@ -11244,3 +11244,233 @@ def q_lineitem_flag_ols(sf_dir: str):
         out["slope_cents_per_qty"], 6)
     out["intercept_cents"] = round_half_away(out["intercept_cents"], 6)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_session_pctl(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Session-duration percentiles: sessionize each user's event stream
+    at a 30-minute inactivity gap, then report p50/p90 of session
+    duration in whole seconds — the engagement-depth KPI next to
+    sessions_bounce's rate view. Singleton sessions last 0 s.
+
+    Exactness: session boundaries are integer comparisons on epoch-us,
+    durations are integer floor-divisions ((last-first)//1e6), and the
+    percentiles are the repo's 1-based nearest-rank convention walked
+    over an exact histogram cumsum.
+
+    Scale shape: events hash-bucket by user (whole stream per task), one
+    lexsort + boundary-diff per bucket, and only (dur_s, n) HISTOGRAM
+    cells — bounded by the distinct-duration domain, never event count —
+    leave the buckets; the driver folds that histogram."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(n_sessions="int64", p50_s="int64", p90_s="int64")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "_part": pa.array(stable_partition(b["user_id"], 64),
+                              pa.int64())})
+
+    def _durs(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"dur_s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        o = np.lexsort((g["ts_us"].to_numpy(), g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy()[o]
+        t = g["ts_us"].to_numpy()[o]
+        # new session where user changes or in-user gap exceeds gap_us
+        brk = np.ones(len(u), bool)
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame({"sid": sid, "t": t})
+        agg = df.groupby("sid")["t"].agg(["min", "max"])
+        dur = (agg["max"].to_numpy() - agg["min"].to_numpy()) // 1_000_000
+        out = (pd.DataFrame({"dur_s": dur})
+               .groupby("dur_s", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    hist = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_durs, batch_format="pandas"),
+        ["dur_s"], ["n"],
+    )
+    if hist is None:
+        return empty
+    hist = hist.sort_values("dur_s").reset_index(drop=True)
+    n = int(hist["n"].sum())
+    r50 = max(1, (50 * n) // 100)
+    r90 = max(1, (90 * n) // 100)
+    cum, p50, p90 = 0, None, None
+    for dv, cv in zip(hist["dur_s"], hist["n"]):
+        cum += int(cv)
+        if p50 is None and cum >= r50:
+            p50 = int(dv)
+        if p90 is None and cum >= r90:
+            p90 = int(dv)
+    return pd.DataFrame({"n_sessions": np.array([n], np.int64),
+                         "p50_s": np.array([p50], np.int64),
+                         "p90_s": np.array([p90], np.int64)})
+
+
+def q_nation_balance_spend_corr(sf_dir: str, n_parts: int = 64):
+    """Per-nation Pearson correlation between a customer's account
+    balance and their lifetime order spend — the "do rich accounts
+    actually buy more" segmentation sanity check; orderless customers
+    count with spend 0 (the oracle's LEFT JOIN + COALESCE).
+
+    Exactness: balances and spend quantize to cents; per-bucket moment
+    partials ship sxy/sxx/syy as hi/lo int64 LIMBS (y^2 ~ 2e16 per
+    element already crowds int64 per CLAUDE.md's big-int transport
+    rule; per-element products stay exact below |x*y| < 2^63, i.e.
+    spend < $9e10 per customer at the 1e6-cent balance cap), the driver
+    recombines in PYTHON ints mirroring HUGEINT, and
+    float(num)/(sqrt(float(d1))*sqrt(float(d2))) is the oracle's
+    CAST/sqrt chain op-for-op. Zero-variance nations dropped both sides.
+
+    Scale shape: orders fold to per-customer spend inside custkey
+    buckets; customers land in the SAME buckets (tagged union — both
+    merge stages return pa.Table per the arrow/pandas union rule), so
+    the balance~spend merge is in-bucket with no extra shuffle; nation
+    names broadcast (25 rows); only nation-cardinality moment rows reach
+    the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_name=object, n_customers="int64",
+                         corr_bal_spend="float64")
+    LIMB = (1 << 30) - 1
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "bal_cents": pa.array([], pa.int64()),
+                "spend_cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "c_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["c_custkey"], pa.int64()),
+            "nat": pc.cast(b["c_nationkey"], pa.int64()),
+            "bal_cents": _cents(b["c_acctbal"]),
+            "spend_cents": pa.nulls(b.num_rows, pa.int64()),
+            "_part": pa.array(stable_partition(b["c_custkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "bal_cents": pa.array([], pa.int64()),
+                "spend_cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "nat": pa.nulls(b.num_rows, pa.int64()),
+            "bal_cents": pa.nulls(b.num_rows, pa.int64()),
+            "spend_cents": _cents(b["o_totalprice"]),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nat": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sx": pd.Series([], dtype="int64"),
+                "sy": pd.Series([], dtype="int64"),
+                "sxy_hi": pd.Series([], dtype="int64"),
+                "sxy_lo": pd.Series([], dtype="int64"),
+                "sxx_hi": pd.Series([], dtype="int64"),
+                "sxx_lo": pd.Series([], dtype="int64"),
+                "syy_hi": pd.Series([], dtype="int64"),
+                "syy_lo": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        cd = g[g["nat"].notna()]
+        if not len(cd):
+            return pd.DataFrame(cols)
+        od = g[g["nat"].isna() & g["spend_cents"].notna()]
+        # nullable int64 columns land as float64 after the union; cents
+        # magnitudes are exact below 2^53, cast back before integer math
+        spend = (od.assign(sc=od["spend_cents"].astype("int64"))
+                 .groupby("cust")["sc"].sum()
+                 if len(od) else pd.Series(dtype="int64"))
+        x = cd["bal_cents"].astype("int64").to_numpy(np.int64)
+        y = (cd["cust"].map(spend).fillna(0).astype("int64")
+             .to_numpy(np.int64)
+             if len(spend) else np.zeros(len(cd), np.int64))
+        nat = cd["nat"].astype("int64").to_numpy(np.int64)
+        xy = x * y
+        xx = x * x
+        yy = y * y
+        df = pd.DataFrame({
+            "nat": nat, "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y,
+            "sxy_hi": xy >> 30, "sxy_lo": xy & LIMB,
+            "sxx_hi": xx >> 30, "sxx_lo": xx & LIMB,
+            "syy_hi": yy >> 30, "syy_lo": yy & LIMB,
+        }).groupby("nat", as_index=False).sum()
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df
+
+    parts = (
+        cust.map_batches(_tag_cust, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(orders.map_batches(_tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_moments, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "nat" not in parts.columns:
+        return empty
+    # nation names broadcast side (25 rows)
+    nat_names = (_read(sf_dir, "nation",
+                       columns=["n_nationkey", "n_name"]).to_pandas())
+    nmap = dict(zip(nat_names["n_nationkey"].astype(int),
+                    nat_names["n_name"]))
+    rows = []
+    for nk, g in parts.groupby("nat"):
+        n = int(g["n"].sum()); sx = int(g["sx"].sum())
+        sy = int(g["sy"].sum())
+        sxy = (int(g["sxy_hi"].sum()) << 30) + int(g["sxy_lo"].sum())
+        sxx = (int(g["sxx_hi"].sum()) << 30) + int(g["sxx_lo"].sum())
+        syy = (int(g["syy_hi"].sum()) << 30) + int(g["syy_lo"].sum())
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        num = n * sxy - sx * sy
+        r = np.float64(num) / (np.sqrt(np.float64(d1))
+                               * np.sqrt(np.float64(d2)))
+        rows.append((nmap.get(int(nk), "unknown"), n, r))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["n_name", "n_customers",
+                                      "corr_bal_spend"])
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["corr_bal_spend"] = round_half_away(out["corr_bal_spend"], 6)
+    return out.sort_values("n_name").reset_index(drop=True)

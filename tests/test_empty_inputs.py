@@ -345,6 +345,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                      "n_union", "jaccard"],
         "lineitem_flag_ols": ["l_returnflag", "n", "slope_cents_per_qty",
                               "intercept_cents"],
+        "events_session_pctl": ["n_sessions", "p50_s", "p90_s"],
+        "nation_balance_spend_corr": ["n_name", "n_customers",
+                                      "corr_bal_spend"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

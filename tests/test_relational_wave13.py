@@ -453,3 +453,76 @@ def test_lineitem_flag_ols_exact_line(ray_session, tmp_path):
     assert r["n"] == 4
     assert r["slope_cents_per_qty"] == 200.0
     assert r["intercept_cents"] == 50.0
+
+
+def test_session_pctl_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    M = 60_000_000  # one minute in us
+    # user 1: events at 0, 10m, 50m -> gap 40m > 30m splits: sessions
+    #   [0,10m] (600 s) and [50m] (0 s)
+    # user 2: single event -> one 0 s session
+    rows = [(1, 0), (1, 10 * M), (1, 50 * M), (2, 0)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_session_pctl
+
+    out = q_events_session_pctl(str(tmp_path))
+    # durations sorted: [0, 0, 600]; n=3, r50=1 -> 0, r90=2 -> 0
+    assert out.iloc[0].tolist() == [3, 0, 0]
+
+
+def test_balance_spend_corr_perfect_line(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # nation 0: spend = 2 * balance exactly -> r = 1.0 (cust 3 has no
+    # orders: balance 0, spend 0 keeps the line exact through COALESCE)
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 0.0]),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 2, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([20.0, 30.0, 10.0]),
+            "o_orderdate": pa.array([0, 0, 0], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([0], pa.int32()),
+            "n_name": pa.array(["ALGERIA"]),
+            "n_regionkey": pa.array([0], pa.int32()),
+        }),
+        str(tmp_path / "nation.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_nation_balance_spend_corr,
+    )
+
+    out = q_nation_balance_spend_corr(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_name"] == "ALGERIA"
+    assert r["n_customers"] == 3
+    assert r["corr_bal_spend"] == 1.0
