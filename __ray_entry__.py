@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_flag_ols": q.q_lineitem_flag_ols,
         "events_session_pctl": q.q_events_session_pctl,
         "nation_balance_spend_corr": q.q_nation_balance_spend_corr,
+        "orders_priority_median_lines": q.q_orders_priority_median_lines,
+        "events_dau_mau": q.q_events_dau_mau,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3134,6 +3136,61 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN nation nt ON nt.n_nationkey = m.c_nationkey
             WHERE m.n * sxx - sx * sx > 0 AND m.n * syy - sy * sy > 0
             ORDER BY nt.n_name
+        """,
+        "orders_priority_median_lines": """
+            WITH cnt AS (
+              SELECT l_orderkey, COUNT(*) AS n_lines
+              FROM lineitem GROUP BY 1
+            ), o AS (
+              SELECT o_orderpriority AS prio,
+                     COALESCE(c.n_lines, 0) AS n_lines
+              FROM orders LEFT JOIN cnt c ON c.l_orderkey = o_orderkey
+            ), h AS (
+              SELECT prio, n_lines, COUNT(*) AS c FROM o GROUP BY 1, 2
+            ), n AS (
+              SELECT prio, CAST(SUM(c) AS BIGINT) AS n_orders
+              FROM h GROUP BY 1
+            ), w AS (
+              SELECT prio, n_lines,
+                     SUM(c) OVER (PARTITION BY prio ORDER BY n_lines)
+                       AS cum
+              FROM h
+            )
+            SELECT n.prio AS o_orderpriority, n.n_orders,
+                   (SELECT CAST(MIN(n_lines) AS BIGINT) FROM w
+                    WHERE w.prio = n.prio
+                      AND cum >= GREATEST(1, (50 * n.n_orders) // 100))
+                     AS p50_lines
+            FROM n ORDER BY 1
+        """,
+        "events_dau_mau": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), pm AS (
+              SELECT user_id, day,
+                     strftime(make_timestamp(day * 86400000000),
+                              '%Y-%m') AS month
+              FROM p
+            ), dau AS (
+              SELECT month, day, COUNT(*) AS dau FROM pm GROUP BY 1, 2
+            ), agg AS (
+              SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(dau) AS BIGINT) AS sum_dau
+              FROM dau GROUP BY 1
+            ), mau AS (
+              SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS mau
+              FROM pm GROUP BY 1
+            )
+            SELECT a.month, a.n_days, a.sum_dau, m.mau,
+                   round(CAST(a.sum_dau AS DOUBLE)
+                         / CAST(a.n_days * m.mau AS DOUBLE), 6)
+                     AS stickiness
+            FROM agg a JOIN mau m ON m.month = a.month
+            WHERE m.mau > 0 ORDER BY 1
         """,
     }
     try:

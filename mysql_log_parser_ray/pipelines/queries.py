@@ -11474,3 +11474,198 @@ def q_nation_balance_spend_corr(sf_dir: str, n_parts: int = 64):
     out["n_customers"] = out["n_customers"].astype("int64")
     out["corr_bal_spend"] = round_half_away(out["corr_bal_spend"], 6)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_orders_priority_median_lines(sf_dir: str, n_parts: int = 64):
+    """Grouped median: per order-priority, the median number of line
+    items per order — the order-complexity profile behind picking-cost
+    models (do URGENT orders really run smaller?). 1-based nearest-rank
+    (the repo's EventStats.Current convention).
+
+    Exactness: line counts are exact integers; the median walks an
+    exact (priority, n_lines, n_orders) histogram cumsum — nothing
+    floats.
+
+    Scale shape: lineitem and orders hash-bucket by ORDERKEY (tagged
+    union, both merge stages return pa.Table), so per-order line counts
+    and the priority label meet in-bucket with no extra shuffle; buckets
+    emit (priority, n_lines) HISTOGRAM cells — bounded by priorities x
+    max order width, never order count — and the driver folds those."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(o_orderpriority=object, n_orders="int64",
+                         p50_lines="int64")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "prio": pc.cast(b["o_orderpriority"], pa.string()),
+            "_part": pa.array(stable_partition(b["o_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_li(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "okey": pc.cast(b["l_orderkey"], pa.int64()),
+            "prio": pa.nulls(b.num_rows, pa.string()),
+            "_part": pa.array(stable_partition(b["l_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prio": pd.Series([], dtype="object"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64")}
+        if not len(g) or "okey" not in g.columns:
+            return pd.DataFrame(cols)
+        od = g[g["prio"].notna()]
+        if not len(od):
+            return pd.DataFrame(cols)
+        ld = g[g["prio"].isna()]
+        cnt = (ld.groupby("okey").size() if len(ld)
+               else pd.Series(dtype="int64"))
+        lines = (od["okey"].map(cnt).fillna(0).astype("int64")
+                 if len(cnt) else np.zeros(len(od), np.int64))
+        out = (pd.DataFrame({"prio": od["prio"].to_numpy(),
+                             "n_lines": lines})
+               .groupby(["prio", "n_lines"], as_index=False).size()
+               .rename(columns={"size": "n_orders"}))
+        out["n_lines"] = out["n_lines"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    hist = _fold_partials(
+        orders.map_batches(_tag_orders, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(li.map_batches(_tag_li, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_hist, batch_format="pandas"),
+        ["prio", "n_lines"], ["n_orders"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for pr, g in hist.groupby("prio"):
+        g = g.sort_values("n_lines")
+        n = int(g["n_orders"].sum())
+        r50 = max(1, (50 * n) // 100)
+        cum, med = 0, None
+        for lv, cv in zip(g["n_lines"], g["n_orders"]):
+            cum += int(cv)
+            if cum >= r50:
+                med = int(lv)
+                break
+        rows.append((pr, n, med))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                      "p50_lines"])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["p50_lines"] = out["p50_lines"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_events_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness per calendar month: average daily actives over
+    the month's PRESENT days divided by monthly actives — the classic
+    habit-formation KPI (1.0 = every monthly user shows up every active
+    day). Days with zero events don't dilute (present-day convention,
+    stated in the oracle too).
+
+    Exactness: DAU and MAU are exact distinct counts; stickiness is ONE
+    ratio of integers (sum_dau / (n_days * mau)) rounded half-up.
+
+    Scale shape: blocks pre-reduce to distinct (user, day) pairs, users
+    hash-bucket so each user's day set lands whole in one task, buckets
+    emit (month, day)-level DAU partials plus per-(month, bucket) MAU
+    partials — both calendar/bucket-bounded — and the driver folds
+    those."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(month=object, n_days="int64", sum_dau="int64",
+                         mau="int64", stickiness="float64")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
+        })
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        return t.append_column(
+            "_part", pa.array(stable_partition(t["user_id"], 64),
+                              pa.int64()))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"month": pd.Series([], dtype="object"),
+                "day": pd.Series([], dtype="int64"),
+                "dau": pd.Series([], dtype="int64"),
+                "mau": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        d = g.drop_duplicates(["user_id", "day"])
+        mo = np.datetime_as_string(
+            (d["day"].to_numpy(np.int64) * 86_400_000_000)
+            .astype("datetime64[us]").astype("datetime64[M]"), unit="M")
+        df = pd.DataFrame({"month": mo,
+                           "day": d["day"].to_numpy(np.int64),
+                           "user_id": d["user_id"].to_numpy(np.int64)})
+        dau = df.groupby(["month", "day"], as_index=False).agg(
+            dau=("user_id", "size"))
+        dau["mau"] = 0
+        mau = df.groupby("month", as_index=False).agg(
+            mau=("user_id", "nunique"))
+        mau["day"] = -1  # sentinel row carries the per-bucket MAU partial
+        mau["dau"] = 0
+        out = pd.concat([dau, mau[["month", "day", "dau", "mau"]]],
+                        ignore_index=True)
+        for c in ("day", "dau", "mau"):
+            out[c] = out[c].astype("int64")
+        return out[["month", "day", "dau", "mau"]]
+
+    parts = _fold_partials(
+        ds.map_batches(_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["month", "day"], ["dau", "mau"],
+    )
+    if parts is None:
+        return empty
+    days = parts[parts["day"] >= 0].groupby("month").agg(
+        n_days=("day", "size"), sum_dau=("dau", "sum"))
+    mau = parts[parts["day"] < 0].groupby("month")["mau"].sum()
+    out = days.join(mau.rename("mau")).reset_index()
+    out = out[out["mau"] > 0]
+    if not len(out):
+        return empty
+    for c in ("n_days", "sum_dau", "mau"):
+        out[c] = out[c].astype("int64")
+    out["stickiness"] = round_half_up(
+        out["sum_dau"].to_numpy(np.float64)
+        / (out["n_days"].to_numpy(np.float64)
+           * out["mau"].to_numpy(np.float64)), 6)
+    return out.sort_values("month").reset_index(drop=True)

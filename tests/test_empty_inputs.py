@@ -348,6 +348,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_session_pctl": ["n_sessions", "p50_s", "p90_s"],
         "nation_balance_spend_corr": ["n_name", "n_customers",
                                       "corr_bal_spend"],
+        "orders_priority_median_lines": ["o_orderpriority", "n_orders",
+                                         "p50_lines"],
+        "events_dau_mau": ["month", "n_days", "sum_dau", "mau",
+                           "stickiness"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

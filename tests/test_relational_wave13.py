@@ -526,3 +526,71 @@ def test_balance_spend_corr_perfect_line(ray_session, tmp_path):
     assert r["n_name"] == "ALGERIA"
     assert r["n_customers"] == 3
     assert r["corr_bal_spend"] == 1.0
+
+
+def test_priority_median_lines_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # URGENT orders have 1, 2, 5 lines -> median 2 (nearest-rank r=1 at
+    # n=3 -> (50*3)//100 = 1 -> first value... actually r50 = max(1,1)=1
+    # -> cumwalk hits 1 at n_lines=1). LOW order has 0 lines (no
+    # lineitem rows) -> median 0.
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([1.0] * 4),
+            "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "1-URGENT", "1-URGENT", "5-LOW"]),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    lk = [1] * 1 + [2] * 2 + [3] * 5
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(lk, pa.int64()),
+            "l_quantity": pa.array([1.0] * len(lk)),
+            "l_extendedprice": pa.array([1.0] * len(lk)),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_orders_priority_median_lines,
+    )
+
+    out = q_orders_priority_median_lines(str(tmp_path))
+    got = {r["o_orderpriority"]: (r["n_orders"], r["p50_lines"])
+           for _, r in out.iterrows()}
+    assert got == {"1-URGENT": (3, 1), "5-LOW": (1, 0)}
+
+
+def test_dau_mau_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D = 86_400_000_000
+    # 2 present days; day0: users {1,2}, day1: {1}; MAU = {1,2} = 2
+    # stickiness = (2+1) / (2*2) = 0.75
+    rows = [(1, 0), (2, 0), (1, D), (1, D + 5)]  # dup (1, day1) collapses
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_dau_mau
+
+    out = q_events_dau_mau(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["month"] == "1970-01"
+    assert (r["n_days"], r["sum_dau"], r["mau"]) == (2, 3, 2)
+    assert r["stickiness"] == 0.75
