@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_spend_corr": q.q_nation_balance_spend_corr,
         "orders_priority_median_lines": q.q_orders_priority_median_lines,
         "events_dau_mau": q.q_events_dau_mau,
+        "events_ewma_daily": q.q_events_ewma_daily,
+        "orders_above_cust_avg": q.q_orders_above_cust_avg,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3191,6 +3193,57 @@ def oracle_sql() -> dict[str, str]:
                      AS stickiness
             FROM agg a JOIN mau m ON m.month = a.month
             WHERE m.mau > 0 ORDER BY 1
+        """,
+        "events_ewma_daily": """
+            WITH RECURSIVE d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), o AS (
+              SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d
+            ), r AS (
+              SELECT t, day, CAST(x AS DOUBLE) AS s,
+                     CAST(NULL AS DOUBLE) AS resid
+              FROM o WHERE t = 1
+              UNION ALL
+              SELECT o.t, o.day,
+                     0.5 * r.s + 0.5 * CAST(o.x AS DOUBLE),
+                     CAST(o.x AS DOUBLE) - r.s
+              FROM r JOIN o ON o.t = r.t + 1
+            ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+            SELECT n.n_days,
+                   (SELECT round(s, 6) FROM r
+                    ORDER BY t DESC LIMIT 1) AS last_ewma,
+                   (SELECT CAST(day AS BIGINT) FROM r
+                    WHERE resid IS NOT NULL
+                    ORDER BY ABS(resid) DESC, day ASC LIMIT 1)
+                     AS peak_day,
+                   (SELECT round(resid, 6) FROM r
+                    WHERE resid IS NOT NULL
+                    ORDER BY ABS(resid) DESC, day ASC LIMIT 1)
+                     AS peak_resid
+            FROM n WHERE n.n_days >= 2
+        """,
+        "orders_above_cust_avg": """
+            WITH s AS (
+              SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS tot
+              FROM orders GROUP BY 1
+            ), o AS (
+              SELECT CAST(FLOOR(od.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS c,
+                     s.n, s.tot
+              FROM orders od JOIN s ON s.o_custkey = od.o_custkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN CAST(c AS HUGEINT) * n > tot
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   round(CAST(SUM(CASE WHEN CAST(c AS HUGEINT) * n > tot
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS share
+            FROM o HAVING COUNT(*) > 0
         """,
     }
     try:

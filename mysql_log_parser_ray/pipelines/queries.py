@@ -11669,3 +11669,134 @@ def q_events_dau_mau(sf_dir: str):
         / (out["n_days"].to_numpy(np.float64)
            * out["mau"].to_numpy(np.float64)), 6)
     return out.sort_values("month").reset_index(drop=True)
+
+
+def q_events_ewma_daily(sf_dir: str):
+    """Exponential smoothing (alpha = 0.5) over the daily event-count
+    series: the final smoothed level plus the largest one-step-ahead
+    residual |x_t - s_(t-1)| and its day — the lightweight forecasting
+    screen next to CUSUM's mean-shift detector.
+
+    Exactness: the recursion runs in IEEE doubles on BOTH sides in the
+    SAME day order (s = 0.5*s + 0.5*x, one multiply-add pair per step),
+    so every intermediate is bit-identical to the oracle's recursive
+    CTE; rounding is half-away (residuals go negative). Ties on |resid|
+    break to the earliest day, in integer day numbers.
+
+    Scale shape: blocks fold to (day, n) cells — calendar-bounded — and
+    the driver walks the recursion over that series, exactly the CUSUM
+    prefix-walk precedent. Needs >= 2 days (no residual exists before
+    the first step); fewer returns the typed empty."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_days="int64", last_ewma="float64",
+                         peak_day="int64", peak_resid="float64")
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = pa.table({"day": _day_from_us(pc.cast(b["ts"], pa.int64()))})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    hist = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["day"], ["n"],
+    )
+    if hist is None or len(hist) < 2:
+        return empty
+    hist = hist.sort_values("day").reset_index(drop=True)
+    days = hist["day"].to_numpy(np.int64)
+    xs = hist["n"].to_numpy(np.int64)
+    s = np.float64(xs[0])
+    peak_day, peak_resid = None, None
+    for i in range(1, len(xs)):
+        x = np.float64(xs[i])
+        resid = x - s
+        if peak_resid is None or abs(resid) > abs(peak_resid):
+            peak_day, peak_resid = int(days[i]), resid
+        s = np.float64(0.5) * s + np.float64(0.5) * x
+    return pd.DataFrame({
+        "n_days": np.array([len(xs)], np.int64),
+        "last_ewma": round_half_away(np.array([s], np.float64), 6),
+        "peak_day": np.array([peak_day], np.int64),
+        "peak_resid": round_half_away(np.array([peak_resid], np.float64),
+                                      6)})
+
+
+def q_orders_above_cust_avg(sf_dir: str, n_parts: int = 64):
+    """Correlated-aggregate filter: how many orders exceed THEIR OWN
+    customer's average order value — the whale-order share behind
+    per-account anomaly alerts (a global threshold would just find rich
+    customers).
+
+    Exactness: "order > customer mean" is evaluated as the INTEGER
+    cross-multiplication cents*n_cust > total_cents (no division ever
+    happens), and the final share is ONE half-up ratio of counts.
+
+    Scale shape: orders hash-bucket by custkey, so per-customer count/
+    total and the per-order comparison happen in-bucket with no join;
+    buckets emit one (n, n_above) counter row each."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_orders="int64", n_above="int64",
+                         share="float64")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "cents": _cents(b["o_totalprice"]),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": pd.Series([], dtype="int64"),
+                "n_above": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        cust = g["cust"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        df = pd.DataFrame({"cust": cust, "cents": cents})
+        agg = df.groupby("cust")["cents"].agg(["size", "sum"])
+        n_c = df["cust"].map(agg["size"]).to_numpy(np.int64)
+        tot = df["cust"].map(agg["sum"]).to_numpy(np.int64)
+        # integer cross-multiply; cents*n fits int64 far past 1e5
+        # orders/customer at the 5e7-cent order cap (documented bound)
+        above = int(np.count_nonzero(cents * n_c > tot))
+        return pd.DataFrame({"n": np.array([len(df)], np.int64),
+                             "n_above": np.array([above], np.int64)})
+
+    parts = (ds.map_batches(_tag, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .groupby("_part").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "n" not in parts.columns:
+        return empty
+    n = int(parts["n"].sum())
+    if n == 0:
+        return empty
+    above = int(parts["n_above"].sum())
+    return pd.DataFrame({
+        "n_orders": np.array([n], np.int64),
+        "n_above": np.array([above], np.int64),
+        "share": round_half_up(
+            np.array([np.float64(above) / np.float64(n)]), 6)})

@@ -352,6 +352,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                          "p50_lines"],
         "events_dau_mau": ["month", "n_days", "sum_dau", "mau",
                            "stickiness"],
+        "events_ewma_daily": ["n_days", "last_ewma", "peak_day",
+                              "peak_resid"],
+        "orders_above_cust_avg": ["n_orders", "n_above", "share"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -594,3 +594,60 @@ def test_dau_mau_hand_computed(ray_session, tmp_path):
     assert r["month"] == "1970-01"
     assert (r["n_days"], r["sum_dau"], r["mau"]) == (2, 3, 2)
     assert r["stickiness"] == 0.75
+
+
+def test_ewma_daily_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D = 86_400_000_000
+    # daily counts: day0=4, day1=2, day2=8
+    # s0=4; resid1 = 2-4 = -2, s1 = 3; resid2 = 8-3 = 5, s2 = 5.5
+    counts = {0: 4, 1: 2, 2: 8}
+    ts = []
+    for d, n in counts.items():
+        ts += [d * D + i for i in range(n)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "event_type": pa.array(["view"] * len(ts)),
+            "value": pa.array([0.0] * len(ts)),
+            "props": pa.array(["{}"] * len(ts)),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_ewma_daily
+
+    out = q_events_ewma_daily(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_days"], r["last_ewma"]) == (3, 5.5)
+    assert (r["peak_day"], r["peak_resid"]) == (2, 5.0)
+
+
+def test_above_cust_avg_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # cust 1: 10, 20, 30 -> avg 20, only 30 is above (20 is NOT >)
+    # cust 2: single order -> never above its own avg
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.0]),
+            "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_orders_above_cust_avg,
+    )
+
+    out = q_orders_above_cust_avg(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_orders"], r["n_above"]) == (4, 1)
+    assert r["share"] == 0.25
