@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_mau": q.q_events_dau_mau,
         "events_ewma_daily": q.q_events_ewma_daily,
         "orders_above_cust_avg": q.q_orders_above_cust_avg,
+        "orders_rev_7d_range": q.q_orders_rev_7d_range,
+        "events_top_days_ties": q.q_events_top_days_ties,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3244,6 +3246,36 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 6) AS share
             FROM o HAVING COUNT(*) > 0
+        """,
+        "orders_rev_7d_range": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+                          AS BIGINT) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+            )
+            SELECT day, rev_cents,
+                   CAST(SUM(rev_cents) OVER (
+                     ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rev_7d_cents
+            FROM d ORDER BY day
+        """,
+        "events_top_days_ties": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), r AS (
+              SELECT day, n_events,
+                     CAST(DENSE_RANK() OVER (ORDER BY n_events DESC)
+                          AS BIGINT) AS rnk
+              FROM d
+            )
+            SELECT day, n_events, rnk FROM r
+            WHERE rnk <= 3 ORDER BY rnk, day
         """,
     }
     try:

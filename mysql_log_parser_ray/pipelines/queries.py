@@ -11800,3 +11800,111 @@ def q_orders_above_cust_avg(sf_dir: str, n_parts: int = 64):
         "n_above": np.array([above], np.int64),
         "share": round_half_up(
             np.array([np.float64(above) / np.float64(n)]), 6)})
+
+
+def q_orders_rev_7d_range(sf_dir: str):
+    """Rolling 7-CALENDAR-day revenue (RANGE frame, not ROWS): per order
+    day, the day's revenue plus the sum over the trailing 6 calendar
+    days — missing days still narrow the window, which a ROWS frame
+    gets wrong on sparse calendars (the cum_daily / rolling_max3
+    siblings are ROWS-frame; this is the RANGE-frame semantic).
+
+    Exactness: revenue in integer cents; the trailing sum is a
+    two-pointer walk over the day-ordered series in Python ints — no
+    floats anywhere.
+
+    Scale shape: blocks fold to (day, cents) cells — calendar-bounded —
+    and the driver walks the two-pointer window over that series."""
+    import pandas as pd
+
+    empty = _typed_empty(day="int64", rev_cents="int64",
+                         rev_7d_cents="int64")
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderdate" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "day": _day_from_us(pc.cast(b["o_orderdate"], pa.int64()))
+            .to_numpy(zero_copy_only=False),
+            "rev_cents": _cents(b["o_totalprice"])
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("day", as_index=False)["rev_cents"].sum()
+        g["day"] = g["day"].astype("int64")
+        g["rev_cents"] = g["rev_cents"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["day"], ["rev_cents"],
+    )
+    if hist is None:
+        return empty
+    hist = hist.sort_values("day").reset_index(drop=True)
+    days = [int(v) for v in hist["day"]]
+    revs = [int(v) for v in hist["rev_cents"]]
+    out, lo, acc = [], 0, 0
+    for i, (d, r) in enumerate(zip(days, revs)):
+        acc += r
+        while days[lo] < d - 6:
+            acc -= revs[lo]
+            lo += 1
+        out.append((d, r, acc))
+    res = pd.DataFrame(out, columns=["day", "rev_cents", "rev_7d_cents"])
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def q_events_top_days_ties(sf_dir: str, k: int = 3):
+    """Busiest days WITH TIES: every day whose event count falls in the
+    top-k DISTINCT counts (DENSE_RANK <= k) — the tie-honest variant of
+    a LIMIT-k leaderboard, which silently drops co-ranked days.
+
+    Exactness: integer counts and integer dense ranks only.
+
+    Scale shape: blocks fold to (day, n) cells — calendar-bounded — and
+    the driver ranks that series."""
+    import pandas as pd
+
+    empty = _typed_empty(day="int64", n_events="int64", rnk="int64")
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        t = pa.table({"day": _day_from_us(pc.cast(b["ts"], pa.int64()))})
+        g = t.group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g["day"],
+                         "n": pc.cast(g["day_count"], pa.int64())})
+
+    hist = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["day"], ["n"],
+    )
+    if hist is None:
+        return empty
+    hist["n"] = hist["n"].astype("int64")
+    # dense rank over distinct counts, descending
+    distinct = sorted(set(int(v) for v in hist["n"]), reverse=True)
+    rank = {v: i + 1 for i, v in enumerate(distinct[:k])}
+    keep = hist[hist["n"].isin(list(rank))].copy()
+    if not len(keep):
+        return empty
+    keep["rnk"] = keep["n"].map(rank).astype("int64")
+    keep["day"] = keep["day"].astype("int64")
+    keep = keep.rename(columns={"n": "n_events"})
+    return (keep[["day", "n_events", "rnk"]]
+            .sort_values(["rnk", "day"]).reset_index(drop=True))

@@ -355,6 +355,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_ewma_daily": ["n_days", "last_ewma", "peak_day",
                               "peak_resid"],
         "orders_above_cust_avg": ["n_orders", "n_above", "share"],
+        "orders_rev_7d_range": ["day", "rev_cents", "rev_7d_cents"],
+        "events_top_days_ties": ["day", "n_events", "rnk"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

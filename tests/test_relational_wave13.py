@@ -651,3 +651,61 @@ def test_above_cust_avg_hand_computed(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_orders"], r["n_above"]) == (4, 1)
     assert r["share"] == 0.25
+
+
+def test_rev_7d_range_sparse_calendar(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D = 86_400_000_000
+    # days 0 (100), 5 (200), 8 (400): day 8's RANGE window covers days
+    # 2..8 -> includes day 5 only -> 600 (a 3-ROWS frame would wrongly
+    # include day 0)
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0, 2.0, 4.0]),
+            "o_orderdate": pa.array([0, 5 * D, 8 * D],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_orders_rev_7d_range
+
+    out = q_orders_rev_7d_range(str(tmp_path))
+    got = {int(r["day"]): (r["rev_cents"], r["rev_7d_cents"])
+           for _, r in out.iterrows()}
+    assert got == {0: (100, 100), 5: (200, 300), 8: (400, 600)}
+
+
+def test_top_days_ties_dense_rank(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D = 86_400_000_000
+    # counts: day0=5, day1=5, day2=3, day3=2, day4=1
+    # distinct counts desc: 5,3,2 -> ranks; day4 (count 1) excluded
+    counts = {0: 5, 1: 5, 2: 3, 3: 2, 4: 1}
+    ts = []
+    for d, n in counts.items():
+        ts += [d * D + i for i in range(n)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "event_type": pa.array(["view"] * len(ts)),
+            "value": pa.array([0.0] * len(ts)),
+            "props": pa.array(["{}"] * len(ts)),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_events_top_days_ties
+
+    out = q_events_top_days_ties(str(tmp_path))
+    got = [(int(r["day"]), int(r["n_events"]), int(r["rnk"]))
+           for _, r in out.iterrows()]
+    assert got == [(0, 5, 1), (1, 5, 1), (2, 3, 2), (3, 2, 3)]
