@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": q.q_orders_above_cust_avg,
         "orders_rev_7d_range": q.q_orders_rev_7d_range,
         "events_top_days_ties": q.q_events_top_days_ties,
+        "supplier_balance_quartiles": q.q_supplier_balance_quartiles,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3276,6 +3277,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, n_events, rnk FROM r
             WHERE rnk <= 3 ORDER BY rnk, day
+        """,
+        "supplier_balance_quartiles": """
+            WITH s AS (
+              SELECT s_nationkey,
+                     CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM supplier WHERE s_acctbal IS NOT NULL
+            )
+            SELECT nt.n_name,
+                   (list_sort(list(cents)))[(25 * COUNT(*)) // 100 + 1]
+                     AS p25_cents,
+                   (list_sort(list(cents)))[(50 * COUNT(*)) // 100 + 1]
+                     AS p50_cents,
+                   (list_sort(list(cents)))[(75 * COUNT(*)) // 100 + 1]
+                     AS p75_cents
+            FROM s JOIN nation nt ON nt.n_nationkey = s.s_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -11908,3 +11908,56 @@ def q_events_top_days_ties(sf_dir: str, k: int = 3):
     keep = keep.rename(columns={"n": "n_events"})
     return (keep[["day", "n_events", "rnk"]]
             .sort_values(["rnk", "day"]).reset_index(drop=True))
+
+
+def q_supplier_balance_quartiles(sf_dir: str):
+    """Per-nation supplier account-balance quartiles (p25/p50/p75 in
+    cents) — the treasury-exposure profile per sourcing region, via the
+    repo's exact nearest-rank machinery.
+
+    Exactness: balances quantize to cents; percentiles use the
+    reference's vals[(p*cnt)//100] convention (stats.go:124-129) over an
+    exact per-(nation, cents) histogram — nearest_rank_by_key never
+    materializes a nation's raw values in one task.
+
+    Scale shape: the bucket-collapse fold inside nearest_rank_by_key
+    (stages/aggregate.py) — per-block (key, val) partials, ONE coarse
+    hash(key) % 64 shuffle, distinct-value-bounded per-key collapse;
+    nation names broadcast driver-side (25 rows)."""
+    import pandas as pd
+
+    from ..stages.aggregate import nearest_rank_by_key
+
+    empty = _typed_empty(n_name=object, p25_cents="int64",
+                         p50_cents="int64", p75_cents="int64")
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        cols = {"nat": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "s_nationkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["s_acctbal"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({"nat": pc.cast(b["s_nationkey"], pa.int64()),
+                         "cents": _cents(b["s_acctbal"])})
+
+    ranked = nearest_rank_by_key(
+        sup.map_batches(_prep, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None),
+        key="nat", val="cents",
+        pcts={"p25_cents": 25, "p50_cents": 50, "p75_cents": 75},
+    ).to_pandas()
+    if not len(ranked) or "nat" not in ranked.columns:
+        return empty
+    nat_names = _read(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat_names["n_nationkey"].astype(int),
+                    nat_names["n_name"]))
+    ranked["n_name"] = ranked["nat"].astype(int).map(
+        lambda k: nmap.get(k, "unknown"))
+    for c in ("p25_cents", "p50_cents", "p75_cents"):
+        ranked[c] = ranked[c].astype("int64")
+    return (ranked[["n_name", "p25_cents", "p50_cents", "p75_cents"]]
+            .sort_values("n_name").reset_index(drop=True))

@@ -2322,6 +2322,7 @@ def register_queries():
         "source_g2_keywords": q_source_g2_keywords,
         "word_skipgram_topk": q_word_skipgram_topk,
         "source_burrows_delta": q_source_burrows_delta,
+        "word_length_hist": q_word_length_hist,
     }
 
 
@@ -4185,6 +4186,18 @@ def register_oracles():
             SELECT word_a, word_b, CAST(n AS BIGINT) AS n
             FROM sg WHERE n >= 5
             ORDER BY n DESC, word_a ASC, word_b ASC LIMIT 20
+        """,
+        "word_length_hist": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(
+                       trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                            || chr(11) || chr(12)),
+                       '[ \t\n\r\v\f]+')) AS w
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT CAST(length(w) AS BIGINT) AS wlen,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM w WHERE w != '' GROUP BY 1 ORDER BY 1
         """,
         "source_burrows_delta": r"""
             WITH w AS (
@@ -7260,3 +7273,49 @@ def q_source_burrows_delta(sf_dir: str, topk_words: int = 30,
         out[c] = out[c].astype("int64")
     out["delta"] = out["delta"].astype("float64")
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def q_word_length_hist(sf_dir: str):
+    """Corpus word-length histogram: how many tokens have each character
+    length — the tokenizer-design input (length distribution drives
+    subword vocabulary sizing) next to doc_token_counts' per-doc view.
+    Split/strip semantics are the repo's explicit-ASCII convention.
+
+    Exactness: integer lengths and counts only.
+
+    Scale shape: each block explodes its own docs and collapses to a
+    (wlen, n) histogram before anything ships — bounded by max word
+    length, never token count; the driver folds those cells."""
+    from .text import _ASCII_WS, _WS_RE
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"wlen": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas().dropna()
+        if not len(s):
+            return pa.table(cols)
+        words = s.str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        words = words[words.notna() & (words != "")]
+        if not len(words):
+            return pa.table(cols)
+        h = (words.str.len().astype("int64").value_counts()
+             .rename_axis("wlen").reset_index(name="n_words"))
+        h["wlen"] = h["wlen"].astype("int64")
+        h["n_words"] = h["n_words"].astype("int64")
+        return pa.Table.from_pandas(h, preserve_index=False)
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .to_pandas())
+    empty = pd.DataFrame({"wlen": pd.Series([], dtype="int64"),
+                          "n_words": pd.Series([], dtype="int64")})
+    if not len(parts) or "wlen" not in parts.columns:
+        return empty
+    out = parts.groupby("wlen", as_index=False)["n_words"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("wlen").reset_index(drop=True)

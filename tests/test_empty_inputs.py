@@ -357,6 +357,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_above_cust_avg": ["n_orders", "n_above", "share"],
         "orders_rev_7d_range": ["day", "rev_cents", "rev_7d_cents"],
         "events_top_days_ties": ["day", "n_events", "rnk"],
+        "word_length_hist": ["wlen", "n_words"],
+        "supplier_balance_quartiles": ["n_name", "p25_cents", "p50_cents",
+                                       "p75_cents"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

@@ -709,3 +709,58 @@ def test_top_days_ties_dense_rank(ray_session, tmp_path):
     got = [(int(r["day"]), int(r["n_events"]), int(r["rnk"]))
            for _, r in out.iterrows()]
     assert got == [(0, 5, 1), (1, 5, 1), (2, 3, 2), (3, 2, 3)]
+
+
+def test_word_length_hist_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["ab cde ab", "  x \t yz  ", ""]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+            "n_chars": pa.array([9, 10, 0], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from mysql_log_parser_ray.training.registry import q_word_length_hist
+
+    out = q_word_length_hist(str(tmp_path))
+    got = {int(r["wlen"]): int(r["n_words"]) for _, r in out.iterrows()}
+    # words: ab, cde, ab, x, yz -> len 1:1, 2:3, 3:1; empty doc adds none
+    assert got == {1: 1, 2: 3, 3: 1}
+
+
+def test_supplier_quartiles_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # nation 0 balances (cents): 100..400; cnt=4 ->
+    # p25 idx (25*4)//100 = 1 -> 200; p50 idx 2 -> 300; p75 idx 3 -> 400
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_name": pa.array(["a", "b", "c", "d"]),
+            "s_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+            "s_acctbal": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([0], pa.int32()),
+            "n_name": pa.array(["ALGERIA"]),
+            "n_regionkey": pa.array([0], pa.int32()),
+        }),
+        str(tmp_path / "nation.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_supplier_balance_quartiles,
+    )
+
+    out = q_supplier_balance_quartiles(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_name"], r["p25_cents"], r["p50_cents"],
+            r["p75_cents"]) == ("ALGERIA", 200, 300, 400)
