@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rev_7d_range": q.q_orders_rev_7d_range,
         "events_top_days_ties": q.q_events_top_days_ties,
         "supplier_balance_quartiles": q.q_supplier_balance_quartiles,
+        "customers_repeat_rate": q.q_customers_repeat_rate,
+        "orders_value_cv": q.q_orders_value_cv,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3294,6 +3296,37 @@ def oracle_sql() -> dict[str, str]:
                      AS p75_cents
             FROM s JOIN nation nt ON nt.n_nationkey = s.s_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "customers_repeat_rate": """
+            WITH o AS (
+              SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1
+            )
+            SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT)
+                     AS n_customers,
+                   CAST(SUM(CASE WHEN COALESCE(o.n, 0) >= 2
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_repeat,
+                   round(CAST(SUM(CASE WHEN COALESCE(o.n, 0) >= 2
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS repeat_rate
+            FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "orders_value_cv": """
+            WITH q AS (
+              SELECT o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), m AS (
+              SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s,
+                     SUM(CAST(c AS HUGEINT) * c) AS ss
+              FROM q GROUP BY 1
+            )
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s
+                                   AS DOUBLE))
+                         / CAST(s AS DOUBLE), 6) AS cv
+            FROM m WHERE s > 0 ORDER BY 1
         """,
     }
     try:

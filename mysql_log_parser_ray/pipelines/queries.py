@@ -11961,3 +11961,156 @@ def q_supplier_balance_quartiles(sf_dir: str):
         ranked[c] = ranked[c].astype("int64")
     return (ranked[["n_name", "p25_cents", "p50_cents", "p75_cents"]]
             .sort_values("n_name").reset_index(drop=True))
+
+
+def q_customers_repeat_rate(sf_dir: str, n_parts: int = 64):
+    """Repeat-purchase rate per market segment: share of customers with
+    >= 2 lifetime orders — the loyalty KPI behind acquisition-vs-
+    retention budget splits; orderless customers stay in the
+    denominator (LEFT JOIN semantics).
+
+    Exactness: integer counts; ONE half-up ratio divide per segment.
+
+    Scale shape: customers and orders hash-bucket by custkey (tagged
+    union), per-customer order counts and the segment label meet
+    in-bucket, buckets emit (segment, n, n_repeat) counter rows —
+    segment-cardinality-bounded — and the driver folds those."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(c_mktsegment=object, n_customers="int64",
+                         n_repeat="int64", repeat_rate="float64")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "c_custkey" not in b.column_names \
+                or "c_mktsegment" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["c_custkey"], pa.int64()),
+            "seg": pc.cast(b["c_mktsegment"], pa.string()),
+            "_part": pa.array(stable_partition(b["c_custkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "seg": pa.nulls(b.num_rows, pa.string()),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_mktsegment": pd.Series([], dtype="object"),
+                "n_customers": pd.Series([], dtype="int64"),
+                "n_repeat": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        cd = g[g["seg"].notna()]
+        if not len(cd):
+            return pd.DataFrame(cols)
+        od = g[g["seg"].isna()]
+        cnt = (od.groupby("cust").size() if len(od)
+               else pd.Series(dtype="int64"))
+        n_ord = (cd["cust"].map(cnt).fillna(0).astype("int64")
+                 if len(cnt) else np.zeros(len(cd), np.int64))
+        out = (pd.DataFrame({"c_mktsegment": cd["seg"].to_numpy(),
+                             "rep": (n_ord >= 2).astype(np.int64)})
+               .groupby("c_mktsegment", as_index=False)
+               .agg(n_customers=("rep", "size"), n_repeat=("rep", "sum")))
+        for c in ("n_customers", "n_repeat"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = _fold_partials(
+        cust.map_batches(_tag_cust, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(orders.map_batches(_tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["c_mktsegment"], ["n_customers", "n_repeat"],
+    )
+    if parts is None:
+        return empty
+    for c in ("n_customers", "n_repeat"):
+        parts[c] = parts[c].astype("int64")
+    parts["repeat_rate"] = round_half_up(
+        parts["n_repeat"].to_numpy(np.float64)
+        / parts["n_customers"].to_numpy(np.float64), 6)
+    return parts.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_orders_value_cv(sf_dir: str):
+    """Per-priority coefficient of variation of order value (population
+    std / mean) — the pricing-dispersion screen: a priority class whose
+    CV spikes mixes wholesale and retail orders under one label.
+
+    Exactness: cents-quantized; per-block sum-of-squares ships as hi/lo
+    int64 LIMBS (cents^2 ~ 2.5e15/element overflows int64 within ~3.7k
+    rows — the big-int transport rule), driver recombines in Python
+    ints, and cv = sqrt(CAST(n*ss - s*s)) / CAST(s) is the oracle's op
+    chain verbatim. Half-up rounding (cv >= 0). Zero-total groups
+    dropped both sides.
+
+    Scale shape: per-block (priority x 4-counter) moment partials fold
+    on the driver — priority-cardinality-bounded."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(o_orderpriority=object, n="int64", cv="float64")
+    LIMB = (1 << 30) - 1
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"prio": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss_hi": pa.array([], pa.int64()),
+                "ss_lo": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_totalprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        sq = cents * cents
+        g = pd.DataFrame({
+            "prio": b["o_orderpriority"].to_pandas().to_numpy(),
+            "n": np.ones(len(cents), np.int64),
+            "s": cents,
+            "ss_hi": sq >> 30, "ss_lo": sq & LIMB,
+        }).groupby("prio", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+             .to_pandas())
+    if not len(parts) or "prio" not in parts.columns:
+        return empty
+    rows = []
+    for prio, g in parts.groupby("prio"):
+        n = int(g["n"].sum()); s = int(g["s"].sum())
+        ss = (int(g["ss_hi"].sum()) << 30) + int(g["ss_lo"].sum())
+        if s <= 0:
+            continue
+        cv = np.sqrt(np.float64(n * ss - s * s)) / np.float64(s)
+        rows.append((prio, n, cv))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n", "cv"])
+    out["n"] = out["n"].astype("int64")
+    out["cv"] = round_half_up(out["cv"], 6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -360,6 +360,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "word_length_hist": ["wlen", "n_words"],
         "supplier_balance_quartiles": ["n_name", "p25_cents", "p50_cents",
                                        "p75_cents"],
+        "customers_repeat_rate": ["c_mktsegment", "n_customers",
+                                  "n_repeat", "repeat_rate"],
+        "orders_value_cv": ["o_orderpriority", "n", "cv"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))

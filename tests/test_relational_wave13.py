@@ -764,3 +764,69 @@ def test_supplier_quartiles_hand_computed(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_name"], r["p25_cents"], r["p50_cents"],
             r["p75_cents"]) == ("ALGERIA", 200, 300, 400)
+
+
+def test_repeat_rate_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # seg A: cust 1 (2 orders, repeat), cust 2 (1 order), cust 3 (0) ->
+    #   rate 1/3; seg B: cust 4 (3 orders) -> rate 1.0
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([0] * 4, pa.int32()),
+            "c_acctbal": pa.array([0.0] * 4),
+            "c_mktsegment": pa.array(["A", "A", "A", "B"]),
+        }),
+        str(tmp_path / "customer.parquet"),
+    )
+    ok = [1, 1, 2, 4, 4, 4]
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(range(len(ok)), pa.int64()),
+            "o_custkey": pa.array(ok, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(ok)),
+            "o_totalprice": pa.array([1.0] * len(ok)),
+            "o_orderdate": pa.array([0] * len(ok), pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(ok)),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import (
+        q_customers_repeat_rate,
+    )
+
+    out = q_customers_repeat_rate(str(tmp_path))
+    got = {r["c_mktsegment"]: (r["n_customers"], r["n_repeat"],
+                               r["repeat_rate"])
+           for _, r in out.iterrows()}
+    assert got == {"A": (3, 1, 0.333333), "B": (1, 1, 1.0)}
+
+
+def test_value_cv_hand_computed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    # values 1.00 and 3.00 (100, 300 cents): mean 200, pop std 100
+    # -> cv = 0.5 exactly; sqrt path: sqrt(2*100000 - 400^2)... n*ss =
+    # 2*(100^2+300^2)=200000 wait: ss=10000+90000=100000, n*ss=200000,
+    # s^2=160000 -> sqrt(40000)=200, /400 = 0.5
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 2),
+            "o_totalprice": pa.array([1.0, 3.0]),
+            "o_orderdate": pa.array([0] * 2, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    from mysql_log_parser_ray.pipelines.queries import q_orders_value_cv
+
+    out = q_orders_value_cv(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["o_orderpriority"], r["n"], r["cv"]) == ("1-URGENT", 2, 0.5)
