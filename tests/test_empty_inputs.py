@@ -93,6 +93,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                 "c_name": pa.array([], pa.string()),
                 "c_nationkey": pa.array([], pa.int32()),
                 "c_acctbal": pa.array([], pa.float64()),
+                "c_mktsegment": pa.array([], pa.string()),
             }
         ),
         str(tmp_path / "customer.parquet"),
