@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_quartiles": q.q_supplier_balance_quartiles,
         "customers_repeat_rate": q.q_customers_repeat_rate,
         "orders_value_cv": q.q_orders_value_cv,
+        "event_type_triples": q.q_event_type_triples,
+        "events_xcorr_lag1": q.q_events_xcorr_lag1,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3327,6 +3329,61 @@ def oracle_sql() -> dict[str, str]:
                                    AS DOUBLE))
                          / CAST(s AS DOUBLE), 6) AS cv
             FROM m WHERE s > 0 ORDER BY 1
+        """,
+        "event_type_triples": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+                   t3.event_type AS type_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut t1
+            JOIN ut t2 ON t2.user_id = t1.user_id
+                      AND t1.event_type < t2.event_type
+            JOIN ut t3 ON t3.user_id = t1.user_id
+                      AND t2.event_type < t3.event_type
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_xcorr_lag1": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, event_type
+              FROM events
+              WHERE ts IS NOT NULL
+                AND event_type IN ('view', 'purchase')
+            ), bounds AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+            ), cal AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+            ), a AS (
+              SELECT day, COUNT(*) AS n FROM d
+              WHERE event_type = 'view' GROUP BY 1
+            ), b AS (
+              SELECT day, COUNT(*) AS n FROM d
+              WHERE event_type = 'purchase' GROUP BY 1
+            ), s AS (
+              SELECT COALESCE(a.n, 0) AS x, COALESCE(b.n, 0) AS y
+              FROM cal
+              LEFT JOIN a ON a.day = cal.day
+              LEFT JOIN b ON b.day = cal.day + 1
+              WHERE cal.day < (SELECT hi FROM bounds)
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+                     COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+                     COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy,
+                     COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+                     COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS xcorr
+            FROM m
+            WHERE n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
         """,
     }
     try:

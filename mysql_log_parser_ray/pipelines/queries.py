@@ -12114,3 +12114,173 @@ def q_orders_value_cv(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["cv"] = round_half_up(out["cv"], 6)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_event_type_triples(sf_dir: str, n_parts: int = 64):
+    """Frequent-itemset support at size 3: for every unordered triple of
+    event types, how many users performed ALL THREE — the Apriori step
+    after event_type_pairs' pair supports, the screen behind bundle
+    recommendations and funnel design.
+
+    Exactness: pure integer counts over globally-distinct (user, type)
+    rows.
+
+    Scale shape: identical bucketing to event_type_pairs — batches
+    pre-reduce to distinct (user, type) pairs and hash-bucket by user
+    (partition.stable_partition, null-stable), so each user's full type
+    set meets in ONE bucket; the per-bucket kernel dedupes then runs two
+    vectorized self-merges ordered a < b < c, and only
+    (type_a, type_b, type_c, n) partials — <= C(types, 3) rows per
+    bucket — reach the driver fold. The kernel is C(T, 3) in a single
+    user's DISTINCT type count (the inherent itemset-mining cost,
+    bounded by the type vocabulary, never by event count)."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(type_a=object, type_b=object, type_c=object,
+                         n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        # Empty guard emits the INTERMEDIATE schema the non-empty path
+        # produces (the event_type_pairs rule), so empty and non-empty
+        # blocks concat under one Arrow schema downstream.
+        if "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64()),
+            })
+        if b.num_rows == 0:
+            return b.select(["user_id", "event_type"]).append_column(
+                "_part", pa.array([], pa.int64())
+            )
+        df = b.select(["user_id", "event_type"]).to_pandas().drop_duplicates()
+        df["_part"] = stable_partition(df["user_id"], n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"type_a": pd.Series([], dtype=object),
+                    "type_b": pd.Series([], dtype=object),
+                    "type_c": pd.Series([], dtype=object),
+                    "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(out_cols)
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        if not len(m):
+            return pd.DataFrame(out_cols)
+        m = m.merge(d.rename(columns={"event_type": "event_type_c"}),
+                    on="user_id")
+        m = m[m["event_type_b"] < m["event_type_c"]]
+        if not len(m):
+            return pd.DataFrame(out_cols)
+        out = (
+            m.groupby(["event_type_a", "event_type_b", "event_type_c"],
+                      as_index=False)
+            .size()
+            .rename(columns={"event_type_a": "type_a",
+                             "event_type_b": "type_b",
+                             "event_type_c": "type_c", "size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = (
+        ev.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+    )
+    out = _fold_partials(parts, ["type_a", "type_b", "type_c"], ["n_users"])
+    if out is None:
+        return empty
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["type_a", "type_b", "type_c"])
+            .reset_index(drop=True))
+
+
+def q_events_xcorr_lag1(sf_dir: str, type_a: str = "view",
+                        type_b: str = "purchase"):
+    """Lead-lag screen: Pearson cross-correlation between TODAY's
+    type_a daily volume and TOMORROW's type_b daily volume over the
+    dense observed-day grid (absent days count 0) — "do views predict
+    next-day purchases", the cheap precursor to any causal-impact or
+    marketing-mix model.
+
+    Exactness: daily counts are exact integers on the dense calendar
+    spanned by the two types' observed days; all five moment sums run
+    in PYTHON ints on the calendar-bounded series (daily counts at
+    corpus scale square past int64 — the CLAUDE.md big-int rule), and
+    the final correlate is the oracle's CAST/sqrt chain op-for-op:
+    float(num) / (sqrt(float(d1)) * sqrt(float(d2))), half-away signed
+    rounding like the Pearson siblings.
+
+    Scale shape: ONE (day, n_a, n_b) counter fold (calendar-bounded);
+    the lag-align and moments are driver math over <= days rows."""
+    import pandas as pd
+
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_pairs="int64", xcorr="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"day": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names \
+                or "event_type" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(
+            pc.and_(pc.is_valid(b["ts"]),
+                    pc.is_in(b["event_type"],
+                             value_set=pa.array([type_a, type_b]))))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        et = b["event_type"].to_pandas()
+        g = (pd.DataFrame({
+                "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                       .to_numpy(zero_copy_only=False),
+                "na": (et == type_a).to_numpy(np.int64),
+                "nb": (et == type_b).to_numpy(np.int64)})
+             .groupby("day", as_index=False)[["na", "nb"]].sum())
+        for c in ("day", "na", "nb"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["day"], ["na", "nb"],
+    )
+    if cells is None:
+        return empty
+    lo, hi = int(cells["day"].min()), int(cells["day"].max())
+    days = hi - lo + 1
+    a = np.zeros(days, dtype=np.int64)
+    bv = np.zeros(days, dtype=np.int64)
+    idx = cells["day"].to_numpy(np.int64) - lo
+    a[idx] = cells["na"].to_numpy(np.int64)
+    bv[idx] = cells["nb"].to_numpy(np.int64)
+    if days < 2:
+        return empty
+    # pairs (a_t, b_{t+1}) for t in [lo, hi-1]
+    x = [int(v) for v in a[:-1]]
+    y = [int(v) for v in bv[1:]]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(p * q for p, q in zip(x, y))
+    sxx = sum(p * p for p in x)
+    syy = sum(q * q for q in y)
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        return empty
+    num = n * sxy - sx * sy
+    r = np.float64(num) / (np.sqrt(np.float64(d1)) * np.sqrt(np.float64(d2)))
+    return pd.DataFrame({
+        "n_pairs": np.array([n], np.int64),
+        "xcorr": round_half_away(np.array([r], np.float64), 6),
+    })

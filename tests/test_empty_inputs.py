@@ -364,6 +364,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "customers_repeat_rate": ["c_mktsegment", "n_customers",
                                   "n_repeat", "repeat_rate"],
         "orders_value_cv": ["o_orderpriority", "n", "cv"],
+        "event_type_triples": ["type_a", "type_b", "type_c", "n_users"],
+        "events_xcorr_lag1": ["n_pairs", "xcorr"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
