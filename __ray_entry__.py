@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_value_cv": q.q_orders_value_cv,
         "event_type_triples": q.q_event_type_triples,
         "events_xcorr_lag1": q.q_events_xcorr_lag1,
+        "lineitem_weighted_median_qty": q.q_lineitem_weighted_median_qty,
+        "source_char_entropy": q.q_source_char_entropy,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3384,6 +3386,51 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE n >= 2 AND n * sxx - sx * sx > 0
               AND n * syy - sy * sy > 0
+        """,
+        "lineitem_weighted_median_qty": """
+            WITH h AS (
+              SELECT l_returnflag AS flag,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) AS w,
+                     COUNT(*) AS n
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT flag, SUM(w) AS total, SUM(n) AS n_lines
+              FROM h GROUP BY 1
+            ), c AS (
+              SELECT h.flag, h.qty, SUM(h2.w) AS cum
+              FROM h JOIN h h2 ON h2.flag = h.flag AND h2.qty <= h.qty
+              GROUP BY 1, 2
+            )
+            SELECT c.flag AS l_returnflag,
+                   CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(MIN(c.qty) AS BIGINT) AS wmedian_qty
+            FROM c JOIN t USING (flag)
+            WHERE t.total > 0 AND 2 * c.cum >= t.total
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "source_char_entropy": """
+            WITH ch AS (
+              SELECT source, unnest(split(text, '')) AS c
+              FROM documents
+            ), h AS (
+              SELECT source, c, COUNT(*) AS n FROM ch GROUP BY 1, 2
+            ), t AS (
+              SELECT source, SUM(n) AS total FROM h GROUP BY 1
+            )
+            SELECT h.source,
+                   CAST(t.total AS BIGINT) AS n_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_alphabet,
+                   round(ln(CAST(t.total AS DOUBLE))
+                         - SUM(CAST(h.n AS DOUBLE)
+                               * ln(CAST(h.n AS DOUBLE))) / t.total,
+                         6) AS char_entropy
+            FROM h JOIN t USING (source)
+            GROUP BY h.source, t.total ORDER BY 1
         """,
     }
     try:

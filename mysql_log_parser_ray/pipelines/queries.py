@@ -12284,3 +12284,149 @@ def q_events_xcorr_lag1(sf_dir: str, type_a: str = "view",
         "n_pairs": np.array([n], np.int64),
         "xcorr": round_half_away(np.array([r], np.float64), 6),
     })
+
+
+def q_lineitem_weighted_median_qty(sf_dir: str):
+    """Revenue-WEIGHTED median quantity per return flag: the smallest
+    quantity level at which cumulative extended-price mass reaches half
+    the flag's total — "what order size carries half the money", the
+    weighted-quantile complement to the repo's nearest-rank medians.
+
+    Exactness: quantities are integral in TPC-H (CAST truncation matches
+    the oracle); weights quantize to cents; the cutoff is pure integer
+    arithmetic (2*cum >= total) on Python ints (flag totals at corpus
+    scale crowd int64 — the big-int rule), so nothing floats anywhere.
+
+    Scale shape: ONE (flag, qty, cents, n) histogram-cell fold — bounded
+    by flags x distinct quantity levels (50 in TPC-H), never line count;
+    the cumsum/threshold walk is driver math on that histogram."""
+    import pandas as pd
+
+    empty = _typed_empty(l_returnflag=object, n_lines="int64",
+                         wmedian_qty="int64")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"flag": pa.array([], pa.string()),
+                "qty": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_returnflag" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["l_quantity"]),
+                             pc.is_valid(b["l_extendedprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "flag": b["l_returnflag"].to_pandas(),
+                "qty": pc.cast(b["l_quantity"], pa.int64())
+                       .to_numpy(zero_copy_only=False),
+                "cents": _cents(b["l_extendedprice"])
+                         .to_numpy(zero_copy_only=False)})
+             .groupby(["flag", "qty"], as_index=False)
+             .agg(cents=("cents", "sum"), n=("cents", "size")))
+        for c in ("qty", "cents", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["flag", "qty"], ["cents", "n"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for flag, g in cells.groupby("flag"):
+        g = g.sort_values("qty")
+        total = sum(int(v) for v in g["cents"])
+        n_lines = int(g["n"].sum())
+        if total <= 0:
+            continue
+        cum = 0
+        for qty, w in zip(g["qty"], g["cents"]):
+            cum += int(w)
+            if 2 * cum >= total:
+                rows.append((flag, n_lines, int(qty)))
+                break
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n_lines",
+                                      "wmedian_qty"])
+    for c in ("n_lines", "wmedian_qty"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_source_char_entropy(sf_dir: str):
+    """Per-source CHARACTER-level unigram entropy (nats) plus alphabet
+    size — the tokenizer-design statistic that says how compressible /
+    how diverse each source's raw byte stream is (word-level entropy
+    screens can't see within-word structure).
+
+    Exactness: the per-source byte histogram is exact integers (the
+    corpus is ASCII — pinned by the generator and the oracle's
+    length() == byte-count equivalence); entropy = ln(N) - sum(c*ln(c))/N
+    evaluates over the <=256-cell histogram in ascending byte order,
+    matching the oracle's expression term-for-term (ln-derived, np.round
+    per the CLAUDE.md rule).
+
+    Scale shape: per-block numpy bincount over the concatenated source
+    bytes -> (source, byte, n) partials, <= sources x 256 rows per block;
+    the fold and the entropy walk are alphabet-bounded driver math. Text
+    never shuffles."""
+    import pandas as pd
+
+    empty = _typed_empty(source=object, n_chars="int64",
+                         n_alphabet="int64", char_entropy="float64")
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "byte": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "text": b["text"].to_pandas()})
+        df = df[df["text"].notna()]
+        srcs, bytes_, ns = [], [], []
+        for src, txts in df.groupby("source")["text"]:
+            buf = np.frombuffer(txts.str.cat().encode("ascii"), np.uint8)
+            if not len(buf):
+                continue
+            counts = np.bincount(buf, minlength=256)
+            nz = np.nonzero(counts)[0]
+            srcs.extend([src] * len(nz))
+            bytes_.extend(nz.tolist())
+            ns.extend(counts[nz].tolist())
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "byte": pa.array(bytes_, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    cells = _fold_partials(
+        docs.map_batches(_cells, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source", "byte"], ["n"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for src, g in cells.groupby("source"):
+        g = g.sort_values("byte")
+        total = int(g["n"].sum())
+        if total <= 0:
+            continue
+        cn = g["n"].to_numpy(np.float64)
+        s = float(np.sum(cn * np.log(cn)))
+        ent = np.log(np.float64(total)) - s / np.float64(total)
+        rows.append((src, total, len(g), ent))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["source", "n_chars", "n_alphabet",
+                                      "char_entropy"])
+    for c in ("n_chars", "n_alphabet"):
+        out[c] = out[c].astype("int64")
+    out["char_entropy"] = np.round(out["char_entropy"].to_numpy(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)

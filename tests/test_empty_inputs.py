@@ -366,6 +366,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_value_cv": ["o_orderpriority", "n", "cv"],
         "event_type_triples": ["type_a", "type_b", "type_c", "n_users"],
         "events_xcorr_lag1": ["n_pairs", "xcorr"],
+        "lineitem_weighted_median_qty": ["l_returnflag", "n_lines",
+                                         "wmedian_qty"],
+        "source_char_entropy": ["source", "n_chars", "n_alphabet",
+                                "char_entropy"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
