@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_xcorr_lag1": q.q_events_xcorr_lag1,
         "lineitem_weighted_median_qty": q.q_lineitem_weighted_median_qty,
         "source_char_entropy": q.q_source_char_entropy,
+        "events_dow_hour_heatmap": q.q_events_dow_hour_heatmap,
+        "orders_first_last_delta": q.q_orders_first_last_delta,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3431,6 +3433,54 @@ def oracle_sql() -> dict[str, str]:
                          6) AS char_entropy
             FROM h JOIN t USING (source)
             GROUP BY h.source, t.total ORDER BY 1
+        """,
+        "events_dow_hour_heatmap": """
+            WITH c AS (
+              SELECT (CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                      + 4) % 7 AS dow,
+                     CAST((epoch_us(ts) % 86400000000)
+                          // 3600000000 AS BIGINT) AS hod,
+                     COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT dow, SUM(n) AS total FROM c GROUP BY 1
+            )
+            SELECT c.dow, c.hod, CAST(c.n AS BIGINT) AS n_events,
+                   round(CAST(c.n AS DOUBLE) / t.total, 6) AS dow_share
+            FROM c JOIN t USING (dow)
+            ORDER BY 1, 2
+        """,
+        "orders_first_last_delta": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+                     COUNT(*) OVER (PARTITION BY o_custkey) AS n
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+            ), f AS (
+              SELECT o_custkey,
+                     MAX(CASE WHEN rf = 1 THEN cents END) AS first_c,
+                     MAX(CASE WHEN rl = 1 THEN cents END) AS last_c
+              FROM o WHERE n >= 2 GROUP BY 1
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_customers_multi,
+                     CAST(COALESCE(SUM(CASE WHEN last_c > first_c
+                                            THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS n_grew,
+                     CAST(COALESCE(SUM(CASE WHEN last_c < first_c
+                                            THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS n_shrank
+              FROM f
+            )
+            SELECT n_customers_multi, n_grew, n_shrank,
+                   round(CAST(n_grew AS DOUBLE) / n_customers_multi, 6)
+                     AS share_grew
+            FROM agg WHERE n_customers_multi > 0
         """,
     }
     try:

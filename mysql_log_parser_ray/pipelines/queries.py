@@ -12430,3 +12430,145 @@ def q_source_char_entropy(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["char_entropy"] = np.round(out["char_entropy"].to_numpy(np.float64), 6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_events_dow_hour_heatmap(sf_dir: str):
+    """Traffic heatmap surface: event counts per (day-of-week,
+    hour-of-day) cell plus each hour's share of its weekday's traffic —
+    the staffing/capacity-planning view behind every ops dashboard.
+
+    Exactness: dow = (epoch_day + 4) % 7 (Sunday=0; day 0 = Thursday
+    1970-01-01) and hod = (epoch_us % 86400e6) // 3600e6 are the SAME
+    integer arithmetic in the oracle SQL (no locale/DST functions on
+    either side); shares are ratio-of-int half-up per the tie rule.
+
+    Scale shape: one (dow, hod, n) counter fold — 168 cells, never
+    event-cardinality; shares are driver math on the folded cells."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(dow="int64", hod="int64", n_events="int64",
+                         dow_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"dow": pa.array([], pa.int64()),
+                "hod": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        g = (pd.DataFrame({
+                "dow": ((day + 4) % 7).astype(np.int64),
+                "hod": ((us % 86_400_000_000)
+                        // 3_600_000_000).astype(np.int64)})
+             .groupby(["dow", "hod"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("dow", "hod", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["dow", "hod"], ["n"],
+    )
+    if cells is None:
+        return empty
+    tot = cells.groupby("dow")["n"].transform("sum")
+    out = pd.DataFrame({
+        "dow": cells["dow"].astype("int64"),
+        "hod": cells["hod"].astype("int64"),
+        "n_events": cells["n"].astype("int64"),
+        "dow_share": round_half_up(
+            cells["n"].to_numpy(np.float64) / tot.to_numpy(np.float64), 6),
+    })
+    return out.sort_values(["dow", "hod"]).reset_index(drop=True)
+
+
+def q_orders_first_last_delta(sf_dir: str, n_parts: int = 64):
+    """Spend trajectory: among repeat customers (>= 2 orders), how many
+    spent MORE on their last order than their first (and how many less)
+    — the simplest growth-vs-decay loyalty read.
+
+    Exactness: first/last pick by the deterministic (orderdate,
+    orderkey) order (ties break on orderkey; last = highest pair);
+    prices quantize to cents; the share is ONE ratio-of-ints half-up
+    divide. NULL date/price rows drop on both sides.
+
+    Scale shape: orders hash-bucket by custkey, each customer's history
+    meets in one bucket; the per-bucket kernel is one vectorized
+    sort + groupby first/last, and each bucket emits a SINGLE
+    (n_multi, n_grew, n_shrank) counter row for the driver fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_customers_multi="int64", n_grew="int64",
+                         n_shrank="int64", share_grew="float64")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "okey": pa.array([], pa.int64()),
+                "date_us": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["o_orderdate"]),
+                             pc.is_valid(b["o_totalprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "date_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "cents": _cents(b["o_totalprice"]),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_multi": pd.Series([], dtype="int64"),
+                "n_grew": pd.Series([], dtype="int64"),
+                "n_shrank": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["cust", "date_us", "okey"])
+        grp = g.groupby("cust")["cents"]
+        first = grp.first().to_numpy(np.int64)
+        last = grp.last().to_numpy(np.int64)
+        multi = grp.size().to_numpy(np.int64) >= 2
+        return pd.DataFrame({
+            "n_multi": np.array([int(multi.sum())], np.int64),
+            "n_grew": np.array(
+                [int((multi & (last > first)).sum())], np.int64),
+            "n_shrank": np.array(
+                [int((multi & (last < first)).sum())], np.int64)})
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "n_multi" not in parts.columns:
+        return empty
+    n_multi = int(parts["n_multi"].sum())
+    if n_multi == 0:
+        return empty
+    n_grew = int(parts["n_grew"].sum())
+    n_shrank = int(parts["n_shrank"].sum())
+    return pd.DataFrame({
+        "n_customers_multi": np.array([n_multi], np.int64),
+        "n_grew": np.array([n_grew], np.int64),
+        "n_shrank": np.array([n_shrank], np.int64),
+        "share_grew": round_half_up(
+            np.array([n_grew / n_multi], np.float64), 6)})

@@ -370,6 +370,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                          "wmedian_qty"],
         "source_char_entropy": ["source", "n_chars", "n_alphabet",
                                 "char_entropy"],
+        "events_dow_hour_heatmap": ["dow", "hod", "n_events", "dow_share"],
+        "orders_first_last_delta": ["n_customers_multi", "n_grew",
+                                    "n_shrank", "share_grew"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
