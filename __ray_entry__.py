@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_char_entropy": q.q_source_char_entropy,
         "events_dow_hour_heatmap": q.q_events_dow_hour_heatmap,
         "orders_first_last_delta": q.q_orders_first_last_delta,
+        "events_weekly_value_p50": q.q_events_weekly_value_p50,
+        "user_activity_entropy": q.q_user_activity_entropy,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3481,6 +3483,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_grew AS DOUBLE) / n_customers_multi, 6)
                      AS share_grew
             FROM agg WHERE n_customers_multi > 0
+        """,
+        "events_weekly_value_p50": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       // 7 AS week,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT event_type, week, CAST(COUNT(*) AS BIGINT) AS n,
+                   (list_sort(list(cents)))
+                     [(50 * COUNT(*)) // 100 + 1] AS p50_cents
+            FROM v GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_activity_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT user_id, SUM(c) AS n FROM c GROUP BY 1
+            ), e AS (
+              SELECT c.user_id,
+                     round(ln(CAST(t.n AS DOUBLE))
+                           - SUM(CAST(c.c AS DOUBLE)
+                                 * ln(CAST(c.c AS DOUBLE))) / t.n,
+                           6) AS ent
+              FROM c JOIN t USING (user_id)
+              GROUP BY c.user_id, t.n
+            )
+            SELECT CAST(floor(ent * 10) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM e GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -12572,3 +12572,164 @@ def q_orders_first_last_delta(sf_dir: str, n_parts: int = 64):
         "n_shrank": np.array([n_shrank], np.int64),
         "share_grew": round_half_up(
             np.array([n_grew / n_multi], np.float64), 6)})
+
+
+def q_events_weekly_value_p50(sf_dir: str):
+    """Weekly median event value per type — the SLO/pricing trend
+    surface (is the typical transaction drifting?), exact nearest-rank
+    per (type, epoch-week) group.
+
+    Exactness: values quantize to cents; the median is the repo's
+    vals[(50*cnt)//100] nearest-rank convention (stats.go:124-129) over
+    each group's exact (cents, n) histogram; week = epoch_day // 7 is
+    the same integer arithmetic in the oracle.
+
+    Scale shape: nearest_rank_by_key's bucket-collapse shape inlined for
+    a COMPOSITE key — per-block (type, week, cents, n) partials,
+    stable_pair_partition(type, week) so a group's whole histogram meets
+    in one bucket, per-bucket collapse + rank walk; only one result row
+    per (type, week) ever reaches the driver."""
+    import pandas as pd
+
+    from ..partition import stable_pair_partition
+
+    empty = _typed_empty(event_type=object, week="int64", n="int64",
+                         p50_cents="int64")
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "week": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]), pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        day = _day_from_us(pc.cast(b["ts"], pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas(),
+                "week": (day // 7).astype(np.int64),
+                "cents": _cents(b["value"]).to_numpy(zero_copy_only=False)})
+             .groupby(["event_type", "week", "cents"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        for c in ("week", "cents", "n"):
+            g[c] = g[c].astype("int64")
+        g["_part"] = stable_pair_partition(
+            g["event_type"].to_numpy(object), g["week"].to_numpy(np.int64),
+            64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "week": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "p50_cents": pd.Series([], dtype="int64")}
+        if not len(g) or "event_type" not in g.columns:
+            return pd.DataFrame(cols)
+        h = g.groupby(["event_type", "week", "cents"],
+                      as_index=False)["n"].sum()
+        rows = []
+        for (et, wk), gg in h.groupby(["event_type", "week"], sort=True):
+            gg = gg.sort_values("cents")
+            cum = gg["n"].cumsum().to_numpy()
+            cnt = int(cum[-1])
+            p50 = int(gg["cents"].to_numpy()[
+                np.searchsorted(cum, (50 * cnt) // 100 + 1)])
+            rows.append((et, int(wk), cnt, p50))
+        if not rows:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame(rows, columns=["event_type", "week", "n",
+                                          "p50_cents"])
+        for c in ("week", "n", "p50_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_rank_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(out) or "event_type" not in out.columns:
+        return empty
+    for c in ("week", "n", "p50_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "week"]).reset_index(drop=True)
+
+
+def q_user_activity_entropy(sf_dir: str, n_parts: int = 64):
+    """Specialist-vs-generalist user screen: each user's event-type-mix
+    Shannon entropy (nats, over their event counts per type), binned to
+    0.1-nat cells and counted — the engagement-diversity histogram
+    (entropy 0 = single-behavior users; ln(types) = uniform explorers).
+
+    Exactness: per-user counts are exact integers; entropy =
+    ln(n) - sum(c*ln(c))/n and the bin floor(round(ent,6)*10) evaluate
+    identically in numpy and DuckDB (the unigram-surprisal binning
+    precedent; ln-derived ties measure-zero).
+
+    Scale shape: per-block (user, type, n) partials hash-bucket by user
+    (stable_partition) so each user's full profile meets in one bucket;
+    buckets emit (bin, n_users) cells — <= ~17 rows each (entropy is
+    bounded by ln(type vocabulary)) — and the driver folds those. Users
+    never reach the driver."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(bin="int64", n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        g = (pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                           "event_type": b["event_type"].to_pandas()})
+             .groupby(["user_id", "event_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["_part"] = stable_partition(
+            pa.array(g["user_id"], from_pandas=True), n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        h = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        # per-user entropy over the collapsed counts, type-sorted so the
+        # c*ln(c) sum order is deterministic
+        h = h.sort_values(["user_id", "event_type"])
+        c = h["n"].to_numpy(np.float64)
+        terms = pd.Series(c * np.log(c), index=h["user_id"].to_numpy())
+        s = terms.groupby(level=0).sum()
+        tot = h.groupby("user_id")["n"].sum().to_numpy(np.float64)
+        ent = np.round(np.log(tot) - s.to_numpy(np.float64) / tot, 6)
+        bins = np.floor(ent * 10).astype(np.int64)
+        out = (pd.DataFrame({"bin": bins})
+               .groupby("bin", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        for col in ("bin", "n_users"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["bin"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("bin", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)

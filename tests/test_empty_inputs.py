@@ -373,6 +373,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_dow_hour_heatmap": ["dow", "hod", "n_events", "dow_share"],
         "orders_first_last_delta": ["n_customers_multi", "n_grew",
                                     "n_shrank", "share_grew"],
+        "events_weekly_value_p50": ["event_type", "week", "n", "p50_cents"],
+        "user_activity_entropy": ["bin", "n_users"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
