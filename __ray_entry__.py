@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_first_last_delta": q.q_orders_first_last_delta,
         "events_weekly_value_p50": q.q_events_weekly_value_p50,
         "user_activity_entropy": q.q_user_activity_entropy,
+        "orders_price_equidepth": q.q_orders_price_equidepth,
+        "slowlog_qt_log2_histogram": q.q_slowlog_qt_log2_histogram,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3516,6 +3518,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(ent * 10) AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "orders_price_equidepth": """
+            WITH o AS (
+              SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents, o_orderkey
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), t AS (
+              SELECT cents,
+                     NTILE(8) OVER (ORDER BY cents, o_orderkey) AS tile
+              FROM o
+            )
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "slowlog_qt_log2_histogram": f"""
+            WITH q AS (
+              SELECT {_CLASS_EXPR} AS class_id,
+                     CAST(n_chars % 128 AS BIGINT) AS qt_q
+              FROM documents
+            )
+            SELECT class_id,
+                   CASE WHEN qt_q = 0 THEN -1
+                        ELSE CAST(floor(log2(CAST(qt_q AS DOUBLE)))
+                                  AS BIGINT) END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     try:

@@ -12733,3 +12733,129 @@ def q_user_activity_entropy(sf_dir: str, n_parts: int = 64):
     for c in ("bin", "n_users"):
         out[c] = out[c].astype("int64")
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_orders_price_equidepth(sf_dir: str, k: int = 8,
+                             max_distinct: int = 5_000_000):
+    """Equi-DEPTH histogram of order prices (optimizer-statistics build):
+    k buckets of (as near as possible) equal row count with their value
+    boundaries — the structure a cost-based planner keeps per column,
+    where equi-width histograms lose the skewed tail.
+
+    Exactness: NTILE semantics exactly (first n%k tiles take one extra
+    row, ties ordered by (cents, orderkey) — tile COUNTS and cents
+    MIN/MAX are independent of the orderkey tie-break because equal
+    cents are adjacent); boundaries walk the exact (cents, n) histogram
+    cumsum, all integers.
+
+    Scale shape: one (cents, n) histogram fold — bounded by DISTINCT
+    price points, guarded at max_distinct with the GK remedy named
+    (the nearest_rank_by_key contract); the tile walk is driver math
+    on the folded histogram."""
+    import pandas as pd
+
+    empty = _typed_empty(tile="int64", lo_cents="int64", hi_cents="int64",
+                         n_orders="int64")
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_totalprice" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_totalprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "cents": _cents(b["o_totalprice"])
+                         .to_numpy(zero_copy_only=False)})
+             .groupby("cents", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("cents", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["cents"], ["n"],
+    )
+    if cells is None:
+        return empty
+    if len(cells) > max_distinct:
+        raise ValueError(
+            f"orders_price_equidepth: {len(cells)} distinct price points "
+            f"exceed {max_distinct}; this metric is effectively continuous "
+            "- build the histogram from gk_percentiles_by_key instead"
+        )
+    cells = cells.sort_values("cents")
+    cum = cells["n"].to_numpy(np.int64).cumsum()
+    vals = cells["cents"].to_numpy(np.int64)
+    n = int(cum[-1])
+    rows, start = [], 0
+    for t in range(1, k + 1):
+        size = n // k + (1 if t <= n % k else 0)
+        if size == 0:
+            continue
+        lo = int(vals[np.searchsorted(cum, start + 1)])
+        hi = int(vals[np.searchsorted(cum, start + size)])
+        rows.append((t, lo, hi, size))
+        start += size
+    out = pd.DataFrame(rows, columns=["tile", "lo_cents", "hi_cents",
+                                      "n_orders"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_slowlog_qt_log2_histogram(sf_dir: str):
+    """Per-class log2-bucketed Query_time histogram over the REAL
+    slow-log pipeline (parse -> fingerprint -> class) — the classic
+    latency-distribution panel (each bucket doubles the latency range;
+    the shape a fixed-width Histo(20) flattens at the tail).
+
+    Exactness: query times are quarter-second quanta by derivation
+    (float32-exact), so qt_q = round(qt*4) is an exact integer and
+    bucket = floor(log2(qt_q)) (qt_q = 0 -> bucket -1) is integer-exact
+    both sides (log2 of ints < 2^53 is correctly rounded).
+
+    Scale shape: per-block (class_id, bucket, n) partials — classes x
+    ~8 buckets — folded on the driver; events never leave the tasks."""
+    import pandas as pd
+
+    empty = _typed_empty(class_id=object, bucket="int64",
+                         n_queries="int64")
+    events = _flat_events(sf_dir)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"class_id": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        qt_q = np.floor(qt * 4.0 + 0.5).astype(np.int64)
+        bucket = np.where(
+            qt_q == 0, np.int64(-1),
+            np.floor(np.log2(np.maximum(qt_q, 1).astype(np.float64)))
+            .astype(np.int64))
+        g = (pd.DataFrame({"class_id": b["class_id"].to_pandas(),
+                           "bucket": bucket})
+             .groupby(["class_id", "bucket"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("bucket", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        events.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["class_id", "bucket"], ["n"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"n": "n_queries"})
+    for c in ("bucket", "n_queries"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["class_id", "bucket"]).reset_index(drop=True)

@@ -375,6 +375,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                     "n_shrank", "share_grew"],
         "events_weekly_value_p50": ["event_type", "week", "n", "p50_cents"],
         "user_activity_entropy": ["bin", "n_users"],
+        "orders_price_equidepth": ["tile", "lo_cents", "hi_cents",
+                                   "n_orders"],
+        "slowlog_qt_log2_histogram": ["class_id", "bucket", "n_queries"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
