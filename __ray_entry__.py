@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_entropy": q.q_user_activity_entropy,
         "orders_price_equidepth": q.q_orders_price_equidepth,
         "slowlog_qt_log2_histogram": q.q_slowlog_qt_log2_histogram,
+        "user_gap_median_hist": q.q_user_gap_median_hist,
+        "events_daily_volume_bands": q.q_events_daily_volume_bands,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3546,6 +3548,45 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_queries
             FROM q GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_gap_median_hist": """
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts))
+                       // 1000000 AS gap_s
+              FROM events WHERE ts IS NOT NULL
+            ), u AS (
+              SELECT user_id,
+                     (list_sort(list(gap_s)))
+                       [(50 * COUNT(*)) // 100 + 1] AS med
+              FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+            )
+            SELECT CAST(floor(log2(CAST(med AS DOUBLE) + 1))
+                        AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "events_daily_volume_bands": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+            ), cal AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM b
+            ), s AS (
+              SELECT COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d USING (day)
+            ), l AS (
+              SELECT COUNT(*) AS cnt, list_sort(list(n)) AS vals FROM s
+            )
+            SELECT CAST(cnt AS BIGINT) AS n_days,
+                   CAST(vals[(10 * cnt) // 100 + 1] AS BIGINT) AS p10,
+                   CAST(vals[(50 * cnt) // 100 + 1] AS BIGINT) AS p50,
+                   CAST(vals[(90 * cnt) // 100 + 1] AS BIGINT) AS p90
+            FROM l WHERE cnt > 0
         """,
     }
     try:

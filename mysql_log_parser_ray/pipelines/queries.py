@@ -12859,3 +12859,110 @@ def q_slowlog_qt_log2_histogram(sf_dir: str):
     for c in ("bucket", "n_queries"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["class_id", "bucket"]).reset_index(drop=True)
+
+
+def q_user_gap_median_hist(sf_dir: str, n_parts: int = 64):
+    """Engagement-rhythm screen: each user's MEDIAN inter-event gap
+    (whole seconds), binned to doubling cells (floor(log2(gap_s + 1)))
+    and counted — separates always-on accounts (bin 0-4) from
+    check-in-weekly humans (bin 15+) better than any mean, which one
+    vacation gap destroys. Users with fewer than two events drop.
+
+    Exactness: gaps are floor-integer seconds of the us deltas over each
+    user's time-ordered events (equal-timestamp ties leave the gap
+    MULTISET invariant, so no tie-break is needed); the median is the
+    repo's nearest-rank convention; the bin is integer-exact log2.
+
+    Scale shape: users hash-bucket (stable_partition) so each user's
+    ordered history diffs inside ONE task; buckets emit (bin, n_users)
+    cells — ~25 rows each — for the driver fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(bin="int64", n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "us": pc.cast(b["ts"], pa.int64()),
+            "_part": pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "us"])
+        same = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        d = pd.DataFrame({
+            "user_id": same[1:],
+            "gap_s": (us[1:] - us[:-1]) // 1_000_000,
+            "ok": same[1:] == same[:-1]})
+        d = d[d["ok"]]
+        if not len(d):
+            return pd.DataFrame(cols)
+        meds = []
+        for uid, gg in d.groupby("user_id")["gap_s"]:
+            v = np.sort(gg.to_numpy(np.int64))
+            meds.append(int(v[(50 * len(v)) // 100]))
+        bins = np.floor(
+            np.log2(np.array(meds, np.float64) + 1.0)).astype(np.int64)
+        out = (pd.DataFrame({"bin": bins})
+               .groupby("bin", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        for c in ("bin", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["bin"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("bin", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_events_daily_volume_bands(sf_dir: str):
+    """Capacity-planning bands: p10 / p50 / p90 of TOTAL daily event
+    volume over the dense observed-day grid (absent days count 0) — the
+    "plan for p90, alert under p10" numbers an on-call runbook quotes.
+
+    Exactness: daily counts are exact integers on the dense calendar;
+    each band is the repo's nearest-rank vals[(p*cnt)//100] convention
+    over the sorted day series — nothing floats.
+
+    Scale shape: the shared (day, n) counter fold (calendar-bounded);
+    the rank walk is driver math over <= days rows."""
+    import pandas as pd
+
+    empty = _typed_empty(n_days="int64", p10="int64", p50="int64",
+                         p90="int64")
+    dx = _daily_total_counts(sf_dir)
+    if dx is None:
+        return empty
+    _, x = dx
+    v = np.sort(x)
+    n = len(v)
+    return pd.DataFrame({
+        "n_days": np.array([n], np.int64),
+        "p10": np.array([int(v[(10 * n) // 100])], np.int64),
+        "p50": np.array([int(v[(50 * n) // 100])], np.int64),
+        "p90": np.array([int(v[(90 * n) // 100])], np.int64)})
