@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_qt_log2_histogram": q.q_slowlog_qt_log2_histogram,
         "user_gap_median_hist": q.q_user_gap_median_hist,
         "events_daily_volume_bands": q.q_events_daily_volume_bands,
+        "events_cube_type_dow": q.q_events_cube_type_dow,
+        "supplier_revenue_topk": q.q_supplier_revenue_topk,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3587,6 +3589,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vals[(50 * cnt) // 100 + 1] AS BIGINT) AS p50,
                    CAST(vals[(90 * cnt) // 100 + 1] AS BIGINT) AS p90
             FROM l WHERE cnt > 0
+        """,
+        "events_cube_type_dow": """
+            WITH c AS (
+              SELECT event_type,
+                     (CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                      + 4) % 7 AS dw,
+                     COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(CAST(dw AS VARCHAR), '<all>') AS dow,
+                   CAST(SUM(n) AS BIGINT) AS n
+            FROM c GROUP BY CUBE(event_type, dw) ORDER BY 1, 2
+        """,
+        "supplier_revenue_topk": """
+            WITH s AS (
+              SELECT l_suppkey AS s_suppkey,
+                     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS BIGINT)) AS cents
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1
+            ), t AS (
+              SELECT SUM(cents) AS total FROM s
+            ), r AS (
+              SELECT s_suppkey, cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC, s_suppkey)
+                       AS rnk,
+                     SUM(cents) OVER (ORDER BY cents DESC, s_suppkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s
+            )
+            SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(r.rnk AS BIGINT) AS rnk,
+                   CAST(r.cents AS BIGINT) AS revenue_cents,
+                   round(CAST(r.cum AS DOUBLE) / t.total, 6) AS cum_share
+            FROM r, t WHERE r.rnk <= 10 AND t.total > 0
+            ORDER BY r.rnk
         """,
     }
     try:

@@ -12966,3 +12966,124 @@ def q_events_daily_volume_bands(sf_dir: str):
         "p10": np.array([int(v[(10 * n) // 100])], np.int64),
         "p50": np.array([int(v[(50 * n) // 100])], np.int64),
         "p90": np.array([int(v[(90 * n) // 100])], np.int64)})
+
+
+def q_events_cube_type_dow(sf_dir: str):
+    """CUBE over (event_type, day-of-week): all FOUR grouping sets —
+    (type, dow), (type, *), (*, dow), grand total — in one result, the
+    completion of the grouping-set family next to events_rollup's
+    ROLLUP ('<all>' sentinel for rolled dimensions, dtype-stable vs SQL
+    NULLs).
+
+    Scale shape: the rollup rule — one (type, dow, n) finest-cell fold
+    (types x 7 rows), every coarser set re-aggregated from those cells
+    on the driver, never a second pass over events."""
+    import pandas as pd
+
+    empty = _typed_empty(event_type=object, dow=object, n="int64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "dw": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas(),
+                "dw": ((us // 86_400_000_000 + 4) % 7).astype(np.int64)})
+             .groupby(["event_type", "dw"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("dw", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["event_type", "dw"], ["n"],
+    )
+    if cells is None:
+        return empty
+    fine = pd.DataFrame({
+        "event_type": cells["event_type"].astype(object),
+        "dow": cells["dw"].astype("int64").astype(str),
+        "n": cells["n"].astype("int64")})
+    by_type = (fine.groupby("event_type", as_index=False)["n"].sum()
+               .assign(dow="<all>"))
+    by_dow = (fine.groupby("dow", as_index=False)["n"].sum()
+              .assign(event_type="<all>"))
+    grand = pd.DataFrame({"event_type": ["<all>"], "dow": ["<all>"],
+                          "n": [int(fine["n"].sum())]})
+    out = pd.concat([fine, by_type, by_dow, grand], ignore_index=True)
+    out = out[["event_type", "dow", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def q_supplier_revenue_topk(sf_dir: str, k: int = 10):
+    """Supply-concentration top-k: the k suppliers carrying the most
+    shipped revenue, each with its rank and CUMULATIVE share of total
+    revenue — the "how fragile is our supply base" procurement read.
+
+    Exactness: revenue quantizes to cents and sums per supplier in the
+    fold (supplier-cardinality); ranks break ties by suppkey ascending;
+    cumulative shares are ratios of Python-int sums, half-up.
+
+    Scale shape: ONE (suppkey, cents) fold bounded by supplier count
+    (suppliers are the small dimension of lineitem); top-k + shares are
+    driver math on that frame. Lineitem rows never leave the tasks."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(s_suppkey="int64", rnk="int64",
+                         revenue_cents="int64", cum_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"s_suppkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_suppkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["l_extendedprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "s_suppkey": pc.cast(b["l_suppkey"], pa.int64())
+                             .to_numpy(zero_copy_only=False),
+                "cents": _cents(b["l_extendedprice"])
+                         .to_numpy(zero_copy_only=False)})
+             .groupby("s_suppkey", as_index=False)["cents"].sum())
+        for c in ("s_suppkey", "cents"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["s_suppkey"], ["cents"],
+    )
+    if cells is None:
+        return empty
+    total = sum(int(v) for v in cells["cents"])
+    if total <= 0:
+        return empty
+    top = (cells.sort_values(["cents", "s_suppkey"],
+                             ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    cum = 0
+    shares, cents_out = [], []
+    for v in top["cents"]:
+        cum += int(v)
+        cents_out.append(int(v))
+        shares.append(cum / total)
+    return pd.DataFrame({
+        "s_suppkey": top["s_suppkey"].astype("int64"),
+        "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+        "revenue_cents": np.array(cents_out, np.int64),
+        "cum_share": round_half_up(np.array(shares, np.float64), 6)})

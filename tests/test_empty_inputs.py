@@ -380,6 +380,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "slowlog_qt_log2_histogram": ["class_id", "bucket", "n_queries"],
         "user_gap_median_hist": ["bin", "n_users"],
         "events_daily_volume_bands": ["n_days", "p10", "p50", "p90"],
+        "events_cube_type_dow": ["event_type", "dow", "n"],
+        "supplier_revenue_topk": ["s_suppkey", "rnk", "revenue_cents",
+                                  "cum_share"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
