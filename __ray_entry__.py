@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_volume_bands": q.q_events_daily_volume_bands,
         "events_cube_type_dow": q.q_events_cube_type_dow,
         "supplier_revenue_topk": q.q_supplier_revenue_topk,
+        "genlog_connections_by_db": q.q_genlog_connections_by_db,
+        "jsonlog_qt_by_db": q.q_jsonlog_qt_by_db,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3626,6 +3628,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.cum AS DOUBLE) / t.total, 6) AS cum_share
             FROM r, t WHERE r.rnk <= 10 AND t.total > 0
             ORDER BY r.rnk
+        """,
+        "genlog_connections_by_db": """
+            SELECT 'db' || CAST(n_chars % 3 AS VARCHAR) AS db,
+                   'u' || CAST(n_chars % 5 AS VARCHAR) AS "user",
+                   CAST(COUNT(*) AS BIGINT) AS n_connects
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "jsonlog_qt_by_db": """
+            SELECT 'db' || CAST(n_chars % 3 AS VARCHAR) AS db,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
     }
     try:

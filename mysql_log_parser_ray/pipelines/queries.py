@@ -13087,3 +13087,111 @@ def q_supplier_revenue_topk(sf_dir: str, k: int = 10):
         "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
         "revenue_cents": np.array(cents_out, np.int64),
         "cum_share": round_half_up(np.array(shares, np.float64), 6)})
+
+
+def q_genlog_connections_by_db(sf_dir: str):
+    """Connection-audit rollup over the REAL general-log parse: Connect
+    sessions per (db, user) — "who connects where, how often", the
+    access-pattern table a DBA reads before tightening grants. Exercises
+    the genlog parser's Connect-line user/host/db capture
+    (general_log's `Connect user@host on db` argument; genlog.py:104).
+
+    Scale shape: parse streams per block; only Connect rows (one per
+    session) survive the filter, and the (db, user, n) fold is
+    db x user cardinality."""
+    import pandas as pd
+
+    empty = _typed_empty(db=object, user=object, n_connects="int64")
+    ev = parse_events(derived_genlog_sequences_ds(sf_dir), fmt="genlog")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"db": pa.array([], pa.string()),
+                "user": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "query" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.equal(b["query"], "Connect"))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({"db": b["db"].to_pandas(),
+                           "user": b["user"].to_pandas()})
+             .groupby(["db", "user"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ev.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["db", "user"], ["n"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"n": "n_connects"})
+    out["n_connects"] = out["n_connects"].astype("int64")
+    return out.sort_values(["db", "user"]).reset_index(drop=True)
+
+
+def q_jsonlog_qt_by_db(sf_dir: str):
+    """Per-db latency totals over the REAL structured-JSON log parse —
+    the per-database slow-time bill ("which schema burns the budget")
+    computed from jsonlog's time_metrics map, exercising the third
+    registered format end-to-end past parse.
+
+    Exactness: query times are quarter-second quanta by derivation
+    (float32-exact), so the engine sums qt*4 as INTEGER quarters in the
+    fold and divides once by 4.0 (a power of two — the division is
+    exact), matching the oracle's SUM of integers / 4 bit-for-bit; the
+    quarter sum stays below 2^53 up to ~7e13 events (fail-fast
+    asserted).
+
+    Scale shape: per-block (db, n, sum_q) partials; db-cardinality
+    fold."""
+    import pandas as pd
+
+    from ..sources.synth import jsonlog_sequences_from_documents
+
+    empty = _typed_empty(db=object, n_queries="int64", sum_qt="float64")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars",
+                                               "source"])
+    seqs = docs.map_batches(jsonlog_sequences_from_documents,
+                            batch_format="pyarrow", zero_copy_batch=True)
+    ev = parse_events(seqs, fmt="jsonlog")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"db": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_q": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "db" not in b.column_names:
+            return pa.table(cols)
+        tm = [dict(x) for x in b["time_metrics"].to_pylist()]
+        qt = np.array([d.get("query_time", 0.0) or 0.0 for d in tm],
+                      np.float64)
+        g = (pd.DataFrame({
+                "db": b["db"].to_pandas(),
+                "q": np.floor(qt * 4.0 + 0.5).astype(np.int64)})
+             .groupby("db", as_index=False)
+             .agg(n=("q", "size"), sum_q=("q", "sum")))
+        for c in ("n", "sum_q"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ev.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["db"], ["n", "sum_q"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for db, g in cells.groupby("db"):
+        n = int(g["n"].sum())
+        sq = sum(int(v) for v in g["sum_q"])
+        if abs(sq) > (1 << 53):
+            raise ValueError(
+                "jsonlog_qt_by_db: quarter-second sum exceeds exact "
+                "double range; rescale to coarser quanta")
+        rows.append((db, n, float(sq) / 4.0))
+    out = pd.DataFrame(rows, columns=["db", "n_queries", "sum_qt"])
+    out["n_queries"] = out["n_queries"].astype("int64")
+    return out.sort_values("db").reset_index(drop=True)

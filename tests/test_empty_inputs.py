@@ -383,6 +383,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_cube_type_dow": ["event_type", "dow", "n"],
         "supplier_revenue_topk": ["s_suppkey", "rnk", "revenue_cents",
                                   "cum_share"],
+        "genlog_connections_by_db": ["db", "user", "n_connects"],
+        "jsonlog_qt_by_db": ["db", "n_queries", "sum_qt"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
