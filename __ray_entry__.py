@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue_topk": q.q_supplier_revenue_topk,
         "genlog_connections_by_db": q.q_genlog_connections_by_db,
         "jsonlog_qt_by_db": q.q_jsonlog_qt_by_db,
+        "customers_clv_deciles": q.q_customers_clv_deciles,
+        "lineitem_discount_grid": q.q_lineitem_discount_grid,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3640,6 +3642,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_queries,
                    CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "customers_clv_deciles": """
+            WITH s AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                              AS BIGINT)) AS cents
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), t AS (
+              SELECT SUM(cents) AS total FROM s
+            ), r AS (
+              SELECT cents,
+                     NTILE(10) OVER (ORDER BY cents DESC, o_custkey)
+                       AS decile
+              FROM s
+            )
+            SELECT CAST(r.decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+                   round(CAST(SUM(r.cents) AS DOUBLE) / t.total, 6)
+                     AS rev_share
+            FROM r, t WHERE t.total > 0
+            GROUP BY r.decile, t.total ORDER BY 1
+        """,
+        "lineitem_discount_grid": """
+            WITH l AS (
+              SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                       AS discount_pct,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem
+              WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            )
+            SELECT discount_pct,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(cents) AS BIGINT) AS gross_cents,
+                   CAST(SUM(CAST(cents AS HUGEINT)
+                            * (100 - discount_pct)) AS BIGINT)
+                     AS disc_c100
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -13195,3 +13195,162 @@ def q_jsonlog_qt_by_db(sf_dir: str):
     out = pd.DataFrame(rows, columns=["db", "n_queries", "sum_qt"])
     out["n_queries"] = out["n_queries"].astype("int64")
     return out.sort_values("db").reset_index(drop=True)
+
+
+def q_customers_clv_deciles(sf_dir: str, k: int = 10,
+                            max_fold_rows: int = 4_000_000):
+    """Customer-lifetime-value deciles: customers ranked by total spend,
+    split into k NTILE groups (decile 1 = biggest spenders), each with
+    its customer count, revenue and revenue SHARE — the "top decile
+    pays for everything" marketing table.
+
+    Exactness: spend quantizes to cents and sums per customer in the
+    fold; NTILE semantics exactly (first n%k tiles take the extra row)
+    over the deterministic (cents DESC, custkey ASC) order; per-decile
+    totals sum in Python ints and shares are single half-up divides.
+
+    Scale shape: per-block (custkey, cents) partials; the driver fold is
+    customer-cardinality, guarded at max_fold_rows (the rfm_cells
+    contract — bucket by custkey hash and rank per bucket when a corpus
+    outgrows it)."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(decile="int64", n_customers="int64",
+                         revenue_cents="int64", rev_share="float64")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_totalprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "cust": pc.cast(b["o_custkey"], pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"])
+                         .to_numpy(zero_copy_only=False)})
+             .groupby("cust", as_index=False)["cents"].sum())
+        for c in ("cust", "cents"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_cells, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=None).materialize()
+    if parts.count() > max_fold_rows:
+        raise ValueError(
+            f"customers_clv_deciles: partial rows exceed {max_fold_rows}; "
+            "bucket by custkey hash and rank per bucket before folding")
+    cells = _fold_partials(parts, ["cust"], ["cents"])
+    if cells is None:
+        return empty
+    cells = cells.sort_values(["cents", "cust"],
+                              ascending=[False, True]).reset_index(drop=True)
+    n = len(cells)
+    total = sum(int(v) for v in cells["cents"])
+    if total <= 0:
+        return empty
+    rows, start = [], 0
+    for t in range(1, k + 1):
+        size = n // k + (1 if t <= n % k else 0)
+        if size == 0:
+            continue
+        seg = cells["cents"].iloc[start:start + size]
+        rev = sum(int(v) for v in seg)
+        rows.append((t, size, rev, rev / total))
+        start += size
+    out = pd.DataFrame(rows, columns=["decile", "n_customers",
+                                      "revenue_cents", "rev_share"])
+    for c in ("decile", "n_customers", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    out["rev_share"] = round_half_up(
+        out["rev_share"].to_numpy(np.float64), 6)
+    return out.reset_index(drop=True)
+
+
+def q_lineitem_discount_grid(sf_dir: str):
+    """Promotion-effectiveness grid: per discount level (whole percents),
+    line count, total quantity and gross/discounted revenue — the table
+    behind "does a deeper discount actually move more units".
+
+    Exactness: discounts are whole-percent levels (pct =
+    round(discount*100)); revenue quantizes to cents; the discounted
+    sum keeps CENTS x 100 integer units both sides (no float multiply
+    anywhere), and because that product sum can pass int64 at corpus
+    scale it ships as hi/lo int64 LIMBS (the CLAUDE.md big-int rule),
+    recombines in Python ints, and fail-fasts at the final BIGINT cast
+    exactly where the oracle's CAST would raise.
+
+    Scale shape: ONE fold bounded by discount levels (~11 rows)."""
+    import pandas as pd
+
+    empty = _typed_empty(discount_pct="int64", n_lines="int64",
+                         sum_qty="int64", gross_cents="int64",
+                         disc_c100="int64")
+    LIMB = (1 << 30) - 1
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_quantity", "l_extendedprice"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"discount_pct": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+                "gross": pa.array([], pa.int64()),
+                "disc_hi": pa.array([], pa.int64()),
+                "disc_lo": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_discount" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(
+            pc.and_(pc.is_valid(b["l_discount"]),
+                    pc.is_valid(b["l_quantity"])),
+            pc.is_valid(b["l_extendedprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        pct = np.floor(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "discount_pct": pct,
+                "qty": pc.cast(b["l_quantity"], pa.int64())
+                       .to_numpy(zero_copy_only=False),
+                "gross": cents,
+                "disc": cents * (100 - pct)})
+             .groupby("discount_pct", as_index=False)
+             .agg(n=("qty", "size"), qty=("qty", "sum"),
+                  gross=("gross", "sum"), disc=("disc", "sum")))
+        g["disc_hi"] = g["disc"] // (LIMB + 1)
+        g["disc_lo"] = g["disc"] % (LIMB + 1)
+        g = g.drop(columns=["disc"])
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["discount_pct"], ["n", "qty", "gross", "disc_hi", "disc_lo"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for pct, g in cells.groupby("discount_pct"):
+        disc = (int(g["disc_hi"].sum()) << 30) + int(g["disc_lo"].sum())
+        if disc >= (1 << 63):
+            raise ValueError(
+                "lineitem_discount_grid: disc_c100 exceeds BIGINT "
+                "(the oracle CAST raises here too); report in coarser "
+                "units")
+        rows.append((int(pct), int(g["n"].sum()), int(g["qty"].sum()),
+                     int(g["gross"].sum()), disc))
+    out = pd.DataFrame(rows, columns=["discount_pct", "n_lines",
+                                      "sum_qty", "gross_cents",
+                                      "disc_c100"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("discount_pct").reset_index(drop=True)

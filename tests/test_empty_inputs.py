@@ -385,6 +385,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                   "cum_share"],
         "genlog_connections_by_db": ["db", "user", "n_connects"],
         "jsonlog_qt_by_db": ["db", "n_queries", "sum_qt"],
+        "customers_clv_deciles": ["decile", "n_customers",
+                                  "revenue_cents", "rev_share"],
+        "lineitem_discount_grid": ["discount_pct", "n_lines", "sum_qty",
+                                   "gross_cents", "disc_c100"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
