@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonlog_qt_by_db": q.q_jsonlog_qt_by_db,
         "customers_clv_deciles": q.q_customers_clv_deciles,
         "lineitem_discount_grid": q.q_lineitem_discount_grid,
+        "events_return_curve": q.q_events_return_curve,
+        "embed_dim_topvar": q.q_embed_dim_topvar,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3684,6 +3686,58 @@ def oracle_sql() -> dict[str, str]:
                             * (100 - discount_pct)) AS BIGINT)
                      AS disc_c100
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "events_return_curve": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day
+              FROM events WHERE ts IS NOT NULL
+            ), t AS (
+              SELECT COUNT(*) AS den FROM ud
+            ), ks AS (
+              SELECT unnest(range(1, 8)) AS k
+            ), p AS (
+              SELECT ks.k AS k, COUNT(b.user_id) AS n_pairs
+              FROM ks
+              LEFT JOIN ud a ON TRUE
+              LEFT JOIN ud b ON b.user_id = a.user_id
+                            AND b.day = a.day + ks.k
+              GROUP BY 1
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(t.den AS BIGINT) AS n_user_days,
+                   round(CAST(COALESCE(p.n_pairs, 0) AS DOUBLE) / t.den,
+                         6) AS rate
+            FROM ks LEFT JOIN p USING (k), t
+            WHERE t.den > 0 ORDER BY 1
+        """,
+        "embed_dim_topvar": """
+            WITH x AS (
+              SELECT t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), m AS (
+              SELECT dim, COUNT(*) AS n, SUM(xq) AS s,
+                     SUM(xq * xq) AS ss
+              FROM x GROUP BY 1
+            ), v AS (
+              SELECT dim, n,
+                     CAST(n * ss - s * s AS DOUBLE)
+                       / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS var
+              FROM m WHERE n > 0
+            ), r AS (
+              SELECT dim, n, var,
+                     ROW_NUMBER() OVER (ORDER BY var DESC, dim) AS rnk
+              FROM v
+            )
+            SELECT CAST(rnk AS BIGINT) AS rnk, CAST(dim AS BIGINT) AS dim,
+                   CAST(n AS BIGINT) AS n, round(var, 6) AS var_units
+            FROM r WHERE rnk <= 8 ORDER BY rnk
         """,
     }
     try:

@@ -13354,3 +13354,125 @@ def q_lineitem_discount_grid(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("discount_pct").reset_index(drop=True)
+
+
+def q_events_return_curve(sf_dir: str, max_k: int = 7, n_parts: int = 64):
+    """Return-rate curve: for each lag k = 1..max_k days, the number of
+    (user, day) active pairs where the user is ALSO active on day+k,
+    normalized by total active user-days — the "do they come back
+    tomorrow / in a week" retention curve, read directly off activity
+    bitmaps.
+
+    Exactness: pure integer pair counts over globally-distinct
+    (user, day) rows; ONE half-up ratio per lag.
+
+    Scale shape: batches pre-reduce to distinct (user, day) and
+    hash-bucket by user, so each user's activity bitmap meets in one
+    bucket; the per-bucket kernel is max_k vectorized self-merges on the
+    deduped frame, and buckets emit (k, n_pairs) counters plus the k=0
+    diagonal carrying the user-day denominator — <= max_k+1 rows each."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(k="int64", n_pairs="int64", n_user_days="int64",
+                         rate="float64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_pandas(),
+            "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                   .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        df["_part"] = stable_partition(
+            pa.array(df["user_id"], from_pandas=True), n_parts)
+        df["day"] = df["day"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"k": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        d = g[["user_id", "day"]].drop_duplicates()
+        rows = [(0, len(d))]
+        for k in range(1, max_k + 1):
+            shifted = d.assign(day=d["day"] + k)
+            rows.append((k, len(d.merge(shifted, on=["user_id", "day"]))))
+        out = pd.DataFrame(rows, columns=["k", "n"])
+        for c in ("k", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["k"], ["n"],
+    )
+    if cells is None:
+        return empty
+    by_k = dict(zip(cells["k"].astype(int), cells["n"].astype(int)))
+    den = int(by_k.get(0, 0))
+    if den == 0:
+        return empty
+    rows = [(k, int(by_k.get(k, 0)), den, int(by_k.get(k, 0)) / den)
+            for k in range(1, max_k + 1)]
+    out = pd.DataFrame(rows, columns=["k", "n_pairs", "n_user_days",
+                                      "rate"])
+    for c in ("k", "n_pairs", "n_user_days"):
+        out[c] = out[c].astype("int64")
+    out["rate"] = round_half_up(out["rate"].to_numpy(np.float64), 6)
+    return out.reset_index(drop=True)
+
+
+def q_embed_dim_topvar(sf_dir: str, k: int = 8):
+    """Variance-ranked feature selection: the k embedding dimensions
+    with the highest population variance — the screen that decides
+    which dims survive a cheap-projection or get whitened first.
+
+    Exactness: embed_dim_moments' integer-unit fold verbatim (1e-6
+    quantization, int64 per-block sums recombined in PYTHON ints); the
+    variance is the single float chain float(n*ss - s^2)/n/n evaluated
+    op-for-op with the oracle, half-up (ratio of ints, non-negative);
+    ranks break variance ties on dim ascending.
+
+    Scale shape: blocks fold to 64-row (dim, n, sum, sumsq) partials;
+    ranking is driver math on 64 rows."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(rnk="int64", dim="int64", n="int64",
+                         var_units="float64")
+    moments = q_embed_dim_moments(sf_dir)
+    if not len(moments):
+        return empty
+    rows = []
+    for r in moments.itertuples():
+        n, s, ss = int(r.n), int(r.sum_units), int(r.sumsq_units)
+        if n == 0:
+            continue
+        var = float(n * ss - s * s) / float(n) / float(n)
+        rows.append((int(r.dim), n, var))
+    if not rows:
+        return empty
+    df = pd.DataFrame(rows, columns=["dim", "n", "var_units"])
+    df = df.sort_values(["var_units", "dim"],
+                        ascending=[False, True]).head(k)
+    out = pd.DataFrame({
+        "rnk": np.arange(1, len(df) + 1, dtype=np.int64),
+        "dim": df["dim"].to_numpy(np.int64),
+        "n": df["n"].to_numpy(np.int64),
+        "var_units": round_half_up(
+            df["var_units"].to_numpy(np.float64), 6)})
+    return out.reset_index(drop=True)

@@ -389,6 +389,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                   "revenue_cents", "rev_share"],
         "lineitem_discount_grid": ["discount_pct", "n_lines", "sum_qty",
                                    "gross_cents", "disc_c100"],
+        "events_return_curve": ["k", "n_pairs", "n_user_days", "rate"],
+        "embed_dim_topvar": ["rnk", "dim", "n", "var_units"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
