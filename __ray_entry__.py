@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_grid": q.q_lineitem_discount_grid,
         "events_return_curve": q.q_events_return_curve,
         "embed_dim_topvar": q.q_embed_dim_topvar,
+        "orders_basket_corr": q.q_orders_basket_corr,
+        "events_type_hour_entropy": q.q_events_type_hour_entropy,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3738,6 +3740,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rnk AS BIGINT) AS rnk, CAST(dim AS BIGINT) AS dim,
                    CAST(n AS BIGINT) AS n, round(var, 6) AS var_units
             FROM r WHERE rnk <= 8 ORDER BY rnk
+        """,
+        "orders_basket_corr": """
+            WITH lc AS (
+              SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY 1
+            ), xy AS (
+              SELECT COALESCE(lc.x, 0) AS x,
+                     CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS y
+              FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+              WHERE o.o_totalprice IS NOT NULL
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(x AS HUGEINT)) AS sx,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM xy
+            )
+            SELECT CAST(n AS BIGINT) AS n_orders,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS corr_lines_price
+            FROM m
+            WHERE n > 0 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
+        """,
+        "events_type_hour_entropy": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) % 86400000000)
+                          // 3600000000 AS BIGINT) AS hod,
+                     COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT event_type, SUM(n) AS total FROM c GROUP BY 1
+            ), e AS (
+              SELECT c.event_type,
+                     round(ln(CAST(t.total AS DOUBLE))
+                           - SUM(CAST(c.n AS DOUBLE)
+                                 * ln(CAST(c.n AS DOUBLE))) / t.total,
+                           6) AS ent
+              FROM c JOIN t USING (event_type)
+              GROUP BY c.event_type, t.total
+            ), p AS (
+              SELECT event_type, hod,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, hod) AS rn
+              FROM c
+            )
+            SELECT e.event_type,
+                   CAST(t.total AS BIGINT) AS n_events,
+                   CAST(p.hod AS BIGINT) AS peak_hod,
+                   e.ent AS hour_entropy
+            FROM e
+            JOIN t USING (event_type)
+            JOIN p ON p.event_type = e.event_type AND p.rn = 1
+            ORDER BY 1
         """,
     }
     try:

@@ -13476,3 +13476,186 @@ def q_embed_dim_topvar(sf_dir: str, k: int = 8):
         "var_units": round_half_up(
             df["var_units"].to_numpy(np.float64), 6)})
     return out.reset_index(drop=True)
+
+
+def q_orders_basket_corr(sf_dir: str, n_parts: int = 64):
+    """Basket-size~value Pearson correlation: do orders with more line
+    items actually bill more — the sanity check behind per-line vs
+    per-order pricing models, over (lines-per-order, order cents).
+
+    Exactness: the nation_balance_spend_corr recipe verbatim — per-order
+    line counts and price cents meet in orderkey buckets (tagged union,
+    both merge stages return pa.Table); sxy/sxx/syy ship as hi/lo int64
+    LIMBS, the driver recombines in PYTHON ints, and the correlate is
+    float(num) / (sqrt(float(d1)) * sqrt(float(d2))) op-for-op with the
+    oracle's CAST/sqrt chain, half-away signed. Orders with a price but
+    zero lineitem rows count with x = 0 (LEFT JOIN semantics).
+
+    Scale shape: lineitem folds to per-order counts INSIDE the buckets;
+    each bucket emits ONE moment row; the driver folds bucket rows."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_away
+
+    empty = _typed_empty(n_orders="int64", corr_lines_price="float64")
+    LIMB = (1 << 30) - 1
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "is_line": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_totalprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "cents": _cents(b["o_totalprice"]),
+            "is_line": pa.nulls(b.num_rows, pa.int64()),
+            "_part": pa.array(stable_partition(b["o_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_lines(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "is_line": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "okey": pc.cast(b["l_orderkey"], pa.int64()),
+            "cents": pa.nulls(b.num_rows, pa.int64()),
+            "is_line": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "_part": pa.array(stable_partition(b["l_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": pd.Series([], dtype="int64"),
+                "sx": pd.Series([], dtype="int64"),
+                "sy": pd.Series([], dtype="int64"),
+                "sxy_hi": pd.Series([], dtype="int64"),
+                "sxy_lo": pd.Series([], dtype="int64"),
+                "sxx_hi": pd.Series([], dtype="int64"),
+                "sxx_lo": pd.Series([], dtype="int64"),
+                "syy_hi": pd.Series([], dtype="int64"),
+                "syy_lo": pd.Series([], dtype="int64")}
+        if not len(g) or "okey" not in g.columns:
+            return pd.DataFrame(cols)
+        od = g[g["cents"].notna()]
+        if not len(od):
+            return pd.DataFrame(cols)
+        ld = g[g["is_line"].notna()]
+        cnt = (ld.groupby("okey").size() if len(ld)
+               else pd.Series(dtype="int64"))
+        x = (od["okey"].map(cnt).fillna(0).to_numpy(np.int64)
+             if len(cnt) else np.zeros(len(od), np.int64))
+        y = od["cents"].to_numpy(np.int64)
+        sxy = (x * y)
+        sxx = (x * x)
+        syy = (y * y)
+        row = {
+            "n": len(od), "sx": int(x.sum()), "sy": int(y.sum()),
+        }
+        for name, arr in (("sxy", sxy), ("sxx", sxx), ("syy", syy)):
+            tot = int(arr.sum())
+            row[f"{name}_hi"] = tot >> 30
+            row[f"{name}_lo"] = tot & LIMB
+        return pd.DataFrame({k: np.array([v], np.int64)
+                             for k, v in row.items()})
+
+    parts = (
+        orders.map_batches(_tag_orders, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(lineitem.map_batches(_tag_lines, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_moments, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "n" not in parts.columns:
+        return empty
+    n = int(parts["n"].sum())
+    if n == 0:
+        return empty
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = (int(parts["sxy_hi"].sum()) << 30) + int(parts["sxy_lo"].sum())
+    sxx = (int(parts["sxx_hi"].sum()) << 30) + int(parts["sxx_lo"].sum())
+    syy = (int(parts["syy_hi"].sum()) << 30) + int(parts["syy_lo"].sum())
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        return empty
+    num = n * sxy - sx * sy
+    r = np.float64(num) / (np.sqrt(np.float64(d1)) * np.sqrt(np.float64(d2)))
+    return pd.DataFrame({
+        "n_orders": np.array([n], np.int64),
+        "corr_lines_price": round_half_away(np.array([r], np.float64), 6)})
+
+
+def q_events_type_hour_entropy(sf_dir: str):
+    """Temporal-concentration screen per event type: the Shannon entropy
+    (nats) of each type's hour-of-day distribution plus its peak hour —
+    separates around-the-clock machine traffic (entropy -> ln 24) from
+    business-hours human actions; the peak hour is the staffing anchor.
+
+    Exactness: (type, hod) counts are exact integers; entropy is the
+    ln(N) - sum(c*ln(c))/N formula at 6dp (surprisal precedent); peak
+    breaks count ties on the LOWEST hour (ROW_NUMBER order both sides).
+
+    Scale shape: one types x 24 counter fold; entropy and peak are
+    driver math on those cells."""
+    import pandas as pd
+
+    empty = _typed_empty(event_type=object, n_events="int64",
+                         peak_hod="int64", hour_entropy="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "hod": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas(),
+                "hod": ((us % 86_400_000_000)
+                        // 3_600_000_000).astype(np.int64)})
+             .groupby(["event_type", "hod"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("hod", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["event_type", "hod"], ["n"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for et, g in cells.groupby("event_type"):
+        g = g.sort_values("hod")
+        total = int(g["n"].sum())
+        if total <= 0:
+            continue
+        c = g["n"].to_numpy(np.float64)
+        ent = np.log(np.float64(total)) \
+            - float(np.sum(c * np.log(c))) / np.float64(total)
+        peak = g.sort_values(["n", "hod"], ascending=[False, True])
+        rows.append((et, total, int(peak["hod"].iloc[0]),
+                     float(np.round(ent, 6))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "peak_hod", "hour_entropy"])
+    for c in ("n_events", "peak_hod"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

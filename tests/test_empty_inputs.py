@@ -391,6 +391,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                    "gross_cents", "disc_c100"],
         "events_return_curve": ["k", "n_pairs", "n_user_days", "rate"],
         "embed_dim_topvar": ["rnk", "dim", "n", "var_units"],
+        "orders_basket_corr": ["n_orders", "corr_lines_price"],
+        "events_type_hour_entropy": ["event_type", "n_events", "peak_hod",
+                                     "hour_entropy"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
