@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_topvar": q.q_embed_dim_topvar,
         "orders_basket_corr": q.q_orders_basket_corr,
         "events_type_hour_entropy": q.q_events_type_hour_entropy,
+        "events_sessions_per_user_hist": q.q_events_sessions_per_user_hist,
+        "slowlog_fingerprint_collisions": q.q_slowlog_fingerprint_collisions,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3799,6 +3801,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN t USING (event_type)
             JOIN p ON p.event_type = e.event_type AND p.rn = 1
             ORDER BY 1
+        """,
+        "events_sessions_per_user_hist": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL
+            ), g AS (
+              SELECT user_id,
+                     CASE WHEN LAG(us) OVER w IS NULL
+                               OR us - LAG(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ), u AS (
+              SELECT user_id, SUM(brk) AS n_sessions FROM g GROUP BY 1
+            )
+            SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "slowlog_fingerprint_collisions": f"""
+            WITH p AS (
+              SELECT DISTINCT {_CLASS_EXPR} AS class_id,
+                              {_FP_EXPR} AS fingerprint
+              FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT class_id) AS BIGINT) AS n_classes,
+                   CAST(COUNT(DISTINCT fingerprint) AS BIGINT)
+                     AS n_fingerprints,
+                   CAST(COUNT(*) - COUNT(DISTINCT class_id) AS BIGINT)
+                     AS class_collisions,
+                   CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT)
+                     AS fp_collisions
+            FROM p
         """,
     }
     try:

@@ -13659,3 +13659,110 @@ def q_events_type_hour_entropy(sf_dir: str):
     for c in ("n_events", "peak_hod"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_sessions_per_user_hist(sf_dir: str, gap_sec: int = 1800,
+                                    n_parts: int = 64):
+    """Sessions-per-user histogram over the gap-sessionizer's DISTRIBUTED
+    output (stages/window.py sessionize, as_dataset=True): how many
+    users had 1, 2, 3... sessions — the engagement-frequency read, and
+    the composition test that the sessionizer's output streams into a
+    further aggregate without collecting.
+
+    Exactness: integer session counts; sessions break on gap > gap_sec
+    exactly as the sessionizer defines.
+
+    Scale shape: session rows (user-cardinality) never collect — they
+    re-bucket by user hash (a user's sessions can split across output
+    blocks under dynamic block splitting, the CLAUDE.md exploded-rows
+    rule) and buckets emit (n_sessions, n_users) cells for the fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..stages.window import sessionize
+
+    empty = _typed_empty(n_sessions="int64", n_users="int64")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    sess = sessionize(ev, gap_sec=gap_sec, as_dataset=True)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        g = (pd.DataFrame({"user_id": b["user_id"].to_pandas()})
+             .groupby("user_id", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["_part"] = stable_partition(
+            pa.array(g["user_id"], from_pandas=True), n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_sessions": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        per_user = g.groupby("user_id")["n"].sum()
+        out = (per_user.value_counts().rename_axis("n_sessions")
+               .reset_index(name="n_users"))
+        for c in ("n_sessions", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        sess.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["n_sessions"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("n_sessions", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_sessions").reset_index(drop=True)
+
+
+def q_slowlog_fingerprint_collisions(sf_dir: str):
+    """Fingerprint-integrity audit over the REAL slow-log parse: distinct
+    (class_id, fingerprint) pairs vs distinct classes vs distinct
+    fingerprints — class_collisions > 0 would mean one checksum maps to
+    two normalized texts (a md5[16:32] collision or a fingerprint bug),
+    the invariant every per-class aggregate in this engine rests on.
+    Always returns ONE row (zeros over an empty corpus, matching the
+    oracle's aggregates-over-empty semantics).
+
+    Scale shape: per-block DISTINCT pairs -> class-cardinality driver
+    fold; events never leave the tasks."""
+    import pandas as pd
+
+    events = _flat_events(sf_dir)
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols = {"class_id": pa.array([], pa.string()),
+                "fingerprint": pa.array([], pa.string())}
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        df = (pd.DataFrame({"class_id": b["class_id"].to_pandas(),
+                            "fingerprint": b["fingerprint"].to_pandas()})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = events.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).to_pandas()
+    if not len(parts) or "class_id" not in parts.columns:
+        pairs = pd.DataFrame({"class_id": [], "fingerprint": []})
+    else:
+        pairs = parts.drop_duplicates()
+    n_pairs = len(pairs)
+    n_classes = pairs["class_id"].nunique() if n_pairs else 0
+    n_fp = pairs["fingerprint"].nunique() if n_pairs else 0
+    return pd.DataFrame({
+        "n_pairs": np.array([n_pairs], np.int64),
+        "n_classes": np.array([n_classes], np.int64),
+        "n_fingerprints": np.array([n_fp], np.int64),
+        "class_collisions": np.array([n_pairs - n_classes], np.int64),
+        "fp_collisions": np.array([n_pairs - n_fp], np.int64)})

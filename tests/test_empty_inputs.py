@@ -394,6 +394,7 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "orders_basket_corr": ["n_orders", "corr_lines_price"],
         "events_type_hour_entropy": ["event_type", "n_events", "peak_hod",
                                      "hour_entropy"],
+        "events_sessions_per_user_hist": ["n_sessions", "n_users"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
@@ -426,6 +427,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
     out = _to_pandas(qs["users_all_types"](str(tmp_path)))
     assert list(out.columns) == ["n_users_all_types", "n_types"]
     assert len(out) == 1 and out.iloc[0].tolist() == [0, 0]
+    # fingerprint audit: aggregates-over-empty -> ONE row of zeros
+    out = _to_pandas(qs["slowlog_fingerprint_collisions"](str(tmp_path)))
+    assert list(out.columns) == ["n_pairs", "n_classes", "n_fingerprints",
+                                 "class_collisions", "fp_collisions"]
+    assert len(out) == 1 and out.iloc[0].tolist() == [0, 0, 0, 0, 0]
     # ab_value_ttest's oracle is scalar subqueries: one row of zero
     # counts with a NULL (NaN) t when either arm has n < 2
     out = _to_pandas(qs["ab_value_ttest"](str(tmp_path)))
