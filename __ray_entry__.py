@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_entropy": q.q_events_type_hour_entropy,
         "events_sessions_per_user_hist": q.q_events_sessions_per_user_hist,
         "slowlog_fingerprint_collisions": q.q_slowlog_fingerprint_collisions,
+        "user_first_touch_attribution": q.q_user_first_touch_attribution,
+        "embed_dim_fisher": q.q_embed_dim_fisher,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3835,6 +3837,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT)
                      AS fp_collisions
             FROM p
+        """,
+        "user_first_touch_attribution": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, event_type AS first_type
+              FROM e
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) = 1
+            ), p AS (
+              SELECT user_id, COUNT(*) AS np FROM e
+              WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT f.first_type,
+                   CAST(SUM(p.np) AS BIGINT) AS n_purchases,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f JOIN p USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "embed_dim_fisher": """
+            WITH x AS (
+              SELECT label, t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), m AS (
+              SELECT dim, label, COUNT(*) AS n_l, SUM(xq) AS s_l,
+                     SUM(xq * xq) AS ss_l
+              FROM x GROUP BY 1, 2
+            ), tot AS (
+              SELECT dim, SUM(n_l) AS n, SUM(s_l) AS s FROM m GROUP BY 1
+            ), f AS (
+              SELECT m.dim, tot.n,
+                     SUM(CAST(m.n_l AS DOUBLE)
+                         * (CAST(m.s_l AS DOUBLE) / m.n_l
+                            - CAST(tot.s AS DOUBLE) / tot.n)
+                         * (CAST(m.s_l AS DOUBLE) / m.n_l
+                            - CAST(tot.s AS DOUBLE) / tot.n))
+                       AS between_v,
+                     SUM(CAST(m.ss_l AS DOUBLE)
+                         - CAST(m.s_l AS DOUBLE) * m.s_l / m.n_l)
+                       AS within_v
+              FROM m JOIN tot USING (dim)
+              GROUP BY m.dim, tot.n
+            )
+            SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+                   round(between_v / within_v, 6) AS fisher
+            FROM f WHERE within_v > 0 ORDER BY 1
         """,
     }
     try:

@@ -13766,3 +13766,157 @@ def q_slowlog_fingerprint_collisions(sf_dir: str):
         "n_fingerprints": np.array([n_fp], np.int64),
         "class_collisions": np.array([n_pairs - n_classes], np.int64),
         "fp_collisions": np.array([n_pairs - n_fp], np.int64)})
+
+
+def q_user_first_touch_attribution(sf_dir: str, n_parts: int = 64):
+    """First-touch attribution: every purchase a user ever makes is
+    credited to the TYPE of that user's first-ever event — the
+    acquisition-channel counterpart of the repo's last-touch
+    conversion_attribution. Only purchasing users appear.
+
+    Exactness: "first" is the deterministic (ts, event_id) minimum;
+    pure integer counts.
+
+    Scale shape: users hash-bucket so each user's history meets in one
+    task; buckets emit (first_type, n_purchases, n_users) cells —
+    type-cardinality — for the driver fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(first_type=object, n_purchases="int64",
+                         n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "us": pc.cast(b["ts"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "_part": pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"first_type": pd.Series([], dtype=object),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "us", "event_id"])
+        first = g.groupby("user_id")["event_type"].first()
+        purch = (g[g["event_type"] == "purchase"]
+                 .groupby("user_id").size())
+        if not len(purch):
+            return pd.DataFrame(cols)
+        df = pd.DataFrame({"first_type": first.reindex(purch.index),
+                           "np": purch})
+        out = (df.groupby("first_type", as_index=False)
+               .agg(n_purchases=("np", "sum"), n_users=("np", "size")))
+        for c in ("n_purchases", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["first_type"], ["n_purchases", "n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("n_purchases", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("first_type").reset_index(drop=True)
+
+
+def q_embed_dim_fisher(sf_dir: str):
+    """Per-dimension Fisher discriminant score over the labeled
+    embeddings: between-class variance / within-class variance — the
+    supervised feature-selection screen ("which dims actually separate
+    the labels") next to embed_dim_topvar's unsupervised one.
+
+    Exactness: per-(label, dim) moments use embed_dim_moments' 1e-6
+    integer-unit quantization and recombine in PYTHON ints; B and W are
+    the identical per-label float expressions summed in label order at
+    6dp (labels are a handful; the surprisal ln-sum precedent). Dims
+    with zero within-variance drop on both sides.
+
+    Scale shape: blocks fold vectors to (label, dim, n, sum, sumsq)
+    partials — labels x 64 rows each; everything after is driver math
+    on that grid."""
+    import pandas as pd
+
+    empty = _typed_empty(dim="int64", n="int64", fisher="float64")
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64())}
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        lab = pc.cast(b["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        frames = []
+        for lv in np.unique(lab):
+            sub = xq[lab == lv]
+            frames.append(pd.DataFrame({
+                "label": np.full(d, lv, np.int64),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "n": np.full(d, len(sub), np.int64),
+                "s": sub.sum(axis=0),
+                "ss": (sub * sub).sum(axis=0)}))
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["label", "dim"], ["n", "s", "ss"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for dim, g in cells.groupby("dim"):
+        g = g.sort_values("label")
+        n_l = np.array([int(v) for v in g["n"]], np.float64)
+        s_l = np.array([int(v) for v in g["s"]], np.float64)
+        ss_l = np.array([int(v) for v in g["ss"]], np.float64)
+        n = float(n_l.sum())
+        s = float(s_l.sum())
+        if n <= 0:
+            continue
+        m = s / n
+        m_l = s_l / n_l
+        between = float(np.sum(n_l * (m_l - m) * (m_l - m)))
+        within = float(np.sum(ss_l - s_l * s_l / n_l))
+        if within <= 0:
+            continue
+        rows.append((int(dim), int(n), float(np.round(between / within, 6))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["dim", "n", "fisher"])
+    for c in ("dim", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)

@@ -395,6 +395,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_type_hour_entropy": ["event_type", "n_events", "peak_hod",
                                      "hour_entropy"],
         "events_sessions_per_user_hist": ["n_sessions", "n_users"],
+        "user_first_touch_attribution": ["first_type", "n_purchases",
+                                         "n_users"],
+        "embed_dim_fisher": ["dim", "n", "fisher"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
