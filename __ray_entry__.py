@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_fingerprint_collisions": q.q_slowlog_fingerprint_collisions,
         "user_first_touch_attribution": q.q_user_first_touch_attribution,
         "embed_dim_fisher": q.q_embed_dim_fisher,
+        "events_value_gini_per_type": q.q_events_value_gini_per_type,
+        "supplier_part_diversity": q.q_supplier_part_diversity,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3888,6 +3890,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
                    round(between_v / within_v, 6) AS fisher
             FROM f WHERE within_v > 0 ORDER BY 1
+        """,
+        "events_value_gini_per_type": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+                     event_id
+              FROM events WHERE value IS NOT NULL
+            ), r AS (
+              SELECT event_type, x,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY x, event_id) AS rn
+              FROM c
+            ), s AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     SUM(CAST(rn AS HUGEINT) * x) AS srx
+              FROM r GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   CAST(sx AS BIGINT) AS total_cents,
+                   round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                         / CAST(n * sx AS DOUBLE), 6) AS gini
+            FROM s WHERE sx > 0 ORDER BY 1
+        """,
+        "supplier_part_diversity": """
+            WITH sp AS (
+              SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+            ), u AS (
+              SELECT l_suppkey, COUNT(*) AS c FROM sp GROUP BY 1
+            )
+            SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM u GROUP BY 1 ORDER BY 1
         """,
     }
     try:

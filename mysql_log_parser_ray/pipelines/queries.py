@@ -13920,3 +13920,141 @@ def q_embed_dim_fisher(sf_dir: str):
     for c in ("dim", "n"):
         out[c] = out[c].astype("int64")
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_events_value_gini_per_type(sf_dir: str):
+    """GROUPED Gini: inequality of transaction values WITHIN each event
+    type — do a few huge purchases carry the type, or is spend even? The
+    per-key extension of user_activity_gini's hardened histogram shape.
+
+    Exactness: values quantize to cents; ties permute freely under the
+    rank-sum, so the (type, cents) histogram is lossless; the closed
+    form 2*srx - (n+1)*sx over cumulative counts runs in PYTHON ints
+    (rank x cents products crowd int64 at corpus scale) and the final
+    divide is the oracle's CAST chain, half-up. Zero-total types drop.
+
+    Scale shape: one (type, cents, m) histogram fold — bounded by types
+    x distinct cents, never events — and a per-type vectorizable walk on
+    the driver."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(event_type=object, n_events="int64",
+                         total_cents="int64", gini="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "value" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["value"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "event_type": b["event_type"].to_pandas(),
+                "cents": _cents(b["value"]).to_numpy(zero_copy_only=False)})
+             .groupby(["event_type", "cents"], as_index=False).size()
+             .rename(columns={"size": "m"}))
+        for c in ("cents", "m"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["event_type", "cents"], ["m"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        cs = [int(v) for v in g["cents"]]
+        ms = [int(v) for v in g["m"]]
+        n = sum(ms)
+        sx = sum(c * m for c, m in zip(cs, ms))
+        if sx <= 0:
+            continue
+        srx, run = 0, 0
+        for c, m in zip(cs, ms):
+            srx += c * (m * run + m * (m + 1) // 2)
+            run += m
+        gini = float(round_half_up(
+            np.array([float(2 * srx - (n + 1) * sx) / float(n * sx)]),
+            6)[0])
+        rows.append((et, n, sx, gini))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "total_cents", "gini"])
+    for c in ("n_events", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_supplier_part_diversity(sf_dir: str, n_parts: int = 64):
+    """Specialist-vs-generalist supplier screen: the histogram of
+    DISTINCT parts each supplier ships, in doubling bins
+    (floor(log2(n_parts_supplied))) — the supply-base shape behind
+    second-sourcing decisions.
+
+    Exactness: distinct (supplier, part) pairs are global (in-bucket
+    dedup after the user-style hash bucketing); bins are integer-exact
+    log2.
+
+    Scale shape: batches pre-reduce to distinct pairs, suppliers
+    hash-bucket so each supplier's part set counts in ONE task, buckets
+    emit ~35 (bin, n_suppliers) cells for the driver fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(bin="int64", n_suppliers="int64")
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"supp": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_suppkey" not in b.column_names:
+            return pa.table(cols)
+        df = (pd.DataFrame({
+                "supp": pc.cast(b["l_suppkey"], pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                "part": pc.cast(b["l_partkey"], pa.int64())
+                        .to_numpy(zero_copy_only=False)})
+              .drop_duplicates())
+        df["_part"] = stable_partition(
+            pa.array(df["supp"], from_pandas=True), n_parts)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": pd.Series([], dtype="int64"),
+                "n_suppliers": pd.Series([], dtype="int64")}
+        if not len(g) or "supp" not in g.columns:
+            return pd.DataFrame(cols)
+        cnt = (g[["supp", "part"]].drop_duplicates()
+               .groupby("supp").size().to_numpy(np.int64))
+        bins = np.floor(np.log2(cnt.astype(np.float64))).astype(np.int64)
+        out = (pd.DataFrame({"bin": bins})
+               .groupby("bin", as_index=False).size()
+               .rename(columns={"size": "n_suppliers"}))
+        for c in ("bin", "n_suppliers"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["bin"], ["n_suppliers"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("bin", "n_suppliers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)

@@ -398,6 +398,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "user_first_touch_attribution": ["first_type", "n_purchases",
                                          "n_users"],
         "embed_dim_fisher": ["dim", "n", "fisher"],
+        "events_value_gini_per_type": ["event_type", "n_events",
+                                       "total_cents", "gini"],
+        "supplier_part_diversity": ["bin", "n_suppliers"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
