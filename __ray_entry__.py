@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_fisher": q.q_embed_dim_fisher,
         "events_value_gini_per_type": q.q_events_value_gini_per_type,
         "supplier_part_diversity": q.q_supplier_part_diversity,
+        "orders_segment_hhi": q.q_orders_segment_hhi,
+        "events_surge_factor": q.q_events_surge_factor,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3924,6 +3926,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_suppliers
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "orders_segment_hhi": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                              AS BIGINT)) AS cents
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            ), j AS (
+              SELECT c.c_mktsegment, pc.cents
+              FROM customer c JOIN pc ON pc.o_custkey = c.c_custkey
+            ), s AS (
+              SELECT c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(cents AS HUGEINT)) AS tot,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS ssq
+              FROM j GROUP BY 1
+            )
+            SELECT c_mktsegment, n AS n_customers,
+                   CAST(tot AS BIGINT) AS total_cents,
+                   round(CAST(ssq AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)),
+                         6) AS hhi
+            FROM s WHERE tot > 0 ORDER BY 1
+        """,
+        "events_surge_factor": """
+            WITH d AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day, COUNT(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+            ), cal AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM b
+            ), s AS (
+              SELECT cal.day, COALESCE(d.n, 0) AS n
+              FROM cal LEFT JOIN d USING (day)
+            ), l AS (
+              SELECT COUNT(*) AS cnt,
+                     (list_sort(list(n)))[(50 * COUNT(*)) // 100 + 1]
+                       AS p50
+              FROM s
+            ), pk AS (
+              SELECT day, n FROM s
+              QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, day) = 1
+            )
+            SELECT CAST(l.cnt AS BIGINT) AS n_days,
+                   CAST(pk.day AS BIGINT) AS peak_day,
+                   CAST(pk.n AS BIGINT) AS peak_n,
+                   CAST(l.p50 AS BIGINT) AS p50_n,
+                   round(CAST(pk.n AS DOUBLE) / l.p50, 6) AS surge
+            FROM l, pk WHERE l.cnt > 0 AND l.p50 > 0
         """,
     }
     try:

@@ -14058,3 +14058,146 @@ def q_supplier_part_diversity(sf_dir: str, n_parts: int = 64):
     for c in ("bin", "n_suppliers"):
         out[c] = out[c].astype("int64")
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_orders_segment_hhi(sf_dir: str, n_parts: int = 64):
+    """Revenue-concentration HHI per market segment, across CUSTOMERS:
+    1/n = perfectly even wallet share, 1.0 = one whale is the segment —
+    the account-risk diagnostic sales leadership reads next to the CLV
+    deciles.
+
+    Exactness: per-customer cents are exact bucket sums; cents^2
+    crosses int64 even at small SFs, so per-(bucket, segment) square
+    sums ship as DECIMAL STRINGS (the nation_revenue_hhi transport) and
+    recombine in PYTHON ints; hhi = float(ssq) / (float(tot)*float(tot))
+    is the oracle's CAST chain, half-up. Zero-revenue segments drop.
+
+    Scale shape: orders and customers meet in custkey-hash buckets
+    (tagged union); per-customer totals and the segment label collapse
+    in-bucket; buckets emit one (segment, n, tot, ssq_str) row each."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(c_mktsegment=object, n_customers="int64",
+                         total_cents="int64", hhi="float64")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "c_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["c_custkey"], pa.int64()),
+            "seg": pc.cast(b["c_mktsegment"], pa.string()),
+            "cents": pa.nulls(b.num_rows, pa.int64()),
+            "_part": pa.array(stable_partition(b["c_custkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_totalprice"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "seg": pa.nulls(b.num_rows, pa.string()),
+            "cents": _cents(b["o_totalprice"]),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"seg": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "tot": pd.Series([], dtype="int64"),
+                "ssq_str": pd.Series([], dtype=object)}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        cd = g[g["seg"].notna()]
+        od = g[g["seg"].isna()]
+        if not len(cd) or not len(od):
+            return pd.DataFrame(cols)
+        per_cust = od.groupby("cust")["cents"].sum()
+        cd = cd.assign(cents=cd["cust"].map(per_cust))
+        cd = cd[cd["cents"].notna()]
+        if not len(cd):
+            return pd.DataFrame(cols)
+        rows = []
+        for seg, gg in cd.groupby("seg"):
+            vals = [int(v) for v in gg["cents"]]
+            rows.append((seg, len(vals), sum(vals),
+                         str(sum(v * v for v in vals))))
+        return pd.DataFrame(rows, columns=["seg", "n", "tot", "ssq_str"])
+
+    parts = (
+        cust.map_batches(_tag_cust, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(orders.map_batches(_tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "seg" not in parts.columns:
+        return empty
+    rows = []
+    for seg, g in parts.groupby("seg"):
+        n = int(g["n"].sum())
+        tot = int(g["tot"].sum())
+        ssq = sum(int(s) for s in g["ssq_str"])
+        if tot <= 0:
+            continue
+        hhi = float(round_half_up(
+            np.array([float(ssq) / (float(tot) * float(tot))]), 6)[0])
+        rows.append((seg, n, tot, hhi))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "n_customers",
+                                      "total_cents", "hhi"])
+    for c in ("n_customers", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_events_surge_factor(sf_dir: str):
+    """Surge factor: peak daily volume over median daily volume on the
+    dense day grid — the single capacity-headroom number ("provision
+    for Nx the typical day"), with the peak day identified (ties break
+    on the EARLIEST day).
+
+    Exactness: integer counts; the median is nearest-rank on the dense
+    series; surge is ONE ratio-of-ints half-up divide (p50 > 0
+    guaranteed unless the median day is empty — those corpora drop).
+
+    Scale shape: the shared (day, n) fold; driver math on <= days."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_days="int64", peak_day="int64", peak_n="int64",
+                         p50_n="int64", surge="float64")
+    dx = _daily_total_counts(sf_dir)
+    if dx is None:
+        return empty
+    days, x = dx
+    v = np.sort(x)
+    n = len(v)
+    p50 = int(v[(50 * n) // 100])
+    if p50 <= 0:
+        return empty
+    peak_idx = int(np.argmax(x))  # argmax returns the FIRST maximum
+    return pd.DataFrame({
+        "n_days": np.array([n], np.int64),
+        "peak_day": np.array([int(days[peak_idx])], np.int64),
+        "peak_n": np.array([int(x[peak_idx])], np.int64),
+        "p50_n": np.array([p50], np.int64),
+        "surge": round_half_up(
+            np.array([int(x[peak_idx]) / p50], np.float64), 6)})

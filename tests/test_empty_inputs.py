@@ -401,6 +401,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_value_gini_per_type": ["event_type", "n_events",
                                        "total_cents", "gini"],
         "supplier_part_diversity": ["bin", "n_suppliers"],
+        "orders_segment_hhi": ["c_mktsegment", "n_customers",
+                               "total_cents", "hhi"],
+        "events_surge_factor": ["n_days", "peak_day", "peak_n", "p50_n",
+                                "surge"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
