@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_diversity": q.q_supplier_part_diversity,
         "orders_segment_hhi": q.q_orders_segment_hhi,
         "events_surge_factor": q.q_events_surge_factor,
+        "users_time_to_first_purchase": q.q_users_time_to_first_purchase,
+        "part_brand_markup": q.q_part_brand_markup,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -3977,6 +3979,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l.p50 AS BIGINT) AS p50_n,
                    round(CAST(pk.n AS DOUBLE) / l.p50, 6) AS surge
             FROM l, pk WHERE l.cnt > 0 AND l.p50 > 0
+        """,
+        "users_time_to_first_purchase": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL
+            ), fa AS (
+              SELECT user_id, us FROM e
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) = 1
+            ), fp AS (
+              SELECT user_id, us FROM e WHERE event_type = 'purchase'
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) = 1
+            )
+            SELECT CAST(fp.us // 86400000000
+                        - fa.us // 86400000000 AS BIGINT) AS days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM fp JOIN fa USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_brand_markup": """
+            WITH l AS (
+              SELECT p.p_brand,
+                     CAST(FLOOR(li.l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS sold,
+                     CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                       * CAST(li.l_quantity AS BIGINT) AS retail
+              FROM lineitem li
+              JOIN part p ON p.p_partkey = li.l_partkey
+              WHERE li.l_extendedprice IS NOT NULL
+                AND li.l_quantity IS NOT NULL
+            ), s AS (
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(sold) AS BIGINT) AS sold_cents,
+                     CAST(SUM(retail) AS BIGINT) AS retail_cents
+              FROM l GROUP BY 1
+            )
+            SELECT p_brand, n_lines, sold_cents, retail_cents,
+                   round(100 * CAST(sold_cents AS DOUBLE)
+                         / retail_cents, 6) AS markup_pct
+            FROM s WHERE retail_cents > 0 ORDER BY 1
         """,
     }
     try:

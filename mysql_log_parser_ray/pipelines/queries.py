@@ -14201,3 +14201,183 @@ def q_events_surge_factor(sf_dir: str):
         "p50_n": np.array([p50], np.int64),
         "surge": round_half_up(
             np.array([int(x[peak_idx]) / p50], np.float64), 6)})
+
+
+def q_users_time_to_first_purchase(sf_dir: str, n_parts: int = 64):
+    """Activation-lag histogram: for every user who ever purchases, the
+    whole-day delta between their FIRST event and their FIRST purchase
+    — the funnel-activation curve growth teams draw before touching
+    onboarding. Day 0 = purchased the same day they appeared.
+
+    Exactness: firsts are the deterministic (ts, event_id) minima;
+    deltas are floor-integer day differences of epoch-us timestamps.
+
+    Scale shape: user-hash buckets (each user's history in one task)
+    emit (days, n_users) cells — calendar-bounded — for the fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(days="int64", n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "is_purchase": pa.array([], pa.bool_()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "us": pc.cast(b["ts"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "is_purchase": pc.equal(b["event_type"], "purchase"),
+            "_part": pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"days": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "us", "event_id"])
+        first_any = g.groupby("user_id")["us"].first()
+        pg = g[g["is_purchase"]]
+        if not len(pg):
+            return pd.DataFrame(cols)
+        first_p = pg.groupby("user_id")["us"].first()
+        fa = first_any.reindex(first_p.index).to_numpy(np.int64)
+        fp = first_p.to_numpy(np.int64)
+        days = (fp // 86_400_000_000) - (fa // 86_400_000_000)
+        out = (pd.DataFrame({"days": days})
+               .groupby("days", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        for c in ("days", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["days"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("days", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("days").reset_index(drop=True)
+
+
+def q_part_brand_markup(sf_dir: str, max_part_broadcast: int = 50_000_000):
+    """Pricing-integrity audit per brand: realized lineitem revenue vs
+    the catalog price for the SAME units (retail cents x quantity) —
+    markup_pct below 100 means the brand ships under list.
+
+    Exactness: both sides are exact integer cents sums (the Q9
+    broadcast-lookup shape: parts collapse to sorted (partkey ->
+    retail cents, brand) arrays, fail-fast bounded, count checked
+    BEFORE the collect); markup_pct is ONE half-up ratio divide of
+    Python-int totals. Retail x quantity per line is <= ~5e8 — line
+    sums stay far inside int64 per block; brand totals recombine in
+    Python ints with the BIGINT fail-fast.
+
+    Scale shape: lineitem never shuffles — each block looks up
+    (brand, retail) with searchsorted and emits per-brand integer
+    partials; the driver folds blocks x brands tiny rows."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    import pandas as pd
+
+    from ..broadcast import broadcast_get
+    from ..util import round_half_up
+
+    empty = _typed_empty(p_brand=object, n_lines="int64",
+                         sold_cents="int64", retail_cents="int64",
+                         markup_pct="float64")
+    part_ds = _read(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_retailprice"])
+    n_part = part_ds.count()
+    if n_part > max_part_broadcast:
+        raise ValueError(
+            f"part_brand_markup: {n_part} parts exceed the broadcast "
+            f"bound {max_part_broadcast}; co-partition on partkey "
+            "(q5/q10 tagged-union shape) instead")
+    pdf = part_ds.to_pandas()
+    if "p_partkey" not in pdf.columns or not len(pdf):
+        return empty
+    pdf = pdf.sort_values("p_partkey")
+    pkeys = pdf["p_partkey"].to_numpy(np.int64)
+    pcents = np.floor(
+        pdf["p_retailprice"].to_numpy(np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    brands = pdf["p_brand"].to_numpy(object)
+    lut_ref = ray.put((pkeys, pcents, brands))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"p_brand": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sold": pa.array([], pa.int64()),
+                "retail": pa.array([], pa.int64())}
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["l_extendedprice"]),
+                             pc.is_valid(b["l_quantity"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        pk_, pc_, br_ = broadcast_get(lut_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_, lpk)
+        idx[idx >= len(pk_)] = 0
+        hit = (pk_[idx] == lpk) if len(pk_) else \
+            np.zeros(len(lpk), dtype=bool)
+        if not hit.any():
+            return pa.table(cols)
+        sold = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        qty = pc.cast(b["l_quantity"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "p_brand": br_[idx[hit]],
+                "sold": sold[hit],
+                "retail": pc_[idx[hit]] * qty[hit]})
+             .groupby("p_brand", as_index=False)
+             .agg(n=("sold", "size"), sold=("sold", "sum"),
+                  retail=("retail", "sum")))
+        for c in ("n", "sold", "retail"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["p_brand"], ["n", "sold", "retail"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for brand, g in cells.groupby("p_brand"):
+        n = int(g["n"].sum())
+        sold = sum(int(v) for v in g["sold"])
+        retail = sum(int(v) for v in g["retail"])
+        if retail <= 0 or max(sold, retail) >= (1 << 63):
+            continue
+        rows.append((brand, n, sold, retail,
+                     float(round_half_up(
+                         np.array([100.0 * sold / retail]), 6)[0])))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["p_brand", "n_lines", "sold_cents",
+                                      "retail_cents", "markup_pct"])
+    for c in ("n_lines", "sold_cents", "retail_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)

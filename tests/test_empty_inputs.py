@@ -405,6 +405,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                "total_cents", "hhi"],
         "events_surge_factor": ["n_days", "peak_day", "peak_n", "p50_n",
                                 "surge"],
+        "users_time_to_first_purchase": ["days", "n_users"],
+        "part_brand_markup": ["p_brand", "n_lines", "sold_cents",
+                              "retail_cents", "markup_pct"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
