@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_surge_factor": q.q_events_surge_factor,
         "users_time_to_first_purchase": q.q_users_time_to_first_purchase,
         "part_brand_markup": q.q_part_brand_markup,
+        "slowlog_tier_latency": q.q_slowlog_tier_latency,
+        "formats_qt_consistency": q.q_formats_qt_consistency,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4020,6 +4022,22 @@ def oracle_sql() -> dict[str, str]:
                    round(100 * CAST(sold_cents AS DOUBLE)
                          / retail_cents, 6) AS markup_pct
             FROM s WHERE retail_cents > 0 ORDER BY 1
+        """,
+        "slowlog_tier_latency": f"""
+            SELECT CASE WHEN {_SRC_KEY} % 2 = 0
+                        THEN 'prod' ELSE 'staging' END AS tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "formats_qt_consistency": """
+            SELECT 'db' || CAST(n_chars % 3 AS VARCHAR) AS db,
+                   CAST(COUNT(*) AS BIGINT) AS n_slow,
+                   CAST(COUNT(*) AS BIGINT) AS n_json,
+                   CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt_slow,
+                   CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt_json,
+                   CAST(1 AS BIGINT) AS consistent
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -14381,3 +14381,147 @@ def q_part_brand_markup(sf_dir: str, max_part_broadcast: int = 50_000_000):
     for c in ("n_lines", "sold_cents", "retail_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_slowlog_tier_latency(sf_dir: str):
+    """Per-tier latency bill through the ENRICH stage: slow-log events
+    pick up (tier, region) from the broadcast source-dimension lookup,
+    then fold query counts and total Query_time per tier — "is staging
+    burning prod's latency budget", the chargeback read the enrich
+    stage exists to feed.
+
+    Exactness: query times are quarter-second quanta (float32-exact by
+    derivation), summed as INTEGER quarters and divided once by 4.0
+    (exact power of two); tiers come from the dim derivation
+    (tier = prod/staging by source-suffix parity), reproduced in the
+    oracle's closed form.
+
+    Scale shape: parse -> enrich streams (dim broadcast once, cached
+    per worker); per-block (tier, n, sum_q) partials; tier-cardinality
+    fold."""
+    import pandas as pd
+
+    from ..sources.synth import dim_for_sources
+    from ..stages.enrich import enrich_events
+
+    empty = _typed_empty(tier=object, n_queries="int64", sum_qt="float64")
+    seqs = derived_sequences_ds(sf_dir)
+    srcs = seqs.unique("source")
+    if not srcs:
+        return empty
+    dim = dim_for_sources(srcs)
+    events = enrich_events(
+        flatten_events(parse_events(derived_sequences_ds(sf_dir))), dim)
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"tier": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_q": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "tier" not in b.column_names:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        g = (pd.DataFrame({
+                "tier": b["tier"].to_pandas(),
+                "q": np.floor(qt * 4.0 + 0.5).astype(np.int64)})
+             .groupby("tier", as_index=False)
+             .agg(n=("q", "size"), sum_q=("q", "sum")))
+        for c in ("n", "sum_q"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        events.map_batches(_cells, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["tier"], ["n", "sum_q"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for tier, g in cells.groupby("tier"):
+        sq = sum(int(v) for v in g["sum_q"])
+        if abs(sq) > (1 << 53):
+            raise ValueError(
+                "slowlog_tier_latency: quarter sum exceeds exact double "
+                "range; rescale to coarser quanta")
+        rows.append((tier, int(g["n"].sum()), float(sq) / 4.0))
+    out = pd.DataFrame(rows, columns=["tier", "n_queries", "sum_qt"])
+    out["n_queries"] = out["n_queries"].astype("int64")
+    return out.sort_values("tier").reset_index(drop=True)
+
+
+def q_formats_qt_consistency(sf_dir: str):
+    """Cross-format consistency audit: the SAME corpus rendered as
+    classic slow-log text and as structured JSON lines must yield
+    IDENTICAL per-db query counts and Query_time totals through their
+    respective parsers — the end-to-end regression tripwire for the
+    format registry (a quirk fixed in one parser but not the other
+    shows up here as a nonzero delta).
+
+    Exactness: both sides sum integer quarter-seconds (exact by
+    derivation); deltas are exact int/float differences.
+
+    Scale shape: two streaming parses, each folding to db-cardinality
+    partials; the comparison is driver math on db-cardinality rows."""
+    import pandas as pd
+
+    from ..sources.synth import jsonlog_sequences_from_documents
+
+    empty = _typed_empty(db=object, n_slow="int64", n_json="int64",
+                         sum_qt_slow="float64", sum_qt_json="float64",
+                         consistent="int64")
+
+    def _fold(ev) -> "pd.DataFrame | None":
+        def _cells(b: pa.Table) -> pa.Table:
+            cols = {"db": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64())}
+            if b.num_rows == 0 or "db" not in b.column_names:
+                return pa.table(cols)
+            qt = b["query_time"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            g = (pd.DataFrame({
+                    "db": b["db"].to_pandas(),
+                    "q": np.floor(qt * 4.0 + 0.5).astype(np.int64)})
+                 .groupby("db", as_index=False)
+                 .agg(n=("q", "size"), sum_q=("q", "sum")))
+            for c in ("n", "sum_q"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return _fold_partials(
+            ev.map_batches(_cells, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+            ["db"], ["n", "sum_q"],
+        )
+
+    slow = _fold(flatten_events(parse_events(derived_sequences_ds(sf_dir))))
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars",
+                                               "source"])
+    jseqs = docs.map_batches(jsonlog_sequences_from_documents,
+                             batch_format="pyarrow", zero_copy_batch=True)
+    json_ = _fold(flatten_events(parse_events(jseqs, fmt="jsonlog"),
+                                 time_metrics=("query_time",),
+                                 number_metrics=()))
+    if slow is None and json_ is None:
+        return empty
+    import pandas as pd
+
+    slow = slow if slow is not None else pd.DataFrame(
+        {"db": [], "n": [], "sum_q": []})
+    json_ = json_ if json_ is not None else pd.DataFrame(
+        {"db": [], "n": [], "sum_q": []})
+    m = slow.merge(json_, on="db", how="outer",
+                   suffixes=("_s", "_j")).fillna(0)
+    rows = []
+    for r in m.itertuples():
+        ns, nj = int(r.n_s), int(r.n_j)
+        qs_, qj = int(r.sum_q_s), int(r.sum_q_j)
+        rows.append((r.db, ns, nj, qs_ / 4.0, qj / 4.0,
+                     int(ns == nj and qs_ == qj)))
+    out = pd.DataFrame(rows, columns=["db", "n_slow", "n_json",
+                                      "sum_qt_slow", "sum_qt_json",
+                                      "consistent"])
+    for c in ("n_slow", "n_json", "consistent"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("db").reset_index(drop=True)

@@ -408,6 +408,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "users_time_to_first_purchase": ["days", "n_users"],
         "part_brand_markup": ["p_brand", "n_lines", "sold_cents",
                               "retail_cents", "markup_pct"],
+        "slowlog_tier_latency": ["tier", "n_queries", "sum_qt"],
+        "formats_qt_consistency": ["db", "n_slow", "n_json",
+                                   "sum_qt_slow", "sum_qt_json",
+                                   "consistent"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
