@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_markup": q.q_part_brand_markup,
         "slowlog_tier_latency": q.q_slowlog_tier_latency,
         "formats_qt_consistency": q.q_formats_qt_consistency,
+        "lineitem_brand_returns": q.q_lineitem_brand_returns,
+        "users_dormancy_revival": q.q_users_dormancy_revival,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4038,6 +4040,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt_json,
                    CAST(1 AS BIGINT) AS consistent
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_brand_returns": """
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN li.l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_returned,
+                   round(CAST(SUM(CASE WHEN li.l_returnflag = 'R'
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS return_rate
+            FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "users_dormancy_revival": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day
+              FROM events WHERE ts IS NOT NULL
+            ), g AS (
+              SELECT user_id,
+                     day - LAG(day) OVER (PARTITION BY user_id
+                                          ORDER BY day) AS gap
+              FROM ud
+            ), r AS (
+              SELECT user_id, COUNT(*) AS k FROM g
+              WHERE gap > 14 GROUP BY 1
+            )
+            SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                    FROM ud) AS n_users,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_revived,
+                   (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM r)
+                     AS n_revivals
+            WHERE (SELECT COUNT(*) FROM ud) > 0
         """,
     }
     try:

@@ -14525,3 +14525,154 @@ def q_formats_qt_consistency(sf_dir: str):
     for c in ("n_slow", "n_json", "consistent"):
         out[c] = out[c].astype("int64")
     return out.sort_values("db").reset_index(drop=True)
+
+
+def q_lineitem_brand_returns(sf_dir: str,
+                             max_part_broadcast: int = 50_000_000):
+    """Return-rate per brand: share of lineitem rows flagged 'R' —
+    "which brands come back", the QA escalation table. Same Q9/markup
+    broadcast-lookup shape (parts never shuffle lineitem).
+
+    Exactness: integer counts; ONE half-up ratio divide per brand.
+
+    Scale shape: sorted (partkey -> brand) broadcast (fail-fast bound
+    checked BEFORE collect); per-block (brand, n, n_returned) partials;
+    brand-cardinality fold."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    import pandas as pd
+
+    from ..broadcast import broadcast_get
+    from ..util import round_half_up
+
+    empty = _typed_empty(p_brand=object, n_lines="int64",
+                         n_returned="int64", return_rate="float64")
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    n_part = part_ds.count()
+    if n_part > max_part_broadcast:
+        raise ValueError(
+            f"lineitem_brand_returns: {n_part} parts exceed the broadcast "
+            f"bound {max_part_broadcast}; co-partition on partkey instead")
+    pdf = part_ds.to_pandas()
+    if "p_partkey" not in pdf.columns or not len(pdf):
+        return empty
+    pdf = pdf.sort_values("p_partkey")
+    pkeys = pdf["p_partkey"].to_numpy(np.int64)
+    brands = pdf["p_brand"].to_numpy(object)
+    lut_ref = ray.put((pkeys, brands))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"p_brand": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "ret": pa.array([], pa.int64())}
+        if "l_partkey" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        pk_, br_ = broadcast_get(lut_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_, lpk)
+        idx[idx >= len(pk_)] = 0
+        hit = (pk_[idx] == lpk) if len(pk_) else \
+            np.zeros(len(lpk), dtype=bool)
+        if not hit.any():
+            return pa.table(cols)
+        flags = b["l_returnflag"].to_pandas().to_numpy(object)
+        g = (pd.DataFrame({
+                "p_brand": br_[idx[hit]],
+                "ret": (flags[hit] == "R").astype(np.int64)})
+             .groupby("p_brand", as_index=False)
+             .agg(n=("ret", "size"), ret=("ret", "sum")))
+        for c in ("n", "ret"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["p_brand"], ["n", "ret"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"n": "n_lines", "ret": "n_returned"})
+    for c in ("n_lines", "n_returned"):
+        out[c] = out[c].astype("int64")
+    out["return_rate"] = round_half_up(
+        out["n_returned"].to_numpy(np.float64)
+        / out["n_lines"].to_numpy(np.float64), 6)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_users_dormancy_revival(sf_dir: str, dormant_days: int = 14,
+                             n_parts: int = 64):
+    """Dormancy-revival read: how many users went quiet for more than
+    ``dormant_days`` and came BACK (and how many separate revivals
+    happened) — the win-back campaign's addressable-market number.
+    Always one row; integers only.
+
+    Exactness: a revival is a consecutive-activity-day gap strictly
+    greater than dormant_days on the user's DISTINCT active days.
+
+    Scale shape: distinct (user, day) rows bucket by user; each bucket
+    diffs its users' sorted day vectors and emits ONE
+    (n_users, n_revived, n_revivals) counter row."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(n_users="int64", n_revived="int64",
+                         n_revivals="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_pandas(),
+            "day": _day_from_us(pc.cast(b["ts"], pa.int64()))
+                   .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        df["_part"] = stable_partition(
+            pa.array(df["user_id"], from_pandas=True), n_parts)
+        df["day"] = df["day"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_users": pd.Series([], dtype="int64"),
+                "n_revived": pd.Series([], dtype="int64"),
+                "n_revivals": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        d = (g[["user_id", "day"]].drop_duplicates()
+             .sort_values(["user_id", "day"]))
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.r_[0, day[1:] - day[:-1]]
+        reviv = same & (gap > dormant_days)
+        per_user = pd.DataFrame({"u": u[reviv]}).groupby("u").size()
+        return pd.DataFrame({
+            "n_users": np.array([d["user_id"].nunique()], np.int64),
+            "n_revived": np.array([len(per_user)], np.int64),
+            "n_revivals": np.array([int(reviv.sum())], np.int64)})
+
+    parts = (
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "n_users" not in parts.columns:
+        return empty
+    n_users = int(parts["n_users"].sum())
+    if n_users == 0:
+        return empty
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "n_revived": np.array([int(parts["n_revived"].sum())], np.int64),
+        "n_revivals": np.array([int(parts["n_revivals"].sum())],
+                               np.int64)})

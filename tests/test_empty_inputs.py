@@ -412,6 +412,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "formats_qt_consistency": ["db", "n_slow", "n_json",
                                    "sum_qt_slow", "sum_qt_json",
                                    "consistent"],
+        "lineitem_brand_returns": ["p_brand", "n_lines", "n_returned",
+                                   "return_rate"],
+        "users_dormancy_revival": ["n_users", "n_revived", "n_revivals"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
