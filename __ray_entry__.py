@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "formats_qt_consistency": q.q_formats_qt_consistency,
         "lineitem_brand_returns": q.q_lineitem_brand_returns,
         "users_dormancy_revival": q.q_users_dormancy_revival,
+        "events_value_top1pct_share": q.q_events_value_top1pct_share,
+        "slowlog_user_qt_p95": q.q_slowlog_user_qt_p95,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4074,6 +4076,41 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COALESCE(SUM(k), 0) AS BIGINT) FROM r)
                      AS n_revivals
             WHERE (SELECT COUNT(*) FROM ud) > 0
+        """,
+        "events_value_top1pct_share": """
+            WITH v AS (
+              SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL
+            ), l AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CAST(c AS HUGEINT)) AS total,
+                     list_sort(list(c)) AS vals
+              FROM v
+            ), l2 AS (
+              SELECT n, total, vals, (99 * n) // 100 + 1 AS cutpos FROM l
+            )
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST(vals[cutpos] AS BIGINT) AS p99_cents,
+                   CAST(COALESCE(list_aggregate(vals[cutpos + 1:],
+                                                'sum'), 0) AS BIGINT)
+                     AS top_cents,
+                   round(CAST(COALESCE(list_aggregate(vals[cutpos + 1:],
+                                                      'sum'), 0)
+                              AS DOUBLE) / total, 6) AS top_share
+            FROM l2 WHERE n > 0 AND total > 0
+        """,
+        "slowlog_user_qt_p95": """
+            WITH v AS (
+              SELECT 'u' || CAST(n_chars % 5 AS VARCHAR) AS "user",
+                     CAST(n_chars % 128 AS BIGINT) AS q
+              FROM documents
+            )
+            SELECT "user",
+                   (list_sort(list(q)))[(50 * COUNT(*)) // 100 + 1]
+                     AS p50_q,
+                   (list_sort(list(q)))[(95 * COUNT(*)) // 100 + 1]
+                     AS p95_q
+            FROM v GROUP BY 1 ORDER BY 1
         """,
     }
     try:

@@ -14676,3 +14676,114 @@ def q_users_dormancy_revival(sf_dir: str, dormant_days: int = 14,
         "n_revived": np.array([int(parts["n_revived"].sum())], np.int64),
         "n_revivals": np.array([int(parts["n_revivals"].sum())],
                                np.int64)})
+
+
+def q_events_value_top1pct_share(sf_dir: str):
+    """Whale-tail concentration: the share of total transaction value
+    carried by the top 1% of events by value — the single number that
+    says whether revenue is a volume business or a whale business
+    (complement of the within-type Gini).
+
+    Exactness: integer cents histogram; the p99 cutoff is nearest-rank
+    (vals[(99*n)//100], 0-based); the "top" mass is everything at ranks
+    STRICTLY ABOVE that index, computed from the histogram cumsum in
+    PYTHON ints (totals crowd int64 at corpus scale); one half-up
+    divide.
+
+    Scale shape: one (cents, m) histogram fold bounded by distinct
+    values; the rank walk is driver math."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_events="int64", p99_cents="int64",
+                         top_cents="int64", top_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"cents": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "value" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["value"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "cents": _cents(b["value"]).to_numpy(zero_copy_only=False)})
+             .groupby("cents", as_index=False).size()
+             .rename(columns={"size": "m"}))
+        for c in ("cents", "m"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "events", columns=["value"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["cents"], ["m"],
+    )
+    if hist is None:
+        return empty
+    hist = hist.sort_values("cents")
+    cs = [int(v) for v in hist["cents"]]
+    ms = [int(v) for v in hist["m"]]
+    n = sum(ms)
+    total = sum(c * m for c, m in zip(cs, ms))
+    if total <= 0:
+        return empty
+    # 0-based cutoff rank: values at sorted positions > (99*n)//100
+    cut = (99 * n) // 100
+    # walk the histogram: positions [run, run+m) hold value c
+    run, p99, top = 0, 0, 0
+    for c, m in zip(cs, ms):
+        if run <= cut < run + m:
+            p99 = c
+            top += c * (run + m - 1 - cut)  # positions above cut at c
+        elif run > cut:
+            top += c * m
+        run += m
+    return pd.DataFrame({
+        "n_events": np.array([n], np.int64),
+        "p99_cents": np.array([p99], np.int64),
+        "top_cents": np.array([top], np.int64),
+        "top_share": round_half_up(
+            np.array([top / total], np.float64), 6)})
+
+
+def q_slowlog_user_qt_p95(sf_dir: str):
+    """Per-USER Query_time p50/p95 over the REAL slow-log parse — the
+    "who writes the slow queries" accountability table next to the
+    per-class percentiles, through the shared nearest_rank_by_key
+    bucket-collapse (quarter-second quanta keep the histogram exact).
+
+    Scale shape: nearest_rank_by_key's (key, val) histogram partials +
+    one coarse shuffle; one row per user reaches the driver."""
+    import pandas as pd
+
+    from ..stages.aggregate import nearest_rank_by_key
+
+    empty = _typed_empty(user=object, p50_q="int64", p95_q="int64")
+    events = _flat_events(sf_dir)
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        cols = {"user": pa.array([], pa.string()),
+                "qt_q": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user" not in b.column_names:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user": pc.cast(b["user"], pa.string()),
+            "qt_q": pa.array(np.floor(qt * 4.0 + 0.5).astype(np.int64),
+                             pa.int64())})
+
+    ds = events.map_batches(_narrow, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    out = nearest_rank_by_key(
+        ds, key="user", val="qt_q", pcts={"p50_q": 50, "p95_q": 95}
+    ).to_pandas()
+    if not len(out) or "user" not in out.columns:
+        return empty
+    for c in ("p50_q", "p95_q"):
+        out[c] = out[c].astype("int64")
+    return (out[["user", "p50_q", "p95_q"]]
+            .sort_values("user").reset_index(drop=True))

@@ -415,6 +415,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "lineitem_brand_returns": ["p_brand", "n_lines", "n_returned",
                                    "return_rate"],
         "users_dormancy_revival": ["n_users", "n_revived", "n_revivals"],
+        "events_value_top1pct_share": ["n_events", "p99_cents",
+                                       "top_cents", "top_share"],
+        "slowlog_user_qt_p95": ["user", "p50_q", "p95_q"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
