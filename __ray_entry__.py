@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_dormancy_revival": q.q_users_dormancy_revival,
         "events_value_top1pct_share": q.q_events_value_top1pct_share,
         "slowlog_user_qt_p95": q.q_slowlog_user_qt_p95,
+        "users_actions_before_purchase": q.q_users_actions_before_purchase,
+        "parts_catalog_heatmap": q.q_parts_catalog_heatmap,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4111,6 +4113,49 @@ def oracle_sql() -> dict[str, str]:
                    (list_sort(list(q)))[(95 * COUNT(*)) // 100 + 1]
                      AS p95_q
             FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "users_actions_before_purchase": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events WHERE ts IS NOT NULL
+            ), r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) - 1
+                       AS pos
+              FROM e
+            ), fp AS (
+              SELECT user_id, MIN(pos) AS n_actions FROM r
+              WHERE event_type = 'purchase' GROUP BY 1
+            ), l AS (
+              SELECT COUNT(*) AS n, list_sort(list(n_actions)) AS vals
+              FROM fp
+            )
+            SELECT CAST(n AS BIGINT) AS n_buyers,
+                   CAST(vals[(50 * n) // 100 + 1] AS BIGINT)
+                     AS p50_actions,
+                   CAST(vals[(90 * n) // 100 + 1] AS BIGINT)
+                     AS p90_actions
+            FROM l WHERE n > 0
+        """,
+        "parts_catalog_heatmap": """
+            WITH p AS (
+              SELECT CAST(p_size AS BIGINT) AS p_size,
+                     CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM part
+              WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+            ), m AS (
+              SELECT p_size,
+                     (list_sort(list(cents)))[(50 * COUNT(*)) // 100 + 1]
+                       AS p50
+              FROM p GROUP BY 1
+            )
+            SELECT p.p_size, p.cents // 20000 AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(m.p50 AS BIGINT) AS size_p50_cents
+            FROM p JOIN m USING (p_size)
+            GROUP BY 1, 2, m.p50 ORDER BY 1, 2
         """,
     }
     try:

@@ -14787,3 +14787,151 @@ def q_slowlog_user_qt_p95(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out[["user", "p50_q", "p95_q"]]
             .sort_values("user").reset_index(drop=True))
+
+
+def q_users_actions_before_purchase(sf_dir: str, n_parts: int = 64):
+    """Funnel depth: p50/p90 of the number of events a user performs
+    STRICTLY BEFORE their first purchase (purchasers only) — "how much
+    browsing does a sale take", the merchandising-page budget number.
+
+    Exactness: the first purchase is the deterministic (ts, event_id)
+    minimum; "before" is strict (ts, event_id) lexicographic order;
+    percentiles are nearest-rank over the exact per-user-count
+    histogram.
+
+    Scale shape: user-hash buckets emit (n_actions, n_users) histogram
+    cells (bounded by max per-user history, never buyers); the rank
+    walk is driver math."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(n_buyers="int64", p50_actions="int64",
+                         p90_actions="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "is_purchase": pa.array([], pa.bool_()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "us": pc.cast(b["ts"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "is_purchase": pc.equal(b["event_type"], "purchase"),
+            "_part": pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_actions": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "us", "event_id"]).reset_index(
+            drop=True)
+        # position of each row within its user (0-based)
+        pos = g.groupby("user_id").cumcount().to_numpy(np.int64)
+        pg = g[g["is_purchase"].to_numpy(bool)]
+        if not len(pg):
+            return pd.DataFrame(cols)
+        first_pos = pd.Series(
+            pos[pg.index.to_numpy()], index=pg["user_id"].to_numpy()
+        ).groupby(level=0).min()
+        out = (first_pos.value_counts().rename_axis("n_actions")
+               .reset_index(name="n_users"))
+        for c in ("n_actions", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["n_actions"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    cells = cells.sort_values("n_actions")
+    cum = cells["n_users"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    vals = cells["n_actions"].to_numpy(np.int64)
+    p50 = int(vals[np.searchsorted(cum, (50 * n) // 100 + 1)])
+    p90 = int(vals[np.searchsorted(cum, (90 * n) // 100 + 1)])
+    return pd.DataFrame({
+        "n_buyers": np.array([n], np.int64),
+        "p50_actions": np.array([p50], np.int64),
+        "p90_actions": np.array([p90], np.int64)})
+
+
+def q_parts_catalog_heatmap(sf_dir: str, band_cents: int = 20_000):
+    """Catalog-shape heatmap: part counts per (size, price band) cell
+    plus each size's median retail cents — the assortment-planning
+    surface ("are large sizes priced into the high bands").
+
+    Exactness: bands are integer cents // band_cents; medians are
+    nearest-rank on the exact per-size histogram.
+
+    Scale shape: one (size, band, n) fold (sizes x bands cells) plus a
+    per-size (cents, n) histogram fold — both catalog-bounded."""
+    import pandas as pd
+
+    empty = _typed_empty(p_size="int64", band="int64", n_parts="int64",
+                         size_p50_cents="int64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"p_size": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "p_size" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["p_size"]),
+                             pc.is_valid(b["p_retailprice"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "p_size": pc.cast(b["p_size"], pa.int64())
+                          .to_numpy(zero_copy_only=False),
+                "cents": _cents(b["p_retailprice"])
+                         .to_numpy(zero_copy_only=False)})
+             .groupby(["p_size", "cents"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("p_size", "cents", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "part", columns=["p_size", "p_retailprice"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["p_size", "cents"], ["n"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for size, g in hist.groupby("p_size"):
+        g = g.sort_values("cents")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        cnt = int(cum[-1])
+        p50 = int(g["cents"].to_numpy()[
+            np.searchsorted(cum, (50 * cnt) // 100 + 1)])
+        bands = (g["cents"] // band_cents).astype(np.int64)
+        cell = (pd.DataFrame({"band": bands,
+                              "n": g["n"].to_numpy(np.int64)})
+                .groupby("band", as_index=False)["n"].sum())
+        for r in cell.itertuples():
+            rows.append((int(size), int(r.band), int(r.n), p50))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["p_size", "band", "n_parts",
+                                      "size_p50_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["p_size", "band"]).reset_index(drop=True)

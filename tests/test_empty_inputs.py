@@ -418,6 +418,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "events_value_top1pct_share": ["n_events", "p99_cents",
                                        "top_cents", "top_share"],
         "slowlog_user_qt_p95": ["user", "p50_q", "p95_q"],
+        "users_actions_before_purchase": ["n_buyers", "p50_actions",
+                                          "p90_actions"],
+        "parts_catalog_heatmap": ["p_size", "band", "n_parts",
+                                  "size_p50_cents"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
