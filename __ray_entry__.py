@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowlog_user_qt_p95": q.q_slowlog_user_qt_p95,
         "users_actions_before_purchase": q.q_users_actions_before_purchase,
         "parts_catalog_heatmap": q.q_parts_catalog_heatmap,
+        "nation_market_activation": q.q_nation_market_activation,
+        "orders_avg_lines_trend": q.q_orders_avg_lines_trend,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4156,6 +4158,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.p50 AS BIGINT) AS size_p50_cents
             FROM p JOIN m USING (p_size)
             GROUP BY 1, 2, m.p50 ORDER BY 1, 2
+        """,
+        "nation_market_activation": """
+            WITH a AS (
+              SELECT DISTINCT o_custkey FROM orders
+            ), s AS (
+              SELECT c.c_nationkey,
+                     COUNT(*) AS n,
+                     SUM(CASE WHEN a.o_custkey IS NOT NULL
+                              THEN 1 ELSE 0 END) AS n_active
+              FROM customer c LEFT JOIN a ON a.o_custkey = c.c_custkey
+              GROUP BY 1
+            )
+            SELECT n.n_name,
+                   CAST(s.n AS BIGINT) AS n_customers,
+                   CAST(s.n_active AS BIGINT) AS n_active,
+                   round(CAST(s.n_active AS DOUBLE) / s.n, 6)
+                     AS active_share
+            FROM s JOIN nation n ON n.n_nationkey = s.c_nationkey
+            ORDER BY 1
+        """,
+        "orders_avg_lines_trend": """
+            WITH lc AS (
+              SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+            ), o AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     COALESCE(lc.c, 0) AS lines
+              FROM orders
+              LEFT JOIN lc ON lc.l_orderkey = orders.o_orderkey
+              WHERE o_orderdate IS NOT NULL
+            )
+            SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(lines) AS BIGINT) AS n_lines,
+                   round(CAST(SUM(lines) AS DOUBLE) / COUNT(*), 6)
+                     AS avg_lines
+            FROM o GROUP BY 1 ORDER BY 1
         """,
     }
     try:

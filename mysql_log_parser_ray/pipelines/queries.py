@@ -14935,3 +14935,186 @@ def q_parts_catalog_heatmap(sf_dir: str, band_cents: int = 20_000):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["p_size", "band"]).reset_index(drop=True)
+
+
+def q_nation_market_activation(sf_dir: str, n_parts: int = 64):
+    """Market-activation table: per nation, customer count and the share
+    who ever ordered — where the sales motion has accounts but no
+    activity. Orderless customers stay in the denominator.
+
+    Exactness: integer counts; ONE half-up divide per nation; nation
+    names broadcast (25 rows).
+
+    Scale shape: customers and orders meet in custkey-hash buckets
+    (tagged union); buckets emit (nationkey, n, n_active) counters."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_name=object, n_customers="int64",
+                         n_active="int64", active_share="float64")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "c_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["c_custkey"], pa.int64()),
+            "nat": pc.cast(b["c_nationkey"], pa.int64()),
+            "_part": pa.array(stable_partition(b["c_custkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "nat": pa.nulls(b.num_rows, pa.int64()),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nat": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        cd = g[g["nat"].notna()]
+        if not len(cd):
+            return pd.DataFrame(cols)
+        active = set(g.loc[g["nat"].isna(), "cust"].astype(np.int64))
+        out = (pd.DataFrame({
+                "nat": cd["nat"].astype(np.int64),
+                "act": cd["cust"].astype(np.int64).isin(active)
+                       .astype(np.int64)})
+               .groupby("nat", as_index=False)
+               .agg(n=("act", "size"), n_active=("act", "sum")))
+        for c in ("nat", "n", "n_active"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        cust.map_batches(_tag_cust, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(orders.map_batches(_tag_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["nat"], ["n", "n_active"],
+    )
+    if cells is None:
+        return empty
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = (dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+            if "n_nationkey" in nat.columns else {})
+    rows = []
+    for nk, g in cells.groupby("nat"):
+        n = int(g["n"].sum())
+        na = int(g["n_active"].sum())
+        rows.append((nmap.get(int(nk), "unknown"), n, na,
+                     float(round_half_up(np.array([na / n]), 6)[0])))
+    out = pd.DataFrame(rows, columns=["n_name", "n_customers",
+                                      "n_active", "active_share"])
+    for c in ("n_customers", "n_active"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_orders_avg_lines_trend(sf_dir: str, n_parts: int = 64):
+    """Basket-size trend: lines-per-order by order YEAR — is the average
+    basket shrinking as order volume grows, the operational complement
+    of the monthly-growth screen.
+
+    Exactness: integer counts; avg_lines is ONE half-up ratio divide
+    per year.
+
+    Scale shape: orders ship (orderkey, year) and lineitem ships
+    orderkey into the same orderkey-hash buckets (tagged union); each
+    bucket counts lines against its orders and emits (year, n_orders,
+    n_lines) — calendar-bounded — for the fold. Orders with zero lines
+    count in the denominator."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(o_year="int64", n_orders="int64",
+                         n_lines="int64", avg_lines="float64")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        yr = pc.year(b["o_orderdate"])
+        return pa.table({
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "yr": pc.cast(yr, pa.int64()),
+            "_part": pa.array(stable_partition(b["o_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _tag_lines(b: pa.Table) -> pa.Table:
+        cols = {"okey": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_orderkey" not in b.column_names:
+            return pa.table(cols)
+        return pa.table({
+            "okey": pc.cast(b["l_orderkey"], pa.int64()),
+            "yr": pa.nulls(b.num_rows, pa.int64()),
+            "_part": pa.array(stable_partition(b["l_orderkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"yr": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "n_lines": pd.Series([], dtype="int64")}
+        if not len(g) or "okey" not in g.columns:
+            return pd.DataFrame(cols)
+        od = g[g["yr"].notna()]
+        if not len(od):
+            return pd.DataFrame(cols)
+        ld = g[g["yr"].isna()]
+        cnt = (ld.groupby("okey").size() if len(ld)
+               else pd.Series(dtype="int64"))
+        lines_per = (od["okey"].map(cnt).fillna(0).to_numpy(np.int64)
+                     if len(cnt) else np.zeros(len(od), np.int64))
+        out = (pd.DataFrame({"yr": od["yr"].astype(np.int64),
+                             "lines": lines_per})
+               .groupby("yr", as_index=False)
+               .agg(n_orders=("lines", "size"), n_lines=("lines", "sum")))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        orders.map_batches(_tag_orders, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(lines.map_batches(_tag_lines, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["yr"], ["n_orders", "n_lines"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"yr": "o_year"})
+    for c in ("o_year", "n_orders", "n_lines"):
+        out[c] = out[c].astype("int64")
+    out["avg_lines"] = round_half_up(
+        out["n_lines"].to_numpy(np.float64)
+        / out["n_orders"].to_numpy(np.float64), 6)
+    return out.sort_values("o_year").reset_index(drop=True)

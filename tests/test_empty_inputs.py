@@ -422,6 +422,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                           "p90_actions"],
         "parts_catalog_heatmap": ["p_size", "band", "n_parts",
                                   "size_p50_cents"],
+        "nation_market_activation": ["n_name", "n_customers", "n_active",
+                                     "active_share"],
+        "orders_avg_lines_trend": ["o_year", "n_orders", "n_lines",
+                                   "avg_lines"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
