@@ -393,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_catalog_heatmap": q.q_parts_catalog_heatmap,
         "nation_market_activation": q.q_nation_market_activation,
         "orders_avg_lines_trend": q.q_orders_avg_lines_trend,
+        "customers_order_regularity": q.q_customers_order_regularity,
+        "source_len_gini": q.q_source_len_gini,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4193,6 +4195,54 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(lines) AS DOUBLE) / COUNT(*), 6)
                      AS avg_lines
             FROM o GROUP BY 1 ORDER BY 1
+        """,
+        "customers_order_regularity": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+                          AS BIGINT) AS day,
+                     o_orderkey
+              FROM orders WHERE o_orderdate IS NOT NULL
+            ), g AS (
+              SELECT o_custkey,
+                     day - LAG(day) OVER (PARTITION BY o_custkey
+                                          ORDER BY day, o_orderkey)
+                       AS gap
+              FROM o
+            ), m AS (
+              SELECT o_custkey,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(gap) AS HUGEINT) AS s,
+                     SUM(CAST(gap AS HUGEINT) * gap) AS ss
+              FROM g WHERE gap IS NOT NULL GROUP BY 1
+              HAVING COUNT(*) >= 2 AND SUM(gap) > 0
+            )
+            SELECT CAST((10 * (n * ss - s * s)) // (s * s) AS BIGINT)
+                     AS cv2_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "source_len_gini": """
+            WITH c AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS x, doc_id
+              FROM documents
+            ), r AS (
+              SELECT source, x,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY x, doc_id) AS rn
+              FROM c
+            ), s AS (
+              SELECT source,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     SUM(CAST(rn AS HUGEINT) * x) AS srx
+              FROM r GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(sx AS BIGINT) AS total_chars,
+                   round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                         / CAST(n * sx AS DOUBLE), 6) AS gini
+            FROM s WHERE sx > 0 ORDER BY 1
         """,
     }
     try:

@@ -15118,3 +15118,156 @@ def q_orders_avg_lines_trend(sf_dir: str, n_parts: int = 64):
         out["n_lines"].to_numpy(np.float64)
         / out["n_orders"].to_numpy(np.float64), 6)
     return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_customers_order_regularity(sf_dir: str, n_parts: int = 64):
+    """Subscription-likeness screen: per repeat customer (>= 3 orders),
+    the squared coefficient of variation of their inter-order DAY gaps,
+    binned to integer cells bin = (10 * (n*ss - s^2)) // s^2 — bin 0
+    means clockwork reordering (cv^2 < 0.1), big bins mean bursty
+    one-off behavior. Counted per bin.
+
+    Exactness: day gaps are exact ints (ties in order dates break on
+    orderkey, leaving the gap multiset invariant); the bin is PURE
+    INTEGER arithmetic (no float anywhere) — n*ss and s^2 run in Python
+    ints per the big-int rule.
+
+    Scale shape: custkey-hash buckets diff each customer's ordered
+    dates; buckets emit (bin, n_customers) cells for the fold."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(cv2_bin="int64", n_customers="int64")
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "okey": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "cust": pc.cast(b["o_custkey"], pa.int64()),
+            "day": _day_from_us(pc.cast(b["o_orderdate"], pa.int64())),
+            "okey": pc.cast(b["o_orderkey"], pa.int64()),
+            "_part": pa.array(stable_partition(b["o_custkey"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cv2_bin": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["cust", "day", "okey"])
+        u = g["cust"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gaps = pd.DataFrame({"cust": u[1:][same[1:]],
+                             "gap": (day[1:] - day[:-1])[same[1:]]})
+        bins = []
+        for cust, gg in gaps.groupby("cust")["gap"]:
+            v = [int(x) for x in gg]
+            n = len(v)
+            if n < 2:
+                continue  # < 3 orders
+            s = sum(v)
+            if s == 0:
+                continue  # all same-day orders: cv undefined, drop
+            ss = sum(x * x for x in v)
+            bins.append((10 * (n * ss - s * s)) // (s * s))
+        if not bins:
+            return pd.DataFrame(cols)
+        out = (pd.DataFrame({"cv2_bin": np.array(bins, np.int64)})
+               .groupby("cv2_bin", as_index=False).size()
+               .rename(columns={"size": "n_customers"}))
+        for c in ("cv2_bin", "n_customers"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["cv2_bin"], ["n_customers"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("cv2_bin", "n_customers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cv2_bin").reset_index(drop=True)
+
+
+def q_source_len_gini(sf_dir: str):
+    """Per-source Gini of document lengths — is a source a uniform feed
+    or a mix of stubs and monsters; the curation-mix read next to the
+    length-MAD and log-normal screens, via the hardened grouped-Gini
+    histogram shape (value_gini_per_type's recipe on n_chars).
+
+    Exactness: the (source, n_chars, m) histogram is lossless under the
+    tie-invariant rank-sum; the closed form runs in Python ints; one
+    half-up divide per source. Zero-total sources drop.
+
+    Scale shape: one histogram fold bounded by sources x distinct
+    lengths; text never moves."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(source=object, n_docs="int64",
+                         total_chars="int64", gini="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "len": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "n_chars" not in b.column_names:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "source": b["source"].to_pandas(),
+                "len": pc.cast(b["n_chars"], pa.int64())
+                       .to_numpy(zero_copy_only=False)})
+             .groupby(["source", "len"], as_index=False).size()
+             .rename(columns={"size": "m"}))
+        for c in ("len", "m"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        _read(sf_dir, "documents", columns=["source", "n_chars"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["source", "len"], ["m"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("len")
+        cs = [int(v) for v in g["len"]]
+        ms = [int(v) for v in g["m"]]
+        n = sum(ms)
+        sx = sum(c * m for c, m in zip(cs, ms))
+        if sx <= 0:
+            continue
+        srx, run = 0, 0
+        for c, m in zip(cs, ms):
+            srx += c * (m * run + m * (m + 1) // 2)
+            run += m
+        gini = float(round_half_up(
+            np.array([float(2 * srx - (n + 1) * sx) / float(n * sx)]),
+            6)[0])
+        rows.append((src, n, sx, gini))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "total_chars",
+                                      "gini"])
+    for c in ("n_docs", "total_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -426,6 +426,8 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                      "active_share"],
         "orders_avg_lines_trend": ["o_year", "n_orders", "n_lines",
                                    "avg_lines"],
+        "customers_order_regularity": ["cv2_bin", "n_customers"],
+        "source_len_gini": ["source", "n_docs", "total_chars", "gini"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
