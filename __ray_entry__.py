@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_avg_lines_trend": q.q_orders_avg_lines_trend,
         "customers_order_regularity": q.q_customers_order_regularity,
         "source_len_gini": q.q_source_len_gini,
+        "lineitem_qty_mode": q.q_lineitem_qty_mode,
+        "users_day1_intensity": q.q_users_day1_intensity,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4243,6 +4245,50 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
                          / CAST(n * sx AS DOUBLE), 6) AS gini
             FROM s WHERE sx > 0 ORDER BY 1
+        """,
+        "lineitem_qty_mode": """
+            WITH h AS (
+              SELECT l_returnflag AS flag,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     COUNT(*) AS n
+              FROM lineitem WHERE l_quantity IS NOT NULL
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT flag, SUM(n) AS total FROM h GROUP BY 1
+            ), r AS (
+              SELECT flag, qty, n,
+                     ROW_NUMBER() OVER (PARTITION BY flag
+                                        ORDER BY n DESC, qty) AS rn
+              FROM h
+            )
+            SELECT r.flag AS l_returnflag,
+                   CAST(r.qty AS BIGINT) AS mode_qty,
+                   CAST(r.n AS BIGINT) AS n_at_mode,
+                   CAST(t.total AS BIGINT) AS n_lines,
+                   round(CAST(r.n AS DOUBLE) / t.total, 6) AS mode_share
+            FROM r JOIN t USING (flag)
+            WHERE r.rn = 1 ORDER BY 1
+        """,
+        "users_day1_intensity": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day
+              FROM events WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, MIN(day) AS first_day, COUNT(*) AS total
+              FROM e GROUP BY 1
+            ), nf AS (
+              SELECT e.user_id, COUNT(*) AS n_first
+              FROM e JOIN f ON f.user_id = e.user_id
+                           AND e.day = f.first_day
+              GROUP BY 1
+            )
+            SELECT CAST((10 * nf.n_first) // f.total AS BIGINT)
+                     AS decile_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f JOIN nf USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
     }
     try:

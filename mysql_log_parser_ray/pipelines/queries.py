@@ -15271,3 +15271,129 @@ def q_source_len_gini(sf_dir: str):
     for c in ("n_docs", "total_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_lineitem_qty_mode(sf_dir: str):
+    """MODE aggregate: the most common order quantity per return flag
+    (ties break on the LOWEST quantity) plus its frequency share — the
+    "standard case size" read that a median hides when the distribution
+    is multi-modal.
+
+    Exactness: integer histogram; deterministic (count DESC, qty ASC)
+    pick; ONE half-up share divide per flag.
+
+    Scale shape: one (flag, qty, n) fold — flags x 50 cells; the pick
+    is driver math."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(l_returnflag=object, mode_qty="int64",
+                         n_at_mode="int64", n_lines="int64",
+                         mode_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"flag": pa.array([], pa.string()),
+                "qty": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "l_returnflag" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["l_quantity"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "flag": b["l_returnflag"].to_pandas(),
+                "qty": pc.cast(b["l_quantity"], pa.int64())
+                       .to_numpy(zero_copy_only=False)})
+             .groupby(["flag", "qty"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("qty", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["flag", "qty"], ["n"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for flag, g in cells.groupby("flag"):
+        total = int(g["n"].sum())
+        top = g.sort_values(["n", "qty"],
+                            ascending=[False, True]).iloc[0]
+        rows.append((flag, int(top["qty"]), int(top["n"]), total,
+                     float(round_half_up(
+                         np.array([int(top["n"]) / total]), 6)[0])))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "mode_qty",
+                                      "n_at_mode", "n_lines",
+                                      "mode_share"])
+    for c in ("mode_qty", "n_at_mode", "n_lines"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_users_day1_intensity(sf_dir: str, n_parts: int = 64):
+    """Day-1 onboarding intensity: the share of each user's LIFETIME
+    events that happened on their first active day, binned to deciles
+    (bin = (10 * n_first) // n_total, bin 10 = single-day users) — do
+    users front-load and churn, or ramp?
+
+    Exactness: PURE INTEGER bin arithmetic over exact per-user counts.
+
+    Scale shape: user-hash buckets count first-day vs total per user
+    and emit (bin, n_users) cells — 11 per bucket."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+
+    empty = _typed_empty(decile_bin="int64", n_users="int64")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["ts"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": _day_from_us(pc.cast(b["ts"], pa.int64())),
+            "_part": pa.array(stable_partition(b["user_id"], n_parts),
+                              pa.int64())})
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"decile_bin": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")}
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(cols)
+        first_day = g.groupby("user_id")["day"].min()
+        total = g.groupby("user_id").size()
+        n_first = (g[g["day"] == g["user_id"].map(first_day)]
+                   .groupby("user_id").size())
+        bins = ((10 * n_first.reindex(total.index).fillna(0)
+                 .astype(np.int64)) // total.astype(np.int64))
+        out = (pd.DataFrame({"decile_bin": bins.to_numpy(np.int64)})
+               .groupby("decile_bin", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        for c in ("decile_bin", "n_users"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = _fold_partials(
+        ev.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas"),
+        ["decile_bin"], ["n_users"],
+    )
+    if cells is None:
+        return empty
+    out = cells.copy()
+    for c in ("decile_bin", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("decile_bin").reset_index(drop=True)

@@ -428,6 +428,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                    "avg_lines"],
         "customers_order_regularity": ["cv2_bin", "n_customers"],
         "source_len_gini": ["source", "n_docs", "total_chars", "gini"],
+        "lineitem_qty_mode": ["l_returnflag", "mode_qty", "n_at_mode",
+                              "n_lines", "mode_share"],
+        "users_day1_intensity": ["decile_bin", "n_users"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
