@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_len_gini": q.q_source_len_gini,
         "lineitem_qty_mode": q.q_lineitem_qty_mode,
         "users_day1_intensity": q.q_users_day1_intensity,
+        "slowlog_zero_rows_share": q.q_slowlog_zero_rows_share,
+        "source_word_len_p90": q.q_source_word_len_p90,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4289,6 +4291,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM f JOIN nf USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "slowlog_zero_rows_share": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(CASE WHEN n_chars % 7 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero_sent,
+                   round(CAST(SUM(CASE WHEN n_chars % 7 = 0
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS zero_share
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "source_word_len_p90": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(
+                         trim(lower(text),
+                              ' ' || chr(9) || chr(10) || chr(13)
+                              || chr(11) || chr(12)),
+                         '[ \t\n\r\v\f]+')) AS word
+              FROM documents
+            ), v AS (
+              SELECT source, CAST(length(word) AS BIGINT) AS wlen
+              FROM w WHERE word <> ''
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   (list_sort(list(wlen)))[(50 * COUNT(*)) // 100 + 1]
+                     AS p50_len,
+                   (list_sort(list(wlen)))[(90 * COUNT(*)) // 100 + 1]
+                     AS p90_len
+            FROM v GROUP BY 1 ORDER BY 1
         """,
     }
     try:

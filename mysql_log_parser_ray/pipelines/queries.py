@@ -15397,3 +15397,118 @@ def q_users_day1_intensity(sf_dir: str, n_parts: int = 64):
     for c in ("decile_bin", "n_users"):
         out[c] = out[c].astype("int64")
     return out.sort_values("decile_bin").reset_index(drop=True)
+
+
+def q_slowlog_zero_rows_share(sf_dir: str):
+    """Wasted-work screen over the REAL slow-log parse: per class, the
+    share of executions that sent ZERO rows back — high shares mark
+    queries that burn time producing nothing (missing index, dead
+    polling loop), the triage column next to the latency percentiles.
+
+    Exactness: integer counts off the parsed Rows_sent metric; ONE
+    half-up divide per class.
+
+    Scale shape: per-block (class_id, n, n_zero) partials;
+    class-cardinality fold."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(class_id=object, n_queries="int64",
+                         n_zero_sent="int64", zero_share="float64")
+    events = _flat_events(sf_dir)
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"class_id": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_zero": pa.array([], pa.int64())}
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        rs = b["rows_sent"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "class_id": b["class_id"].to_pandas(),
+                "z": (rs == 0).astype(np.int64)})
+             .groupby("class_id", as_index=False)
+             .agg(n=("z", "size"), n_zero=("z", "sum")))
+        for c in ("n", "n_zero"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        events.map_batches(_cells, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["class_id"], ["n", "n_zero"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"n": "n_queries", "n_zero": "n_zero_sent"})
+    for c in ("n_queries", "n_zero_sent"):
+        out[c] = out[c].astype("int64")
+    out["zero_share"] = round_half_up(
+        out["n_zero_sent"].to_numpy(np.float64)
+        / out["n_queries"].to_numpy(np.float64), 6)
+    return out.sort_values("class_id").reset_index(drop=True)
+
+
+def q_source_word_len_p90(sf_dir: str):
+    """Per-source p50/p90 WORD length (tokenizer-design input at the
+    source granularity — which feeds carry the long-tail identifiers
+    that blow up subword vocabularies).
+
+    Exactness: explicit-ASCII whitespace split both sides (the repo's
+    word rule); nearest-rank ranks over the exact (source, wlen, n)
+    histogram.
+
+    Scale shape: per-block explode collapses to (source, wlen, n) —
+    bounded by sources x max word length, never token count — and the
+    rank walk is driver math."""
+    import pandas as pd
+
+    from ..training.text import _ASCII_WS, _WS_RE
+
+    empty = _typed_empty(source=object, n_words="int64", p50_len="int64",
+                         p90_len="int64")
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"source": pa.array([], pa.string()),
+                "wlen": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        ex = s.str.lower().str.strip(_ASCII_WS).str.split(_WS_RE).explode()
+        mask = ex.notna() & (ex != "")
+        if not mask.any():
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "source": b["source"].to_pandas()
+                          .reindex(ex.index[mask]).to_numpy(),
+                "wlen": ex[mask].str.len().to_numpy(np.int64)})
+             .groupby(["source", "wlen"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("wlen", "n"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = _fold_partials(
+        docs.map_batches(_cells, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ["source", "wlen"], ["n"],
+    )
+    if hist is None:
+        return empty
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("wlen")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        cnt = int(cum[-1])
+        vals = g["wlen"].to_numpy(np.int64)
+        p50 = int(vals[np.searchsorted(cum, (50 * cnt) // 100 + 1)])
+        p90 = int(vals[np.searchsorted(cum, (90 * cnt) // 100 + 1)])
+        rows.append((src, cnt, p50, p90))
+    out = pd.DataFrame(rows, columns=["source", "n_words", "p50_len",
+                                      "p90_len"])
+    for c in ("n_words", "p50_len", "p90_len"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -431,6 +431,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "lineitem_qty_mode": ["l_returnflag", "mode_qty", "n_at_mode",
                               "n_lines", "mode_share"],
         "users_day1_intensity": ["decile_bin", "n_users"],
+        "slowlog_zero_rows_share": ["class_id", "n_queries",
+                                    "n_zero_sent", "zero_share"],
+        "source_word_len_p90": ["source", "n_words", "p50_len",
+                                "p90_len"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
