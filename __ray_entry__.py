@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_day1_intensity": q.q_users_day1_intensity,
         "slowlog_zero_rows_share": q.q_slowlog_zero_rows_share,
         "source_word_len_p90": q.q_source_word_len_p90,
+        "slowlog_lock_ratio_by_class": q.q_slowlog_lock_ratio_by_class,
+        "events_weekend_effect": q.q_events_weekend_effect,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4322,6 +4324,43 @@ def oracle_sql() -> dict[str, str]:
                    (list_sort(list(wlen)))[(90 * COUNT(*)) // 100 + 1]
                      AS p90_len
             FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "slowlog_lock_ratio_by_class": f"""
+            SELECT {_CLASS_EXPR} AS class_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(n_chars % 128) AS DOUBLE) / 4 AS sum_qt,
+                   CAST(SUM(n_chars % 32) AS DOUBLE) / 8 AS sum_lock,
+                   round(CAST(SUM(n_chars % 32) AS DOUBLE)
+                         / (2 * SUM(n_chars % 128)), 6) AS lock_ratio
+            FROM documents
+            GROUP BY 1 HAVING SUM(n_chars % 128) > 0 ORDER BY 1
+        """,
+        "events_weekend_effect": """
+            WITH e AS (
+              SELECT (CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                      + 4) % 7 AS dow,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), s AS (
+              SELECT CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END AS is_we,
+                     COUNT(*) AS n, SUM(cents) AS c
+              FROM e GROUP BY 1
+            ), r AS (
+              SELECT COALESCE(MAX(CASE WHEN is_we = 0 THEN n END), 0)
+                       AS n_wd,
+                     COALESCE(MAX(CASE WHEN is_we = 1 THEN n END), 0)
+                       AS n_we
+              FROM s
+            )
+            SELECT CASE s.is_we WHEN 0 THEN 'weekday'
+                                ELSE 'weekend' END AS bucket,
+                   CAST(s.n AS BIGINT) AS n_events,
+                   CAST(s.c AS BIGINT) AS value_cents,
+                   CASE WHEN r.n_wd > 0 AND r.n_we > 0
+                        THEN round(CAST(r.n_we * 5 AS DOUBLE)
+                                   / (r.n_wd * 2), 6)
+                        ELSE 0.0 END AS per_day_ratio
+            FROM s, r ORDER BY 1
         """,
     }
     try:

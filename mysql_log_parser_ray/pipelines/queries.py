@@ -15512,3 +15512,140 @@ def q_source_word_len_p90(sf_dir: str):
     for c in ("n_words", "p50_len", "p90_len"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_slowlog_lock_ratio_by_class(sf_dir: str):
+    """Lock-pressure ratio per class over the REAL slow-log parse: total
+    Lock_time as a share of total Query_time — classes near 1.0 spend
+    their latency WAITING, the classic "add an index vs shard the hot
+    row" fork in slow-query triage.
+
+    Exactness: query times are quarter-second quanta and lock times are
+    EIGHTH-second quanta by derivation (both float32-exact), so the
+    engine sums qt*8 and lock*8 as INTEGERS and the ratio is ONE
+    half-up ratio-of-ints divide per class. Zero-qt classes drop.
+
+    Scale shape: per-block (class, sum_q8, sum_l8) partials;
+    class-cardinality fold."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(class_id=object, n_queries="int64",
+                         sum_qt="float64", sum_lock="float64",
+                         lock_ratio="float64")
+    events = _flat_events(sf_dir)
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"class_id": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "q8": pa.array([], pa.int64()),
+                "l8": pa.array([], pa.int64())}
+        if "class_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        qt = b["query_time"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lt = b["lock_time"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        g = (pd.DataFrame({
+                "class_id": b["class_id"].to_pandas(),
+                "q8": np.floor(qt * 8.0 + 0.5).astype(np.int64),
+                "l8": np.floor(lt * 8.0 + 0.5).astype(np.int64)})
+             .groupby("class_id", as_index=False)
+             .agg(n=("q8", "size"), q8=("q8", "sum"), l8=("l8", "sum")))
+        for c in ("n", "q8", "l8"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        events.map_batches(_cells, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["class_id"], ["n", "q8", "l8"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for cid, g in cells.groupby("class_id"):
+        q8 = sum(int(v) for v in g["q8"])
+        l8 = sum(int(v) for v in g["l8"])
+        if q8 <= 0:
+            continue
+        rows.append((cid, int(g["n"].sum()), q8 / 8.0, l8 / 8.0,
+                     float(round_half_up(np.array([l8 / q8]), 6)[0])))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["class_id", "n_queries", "sum_qt",
+                                      "sum_lock", "lock_ratio"])
+    out["n_queries"] = out["n_queries"].astype("int64")
+    return out.sort_values("class_id").reset_index(drop=True)
+
+
+def q_events_weekend_effect(sf_dir: str):
+    """Weekend effect: event count and value per weekday-vs-weekend
+    bucket plus the per-day-normalized traffic ratio — does the product
+    live on office hours or on couches? (dow 0=Sunday, 6=Saturday per
+    the repo's epoch-day arithmetic.)
+
+    Exactness: integer counts/cents; the ratio normalizes by bucket
+    width ((n_weekend * 5) vs (n_weekday * 2) — pure ints) and rounds
+    half-up once.
+
+    Scale shape: one 2-cell counter fold."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(bucket=object, n_events="int64",
+                         value_cents="int64", per_day_ratio="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"is_we": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        g = (pd.DataFrame({
+                "is_we": ((dow == 0) | (dow == 6)).astype(np.int64),
+                "cents": _cents(b["value"]).to_numpy(zero_copy_only=False)})
+             .groupby("is_we", as_index=False)
+             .agg(n=("cents", "size"), cents=("cents", "sum")))
+        for c in ("is_we", "n", "cents"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "value"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["is_we"], ["n", "cents"],
+    )
+    if cells is None:
+        return empty
+    by = {int(r.is_we): (int(r.n), int(r.cents))
+          for r in cells.itertuples()}
+    n_wd, c_wd = by.get(0, (0, 0))
+    n_we, c_we = by.get(1, (0, 0))
+    if n_wd == 0 and n_we == 0:
+        return empty
+    # per-day-normalized weekend/weekday traffic ratio: (we/2) / (wd/5),
+    # defined only when BOTH buckets have traffic (0.0 sentinel otherwise,
+    # mirrored by the oracle's CASE)
+    ratio = (float(round_half_up(
+        np.array([(n_we * 5) / (n_wd * 2)]), 6)[0])
+        if n_wd > 0 and n_we > 0 else 0.0)
+    rows = []
+    if n_wd > 0:
+        rows.append(("weekday", n_wd, c_wd, ratio))
+    if n_we > 0:
+        rows.append(("weekend", n_we, c_we, ratio))
+    out = pd.DataFrame(rows, columns=["bucket", "n_events",
+                                      "value_cents", "per_day_ratio"])
+    for c in ("n_events", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

@@ -435,6 +435,11 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                     "n_zero_sent", "zero_share"],
         "source_word_len_p90": ["source", "n_words", "p50_len",
                                 "p90_len"],
+        "slowlog_lock_ratio_by_class": ["class_id", "n_queries",
+                                        "sum_qt", "sum_lock",
+                                        "lock_ratio"],
+        "events_weekend_effect": ["bucket", "n_events", "value_cents",
+                                  "per_day_ratio"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
