@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_word_len_p90": q.q_source_word_len_p90,
         "slowlog_lock_ratio_by_class": q.q_slowlog_lock_ratio_by_class,
         "events_weekend_effect": q.q_events_weekend_effect,
+        "orders_priority_mix_trend": q.q_orders_priority_mix_trend,
+        "embed_label_norms": q.q_embed_label_norms,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4361,6 +4363,39 @@ def oracle_sql() -> dict[str, str]:
                                    / (r.n_wd * 2), 6)
                         ELSE 0.0 END AS per_day_ratio
             FROM s, r ORDER BY 1
+        """,
+        "orders_priority_mix_trend": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+                   round(CAST(SUM(CASE WHEN o_orderpriority IN
+                                            ('1-URGENT', '2-HIGH')
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS hot_share
+            FROM orders WHERE o_orderdate IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "embed_label_norms": """
+            WITH x AS (
+              SELECT label, t.i AS dim,
+                     CAST(floor(CAST(embedding[CAST(t.i AS INTEGER)]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xq
+              FROM embeddings,
+                   (SELECT unnest(range(1, 65)) AS i) t
+            ), s AS (
+              SELECT label, SUM(CAST(xq AS HUGEINT) * xq) AS ssq
+              FROM x GROUP BY 1
+            ), c AS (
+              SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+            )
+            SELECT CAST(c.label AS BIGINT) AS label,
+                   CAST(c.n AS BIGINT) AS n_vectors,
+                   CAST(s.ssq AS VARCHAR) AS sumsq_units_str,
+                   round(CAST(s.ssq AS DOUBLE) / c.n, 6) AS mean_sq
+            FROM c JOIN s ON s.label = c.label ORDER BY 1
         """,
     }
     try:

@@ -15649,3 +15649,131 @@ def q_events_weekend_effect(sf_dir: str):
     for c in ("n_events", "value_cents"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_orders_priority_mix_trend(sf_dir: str):
+    """Priority-mix trend: per order year, the share of URGENT+HIGH
+    orders — is the business drifting toward everything-is-urgent (the
+    ops-load leading indicator).
+
+    Exactness: integer counts; ONE half-up divide per year.
+
+    Scale shape: one (year, n, n_hot) counter fold, calendar-bounded."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(o_year="int64", n_orders="int64", n_hot="int64",
+                         hot_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"yr": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "hot": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderdate" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        pri = b["o_orderpriority"].to_pandas().to_numpy(object)
+        hot = np.array([p in ("1-URGENT", "2-HIGH") for p in pri],
+                       dtype=np.int64)
+        g = (pd.DataFrame({
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64())
+                      .to_numpy(zero_copy_only=False),
+                "hot": hot})
+             .groupby("yr", as_index=False)
+             .agg(n=("hot", "size"), hot=("hot", "sum")))
+        for c in ("yr", "n", "hot"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["yr"], ["n", "hot"],
+    )
+    if cells is None:
+        return empty
+    out = cells.rename(columns={"yr": "o_year", "n": "n_orders",
+                                "hot": "n_hot"})
+    for c in ("o_year", "n_orders", "n_hot"):
+        out[c] = out[c].astype("int64")
+    out["hot_share"] = round_half_up(
+        out["n_hot"].to_numpy(np.float64)
+        / out["n_orders"].to_numpy(np.float64), 6)
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_embed_label_norms(sf_dir: str):
+    """Class-conditional norm check over the labeled embeddings: per
+    label, exact integer-unit moments of the SQUARED L2 norm — the
+    embedding-collapse / miscalibration screen (a label whose vectors
+    are systematically shorter is under-trained).
+
+    Exactness: components quantize once to 1e-6 units (f32->f64 exact);
+    the squared norm per vector is an exact integer sum of unit squares;
+    per-label sums recombine in PYTHON ints and ship limb-free below
+    the documented bound (unit^2 ~ 4e12, x64 dims x rows: fail-fast at
+    2^63 like the sibling folds).
+
+    Scale shape: blocks fold to (label, n, sum_sq_hi, sum_sq_lo) rows
+    (hi/lo LIMBS per the big-int rule); label-cardinality driver math."""
+    import pandas as pd
+
+    empty = _typed_empty(label="int64", n_vectors="int64",
+                         sumsq_units_str=object, mean_sq="float64")
+    LIMB = (1 << 30) - 1
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64())}
+        if "embedding" not in b.column_names or b.num_rows == 0:
+            return pa.table(cols)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // b.num_rows
+        x = flat.astype(np.float64).reshape(b.num_rows, d)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        sq = (xq * xq).sum(axis=1)  # per-vector: <= 64 * ~4e12 — safe
+        lab = pc.cast(b["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"label": lab, "sq": sq})
+             .groupby("label", as_index=False)
+             .agg(n=("sq", "size"), s=("sq", "sum")))
+        g["hi"] = g["s"] // (LIMB + 1)
+        g["lo"] = g["s"] % (LIMB + 1)
+        g = g.drop(columns=["s"])
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        ds.map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["label"], ["n", "hi", "lo"],
+    )
+    if cells is None:
+        return empty
+    rows = []
+    for lab, g in cells.groupby("label"):
+        n = int(g["n"].sum())
+        ssq = (int(g["hi"].sum()) << 30) + int(g["lo"].sum())
+        if n == 0:
+            continue
+        # mean squared norm in units^2, as the oracle's CAST chain
+        rows.append((int(lab), n, str(ssq),
+                     float(np.round(
+                         np.float64(ssq) / np.float64(n), 6))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["label", "n_vectors",
+                                      "sumsq_units_str", "mean_sq"])
+    for c in ("label", "n_vectors"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)

@@ -440,6 +440,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                         "lock_ratio"],
         "events_weekend_effect": ["bucket", "n_events", "value_cents",
                                   "per_day_ratio"],
+        "orders_priority_mix_trend": ["o_year", "n_orders", "n_hot",
+                                      "hot_share"],
+        "embed_label_norms": ["label", "n_vectors", "sumsq_units_str",
+                              "mean_sq"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
