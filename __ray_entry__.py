@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekend_effect": q.q_events_weekend_effect,
         "orders_priority_mix_trend": q.q_orders_priority_mix_trend,
         "embed_label_norms": q.q_embed_label_norms,
+        "docs_prefix_dup_rate": q.q_docs_prefix_dup_rate,
+        "orders_sameday_multi": q.q_orders_sameday_multi,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4396,6 +4398,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.ssq AS VARCHAR) AS sumsq_units_str,
                    round(CAST(s.ssq AS DOUBLE) / c.n, 6) AS mean_sq
             FROM c JOIN s ON s.label = c.label ORDER BY 1
+        """,
+        "docs_prefix_dup_rate": """
+            WITH p AS (
+              SELECT substring(text, 1, 32) AS prefix
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT prefix, COUNT(*) AS n FROM p GROUP BY 1
+            ), s AS (
+              SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n
+                                            ELSE 0 END), 0) AS BIGINT)
+                       AS n_dup
+              FROM g
+            )
+            SELECT n_docs, n_dup AS n_prefix_dup,
+                   round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_share
+            FROM s WHERE n_docs > 0
+        """,
+        "orders_sameday_multi": """
+            WITH d AS (
+              SELECT o_custkey,
+                     CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+                          AS BIGINT) AS day,
+                     COUNT(*) AS n
+              FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+            ), u AS (
+              SELECT o_custkey, MAX(n) AS mx FROM d GROUP BY 1
+            ), s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                     CAST(SUM(CASE WHEN mx >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_multi
+              FROM u
+            )
+            SELECT n_customers, n_multi,
+                   round(CAST(n_multi AS DOUBLE) / n_customers, 6)
+                     AS multi_share
+            FROM s WHERE n_customers > 0
         """,
     }
     try:

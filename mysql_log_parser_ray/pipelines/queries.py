@@ -15777,3 +15777,143 @@ def q_embed_label_norms(sf_dir: str):
     for c in ("label", "n_vectors"):
         out[c] = out[c].astype("int64")
     return out.sort_values("label").reset_index(drop=True)
+
+
+def q_docs_prefix_dup_rate(sf_dir: str, prefix_chars: int = 32,
+                           n_parts: int = 64):
+    """Prefix-collision duplication screen: the share of documents whose
+    first ``prefix_chars`` characters are shared with at least one OTHER
+    document — the cheapest boilerplate/template detector (exact-match
+    complement of the edit-distance prefix screen).
+
+    Exactness: integer counts over exact prefix groups.
+
+    Scale shape: batches emit (prefix, n) partials; prefixes hash-bucket
+    (stable_partition) so each prefix's global count lives in one task;
+    buckets emit ONE (n_docs, n_dup) counter row each. Text beyond the
+    prefix never ships."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_docs="int64", n_prefix_dup="int64",
+                         dup_share="float64")
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"prefix": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(cols)
+        s = b["text"].to_pandas()
+        s = s[s.notna()]
+        if not len(s):
+            return pa.table(cols)
+        g = (pd.DataFrame({"prefix": s.str.slice(0, prefix_chars)})
+             .groupby("prefix", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["_part"] = stable_partition(
+            pa.array(g["prefix"], pa.string()), n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_docs": pd.Series([], dtype="int64"),
+                "n_dup": pd.Series([], dtype="int64")}
+        if not len(g) or "prefix" not in g.columns:
+            return pd.DataFrame(cols)
+        tot = g.groupby("prefix")["n"].sum()
+        return pd.DataFrame({
+            "n_docs": np.array([int(tot.sum())], np.int64),
+            "n_dup": np.array([int(tot[tot >= 2].sum())], np.int64)})
+
+    parts = (
+        docs.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "n_docs" not in parts.columns:
+        return empty
+    n = int(parts["n_docs"].sum())
+    if n == 0:
+        return empty
+    dup = int(parts["n_dup"].sum())
+    return pd.DataFrame({
+        "n_docs": np.array([n], np.int64),
+        "n_prefix_dup": np.array([dup], np.int64),
+        "dup_share": round_half_up(np.array([dup / n], np.float64), 6)})
+
+
+def q_orders_sameday_multi(sf_dir: str, n_parts: int = 64):
+    """Same-day multi-order screen: how many customers EVER placed two
+    or more orders on one calendar day — the impulse-buyer /
+    automation-signal split (fraud teams read the share, growth teams
+    read the count).
+
+    Exactness: integer counts on exact (custkey, day) groups; ONE
+    half-up share divide.
+
+    Scale shape: custkey-hash buckets count each customer's max
+    orders-per-day and emit ONE (n_customers, n_multi) counter row."""
+    import pandas as pd
+
+    from ..partition import stable_partition
+    from ..util import round_half_up
+
+    empty = _typed_empty(n_customers="int64", n_multi="int64",
+                         multi_share="float64")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        cols = {"cust": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.is_valid(b["o_orderdate"]))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "cust": pc.cast(b["o_custkey"], pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                "day": _day_from_us(pc.cast(b["o_orderdate"], pa.int64()))
+                       .to_numpy(zero_copy_only=False)})
+             .groupby(["cust", "day"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        for c in ("cust", "day", "n"):
+            g[c] = g[c].astype("int64")
+        g["_part"] = stable_partition(
+            pa.array(g["cust"], from_pandas=True), n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_customers": pd.Series([], dtype="int64"),
+                "n_multi": pd.Series([], dtype="int64")}
+        if not len(g) or "cust" not in g.columns:
+            return pd.DataFrame(cols)
+        per_day = g.groupby(["cust", "day"])["n"].sum()
+        max_per_day = per_day.groupby(level=0).max()
+        return pd.DataFrame({
+            "n_customers": np.array([len(max_per_day)], np.int64),
+            "n_multi": np.array([int((max_per_day >= 2).sum())],
+                                np.int64)})
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("_part").map_groups(_bucket, batch_format="pandas")
+        .to_pandas())
+    if not len(parts) or "n_customers" not in parts.columns:
+        return empty
+    n = int(parts["n_customers"].sum())
+    if n == 0:
+        return empty
+    multi = int(parts["n_multi"].sum())
+    return pd.DataFrame({
+        "n_customers": np.array([n], np.int64),
+        "n_multi": np.array([multi], np.int64),
+        "multi_share": round_half_up(
+            np.array([multi / n], np.float64), 6)})

@@ -444,6 +444,9 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
                                       "hot_share"],
         "embed_label_norms": ["label", "n_vectors", "sumsq_units_str",
                               "mean_sq"],
+        "docs_prefix_dup_rate": ["n_docs", "n_prefix_dup", "dup_share"],
+        "orders_sameday_multi": ["n_customers", "n_multi",
+                                 "multi_share"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
