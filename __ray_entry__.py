@@ -405,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_label_norms": q.q_embed_label_norms,
         "docs_prefix_dup_rate": q.q_docs_prefix_dup_rate,
         "orders_sameday_multi": q.q_orders_sameday_multi,
+        "events_cvr_by_dow": q.q_events_cvr_by_dow,
+        "orders_status_priority_matrix": q.q_orders_status_priority_matrix,
     }
     try:  # training-data operators (registered as they land)
         from mysql_log_parser_ray.training import register_queries
@@ -4435,6 +4437,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_multi AS DOUBLE) / n_customers, 6)
                      AS multi_share
             FROM s WHERE n_customers > 0
+        """,
+        "events_cvr_by_dow": """
+            WITH e AS (
+              SELECT (CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                      + 4) % 7 AS dow,
+                     event_type
+              FROM events
+              WHERE ts IS NOT NULL
+                AND event_type IN ('view', 'purchase')
+            ), s AS (
+              SELECT dow,
+                     SUM(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS v,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS p
+              FROM e GROUP BY 1
+            )
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(v AS BIGINT) AS n_views,
+                   CAST(p AS BIGINT) AS n_purchases,
+                   round(CAST(p AS DOUBLE) / v, 6) AS cvr
+            FROM s WHERE v > 0 ORDER BY 1
+        """,
+        "orders_status_priority_matrix": """
+            WITH c AS (
+              SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2
+            ), t AS (
+              SELECT o_orderpriority, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.o_orderpriority, c.o_orderstatus,
+                   CAST(c.n AS BIGINT) AS n_orders,
+                   round(CAST(c.n AS DOUBLE) / t.tot, 6) AS row_share
+            FROM c JOIN t USING (o_orderpriority)
+            ORDER BY 1, 2
         """,
     }
     try:

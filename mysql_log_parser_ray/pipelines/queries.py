@@ -15917,3 +15917,113 @@ def q_orders_sameday_multi(sf_dir: str, n_parts: int = 64):
         "n_multi": np.array([multi], np.int64),
         "multi_share": round_half_up(
             np.array([multi / n], np.float64), 6)})
+
+
+def q_events_cvr_by_dow(sf_dir: str):
+    """Conversion rate by day-of-week: purchases per view for each dow
+    (Sunday=0 per the repo's epoch-day arithmetic) — do weekends browse
+    without buying, the scheduling input for promo pushes.
+
+    Exactness: integer counts; ONE half-up divide per dow; dows with
+    zero views drop (the oracle's WHERE).
+
+    Scale shape: one 7 x 2 counter fold."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(dow="int64", n_views="int64",
+                         n_purchases="int64", cvr="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"dow": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "p": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "ts" not in b.column_names:
+            return pa.table(cols)
+        b = b.filter(pc.and_(
+            pc.is_valid(b["ts"]),
+            pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))))
+        if b.num_rows == 0:
+            return pa.table(cols)
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_pandas()
+        g = (pd.DataFrame({
+                "dow": ((us // 86_400_000_000 + 4) % 7).astype(np.int64),
+                "v": (et == "view").to_numpy(np.int64),
+                "p": (et == "purchase").to_numpy(np.int64)})
+             .groupby("dow", as_index=False)[["v", "p"]].sum())
+        for c in ("dow", "v", "p"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["dow"], ["v", "p"],
+    )
+    if cells is None:
+        return empty
+    cells = cells[cells["v"] > 0]
+    if not len(cells):
+        return empty
+    out = pd.DataFrame({
+        "dow": cells["dow"].astype("int64"),
+        "n_views": cells["v"].astype("int64"),
+        "n_purchases": cells["p"].astype("int64"),
+        "cvr": round_half_up(
+            cells["p"].to_numpy(np.float64)
+            / cells["v"].to_numpy(np.float64), 6)})
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+def q_orders_status_priority_matrix(sf_dir: str):
+    """Status x priority contingency matrix with row shares: how order
+    status distributes within each priority — the fulfillment-health
+    cross-tab (URGENT orders stuck in 'O' is the page).
+
+    Exactness: integer counts; half-up row shares.
+
+    Scale shape: one statuses x priorities counter fold (~15 cells)."""
+    import pandas as pd
+
+    from ..util import round_half_up
+
+    empty = _typed_empty(o_orderpriority=object, o_orderstatus=object,
+                         n_orders="int64", row_share="float64")
+
+    def _cells(b: pa.Table) -> pa.Table:
+        cols = {"pri": pa.array([], pa.string()),
+                "st": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        if b.num_rows == 0 or "o_orderpriority" not in b.column_names:
+            return pa.table(cols)
+        g = (pd.DataFrame({
+                "pri": b["o_orderpriority"].to_pandas(),
+                "st": b["o_orderstatus"].to_pandas()})
+             .groupby(["pri", "st"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = _fold_partials(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_orderstatus"])
+        .map_batches(_cells, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["pri", "st"], ["n"],
+    )
+    if cells is None:
+        return empty
+    tot = cells.groupby("pri")["n"].transform("sum")
+    out = pd.DataFrame({
+        "o_orderpriority": cells["pri"].astype(object),
+        "o_orderstatus": cells["st"].astype(object),
+        "n_orders": cells["n"].astype("int64"),
+        "row_share": round_half_up(
+            cells["n"].to_numpy(np.float64) / tot.to_numpy(np.float64),
+            6)})
+    return (out.sort_values(["o_orderpriority", "o_orderstatus"])
+            .reset_index(drop=True))

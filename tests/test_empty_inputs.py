@@ -447,6 +447,10 @@ def test_new_queries_schema_stable_on_empty_inputs(ray_session, tmp_path):
         "docs_prefix_dup_rate": ["n_docs", "n_prefix_dup", "dup_share"],
         "orders_sameday_multi": ["n_customers", "n_multi",
                                  "multi_share"],
+        "events_cvr_by_dow": ["dow", "n_views", "n_purchases", "cvr"],
+        "orders_status_priority_matrix": ["o_orderpriority",
+                                          "o_orderstatus", "n_orders",
+                                          "row_share"],
     }
     for name, cols in expected.items():
         out = _to_pandas(qs[name](str(tmp_path)))
